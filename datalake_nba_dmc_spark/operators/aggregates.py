@@ -1,0 +1,96 @@
+"""Aggregation operators: A1–A5 plus rollup/cube and approx variants.
+
+Reference sites: A1 whole-row dedup
+(``aws-job-landing-to-bronze/aws-job-landing-to-bronze.py:59``), A2
+dtype-driven dynamic aggregate
+(``aws-job-silver-to-silver/aws-job-silver-to-silver.py:42-49``), A3/A4
+multi-measure sum + exact countDistinct marts
+(``aws-job-silver-to-gold-player/aws-job-silver-to-gold-player.py:52-72``,
+``aws-job-silver-to-gold-team/aws-job-silver-to-gold-team.py:32-48``).
+
+Scale notes:
+
+- Catalyst plans all of these as partial (map-side) + final hash
+  aggregates — one shuffle on the group key, combiner semantics for free.
+- Exact ``countDistinct`` forces a second aggregation pass keyed by
+  (group, distinct value); keep it for parity, but
+  ``approx_count_distinct`` (HLL++, single pass, mergeable sketch) is the
+  100 TB path — exposed here as ``approx=True``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: dtype strings eligible for the dynamic aggregate (the reference keys on
+#: the literal dtype string 'int' — ``...silver-to-silver.py:45`` — because
+#: its upstream narrowing made measures int; we accept the numeric family).
+NUMERIC_DTYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def dedup_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """A1 — whole-row (or subset-keyed) duplicate elimination."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def dynamic_sum_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    dtypes: Sequence[str] = ("int", "bigint"),
+) -> DataFrame:
+    """A2 — group by descriptive columns; sum every column whose dtype is in
+    ``dtypes`` (chosen at runtime from the DataFrame schema, exactly the
+    reference idiom at ``...silver-to-silver.py:42-49``)."""
+    agg_cols = [
+        c for c, t in df.dtypes if t.split("(")[0] in dtypes and c not in group_cols
+    ]
+    return df.groupBy(*group_cols).agg(*[F.sum(c).alias(c) for c in agg_cols])
+
+
+def multi_measure_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    distinct_count_col: str | None = None,
+    distinct_count_alias: str = "games_played",
+    extra: Sequence[Column] = (),
+    approx: bool = False,
+) -> DataFrame:
+    """A3/A4 — N× sum + exact (or approx) countDistinct + computed measures.
+
+    ``extra`` takes expression-over-aggregate columns such as the
+    reference's ``((sum(sec)+sum(min_to_sec))/60).cast(double)``
+    (``...silver-to-gold-player.py:70``).
+    """
+    aggs: list[Column] = [F.sum(c).alias(c) for c in sum_cols]
+    if distinct_count_col is not None:
+        cd = (
+            F.approx_count_distinct(distinct_count_col)
+            if approx
+            else F.countDistinct(distinct_count_col)
+        )
+        aggs.append(cd.alias(distinct_count_alias))
+    aggs.extend(extra)
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def column_bounds(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A5 — per-column max/min in ONE pass (replaces the reference's
+    per-column RDD ``max()`` loop, ``...landing-to-bronze.py:74``)."""
+    return df.agg(
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+    )
+
+
+def rollup_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFrame:
+    """Hierarchical subtotals (beyond-reference; SURVEY.md §2.6 'absent')."""
+    return df.rollup(*group_cols).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFrame:
+    """All grouping-set combinations (beyond-reference)."""
+    return df.cube(*group_cols).agg(*aggs)

@@ -1,0 +1,225 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (beyond-reference; BASELINE.json north star).
+
+Scale design (the whole point of these operators is the 100 TB case):
+
+- **Exact**: hash-groupBy on a normalized-text hash — one shuffle keyed by
+  a 64-bit hash, near-perfectly balanced.
+- **MinHash+LSH**: shingle → K minhashes → B bands; duplicates collide in
+  a band bucket. The only shuffle is groupBy/join on (band, signature) —
+  never an all-pairs comparison. Candidate pairs are verified with real
+  Jaccard, so false positives from banding are filtered.
+- **SimHash**: 64-bit sign-hash of token hashes; near-dups differ in few
+  bits. Banding the 64 bits into chunks gives the same bucket-join shape.
+- All pair generation uses self-joins on bucket keys + ``id_a < id_b`` so
+  each pair appears once and the join stays an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.text import fingerprint
+
+# Large prime < 2^31 for minhash permutations (a*h + b mod P).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def normalize_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: keep the min-id representative per
+    fingerprint group. One hash-aggregate shuffle; survivors join back by id
+    (broadcast-able winners list would also work when duplicates are rare).
+    """
+    fp = fingerprint(text_col)
+    winners = (
+        df.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) of the normalized text."""
+    c = normalize_text(col)
+    toks = F.filter(F.split(c, " "), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """K minhash values per row: min over shingles of (a_i * xxhash64(s) + b_i) mod P.
+
+    Deterministic (a_i, b_i) derived from the seed so signatures are stable
+    across runs and partitions. Pure array expressions — no UDF.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_hashes)]
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+
+    def perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change the lambda's
+        # arity and break Spark's higher-order-function binding
+        return lambda h: F.pmod(h * a + b, F.lit(_MERSENNE31))
+
+    mins = [F.array_min(F.transform(base, perm(a, b))) for a, b in coeffs]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows → shingle → K minhashes → B bands of K/B values → explode bands →
+    groupable (band_idx, band_sig) key → self-join on the key with
+    ``id_a < id_b``. Shuffle cost is O(rows × B) on well-distributed hash
+    keys; no quadratic blow-up unless true duplicates are quadratic.
+    Returns distinct (id_a, id_b) candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes, seed)
+    banded = (
+        df.select(F.col(id_col), sig.alias("sig"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                )
+            ).alias("band_idx", "band_sig"),
+        )
+        .withColumn("band_key", F.xxhash64("band_idx", F.col("band_sig").cast("string")))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_key")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification step after LSH).
+
+    Joins shingle sets to both pair sides; similarity via
+    array_intersect/array_union sizes — built-in, no UDF.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    )
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash: sign-aggregate of per-token 64-bit hashes.
+
+    For each bit position, sum +1/-1 over tokens by whether the token hash
+    has that bit set; the fingerprint bit is the sign. Near-identical texts
+    → small Hamming distance. Pure aggregate expressions over the token
+    array (no UDF); cost is O(tokens × bits) per row in codegen.
+    """
+    toks = F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote_fn(i: int):
+        # closure factory (not a default-arg lambda) — see minhash_signature
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(i))
+        # two's-complement wrap: 1<<63 doesn't fit a signed int64 literal
+        bit_val = (1 << i) - (1 << 64 if i == 63 else 0)
+        bit_cols.append(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the fingerprint into
+    ``bits/band_bits`` chunks; pairs within ``max_hamming`` must share at
+    least one exact chunk (pigeonhole) → bucket-join on chunks, verify with
+    full Hamming distance."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sh = df.select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+    banded = sh.select(
+        id_col,
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sh", i * band_bits).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val")
+    pairs = (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

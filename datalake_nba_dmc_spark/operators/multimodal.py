@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is an opaque
+``BinaryType`` column (or a path into object storage for very large blobs),
+metadata is a typed struct, and all decode / feature-extraction runs as
+Arrow-batched Pandas UDFs via ``mapInPandas`` so bytes never cross the
+Python boundary row-at-a-time.
+
+The decode step itself is STUBBED (image/audio libs are not in this
+container — clearly marked below); the Spark-side plumbing (schema,
+batching, partition sizing, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal schema: payload + typed metadata struct.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapt the documents table into the multimodal shape (payload =
+    UTF-8 bytes) so the plumbing is exercisable on the driver's testdata."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_image(payload: bytes) -> dict:
+    """STUB — real implementation would use PIL/cv2 (not in this container).
+
+    Deterministic fake: derives pseudo-dimensions from the payload so the
+    downstream plumbing (schema, joins, aggregations) is fully testable.
+    Swap the body for ``PIL.Image.open(io.BytesIO(payload))`` in production.
+    """
+    if payload is None:
+        return {"width": None, "height": None}
+    h = len(payload)
+    return {"width": int(h % 640) + 1, "height": int(h % 480) + 1}
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract via ``mapInPandas`` — Arrow batches of payload
+    bytes enter Python once per batch, not per row. Batch size is governed
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch``; for large blobs
+    set it low (e.g. 64) so a batch fits in executor memory."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(_decode_image)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": dims.map(lambda d: d["width"]).astype("Int32"),
+                    "height": dims.map(lambda d: d["height"]).astype("Int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: expands each media row into frame-index
+    rows (decode stubbed — indices derived from n_bytes as a deterministic
+    fake for frame count). Real impl: pyav/ffmpeg inside the same
+    mapInPandas shape."""
+    n_frames = (F.col("n_bytes") % 300 + 1).cast("int")
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (beyond-reference; BASELINE.json
+north star: ANN over ``array<float>``).
+
+Two strategies:
+
+- ``brute_force_topk`` — exact cosine top-k. The query vector set is
+  broadcast; the corpus side is a single scan + per-row dot products via
+  built-in array expressions (``F.zip_with`` + ``F.aggregate`` — JVM-side,
+  no Python). Top-k per query via ranking window. At 100 TB this is one
+  pass over the corpus: the right baseline and often good enough.
+- ``lsh_bucketed_topk`` — approximate: random-hyperplane LSH (sign of
+  dot(v, r_i) for L hyperplanes → bucket id), candidates restricted to the
+  query's bucket, then exact cosine within buckets. Turns all-pairs into a
+  bucket-equi-join; recall tunable by number of hyperplanes / probes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double (JVM codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` (small) is broadcast against the corpus — the corpus is
+    scanned once, no shuffle until the final per-query top-k window (keyed
+    by query_id, tiny cardinality). Ties break on corpus id ascending.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("q_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rn").alias("rank"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = 1 iff dot(vec, plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, y: (x * y).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane bucket.
+
+    The corpus is bucketed once (scan + projection); the join is a plain
+    equi-join on ``bucket`` — at scale, the corpus can be written bucketed
+    (``bucketBy(bucket)``) so repeated queries shuffle nothing. Recall < 1;
+    raise recall with fewer planes (bigger buckets) or multi-probe.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="bucket").select(
+        query_id_col,
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("q_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rn").alias("rank"))
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs are
+    generated only within buckets (equi-self-join), then exact cosine
+    filters to ``>= threshold``."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    pairs = a.join(c, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)

@@ -1,0 +1,128 @@
+"""Text-analysis operators for LLM training-data pipelines (beyond-reference;
+required by BASELINE.json's north star).
+
+All hot-path expressions are built-in Spark SQL functions (JVM-side,
+whole-stage codegen) — no Python UDFs: at 100 TB a row-at-a-time Python UDF
+on a documents table is the difference between hours and weeks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword heuristic
+#: language ID. Real pipelines use fastText/CLD3; the heuristic keeps the
+#: operator self-contained and oracle-checkable.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+#: BPE-ish token pattern: runs of word chars OR single non-space symbols —
+#: approximates subword pre-tokenization (GPT-2-style split on
+#: letters/digits/punctuation classes).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (empty string → empty array, not [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count via regexp extraction (TOKEN_PATTERN).
+
+    Group index 0 = whole match (the pattern has no capture groups; Spark's
+    default idx=1 would error)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token counts, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio.
+
+    These are the standard cheap filters (C4/Gopher-style rules) used to
+    score web text before training. Pure column expressions → one codegen'd
+    projection, no shuffle.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_upper = F.size(F.regexp_extract_all(c, F.lit(r"[A-Z]"), 0))
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*LANG_MARKERS["en"]))
+    )
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "mean_word_len": F.when(
+                n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens
+            ).otherwise(F.lit(None).cast("double")),
+            "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0),
+            "upper_ratio": F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0),
+            "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Deterministic tie-break: language key order en < es < fr < de by hit
+    count descending, then alphabetical. Entirely built-in functions
+    (split + array_intersect-style filter), so it runs at scan speed.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+
+    def marker_filter(markers: list[str]):
+        # closure factory: a default-arg lambda changes arity and breaks
+        # Spark's higher-order-function binding
+        return lambda t: t.isin(*markers)
+
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, marker_filter(markers))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max over structs orders by (hits, lang); invert lang for a
+    # deterministic alphabetical tiebreak on equal hits → take max hits,
+    # first alphabetical lang. We sort descending by hits then pick element 0
+    # of the sorted array for full determinism.
+    arr = F.array(*scores)
+    best = F.array_sort(
+        arr,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .otherwise(F.when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1).otherwise(0)),
+    ).getItem(0)
+    return df.withColumn(
+        alias, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(col: Column | str, normalize: bool = True) -> Column:
+    """Document fingerprint: 64-bit hash of normalized text.
+
+    Normalization = lowercase + collapse whitespace — the standard exact-dup
+    canonical form. ``xxhash64`` is Spark's built-in 64-bit hash (seeded,
+    stable across runs/partitions).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(c)

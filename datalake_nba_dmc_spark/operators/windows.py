@@ -1,0 +1,78 @@
+"""Window operators: W1 (top-1 per group) plus ranking/lag/running variants.
+
+Reference site: ``Window.partitionBy("player_name").orderBy(desc(game_date))``
++ ``row_number`` + ``filter(row_num == 1)`` — "latest team per player"
+(``aws-job-silver-to-gold-player/aws-job-silver-to-gold-player.py:37-46``).
+
+Scale notes:
+
+- A ranking window shuffles once on the partition key and sorts within
+  partitions; with AQE skew handling a hot key is split automatically.
+- The reference's orderBy has nondeterministic ties (same date); every
+  helper here takes explicit tiebreakers so results are stable under any
+  partitioning (SURVEY.md §7.3).
+- ``top1_per_group`` notes the ``max_by`` alternative: for pure argmax
+  (no extra carried columns) ``F.max_by`` is a single hash aggregate —
+  cheaper than window+filter at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _window(partition_by: Sequence[str], order_by: Sequence[Column]):
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def top1_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """W1 — keep the first row per group under ``order_by`` (argmax)."""
+    w = _window(partition_by, order_by)
+    return (
+        df.withColumn("row_num", F.row_number().over(w))
+        .filter(F.col("row_num") == 1)
+        .drop("row_num")
+    )
+
+
+def with_rank(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    dense: bool = False,
+    alias: str = "rank",
+) -> DataFrame:
+    w = _window(partition_by, order_by)
+    fn = F.dense_rank() if dense else F.rank()
+    return df.withColumn(alias, fn.over(w))
+
+
+def with_lag(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    col: str,
+    offset: int = 1,
+    alias: str | None = None,
+) -> DataFrame:
+    w = _window(partition_by, order_by)
+    return df.withColumn(alias or f"{col}_lag{offset}", F.lag(col, offset).over(w))
+
+
+def with_running_sum(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    col: str,
+    alias: str | None = None,
+) -> DataFrame:
+    """Running total with an explicit rows-frame (unbounded-preceding→current)."""
+    w = _window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(alias or f"{col}_running", F.sum(col).over(w))

@@ -1,0 +1,46 @@
+"""SparkSession factory.
+
+Replaces the reference's Glue bootstrap (``GlueContext(SparkContext())`` —
+see reference ``aws-job-landing-to-bronze/aws-job-landing-to-bronze.py:13-19``)
+with a plain open-source ``SparkSession``. Configuration is chosen for the
+100 TB posture:
+
+- AQE on (runtime re-plan, skew-join handling, partition coalescing).
+- ``spark.sql.shuffle.partitions`` sized to the machine locally; on a real
+  cluster this (or AQE's coalescing) should target ~128 MB per shuffle
+  partition.
+- Arrow enabled so Pandas-UDF extension operators get vectorized batches.
+- UTC session timezone so date/timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "datalake_nba_dmc_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes the cluster master / relies on spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,56 @@
+"""Query suite registry.
+
+Each implemented operator from SURVEY.md §2 (plus the extension operators)
+is exposed as a named query: a builder ``(spark, sf_dir) -> DataFrame`` and,
+where SQL-expressible, an equivalent ANSI-SQL oracle string for DuckDB.
+``__spark_entry__.py`` re-exports this registry to the driver.
+
+Determinism rules (so the order-insensitive value-hash matches the oracle):
+
+- Every computed column is aliased identically in Spark and SQL.
+- Sums over double columns go through ``CAST(x AS DECIMAL(18,4))`` then the
+  result is cast back to double: decimal addition is exact and associative,
+  so Spark's parallel partial-agg order and DuckDB's sequential order give
+  bit-identical results. Plain double sums would differ in ULPs.
+- Window orderings always carry a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query (decorator)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every suite module so registrations run; return the registry."""
+    from datalake_nba_dmc_spark.suite import (  # noqa: F401
+        dedup,
+        multimodal,
+        parity,
+        similarity,
+        text,
+    )
+
+    return QUERIES

@@ -1,0 +1,118 @@
+"""Deduplication queries over the documents table (north-star extension ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators import dedup as D
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.suite import query
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# DuckDB 3-gram shingle set over normalized tokens (matches operators.dedup.shingles).
+_DUCK_SHINGLES = f"""
+  CASE WHEN len(toks) >= 3
+       THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           FOR i IN range(1, len(toks) - 1)])
+       ELSE [array_to_string(toks, ' ')] END
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY {_NORM})
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per normalized-text
+    fingerprint. One hash-agg shuffle on a 64-bit hash key + a semi-join —
+    the canonical 100 TB exact-dedup shape."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return D.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS sz FROM sh
+    ), exploded AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram-Jaccard similarity self-join (threshold 0.5) via the
+    shingle-explode + equi-join shape: any pair with Jaccard > 0 shares a
+    shingle, so grouping the shingle join by pair yields exact intersection
+    counts — no quadratic all-pairs, no UDFs. At 100 TB, frequent shingles
+    are the skew risk → drop top-frequency shingles (stopword shingles)
+    first or salt; here the vocab is tiny so AQE skew-join handles it."""
+    docs = TableRegistry(spark, sf_dir).documents
+    sh = docs.select("doc_id", F.explode(D.shingles("text", 3)).alias("gram"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "gram")
+    b = sh.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+@query("dedup_minhash_lsh", oracle=None)  # hash family not reproducible in SQL
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates, verified with exact Jaccard
+    (≥0.5). Scale shape: shingle→signature is a projection; banding is an
+    explode; the only shuffles are the band-bucket self-join and the
+    verification joins. Rows-only check (xxhash64-based hash family has no
+    DuckDB equivalent); the exact-Jaccard twin query above oracles the
+    verification math."""
+    docs = TableRegistry(spark, sf_dir).documents
+    cand = D.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    verified = D.jaccard_pairs(docs, cand)
+    return verified.filter(F.col("jaccard") >= 0.5)
+
+
+@query("dedup_simhash", oracle=None)  # xxhash64-based; no SQL twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs within Hamming distance 3, found via
+    16-bit banding (pigeonhole guarantees recall for ≤3 flipped bits across
+    4 bands). Pure bit-arithmetic expressions; bucket-equi-join shape."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return D.simhash_near_dups(docs, band_bits=16, max_hamming=3)

@@ -1,0 +1,773 @@
+"""Parity queries — one per reference operator inventory row (SURVEY.md §2).
+
+Reference semantics are transposed from the NBA star schema onto the
+driver's TPC-H-ish tables per FIXTURES.md's mapping (gamelogs→lineitem/
+orders, season→customer/nation, teams→supplier/region). Citations in each
+query point at the reference call-site whose semantics it reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators import aggregates as agg
+from datalake_nba_dmc_spark.operators import conform, joins, windows
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.suite import query
+
+
+def _exact_sum(col: Column, alias: str) -> Column:
+    """Sum a double column exactly: decimal addition is associative, so the
+    result is independent of Spark's partial-aggregation order and matches
+    DuckDB bit-for-bit after the final cast back to double."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def _osum(expr: str) -> str:
+    """DuckDB oracle counterpart of ``_exact_sum``."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the reference's signature shape W1+A3+J4 (+J1 dimension join):
+# "career totals per player + latest team" → "order totals per customer +
+# latest order" (reference aws-job-silver-to-gold-player/
+# aws-job-silver-to-gold-player.py:37-75).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_customer_resume",
+    oracle=f"""
+    WITH totals AS (
+      SELECT o_custkey AS custkey,
+             {_osum('o_totalprice')} AS total_spend,
+             COUNT(o_orderkey) AS num_orders,
+             COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS active_days
+      FROM orders GROUP BY o_custkey
+    ), latest AS (
+      SELECT custkey, latest_orderkey, latest_priority FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey,
+               o_orderpriority AS latest_priority,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT t.custkey, c.c_name, c.c_mktsegment, t.total_spend, t.num_orders,
+           t.active_days, l.latest_orderkey, l.latest_priority
+    FROM totals t
+    LEFT JOIN latest l USING (custkey)
+    LEFT JOIN customer c ON t.custkey = c.c_custkey
+    """,
+)
+def flagship_customer_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → agg (A3) → window top-1 (W1) → USING-join (J4) → dim join (J1).
+
+    One vertical slice through every operator category the reference uses
+    (SURVEY.md §7.1). ``customer`` is broadcast — it is the small dimension;
+    the two fact-side shuffles share the ``o_custkey`` key so AQE can reuse
+    the exchange.
+    """
+    t = TableRegistry(spark, sf_dir)
+    orders, customer = t.orders, t.customer
+    totals = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        _exact_sum(F.col("o_totalprice"), "total_spend"),
+        F.count("o_orderkey").alias("num_orders"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("active_days"),
+    )
+    latest = windows.top1_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderpriority").alias("latest_priority"),
+    )
+    resume = joins.left_join(totals, latest, on="custkey")
+    resume = joins.left_join(
+        resume, customer, on=resume.custkey == customer.c_custkey, broadcast_right=True
+    )
+    return resume.select(
+        "custkey", "c_name", "c_mktsegment", "total_spend", "num_orders",
+        "active_days", "latest_orderkey", "latest_priority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P* — projections / column ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_project_prune",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+)
+def p1_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — column drop/prune (reference ...landing-to-bronze.py:47).
+
+    Expressed as drop-of-complement so Catalyst prunes the Parquet scan to
+    exactly four columns (check ReadSchema in .explain)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    keep = {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"}
+    return conform.drop_columns(li, [c for c in li.columns if c not in keep])
+
+
+@query(
+    "p2_bulk_rename",
+    oracle="""
+    SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+           l_quantity AS qty, l_returnflag AS return_flag
+    FROM lineitem
+    """,
+)
+def p2_bulk_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — bulk rename incl. non-identifier names (reference
+    ...bronze-to-silver.py:46-106 renames `3p`, `+/-`, Spanish headers).
+
+    A messy header (`qty%`) is synthesized then renamed through the
+    backtick-safe single-projection path."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    messy = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").alias("qty%"),
+        F.col("l_returnflag").alias("+/-"),
+    )
+    return conform.rename_columns(
+        messy,
+        {"l_orderkey": "order_id", "l_linenumber": "line_no", "qty%": "qty", "+/-": "return_flag"},
+    )
+
+
+@query(
+    "p4p5_derived_columns",
+    oracle="""
+    SELECT c_custkey,
+           CONCAT_WS(' ', c_name, c_mktsegment) AS customer_tag,
+           c_acctbal * 100 AS acctbal_cents
+    FROM customer
+    """,
+)
+def p4p5_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 arithmetic (reference ...bronze-to-silver.py:90 `minutes*60`) +
+    P5 concat_ws key (:199 `team_full_name`). Single double multiply is
+    IEEE-deterministic, so no decimal dance needed."""
+    c = TableRegistry(spark, sf_dir).customer
+    return conform.with_derived(
+        c.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+        customer_tag=F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")),
+        acctbal_cents=F.col("c_acctbal") * 100,
+    ).select("c_custkey", "customer_tag", "acctbal_cents")
+
+
+# ---------------------------------------------------------------------------
+# F* — filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_filter_eq",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def f1_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — equality filter (reference ...silver-to-gold-player.py:41);
+    pushed to the Parquet scan (PushedFilters in .explain)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@query(
+    "f2_null_guarded_parse",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NOT NULL
+                THEN UPPER(NULLIF(o_orderpriority, '1-URGENT')) END AS priority_u
+    FROM orders
+    """,
+)
+def f2_null_guarded_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/X6/X7 — when(isNotNull, f(x)) with implicit NULL else (reference
+    ...landing-to-bronze.py:60). The testdata has no NULLs, so NULLIF
+    synthesizes them; the guard must propagate them untouched."""
+    o = TableRegistry(spark, sf_dir).orders
+    nullable = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return o.select(
+        "o_orderkey",
+        F.when(nullable.isNotNull(), F.upper(nullable)).alias("priority_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J* — joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_left_join_single_key",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j1_left_join_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — left equi-join fact→dim (reference ...bronze-to-silver.py:110-114);
+    dimension broadcast so the fact side never shuffles."""
+    t = TableRegistry(spark, sf_dir)
+    o, c = t.orders, t.customer
+    return joins.left_join(
+        o, c, on=o.o_custkey == c.c_custkey, broadcast_right=True
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "j2_left_join_expr_key",
+    oracle="""
+    WITH ydim AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS order_year, COUNT(*) AS year_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, y.year_orders
+    FROM lineitem l LEFT JOIN ydim y ON EXTRACT(year FROM l.l_shipdate) = y.order_year
+    """,
+)
+def j2_left_join_expr_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — equi-join where one key is a computed expression (reference
+    ...bronze-to-silver.py:158-165: `year(to_date(game_date)) = season_year`).
+    Catalyst evaluates the expression pre-exchange → still a hash join."""
+    t = TableRegistry(spark, sf_dir)
+    li, o = t.lineitem, t.orders
+    ydim = o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count("*").alias("year_orders")
+    )
+    joined = joins.left_join(
+        li, ydim, on=F.year(li.l_shipdate) == ydim.order_year, broadcast_right=True
+    )
+    return joined.select("l_orderkey", "l_linenumber", "year_orders")
+
+
+@query(
+    "j3_left_join_derived_key",
+    oracle="""
+    WITH dim AS (
+      SELECT CONCAT_WS('|', l_returnflag, l_linestatus) AS flag_status,
+             COUNT(*) AS status_count
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           CONCAT_WS('|', l.l_returnflag, l.l_linestatus) AS flag_status,
+           d.status_count
+    FROM lineitem l
+    LEFT JOIN dim d ON CONCAT_WS('|', l.l_returnflag, l.l_linestatus) = d.flag_status
+    """,
+)
+def j3_left_join_derived_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — join key derived via concat_ws on both sides (reference
+    ...bronze-to-silver.py:199-208: `team_full_name` built then joined on)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    key = F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus"))
+    dim = li.groupBy(key.alias("flag_status")).agg(F.count("*").alias("status_count"))
+    left = li.withColumn("flag_status", key)
+    return joins.left_join(left, dim, on="flag_status", broadcast_right=True).select(
+        "l_orderkey", "l_linenumber", "flag_status", "status_count"
+    )
+
+
+@query(
+    "j4_join_using",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS num_orders FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, p.num_orders
+    FROM customer c LEFT JOIN per_cust p USING (c_custkey)
+    """,
+)
+def j4_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — USING-style join on a column name, deduping the key column
+    (reference ...silver-to-gold-player.py:75)."""
+    t = TableRegistry(spark, sf_dir)
+    per_cust = t.orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("num_orders")
+    )
+    return joins.left_join(t.customer, per_cust, on="c_custkey").select(
+        "c_custkey", "c_name", "num_orders"
+    )
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join (beyond-reference completeness, SURVEY.md §2.5)."""
+    t = TableRegistry(spark, sf_dir)
+    li, p = t.lineitem, t.part
+    return joins.inner_join(
+        li, p, on=li.l_partkey == p.p_partkey, broadcast_right=True
+    ).select("l_orderkey", "l_linenumber", "p_name", "p_brand")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS; never duplicates the left side."""
+    t = TableRegistry(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 100000)
+    c = t.customer
+    return joins.semi_join(c, big, on=c.c_custkey == big.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS (customers who never ordered)."""
+    t = TableRegistry(spark, sf_dir)
+    c, o = t.customer, t.orders
+    return joins.anti_join(c, o, on=c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A* — aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_dedup_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def a1_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — whole-row dedup after projection (reference
+    ...landing-to-bronze.py:59 dropDuplicates on the season dim)."""
+    c = TableRegistry(spark, sf_dir).customer
+    return agg.dedup_rows(c.select("c_nationkey", "c_mktsegment"))
+
+
+@query(
+    "a2_dynamic_sum_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_orderkey) AS BIGINT) AS l_orderkey,
+           CAST(SUM(l_partkey) AS BIGINT) AS l_partkey,
+           CAST(SUM(l_suppkey) AS BIGINT) AS l_suppkey,
+           CAST(SUM(l_linenumber) AS BIGINT) AS l_linenumber
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a2_dynamic_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — dtype-driven dynamic aggregate: measures picked at runtime from
+    the schema (reference ...silver-to-silver.py:42-49 sums every 'int'
+    column not in the group key). Integer sums are exact, so the oracle
+    just spells out what the schema scan selects."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return agg.dynamic_sum_agg(li, ["l_returnflag", "l_linestatus"], ("int", "bigint"))
+
+
+@query(
+    "a3_multi_measure_agg",
+    oracle=f"""
+    SELECT l_suppkey, l_returnflag,
+           {_osum('l_quantity')} AS sum_qty,
+           {_osum('l_extendedprice')} AS sum_base_price,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(DISTINCT l_orderkey) AS order_count,
+           COUNT(*) AS line_count,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY l_suppkey, l_returnflag
+    """,
+)
+def a3_multi_measure_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — player-mart-style multi-measure aggregate: N sums + exact
+    countDistinct + expression-over-aggregates (reference
+    ...silver-to-gold-player.py:52-72, incl. the computed
+    `total_minutes_played`-style measure)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return agg.multi_measure_agg(
+        li,
+        ["l_suppkey", "l_returnflag"],
+        [],
+        distinct_count_col="l_orderkey",
+        distinct_count_alias="order_count",
+        extra=[
+            _exact_sum(F.col("l_quantity"), "sum_qty"),
+            _exact_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _exact_sum(revenue, "revenue"),
+            F.count("*").alias("line_count"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty"),
+        ],
+    ).select(
+        "l_suppkey", "l_returnflag", "sum_qty", "sum_base_price", "revenue",
+        "order_count", "line_count", "avg_qty",
+    )
+
+
+@query(
+    "a4_team_style_agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_osum('o_totalprice')} AS total_price,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS order_count
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def a4_team_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — team-mart aggregate: sums + exact countDistinct (reference
+    ...silver-to-gold-team.py:32-48)."""
+    o = TableRegistry(spark, sf_dir).orders
+    return agg.multi_measure_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [],
+        distinct_count_col="o_custkey",
+        distinct_count_alias="distinct_customers",
+        extra=[
+            _exact_sum(F.col("o_totalprice"), "total_price"),
+            F.count("*").alias("order_count"),
+        ],
+    ).select(
+        "o_orderstatus", "o_orderpriority", "total_price", "distinct_customers",
+        "order_count",
+    )
+
+
+@query(
+    "a5_column_bounds",
+    oracle="""
+    SELECT MAX(l_orderkey) AS max_l_orderkey, MAX(l_partkey) AS max_l_partkey,
+           MAX(l_suppkey) AS max_l_suppkey,
+           MIN(l_orderkey) AS min_l_orderkey, MIN(l_partkey) AS min_l_partkey,
+           MIN(l_suppkey) AS min_l_suppkey
+    FROM lineitem
+    """,
+)
+def a5_column_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — all column bounds in ONE scan (replaces the reference's
+    per-column RDD max loop, ...landing-to-bronze.py:74; SURVEY.md §4.3-1)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return agg.column_bounds(li, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS order_count, {_osum('o_totalprice')} AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup subtotals (beyond-reference; SURVEY.md §2.6 lists as absent)."""
+    o = TableRegistry(spark, sf_dir).orders
+    return agg.rollup_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        F.count("*").alias("order_count"),
+        _exact_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS line_count
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over two keys (beyond-reference)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return agg.cube_agg(
+        li, ["l_returnflag", "l_linestatus"], F.count("*").alias("line_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W* — windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderpriority FROM (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def w1_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — ranking window + top-1 filter, deterministic tiebreak (reference
+    ...silver-to-gold-player.py:37-46 'latest team per player')."""
+    o = TableRegistry(spark, sf_dir).orders
+    return windows.top1_per_group(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    ).select("o_custkey", "o_orderkey", "o_orderpriority")
+
+
+@query(
+    "w2_rank_in_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank
+    FROM orders
+    """,
+)
+def w2_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() variant (beyond-reference; SURVEY.md §2.7 lists as absent)."""
+    o = TableRegistry(spark, sf_dir).orders
+    return windows.with_rank(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        alias="price_rank",
+    )
+
+
+@query(
+    "w3_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate ASC, o_orderkey ASC)
+             AS prev_totalprice
+    FROM orders
+    """,
+)
+def w3_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — prior order's price per customer (beyond-reference)."""
+    o = TableRegistry(spark, sf_dir).orders
+    return windows.with_lag(
+        o.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        "o_totalprice",
+        alias="prev_totalprice",
+    ).select("o_custkey", "o_orderkey", "prev_totalprice")
+
+
+@query(
+    "w4_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber ASC, l_quantity ASC,
+                               l_partkey ASC, l_suppkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS qty_running
+    FROM lineitem
+    """,
+)
+def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with explicit rows-frame (beyond-reference). Decimal
+    accumulation keeps both engines bit-identical. (l_orderkey, l_linenumber)
+    is NOT unique in the testdata, so the order tiebreaks on the summed
+    column + remaining keys — residual ties are then value-identical and
+    can't change the prefix sums."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return windows.with_running_sum(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("decimal(18,4)").alias("qty_dec"),
+        ),
+        ["l_orderkey"],
+        [
+            F.col("l_linenumber").asc(),
+            F.col("qty_dec").asc(),
+            F.col("l_partkey").asc(),
+            F.col("l_suppkey").asc(),
+        ],
+        "qty_dec",
+        alias="qty_running_dec",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty_running_dec").cast("double").alias("qty_running"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / sort / limit (SURVEY.md §2.10 — absent in reference, required
+# for a credible engine surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = TableRegistry(spark, sf_dir).orders
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    return urgent.select("o_orderkey", "o_orderpriority").unionAll(
+        high.select("o_orderkey", "o_orderpriority")
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TableRegistry(spark, sf_dir)
+    return t.customer.select("c_custkey").intersect(
+        t.orders.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TableRegistry(spark, sf_dir)
+    return t.customer.select("c_custkey").exceptAll(
+        t.orders.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct()
+
+
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows), no global sort at scale."""
+    o = TableRegistry(spark, sf_dir).orders
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X* — scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1x2x3_date_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%b %d, %Y') AS date_str,
+           STRFTIME(STRPTIME(STRFTIME(o_orderdate, '%b %d, %Y'), '%b %d, %Y'), '%Y-%m-%d')
+             AS date_parsed,
+           EXTRACT(year FROM o_orderdate) AS order_year
+    FROM orders
+    """,
+)
+def x1x2x3_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2/X3 — format to the reference's `"MMM dd, yyyy"` gamelog style,
+    parse back, extract year (reference ...landing-to-bronze.py:46,
+    ...bronze-to-silver.py:162)."""
+    o = TableRegistry(spark, sf_dir).orders
+    date_str = F.date_format("o_orderdate", "MMM dd, yyyy")
+    parsed = conform.parse_date(date_str, "MMM dd, yyyy")
+    return o.select(
+        "o_orderkey",
+        date_str.alias("date_str"),
+        # canonical string form, as the reference does (X2) — also keeps the
+        # cross-engine hash free of date-representation drift
+        F.date_format(parsed, "yyyy-MM-dd").alias("date_parsed"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+
+
+@query(
+    "x4_split_mmss",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, mmss,
+           CAST(STRING_SPLIT(mmss, ':')[1] AS INTEGER) AS min,
+           CAST(STRING_SPLIT(mmss, ':')[2] AS INTEGER) AS seg
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CONCAT_WS(':', CAST(l_linenumber AS VARCHAR),
+                       LPAD(CAST(l_suppkey % 60 AS VARCHAR), 2, '0')) AS mmss
+      FROM lineitem)
+    """,
+)
+def x4_split_mmss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — `"MM:SS"` split → int minutes/seconds (reference
+    ...landing-to-bronze.py:50-51 on the `minutos` column)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    mmss = F.concat_ws(
+        ":",
+        F.col("l_linenumber").cast("string"),
+        F.lpad((F.col("l_suppkey") % 60).cast("string"), 2, "0"),
+    )
+    df = li.select("l_orderkey", "l_linenumber", mmss.alias("mmss"))
+    mins, secs = conform.split_mmss("mmss")
+    return df.select(
+        "l_orderkey", "l_linenumber", "mmss", mins.alias("min"), secs.alias("seg")
+    )
+
+
+@query(
+    "conform_safe_downcast",
+    oracle="""
+    SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey,
+           CAST(l_partkey AS INTEGER) AS l_partkey,
+           CAST(l_suppkey AS INTEGER) AS l_suppkey,
+           l_linenumber
+    FROM lineitem
+    """,
+)
+def conform_safe_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe bigint→int narrowing, ONE bounds pass for all columns (reference
+    ...landing-to-bronze.py:68-82 did one RDD scan per column). All testdata
+    bigint keys fit in int32, so every column narrows — the oracle asserts
+    exactly that."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return conform.safe_downcast_longs(
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    )

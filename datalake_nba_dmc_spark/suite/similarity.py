@@ -1,0 +1,106 @@
+"""Similarity-search queries over the embeddings table (north-star ops).
+
+Cross-engine float determinism: embeddings are quantized to int64
+(``round(x * 2^20)``) before the dot product, so intersections/norms are
+exact integers in BOTH engines; the final cosine is a single
+division/sqrt/multiply chain on identical doubles → bit-identical, safe for
+the driver's value-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators import similarity as S
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.suite import query
+
+_SCALE = 1 << 20  # power of two: float→double scaling is exact
+
+_DUCK_QUANT = (
+    f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+)
+
+
+def _quantize(vec: Column) -> Column:
+    return F.transform(vec, lambda x: F.round(x.cast("double") * _SCALE).cast("long"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH quant AS (
+      SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, qv AS q_qv FROM quant WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(list_sum([c.qv[i] * q.q_qv[i] FOR i IN range(1, len(c.qv)+1)]) AS DOUBLE)
+             / (sqrt(CAST(list_sum([c.qv[i] * c.qv[i] FOR i IN range(1, len(c.qv)+1)]) AS DOUBLE))
+                * sqrt(CAST(list_sum([q.q_qv[i] * q.q_qv[i] FOR i IN range(1, len(q.q_qv)+1)]) AS DOUBLE)))
+               AS cosine_sim
+      FROM quant c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 3 query vectors: broadcast queries × one
+    corpus scan (zip_with/aggregate dot products, JVM-side) → per-query
+    ranking window. The 100 TB baseline ANN strategy."""
+    emb = TableRegistry(spark, sf_dir).embeddings
+    quant = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    queries = quant.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    scored = quant.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        (
+            _int_dot(F.col("qv"), F.col("q_qv")).cast("double")
+            / (
+                F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
+                * F.sqrt(_int_dot(F.col("q_qv"), F.col("q_qv")).cast("double"))
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+@query("sim_lsh_topk", oracle=None)  # python-seeded hyperplanes; no SQL twin
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (the scale
+    path: corpus bucketed once → equi-join instead of cross-join). Recall
+    is < 1 by design; the brute-force twin above is the accuracy oracle."""
+    emb = TableRegistry(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_bucketed_topk(emb, queries, k=10, n_planes=6, dim=64)
+
+
+@query("sim_embedding_near_dups", oracle=None)
+def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs generated only within LSH
+    buckets — the embedding-dedup shape for training corpora. Threshold 0.3
+    because the synthetic embeddings contain no true near-dups (max pairwise
+    cosine ≈ 0.47 at sf0.001); production would use ~0.9."""
+    emb = TableRegistry(spark, sf_dir).embeddings
+    return S.embedding_near_dups(emb, threshold=0.3, n_planes=6)

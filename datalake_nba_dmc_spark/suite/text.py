@@ -1,0 +1,135 @@
+"""Text-analysis queries over the documents table (north-star extension ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators import text as T
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.suite import query
+
+# DuckDB-side normalized whitespace token list (matches operators.text.tokens).
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n_chars_calc,
+             len({_DUCK_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+             len(list_filter({_DUCK_TOKS},
+                             x -> lower(x) IN ('the','and','of','to','a'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN (n_chars_calc - (n_tokens - 1)) / n_tokens END AS mean_word_len,
+           CASE WHEN n_chars_calc > 0 THEN n_punct / n_chars_calc ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars_calc > 0 THEN n_upper / n_chars_calc ELSE 0.0 END AS upper_ratio,
+           CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (C4/Gopher-style cheap filters): lengths,
+    token counts, punctuation/uppercase/stopword ratios — all built-in
+    expressions, one codegen'd projection."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "mean_word_len",
+        "punct_ratio", "upper_ratio", "stopword_ratio",
+    )
+
+
+def _duck_lang_hits(markers: list[str]) -> str:
+    lst = ",".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_DUCK_TOKS}, x -> lower(x) IN ({lst})))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_duck_lang_hits(T.LANG_MARKERS['de'])} AS h_de,
+             {_duck_lang_hits(T.LANG_MARKERS['en'])} AS h_en,
+             {_duck_lang_hits(T.LANG_MARKERS['es'])} AS h_es,
+             {_duck_lang_hits(T.LANG_MARKERS['fr'])} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-marker language ID with deterministic alphabetical
+    tiebreak (de<en<es<fr)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.lang_id(docs).select("doc_id", "lang_pred")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint over normalized text. md5 here because DuckDB
+    can oracle it; the production path is the 64-bit ``xxhash64`` variant
+    (operators.text.fingerprint) used by exact dedup."""
+    docs = TableRegistry(spark, sf_dir).documents
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+@query(
+    "text_token_histogram",
+    oracle=f"""
+    SELECT token, COUNT(*) AS token_count
+    FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: explode → hash agg (the map-side-combine
+    wordcount shape; at 100 TB the explode stays pipelined into the partial
+    aggregate — no intermediate materialization)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("token_count"))
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish (BPE-style pre-tokenization) token count via regex
+    extraction — the cheap token-budget estimator for training pipelines."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return docs.select(
+        "doc_id", T.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
