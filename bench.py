@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes its FULL physical plan into the noop sink (no driver
+collect, no write amplification) — the honest "how fast does the engine
+compute this" number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalake_nba_dmc_spark.session import get_spark
+from datalake_nba_dmc_spark.suite import load_all
+
+#: Headline set: one per operator family — reference parity (scan/conform/
+#: join/agg/window/flagship) + each extension family (dedup/similarity/text).
+HEADLINE = [
+    "flagship_customer_resume",
+    "j1_left_join_single_key",
+    "a2_dynamic_sum_agg",
+    "a3_multi_measure_agg",
+    "w1_latest_order_per_customer",
+    "w4_running_sum",
+    "agg_rollup",
+    "sort_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_bruteforce_topk",
+    "text_stats",
+    "text_token_histogram",
+    "media_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    specs = load_all()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = specs[name].builder(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
