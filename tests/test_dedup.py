@@ -1,0 +1,97 @@
+"""Unit tests: dedup operators (exact, shingles, MinHash+LSH, Jaccard, SimHash)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    shingles,
+    simhash,
+    simhash_near_dups,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = DOC.replace("lazy", "sleepy")  # one-word change
+OTHER = "completely different content about spark distributed query engines here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, DOC), (3, NEAR), (4, OTHER)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "Hello  World"), (2, "hello world"), (9, "other")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [2, 9]  # normalized dup group keeps min id
+
+
+def test_shingles_basic_and_short_text(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = df.select(shingles("text", 3).alias("sh")).collect()
+    assert sorted(out[0]["sh"]) == ["a b c", "b c d"]
+    assert out[1]["sh"] == ["a b"]  # fewer tokens than n → whole text
+
+
+def test_minhash_signature_deterministic_and_sized(spark):
+    df = spark.createDataFrame([(DOC,), (DOC,), (OTHER,)], ["text"])
+    sigs = df.select(
+        minhash_signature(shingles("text"), num_hashes=16).alias("sig")
+    ).collect()
+    assert len(sigs[0]["sig"]) == 16
+    assert sigs[0]["sig"] == sigs[1]["sig"]  # same text → same signature
+    assert sigs[0]["sig"] != sigs[2]["sig"]
+
+
+def test_minhash_lsh_finds_dups_not_unrelated(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert all(a < b for a, b in pairs)
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated doc
+
+
+def test_jaccard_pairs_exact_value(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, pairs).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(1, 4)] == pytest.approx(0.0)
+
+
+def test_simhash_identical_zero_distance(spark):
+    df = spark.createDataFrame([(DOC,), (DOC,), (OTHER,)], ["text"])
+    hs = [r["h"] for r in df.select(simhash("text").alias("h")).collect()]
+    assert hs[0] == hs[1]
+    assert hs[0] != hs[2]
+
+
+def test_simhash_near_text_small_distance(spark):
+    df = spark.createDataFrame([(DOC, NEAR)], ["a", "b"])
+    d = df.select(
+        hamming64(simhash("a"), simhash("b")).alias("d")
+    ).first()["d"]
+    assert 0 < d <= 16  # one word changed → few bits flip
+
+
+def test_hamming64_known_values(spark):
+    df = spark.createDataFrame([(0, 7), (-1, 0)], "x long, y long")
+    out = [r["d"] for r in df.select(hamming64(F.col("x"), F.col("y")).alias("d")).collect()]
+    assert out == [3, 64]
+
+
+def test_simhash_near_dups_pipeline(docs):
+    out = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_hamming=16).collect()}
+    assert (1, 2) in out
+    assert (3, 4) not in out and (1, 4) not in out

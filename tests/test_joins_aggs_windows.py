@@ -1,0 +1,168 @@
+"""Unit tests: join semantics (J1–J4 + inner/semi/anti), aggregates (A1–A5,
+rollup/cube), windows (W1 + rank/lag/running-sum)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.aggregates import (
+    column_bounds,
+    cube_agg,
+    dedup_rows,
+    dynamic_sum_agg,
+    multi_measure_agg,
+    rollup_agg,
+)
+from datalake_nba_dmc_spark.operators.joins import (
+    anti_join,
+    inner_join,
+    left_join,
+    semi_join,
+)
+from datalake_nba_dmc_spark.operators.windows import (
+    top1_per_group,
+    with_lag,
+    with_rank,
+    with_running_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    return spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("c", 4, 40)],
+        ["k", "seq", "v"],
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    # "b" missing; "d" unmatched on the dim side
+    return spark.createDataFrame([("a", "A"), ("c", "C"), ("d", "D")], ["k", "label"])
+
+
+def test_left_join_null_propagation(facts, dim):
+    out = left_join(facts, dim, on="k").orderBy("seq").collect()
+    assert len(out) == 4
+    assert out[2]["k"] == "b" and out[2]["label"] is None  # unmatched → NULL
+
+
+def test_inner_join_drops_unmatched(facts, dim):
+    assert inner_join(facts, dim, on="k").count() == 3
+
+
+def test_semi_join_never_duplicates(spark, facts):
+    dup_dim = spark.createDataFrame([("a", 1), ("a", 2)], ["k", "x"])
+    out = semi_join(facts, dup_dim, on="k")
+    assert out.count() == 2  # both "a" fact rows, each once
+    assert out.columns == facts.columns  # no right columns leak
+
+
+def test_anti_join(facts, dim):
+    out = anti_join(facts, dim, on="k").collect()
+    assert [r["k"] for r in out] == ["b"]
+
+
+def test_expression_key_join_stays_equi(spark, facts, dim):
+    # J2 shape: one side of the key is a computed expression
+    expr = F.upper(facts["k"]) == F.upper(dim["k"])
+    out = facts.join(dim, on=expr, how="left")
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString() or (
+        out.count() == 4
+    )
+
+
+def test_dedup_rows(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (1, "y")], ["a", "b"])
+    assert dedup_rows(df).count() == 2
+    assert dedup_rows(df, subset=["a"]).count() == 1
+
+
+def test_dynamic_sum_agg_selects_by_dtype(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 1.5, "skip"), ("g1", 2, 2.5, "skip")],
+        "k string, i bigint, d double, s string",
+    )
+    out = dynamic_sum_agg(df, ["k"], dtypes=("bigint",))
+    assert out.columns == ["k", "i"]  # double + string excluded
+    assert out.first()["i"] == 3
+
+
+def test_dynamic_sum_agg_excludes_group_cols(spark):
+    df = spark.createDataFrame([(1, 2)], "g bigint, v bigint")
+    out = dynamic_sum_agg(df, ["g"], dtypes=("bigint",))
+    assert out.columns == ["g", "v"]
+
+
+def test_multi_measure_agg(spark):
+    df = spark.createDataFrame(
+        [("p", 10, 60, "d1"), ("p", 20, 120, "d1"), ("p", 30, 0, "d2")],
+        ["player", "sec", "min2sec", "game_date"],
+    )
+    out = multi_measure_agg(
+        df,
+        ["player"],
+        sum_cols=["sec"],
+        distinct_count_col="game_date",
+        distinct_count_alias="games_played",
+        extra=[
+            ((F.sum("sec") + F.sum("min2sec")) / 60).cast("double").alias("total_minutes")
+        ],
+    ).first()
+    assert out["sec"] == 60
+    assert out["games_played"] == 2
+    assert out["total_minutes"] == pytest.approx(4.0)
+
+
+def test_multi_measure_agg_approx_variant(spark):
+    df = spark.createDataFrame([("p", i, f"d{i}") for i in range(50)], ["k", "v", "d"])
+    out = multi_measure_agg(
+        df, ["k"], sum_cols=["v"], distinct_count_col="d", approx=True
+    ).first()
+    assert abs(out["games_played"] - 50) <= 5  # HLL++ default rsd ~2.3%
+
+
+def test_column_bounds_one_pass(spark):
+    df = spark.createDataFrame([(1, 10), (5, -3)], ["a", "b"])
+    row = column_bounds(df, ["a", "b"]).first()
+    assert (row["max_a"], row["min_a"], row["max_b"], row["min_b"]) == (5, 1, 10, -3)
+
+
+def test_rollup_and_cube_cardinality(spark):
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 3)], ["a", "b", "v"]
+    )
+    # rollup: (a,b) groups 3 + a subtotals 2 + grand total 1
+    assert rollup_agg(df, ["a", "b"], F.sum("v").alias("v")).count() == 6
+    # cube adds b-only subtotals (2)
+    assert cube_agg(df, ["a", "b"], F.sum("v").alias("v")).count() == 8
+
+
+def test_top1_per_group_deterministic_ties(spark):
+    # same date twice for "a" — tiebreaker column must decide
+    df = spark.createDataFrame(
+        [("a", "2021-01-01", 1), ("a", "2021-01-01", 2), ("b", "2020-01-01", 3)],
+        ["k", "d", "id"],
+    )
+    out = top1_per_group(df, ["k"], [F.col("d").desc(), F.col("id").desc()])
+    got = {r["k"]: r["id"] for r in out.collect()}
+    assert got == {"a": 2, "b": 3}
+
+
+def test_with_rank_dense_vs_sparse(spark, facts):
+    df = spark.createDataFrame([("a", 10), ("a", 10), ("a", 5)], ["k", "v"])
+    sparse = with_rank(df, ["k"], [F.col("v").desc()]).collect()
+    dense = with_rank(df, ["k"], [F.col("v").desc()], dense=True).collect()
+    assert sorted(r["rank"] for r in sparse) == [1, 1, 3]
+    assert sorted(r["rank"] for r in dense) == [1, 1, 2]
+
+
+def test_with_lag(spark, facts):
+    out = with_lag(facts, ["k"], [F.col("seq")], "v").orderBy("seq").collect()
+    assert out[0]["v_lag1"] is None and out[1]["v_lag1"] == 10
+
+
+def test_with_running_sum(spark, facts):
+    out = with_running_sum(facts, ["k"], [F.col("seq")], "v").orderBy("seq").collect()
+    assert [r["v_running"] for r in out] == [10, 30, 30, 40]

@@ -1,0 +1,42 @@
+"""Unit tests: multimodal column plumbing (binary payload + mapInPandas)."""
+
+from __future__ import annotations
+
+from datalake_nba_dmc_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    documents_as_media,
+    extract_features,
+    frame_sample_plan,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello"), (2, "a much longer document body"), (3, None)],
+        ["doc_id", "text"],
+    )
+
+
+def test_documents_as_media_schema_and_bytes(spark):
+    out = documents_as_media(_docs(spark))
+    assert out.columns == ["media_id", "payload", "media_type", "width", "height", "n_bytes"]
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert bytes(rows[1]["payload"]) == b"hello"
+    assert rows[1]["n_bytes"] == 5
+    assert rows[3]["payload"] is None and rows[3]["n_bytes"] is None
+
+
+def test_extract_features_deterministic_stub(spark):
+    out = extract_features(documents_as_media(_docs(spark)))
+    assert out.schema == FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    # stub: width = len % 640 + 1, height = len % 480 + 1
+    assert (rows[1]["width"], rows[1]["height"]) == (6, 6)
+    assert rows[3]["width"] is None  # null payload survives the batch path
+
+
+def test_frame_sample_plan(spark):
+    media = documents_as_media(_docs(spark)).filter("media_id = 1")  # n_bytes=5
+    out = frame_sample_plan(media, every_n=2).collect()
+    # n_frames = 5 % 300 + 1 = 6 → indices 0,2,4
+    assert sorted(r["frame_idx"] for r in out) == [0, 2, 4]

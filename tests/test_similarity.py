@@ -1,0 +1,95 @@
+"""Unit tests: embedding similarity (cosine vs numpy, brute-force/LSH top-k)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from datalake_nba_dmc_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    dot,
+    embedding_near_dups,
+    l2_norm,
+    lsh_bucketed_topk,
+)
+
+SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], SCHEMA
+    )
+
+
+def test_dot_norm_cosine_match_numpy(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        l2_norm(F.col("a")).alias("na"),
+        cosine(F.col("a"), F.col("b")).alias("cos"),
+    ).first()
+    na, nb = np.array(a), np.array(b)
+    assert row["dot"] == pytest.approx(float(na @ nb))
+    assert row["na"] == pytest.approx(float(np.linalg.norm(na)))
+    assert row["cos"] == pytest.approx(float(na @ nb / (np.linalg.norm(na) * np.linalg.norm(nb))))
+
+
+def test_cosine_zero_vector_guard(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], ["a", "b"])
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"] == 0.0
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    corpus_v = rng.randn(40, 8)
+    query_v = rng.randn(2, 8)
+    corpus = _vecs(spark, enumerate(corpus_v))
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(query_v)],
+        StructType(
+            [StructField("query_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+        ),
+    )
+    out = brute_force_topk(corpus, queries, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    # float32 truncation in the schema → compare against float32 ground truth
+    cv = corpus_v.astype(np.float32).astype(np.float64)
+    qv = query_v.astype(np.float32).astype(np.float64)
+    sims = (qv @ cv.T) / (
+        np.linalg.norm(qv, axis=1)[:, None] * np.linalg.norm(cv, axis=1)[None, :]
+    )
+    for qid in (0, 1):
+        expect = list(np.argsort(-sims[qid])[:5])
+        assert [v for _, v in sorted(got[qid])] == expect
+
+
+def test_lsh_bucketed_topk_finds_identical_vector(spark):
+    base = [1.0, 2.0, 3.0, 4.0]
+    corpus = _vecs(spark, [(0, base), (1, [-1, -2, -3, -4]), (2, [4, 3, 2, 1])])
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in base])],
+        StructType(
+            [StructField("query_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+        ),
+    )
+    out = lsh_bucketed_topk(corpus, queries, k=3, n_planes=4).collect()
+    top = min(out, key=lambda r: r["rank"])
+    assert top["vec_id"] == 0 and top["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_embedding_near_dups_identical_pair(spark):
+    v = [0.5, -1.5, 2.0]
+    df = _vecs(spark, [(10, v), (20, v), (30, [9.0, 0.0, -4.0])])
+    out = embedding_near_dups(df, threshold=0.99).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out}
+    assert pairs[(10, 20)] == pytest.approx(1.0)
+    assert all(a < b for a, b in pairs)

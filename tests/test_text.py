@@ -1,0 +1,76 @@
+"""Unit tests: text-analysis operators (lang-id, quality, tokens, fingerprint)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    tokens,
+)
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], ["text"])
+
+
+def test_tokens_empty_and_whitespace(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("a  b",)], ["text"])
+    out = df.select(token_count("text").alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 0, 2]
+
+
+def test_bpe_ish_token_count(spark):
+    # "don't stop!" → don / ' / t / stop / ! = 5
+    row = _one(spark, "don't stop!").select(bpe_ish_token_count("text").alias("n")).first()
+    assert row["n"] == 5
+
+
+def test_quality_features_values(spark):
+    out = quality_features(_one(spark, "The cat, the hat.")).first()
+    assert out["n_chars_calc"] == 17
+    assert out["n_tokens"] == 4
+    # "," and "." are punctuation
+    assert out["punct_ratio"] == pytest.approx(2 / 17)
+    assert out["upper_ratio"] == pytest.approx(1 / 17)
+    # "The"/"the" are stopwords → 2 of 4 tokens
+    assert out["stopword_ratio"] == pytest.approx(0.5)
+    # mean word len: (17 - 3 separators) / 4 tokens = 3.5
+    assert out["mean_word_len"] == pytest.approx(3.5)
+
+
+def test_quality_features_empty_text_no_nan(spark):
+    out = quality_features(_one(spark, "")).first()
+    assert out["n_tokens"] == 0
+    assert out["punct_ratio"] == 0.0
+    assert out["stopword_ratio"] == 0.0
+    assert out["mean_word_len"] is None
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick fox and the dog",),
+            ("el perro y la casa de madrid",),
+            ("le chien et un chat",),
+            ("der hund und die katze",),
+            ("zzz qqq xxx",),
+        ],
+        ["text"],
+    )
+    out = [r["lang_pred"] for r in lang_id(df).collect()]
+    assert out == ["en", "es", "fr", "de", "und"]
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("  hello world ",), ("goodbye",)], ["text"]
+    )
+    fps = [r["fp"] for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
