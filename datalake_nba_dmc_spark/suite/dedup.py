@@ -68,7 +68,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the skew risk → drop top-frequency shingles (stopword shingles)
     first or salt; here the vocab is tiny so AQE skew-join handles it."""
     docs = TableRegistry(spark, sf_dir).documents
-    sh = docs.select("doc_id", F.explode(D.shingles("text", 3)).alias("gram"))
+    sh = D.with_shingles(docs.select("doc_id", "text"), "text", 3).select(
+        "doc_id", F.explode("sh").alias("gram")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "gram")
     b = sh.select(F.col("doc_id").alias("id_b"), "gram")
@@ -104,9 +106,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB equivalent); the exact-Jaccard twin query above oracles the
     verification math."""
     docs = TableRegistry(spark, sf_dir).documents
-    cand = D.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
-    verified = D.jaccard_pairs(docs, cand)
-    return verified.filter(F.col("jaccard") >= 0.5)
+    return D.minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.5)
 
 
 @query("dedup_simhash", oracle=None)  # xxhash64-based; no SQL twin
