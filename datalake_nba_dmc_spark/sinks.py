@@ -1,0 +1,59 @@
+"""Sinks: K1/K2 semantics (overwrite Parquet per table) without the
+reference's anti-patterns.
+
+The reference writes every table as `coalesce(1)` → tmp dir → boto3
+list/copy/delete rename into `{layer}/{name}/{name}.parquet` (reference
+``aws-job-landing-to-bronze/aws-job-landing-to-bronze.py:85-106``, duplicated
+in all five jobs). Semantically that is just "overwrite table"; the
+single-file collapse serializes the entire final stage and the
+copy-then-delete is non-atomic (SURVEY.md §4.3-2/3). Here:
+
+- natural partitioning is kept (`df.write.parquet` emits one file per
+  partition — parallel at any scale);
+- optional `partition_by` gives hive-style layout so downstream reads get
+  partition pruning;
+- `compact()` is the small-files answer when a table really should have few
+  files: an explicit, separate rewrite (like Delta OPTIMIZE), not a
+  `coalesce(1)` fused into the producing job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """K1/K2 — overwrite a table directory. Format is pluggable ("parquet"
+    default; "delta"/"iceberg" drop in unchanged where those jars exist)."""
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(path)
+
+
+def compact(
+    spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
+) -> None:
+    """Rewrite a table directory to ~``target_files`` files (small-file
+    compaction). Runs as its own job so the producing pipeline keeps full
+    parallelism; ``repartition`` (not ``coalesce``) so the rewrite itself is
+    balanced. Overwrites via a staging subdir then swap-free rewrite: Spark's
+    overwrite of the same path it reads requires materializing first, so we
+    cache → count → overwrite."""
+    df = spark.read.format(fmt).load(path).repartition(target_files)
+    df.cache()
+    df.count()  # materialize before overwriting the input path
+    df.write.mode("overwrite").format(fmt).save(path)
+    df.unpersist()
