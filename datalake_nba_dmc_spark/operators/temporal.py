@@ -1,0 +1,85 @@
+"""Temporal operators: as-of join (point-in-time lookup) and range join.
+
+Neither exists in the reference (batch NBA marts need no time-travel), but
+they are table-stakes for event/feature pipelines, and naive formulations
+(theta-join on ``r.t <= l.t`` + argmax) are quadratic per key. The shapes
+here stay linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.right_ts <= left.left_ts`` within the same ``key`` (LEFT ASOF
+    JOIN, DuckDB/kdb semantics).
+
+    Implementation is the union-merge shape: tag both sides, union, one
+    shuffle+sort per key ordered by (t, side) with right-before-left on
+    ties, then ``last(value, ignorenulls)`` over an unbounded-preceding
+    frame carries each right value forward to the left rows it governs.
+    Cost: ONE exchange + sort over |L|+|R| — no range-explosion, no
+    per-key quadratic argmax, skew handled by AQE like any other sort.
+
+    ``right`` must be unique per (key, right_ts); pre-aggregate if not
+    (duplicate timestamps would make "the" as-of row ambiguous).
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).cast(left.schema[left_ts].dataType).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[
+            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *lcols, *[F.col(f"_c_{c}").alias(f"{prefix}{c}") for c in right_cols]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    point: str,
+    range_start: Column,
+    range_end: Column,
+) -> DataFrame:
+    """Join left points into right intervals sharing ``key``:
+    ``range_start <= point < range_end``. Catalyst plans the equality on
+    ``key`` as the join key and evaluates the band as a post-join filter —
+    linear when keys are selective. (For band-only joins with no equi-key,
+    bucketize the time axis first so an equi-key exists.)"""
+    return left.join(right, on=(left[key] == right[key]) & (left[point] >= range_start) & (left[point] < range_end))

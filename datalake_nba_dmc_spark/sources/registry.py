@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
 TABLES = (
@@ -36,7 +37,19 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one named table from a scale-factor directory (S1–S6 equivalent)."""
+    """Read one named table from a scale-factor directory (S1–S6 equivalent).
+
+    The ``events`` table is written with pandas-default TIMESTAMP(NANOS),
+    which Spark's Parquet reader rejects outright; we read nanos as long
+    (dynamic SQL conf) and convert to a microsecond timestamp — `div 1000`
+    floors, matching DuckDB's ns→µs cast of the same file.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,157 @@
+"""Streaming operators over the events stream (ts/user_id/event_type/value).
+
+Design: every transformation here is expressed so THE SAME function works on
+a batch DataFrame and a streaming one (Structured Streaming's unified
+model) — tests exercise both paths and assert they agree. Watermarks bound
+state; ``availableNow`` gives exactly-once batch-like runs for backfill.
+
+Scale notes:
+
+- Windowed aggregations shuffle once on (window, key); state store size is
+  bounded by the watermark horizon × key cardinality.
+- ``dropDuplicatesWithinWatermark`` keeps only the watermark window of ids
+  in state — unbounded-key streaming dedup with bounded memory.
+- ``user_running_state`` shows the arbitrary-stateful escape hatch
+  (``applyInPandasWithState``): per-key state updated per micro-batch with
+  Arrow-batched Python, for semantics windows can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: On-disk schema: the driver's events parquet carries TIMESTAMP(NANOS),
+#: readable only as long (see sources.registry.load_table).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [f if f.name != "ts" else StructField("ts", TimestampType()) for f in EVENTS_FILE_SCHEMA]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    Streaming file sources require an explicit schema (no inference race);
+    ``maxFilesPerTrigger`` throttles micro-batch size for steady backfill.
+    Emits :data:`EVENTS_SCHEMA` (ns→µs timestamp conversion applied).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    r = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(source_dir).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-(window, event_type) counts + value sums. Late rows beyond the
+    watermark are dropped; state is purged as the watermark advances."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based): a session closes after ``gap``
+    of inactivity. Streaming state per open session, closed by watermark."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event ids within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` (streaming) keeps id-state only for
+    the watermark window — the unbounded-stream dedup pattern. Batch path:
+    plain dropDuplicates."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_RUNNING_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+
+def user_running_state(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator: running per-user event count + value total,
+    maintained across micro-batches via ``applyInPandasWithState`` (Arrow
+    batches in, persistent per-key state, Arrow batches out). The shape to
+    copy for any bespoke streaming aggregate Spark lacks."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=_RUNNING_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

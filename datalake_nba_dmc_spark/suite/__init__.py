@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every suite module so registrations run; return the registry."""
     from datalake_nba_dmc_spark.suite import (  # noqa: F401
         dedup,
+        events,
         multimodal,
         parity,
         similarity,

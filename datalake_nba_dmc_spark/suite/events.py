@@ -1,0 +1,121 @@
+"""Event-stream queries (batch path of the streaming operators + temporal
+joins + JSON extraction). The same ``tumbling_agg``/``session_agg`` functions
+run in tests as real Structured Streaming; here the batch path gives the driver
+an oracle-checkable surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.temporal import asof_join
+from datalake_nba_dmc_spark.operators.windows import top1_per_group
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.streaming.events import session_agg, tumbling_agg
+from datalake_nba_dmc_spark.suite import query
+
+
+@query(
+    "events_tumbling_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — the batch twin of the
+    streaming `tumbling_agg` (same function, unified model). One shuffle on
+    (window, type); at 100 TB this is the canonical pre-aggregation that
+    runs incrementally under Structured Streaming instead of rescanning."""
+    return tumbling_agg(TableRegistry(spark, sf_dir).events)
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (10-min inactivity) per user — batch twin
+    of streaming `session_agg`. Spark's native session_window matches the
+    gaps-and-islands SQL formulation exactly (session_end = last ts + gap)."""
+    return session_agg(TableRegistry(spark, sf_dir).events, gap="10 minutes")
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the string props column —
+    `get_json_object` runs JVM-side (Jackson) inside codegen; at scale
+    prefer parsing ONCE via from_json to a struct column over repeated
+    per-field extraction."""
+    return TableRegistry(spark, sf_dir).events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@query(
+    "events_asof_latest_order",
+    oracle="""
+    WITH o1 AS (
+      SELECT * FROM (
+        SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ot,
+               o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS asof_o_orderkey
+    FROM events e
+    ASOF LEFT JOIN o1 o ON e.user_id = o.k AND e.ts >= o.ot
+    """,
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ASOF JOIN: each event picks the customer's latest order at or
+    before the event time. Union-merge implementation — one shuffle+sort
+    over |events|+|orders|, no range explosion (operators/temporal.py)."""
+    t = TableRegistry(spark, sf_dir)
+    events = t.events.select("event_id", "user_id", "ts")
+    orders = top1_per_group(
+        t.orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ot"),
+            "o_orderkey",
+        ),
+        ["user_id", "ot"],
+        [F.col("o_orderkey").desc()],
+    )
+    return asof_join(
+        events, orders, key="user_id", left_ts="ts", right_ts="ot",
+        right_cols=["o_orderkey"],
+    )

@@ -1,0 +1,147 @@
+"""Structured Streaming tests: stream-vs-batch agreement on the same data.
+
+Each test streams the sf0.001 events parquet through a transformation with
+``availableNow`` into a memory sink and asserts the result equals the batch
+run of the SAME function — the unified-model contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+
+from datalake_nba_dmc_spark.sources import load_table
+from datalake_nba_dmc_spark.streaming import (
+    read_events_stream,
+    session_agg,
+    stream_dedup,
+    tumbling_agg,
+    user_running_state,
+)
+from datalake_nba_dmc_spark.streaming.events import EVENTS_FILE_SCHEMA
+
+
+def _read_events_batch(spark, d):
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.schema(EVENTS_FILE_SCHEMA)
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+SF0001 = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF0001), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_src")
+    shutil.copy(os.path.join(SF0001, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF0001, "events")
+
+
+def _run_stream(spark, out_df, tmp_base: str):
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if out_df.isStreaming else "append")
+        .option("checkpointLocation", os.path.join(tmp_base, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@needs_testdata
+def test_tumbling_agg_stream_matches_batch(spark, events_dir, tmp_path):
+    """Append-mode streams only emit windows the watermark has passed; at
+    end-of-stream the final watermark is max(ts) - 2h, so emitted rows must
+    equal the batch result restricted to closed windows (and nothing else)."""
+    import datetime
+
+    stream = tumbling_agg(read_events_stream(spark, events_dir))
+    got = _run_stream(spark, stream, str(tmp_path))
+    want = tumbling_agg(_read_events_batch(spark, events_dir))
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    got_rows, want_rows = _rows(got, cols), _rows(want, cols)
+    assert set(got_rows) <= set(want_rows)
+    max_ts = _read_events_batch(spark, events_dir).agg({"ts": "max"}).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=2) - datetime.timedelta(hours=1)
+    closed = [r for r in want_rows if r[0] <= horizon]
+    assert set(closed) <= set(got_rows)
+    assert len(got_rows) > 0
+
+
+@needs_testdata
+def test_session_agg_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = session_agg(read_events_stream(spark, events_dir), gap="10 minutes")
+    got = _run_stream(spark, stream, str(tmp_path))
+    want = session_agg(_read_events_batch(spark, events_dir), gap="10 minutes")
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    got_rows, want_rows = _rows(got, cols), _rows(want, cols)
+    assert set(got_rows) <= set(want_rows)
+    # all but the watermark tail must have been emitted
+    assert len(got_rows) >= len(want_rows) * 0.9
+
+
+@needs_testdata
+def test_stream_dedup(spark, events_dir, tmp_path, events_batch):
+    # duplicate the whole source: same file twice → every event_id seen twice
+    dup_dir = str(tmp_path / "dup_src")
+    os.makedirs(dup_dir)
+    shutil.copy(os.path.join(events_dir, "events.parquet"), f"{dup_dir}/a.parquet")
+    shutil.copy(os.path.join(events_dir, "events.parquet"), f"{dup_dir}/b.parquet")
+    deduped = stream_dedup(read_events_stream(spark, dup_dir), watermark="365 days")
+    got = _run_stream(spark, deduped, str(tmp_path))
+    assert got.count() == events_batch.count()
+
+
+@needs_testdata
+def test_user_running_state(spark, events_dir, tmp_path, events_batch):
+    # feed in two micro-batches so state actually carries across batches
+    stream = user_running_state(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    # memory sink in update mode appends each update; keep the LAST row per user
+    from pyspark.sql import functions as F
+
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in final.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in want.collect()}
+    assert g == w

@@ -1,0 +1,61 @@
+"""Unit tests: as-of join and range join semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "e1"),
+            (1, _ts("2024-01-01 12:00:00"), "e2"),
+            (1, _ts("2024-01-01 09:00:00"), "e0"),  # before any right row
+            (2, _ts("2024-01-01 10:00:00"), "e3"),  # key with no right rows
+        ],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 100),
+            (1, _ts("2024-01-01 12:00:00"), 200),  # exact tie → included (<=)
+            (1, _ts("2024-01-01 13:00:00"), 300),  # future → never picked
+        ],
+        ["k", "rt", "val"],
+    )
+    out = {
+        r["ev"]: r["asof_val"]
+        for r in asof_join(left, right, "k", "t", "rt", ["val"]).collect()
+    }
+    assert out == {"e0": None, "e1": 100, "e2": 200, "e3": None}
+
+
+def test_asof_join_keeps_all_left_rows_and_columns(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"), "x")], ["k", "t", "p"])
+    right = spark.createDataFrame([(1, _ts("2023-12-31 00:00:00"), 9)], ["k", "rt", "v"])
+    out = asof_join(left, right, "k", "t", "rt", ["v"])
+    assert out.columns == ["k", "t", "p", "asof_v"]
+    assert out.count() == 1
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, 5), (1, 15), (2, 5)], ["key", "p"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 10, 20, "b"), (2, 100, 200, "c")],
+        ["key", "lo", "hi", "tag"],
+    )
+    out = range_join(
+        points, intervals, "key", "p", F.col("lo"), F.col("hi")
+    ).select(points["key"], "p", "tag")
+    got = {(r["key"], r["p"], r["tag"]) for r in out.collect()}
+    assert got == {(1, 5, "a"), (1, 15, "b")}
