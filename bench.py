@@ -39,6 +39,9 @@ HEADLINE = [
     "text_stats",
     "text_token_histogram",
     "media_metadata",
+    "events_tumbling_agg",
+    "events_sessionization",
+    "events_asof_latest_order",
 ]
 
 

@@ -83,6 +83,19 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_approx_distinct_users", oracle=None)  # HLL++ sketch: no exact SQL twin
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per event_type — the single-pass,
+    mergeable-sketch alternative to exact countDistinct's second shuffle
+    (SURVEY.md §4.3-5: the 100 TB path). Rows-only check; the exact twin
+    is oracle-checked in a3/a4."""
+    return (
+        TableRegistry(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
 @query(
     "events_asof_latest_order",
     oracle="""
