@@ -144,6 +144,100 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: KMeans centroids + corpus→centroid assignment.
+
+    Training runs distributed (``pyspark.ml`` KMeans — optionally on a
+    sample, which is standard IVF practice at scale); assignment is one
+    ``model.transform`` scan. Returns the assigned corpus (extra
+    ``centroid_id`` int column) and the centers (k × dim floats — small
+    enough for the driver/broadcast by construction, e.g. 65536 × 768 ×
+    8 B = 400 MB worst case; typical k ≪ that).
+
+    At 100 TB the assigned corpus is written partitioned/bucketed by
+    ``centroid_id`` so probe queries prune to ~``n_probe/k`` of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    train = corpus.sample(sample_fraction, seed=seed) if sample_fraction else corpus
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, predictionCol="centroid_id"
+    ).fit(train.select(feats))
+    assigned = model.transform(corpus.withColumn("features", feats)).drop("features")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def nearest_centroids(vec_col: Column, centers: list[list[float]], n_probe: int) -> Column:
+    """Ids of the ``n_probe`` nearest centroids (squared-L2) — pure array
+    expressions, same inline-loop shape as :func:`hyperplane_bucket`."""
+    scored = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double"),
+            ).alias("d"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(centers)
+    ]
+    ordered = F.array_sort(F.array(*scored))  # struct order: (d, cid) asc
+    return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only against the ``n_probe``
+    nearest centroid cells per query (recall↑ with n_probe; n_probe = k
+    centroids ⇒ exact). The probe join is an equi-join on ``centroid_id``
+    against the (bucketed, at scale) assigned corpus — the cross-join of
+    brute force shrinks by ~``n_probe / n_centroids``."""
+    assigned, centers = ivf_index(corpus, n_centroids, vec_col, seed)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_centroids(F.col(vec_col), centers, n_probe)).alias(
+            "centroid_id"
+        ),
+    )
+    scored = assigned.join(F.broadcast(q), on="centroid_id").select(
+        query_id_col,
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("q_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rn").alias("rank"))
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -96,6 +96,18 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, queries, k=10, n_planes=6, dim=64)
 
 
+@query("sim_ivf_topk", oracle=None)  # KMeans-trained index; no SQL twin
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF index (KMeans coarse quantizer, 4-of-16
+    cells probed): exact cosine only inside probed cells. The second scale
+    path next to LSH; brute-force twin is the accuracy oracle."""
+    emb = TableRegistry(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
 @query("sim_embedding_near_dups", oracle=None)
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs generated only within LSH

@@ -86,6 +86,42 @@ def test_lsh_bucketed_topk_finds_identical_vector(spark):
     assert top["vec_id"] == 0 and top["cosine_sim"] == pytest.approx(1.0)
 
 
+def test_ivf_topk_full_probe_matches_bruteforce(spark):
+    from datalake_nba_dmc_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    corpus = _vecs(spark, enumerate(rng.randn(60, 6)))
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in rng.randn(6)])],
+        StructType(
+            [StructField("query_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+        ),
+    )
+    exact = brute_force_topk(corpus, queries, k=5).collect()
+    # probing every cell makes IVF exact
+    approx = ivf_topk(corpus, queries, k=5, n_centroids=4, n_probe=4).collect()
+    key = lambda rows: [(r["rank"], r["vec_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert key(approx) == key(exact)
+
+
+def test_ivf_topk_partial_probe_subset(spark):
+    from datalake_nba_dmc_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(12)
+    corpus = _vecs(spark, enumerate(rng.randn(80, 6)))
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in corpus.first()["embedding"]])],
+        StructType(
+            [StructField("query_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+        ),
+    )
+    out = ivf_topk(corpus, queries, k=3, n_centroids=4, n_probe=1).collect()
+    assert len(out) <= 3
+    # the query IS corpus vector 0 → its own cell is the nearest → found
+    top = min(out, key=lambda r: r["rank"])
+    assert top["vec_id"] == 0 and top["cosine_sim"] == pytest.approx(1.0)
+
+
 def test_embedding_near_dups_identical_pair(spark):
     v = [0.5, -1.5, 2.0]
     df = _vecs(spark, [(10, v), (20, v), (30, [9.0, 0.0, -4.0])])
