@@ -77,7 +77,9 @@ def tumbling_agg(
         e.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0).alias(
+                "total_value"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -21,7 +21,8 @@ from datalake_nba_dmc_spark.suite import query
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS total_value
     FROM events
     GROUP BY 1, 2
     """,
