@@ -42,6 +42,9 @@ HEADLINE = [
     "events_tumbling_agg",
     "events_sessionization",
     "events_asof_latest_order",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

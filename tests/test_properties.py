@@ -1,0 +1,151 @@
+"""Hypothesis property tests for the trickiest cross-engine semantics
+(SURVEY.md §5.2): safe-downcast boundaries, scaled-long sum exactness,
+date-parse round-trips, left-join null propagation, shingle/minhash laws."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datalake_nba_dmc_spark.operators.conform import (
+    INT32_MAX,
+    INT32_MIN,
+    safe_downcast_longs,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=8
+    )
+)
+def test_safe_downcast_iff_all_values_fit(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out_type = dict(safe_downcast_longs(df).dtypes)["x"]
+    fits = all(INT32_MIN <= v <= INT32_MAX for v in vals)
+    assert out_type == ("int" if fits else "bigint")
+    # values survive the cast unchanged either way
+    assert sorted(r["x"] for r in safe_downcast_longs(df).collect()) == sorted(vals)
+
+
+@SLOW
+@given(
+    cents=st.lists(
+        st.integers(min_value=-(10**10), max_value=10**10), min_size=1, max_size=30
+    )
+)
+def test_scaled_long_sum_exact_regardless_of_partitioning(spark, cents):
+    """The suite's exact-sum trick: money doubles (x/100) summed via
+    round(x*10^4)::long must equal the integer ground truth under any
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(c / 100.0,) for c in cents], "x double"
+    ).repartition(4)
+    got = df.agg(
+        (F.sum(F.round(F.col("x") * 10000).cast("long")) / 10000.0).alias("s")
+    ).first()["s"]
+    assert got == pytest.approx(sum(cents) / 100.0, abs=1e-9)
+
+
+@SLOW
+@given(
+    d=st.dates(
+        min_value=datetime.date(1900, 1, 1), max_value=datetime.date(2100, 12, 31)
+    )
+)
+def test_date_parse_roundtrip(spark, d):
+    """X1/X2 — 'MMM dd, yyyy' parse and 'yyyy-MM-dd' format round-trip."""
+    from pyspark.sql import functions as F
+
+    s = d.strftime("%b %d, %Y")
+    row = (
+        spark.createDataFrame([(s,)], ["raw"])
+        .select(
+            F.to_date("raw", "MMM dd, yyyy").alias("parsed"),
+            F.date_format(F.to_date("raw", "MMM dd, yyyy"), "yyyy-MM-dd").alias("fmt"),
+        )
+        .first()
+    )
+    assert row["parsed"] == d
+    assert row["fmt"] == d.isoformat()
+
+
+@SLOW
+@given(
+    left_keys=st.lists(st.integers(0, 6), min_size=1, max_size=10),
+    right_keys=st.sets(st.integers(0, 6), max_size=5),
+)
+def test_left_join_preserves_left_rows_and_nulls_unmatched(spark, left_keys, right_keys):
+    from datalake_nba_dmc_spark.operators.joins import left_join
+
+    left = spark.createDataFrame([(k, i) for i, k in enumerate(left_keys)], ["k", "i"])
+    right = spark.createDataFrame(
+        [(k, f"v{k}") for k in right_keys], "k long, v string"
+    )
+    out = left_join(left, right, on="k").collect()
+    assert len(out) == len(left_keys)  # unique right keys → no fan-out
+    for r in out:
+        if r["k"] in right_keys:
+            assert r["v"] == f"v{r['k']}"
+        else:
+            assert r["v"] is None
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4), min_size=1, max_size=12
+    )
+)
+def test_shingles_match_python_reference(spark, words):
+    """Operator shingles == reference n-gram-set implementation in Python."""
+    from datalake_nba_dmc_spark.operators.dedup import with_shingles
+
+    text = " ".join(words)
+    got = set(
+        with_shingles(spark.createDataFrame([(text,)], ["text"]), "text", 3)
+        .first()["sh"]
+    )
+    toks = text.split()
+    if len(toks) >= 3:
+        want = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    else:
+        want = {" ".join(toks)}
+    assert got == want
+
+
+@SLOW
+@given(data=st.data())
+def test_minhash_identical_sets_identical_sigs(spark, data):
+    """Permutation invariance: signature depends on the shingle SET, so any
+    reordering of the same words' shingle array yields the same signature."""
+    import random as pyrandom
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import minhash_signature
+
+    shingle_set = data.draw(
+        st.sets(st.text(alphabet="xyz ", min_size=1, max_size=6), min_size=1, max_size=8)
+    )
+    a = sorted(shingle_set)
+    b = list(shingle_set)
+    pyrandom.Random(0).shuffle(b)
+    df = spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+    row = df.select(
+        minhash_signature(F.col("a"), 16).alias("sa"),
+        minhash_signature(F.col("b"), 16).alias("sb"),
+    ).first()
+    assert row["sa"] == row["sb"]
