@@ -43,6 +43,31 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     return spark.read.format(fmt).load(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table hash-bucketed (optionally sorted) by key.
+
+    The co-located-join primitive: two tables bucketed by the same key into
+    the same bucket count join with ZERO shuffle (Catalyst recognizes the
+    bucketing as satisfying the join's distribution requirement). At 100 TB
+    this is how repeated fact-to-fact joins avoid re-exchanging terabytes
+    per query — pay one bucketed write, join shuffle-free forever after.
+    Requires the session catalog (``saveAsTable``) because bucket metadata
+    lives in the table definition, not the files.
+    """
+    w = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def compact(
     spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
 ) -> None:

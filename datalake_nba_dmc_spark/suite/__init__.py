@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         parity,
         similarity,
+        skew,
         text,
     )
 

@@ -24,6 +24,7 @@ def spark() -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-test-warehouse")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
