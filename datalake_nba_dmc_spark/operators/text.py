@@ -115,6 +115,44 @@ def lang_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> 
     )
 
 
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF as pure DataFrame algebra.
+
+    explode(tokens) → term counts per doc (tf) → document frequency per
+    term (df) → tf × ln(N / df). Two shuffles total — (doc, term) then
+    (term) — both hash-partitioned on high-cardinality keys, so this scales
+    as well as any word-count. ``min_df`` prunes the long tail of hapax
+    terms before the join (the classic vocabulary-size control at 100 TB).
+    Smooth-free idf (ln(N/df)) keeps the formula oracle-expressible.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # corpus size as a broadcast scalar, not a driver-side .first() — the
+    # whole plan stays lazy/one job
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    return (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tf_idf"),
+        )
+    )
+
+
 def fingerprint(col: Column | str, normalize: bool = True) -> Column:
     """Document fingerprint: 64-bit hash of normalized text.
 

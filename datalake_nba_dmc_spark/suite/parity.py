@@ -776,3 +776,28 @@ def conform_safe_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform.safe_downcast_longs(
         li.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.90) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (beyond-reference; SURVEY.md §2.6
+    'absent'). Spark's `percentile` and DuckDB's `quantile_cont` share the
+    p*(n-1) continuous definition, so results hash-match exactly. The
+    100 TB variant is `approx_percentile` (t-digest-style sketch, single
+    pass, mergeable) — see events_approx_distinct_users for the approx
+    pattern."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.50).alias("p50"),
+        F.percentile("l_quantity", 0.90).alias("p90"),
+    )

@@ -1,4 +1,8 @@
-"""Text-analysis queries over the documents table (north-star extension ops)."""
+"""Text-analysis queries over the documents table (north-star extension ops).
+
+tfidf note: both engines compute ln() on identical IEEE doubles but may
+differ in the last ulp (different libm implementations), so the tf_idf
+measure is rounded to 6 dp on BOTH sides before hashing."""
 
 from __future__ import annotations
 
@@ -133,3 +137,33 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
     )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tf_idf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    WHERE dfreq.df >= 2
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as DataFrame algebra (explode → tf agg → df agg → join),
+    min_df=2 vocabulary pruning. Two hash shuffles on high-cardinality
+    keys — word-count scaling."""
+    docs = TableRegistry(spark, sf_dir).documents
+    out = T.tf_idf(docs, min_df=2)
+    return out.withColumn("tf_idf", F.round("tf_idf", 6))

@@ -67,6 +67,26 @@ def test_lang_id(spark):
     assert out == ["en", "es", "fr", "de", "und"]
 
 
+def test_tf_idf_known_values(spark):
+    import math
+
+    from datalake_nba_dmc_spark.operators.text import tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["term"]): r for r in tf_idf(df).collect()}
+    # banana in all 3 docs → idf = ln(3/3) = 0
+    assert out[(1, "banana")]["tf_idf"] == pytest.approx(0.0)
+    # apple: tf=2 in doc1, df=1 → 2*ln(3)
+    assert out[(1, "apple")]["tf"] == 2
+    assert out[(1, "apple")]["tf_idf"] == pytest.approx(2 * math.log(3))
+    # min_df pruning drops hapax terms
+    pruned = tf_idf(df, min_df=2).collect()
+    assert all(r["term"] == "banana" for r in pruned)
+
+
 def test_fingerprint_normalization_invariance(spark):
     df = spark.createDataFrame(
         [("Hello   World",), ("  hello world ",), ("goodbye",)], ["text"]
