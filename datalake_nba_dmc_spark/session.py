@@ -20,6 +20,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Dynamic SQL confs the engine depends on — safe to (re)apply on ANY
+#: session, including one the caller built without ``get_spark`` (the
+#: driver contract hands us a foreign session).
+RUNTIME_CONFS = {
+    # see the builder comment below / operators.dedup staging rationale
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # the driver's events parquet carries TIMESTAMP(NANOS)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's dynamic SQL confs to a possibly-foreign session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some build → keep going, correctness unaffected
+    return spark
+
+
 def get_spark(app_name: str = "datalake_nba_dmc_spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -54,4 +76,4 @@ def get_spark(app_name: str = "datalake_nba_dmc_spark", master: str | None = Non
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    return apply_runtime_confs(spark)

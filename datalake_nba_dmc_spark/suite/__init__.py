@@ -36,10 +36,19 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a named query (decorator)."""
+    """Register a named query (decorator). Builders are wrapped so the
+    engine's dynamic SQL confs apply even when the caller (e.g. the driver
+    harness) supplies its own SparkSession."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = QuerySpec(name, fn, oracle)
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from datalake_nba_dmc_spark.session import apply_runtime_confs
+
+            return fn(apply_runtime_confs(spark), sf_dir)
+
+        build.__name__ = fn.__name__
+        build.__doc__ = fn.__doc__
+        QUERIES[name] = QuerySpec(name, build, oracle)
         return fn
 
     return deco
