@@ -100,6 +100,36 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image-resize plumbing via ``mapInPandas``: payload bytes in, resized
+    payload + updated dims out — the training-data normalization step.
+
+    STUB decode/encode (PIL/cv2 not in this container): the fake "resize"
+    deterministically truncates/pads the payload to ``target_w*target_h//64``
+    bytes so batch shapes, memory behavior, and schema are all real. Swap the
+    body for ``PIL.Image.open(...).resize(...).tobytes()`` in production.
+    Arrow batch size should be tuned low for large blobs
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``)."""
+    target_len = target_w * target_h // 64
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def fake_resize(p):
+                if p is None:
+                    return None
+                b = bytes(p)
+                return b[:target_len].ljust(target_len, b"\0")
+
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(fake_resize)
+            out["width"] = pd.array([target_w] * len(pdf), dtype="Int32")
+            out["height"] = pd.array([target_h] * len(pdf), dtype="Int32")
+            out["n_bytes"] = out["payload"].map(lambda p: len(p) if p is not None else None).astype("Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: expands each media row into frame-index
     rows (decode stubbed — indices derived from n_bytes as a deterministic

@@ -153,6 +153,46 @@ def tf_idf(
     )
 
 
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out: str = "fps",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every char ``k``-gram of the normalized text, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum — the
+    distinct minima are the document's fingerprint set. Guarantees any
+    shared substring of length ≥ k+w-1 yields a shared fingerprint.
+
+    Hashes are md5 hex strings compared lexicographically (so a DuckDB
+    oracle can reproduce the selection exactly); swap for ``xxhash64`` +
+    numeric min in production. Staged projections per the interpreted-HOF
+    rule (see operators.dedup.with_shingles).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    staged = df.withColumn("_nt", norm)
+    n_grams = F.length("_nt") - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.md5(F.col("_nt").substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array(F.md5(F.col("_nt"))))
+    staged = staged.withColumn("_hs", grams).drop("_nt")
+    n_wins = F.size("_hs") - (w - 1)
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+            lambda j: F.array_min(F.slice(F.col("_hs"), j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("_hs"))))
+    return staged.withColumn(out, F.array_distinct(wins)).drop("_hs")
+
+
 def fingerprint(col: Column | str, normalize: bool = True) -> Column:
     """Document fingerprint: 64-bit hash of normalized text.
 

@@ -167,3 +167,36 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TableRegistry(spark, sf_dir).documents
     out = T.tf_idf(docs, min_df=2)
     return out.withColumn("tf_idf", F.round("tf_idf", 6))
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(nt) >= 8
+                  THEN [md5(substring(nt, i, 8)) FOR i IN range(1, len(nt) - 6)]
+                  ELSE [md5(nt)] END AS hs
+      FROM t
+    ), w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN [list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 2)]
+                  ELSE [list_min(hs)] END AS wins
+      FROM g
+    )
+    SELECT DISTINCT doc_id, unnest(wins) AS fp FROM w
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints, k=8 w=4, exploded to
+    (doc, fingerprint) rows — the substring-level dedup/plagiarism primitive
+    (any shared substring >= 11 chars shares a fingerprint). Oracle matches
+    the window-min selection exactly via md5-hex lexicographic order."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.with_winnow_fingerprints(docs, "text", k=8, w=4).select(
+        "doc_id", F.explode("fps").alias("fp")
+    ).distinct()

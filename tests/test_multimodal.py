@@ -35,6 +35,24 @@ def test_extract_features_deterministic_stub(spark):
     assert rows[3]["width"] is None  # null payload survives the batch path
 
 
+def test_resize_images_stub(spark):
+    from datalake_nba_dmc_spark.operators.multimodal import resize_images
+
+    media = documents_as_media(_docs(spark))
+    out = resize_images(media, target_w=16, target_h=16)  # fake len = 4
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in media.schema.fields
+    ]
+    assert all(
+        r["width"] == 16 and r["height"] == 16
+        for r in rows.values()
+        if r["payload"] is not None
+    )
+    assert len(bytes(rows[1]["payload"])) == 4 and rows[1]["n_bytes"] == 4
+    assert rows[3]["payload"] is None  # null payload passes through
+
+
 def test_frame_sample_plan(spark):
     media = documents_as_media(_docs(spark)).filter("media_id = 1")  # n_bytes=5
     out = frame_sample_plan(media, every_n=2).collect()

@@ -87,6 +87,27 @@ def test_tf_idf_known_values(spark):
     assert all(r["term"] == "banana" for r in pruned)
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    from datalake_nba_dmc_spark.operators.text import with_winnow_fingerprints
+
+    shared = "abcdefghijklmnop"  # 16 chars >= k+w-1 = 11
+    df = spark.createDataFrame(
+        [(1, "xx " + shared + " yy"), (2, "completely other " + shared), (3, "zzz unrelated qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: set(r["fps"]) for r in with_winnow_fingerprints(df).collect()}
+    assert out[1] & out[2]  # winnowing guarantee: shared fingerprint exists
+    assert not (out[1] & out[3])
+
+
+def test_winnow_short_text(spark):
+    from datalake_nba_dmc_spark.operators.text import with_winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "tiny")], ["doc_id", "text"])  # < k chars
+    out = with_winnow_fingerprints(df).first()
+    assert len(out["fps"]) == 1
+
+
 def test_fingerprint_normalization_invariance(spark):
     df = spark.createDataFrame(
         [("Hello   World",), ("  hello world ",), ("goodbye",)], ["text"]
