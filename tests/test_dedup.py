@@ -53,6 +53,30 @@ def test_minhash_signature_deterministic_and_sized(spark):
     assert sigs[0]["sig"] != sigs[2]["sig"]
 
 
+def test_minhash_arrow_equals_expression_fold(spark):
+    from datalake_nba_dmc_spark.operators.dedup import (
+        minhash_signature_arrow,
+        shingle_hashes,
+        shingles,
+    )
+
+    df = spark.createDataFrame([(DOC,), (NEAR,), (OTHER,)], ["text"])
+    both = df.select(
+        minhash_signature(shingles("text"), 32).alias("expr"),
+        minhash_signature_arrow(32)(shingle_hashes(shingles("text"))).alias("arrow"),
+    ).collect()
+    for r in both:
+        assert list(r["expr"]) == list(r["arrow"])
+
+
+def test_minhash_dedup_both_paths_agree(docs):
+    from datalake_nba_dmc_spark.operators.dedup import minhash_dedup
+
+    a = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, use_arrow=True).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, use_arrow=False).collect()}
+    assert a == b and (1, 2) in a
+
+
 def test_minhash_lsh_finds_dups_not_unrelated(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
     assert (1, 2) in pairs  # exact dup always collides
