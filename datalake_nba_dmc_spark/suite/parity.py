@@ -801,3 +801,61 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.50).alias("p50"),
         F.percentile("l_quantity", 0.90).alias("p90"),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_lines,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_lines,
+           CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / 10000.0 AS f_qty,
+           CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) / 10000.0 AS o_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (beyond-reference): rows→columns on an explicit value list.
+    Listing pivot values up front matters at scale — it keeps the plan to
+    one aggregate pass; value-discovery pivot needs an extra distinct
+    job."""
+    li = TableRegistry(spark, sf_dir).lineitem.withColumn(
+        "qty_scaled", F.round(F.col("l_quantity") * 10000).cast("long")
+    )
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)).alias("lines"), F.sum("qty_scaled").alias("qs"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_lines").alias("f_lines"),
+        F.col("O_lines").alias("o_lines"),
+        (F.col("F_qs") / 10000.0).alias("f_qty"),
+        (F.col("O_qs") / 10000.0).alias("o_qty"),
+    )
+
+
+@query(
+    "project_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS value
+    FROM lineitem
+    """,
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (beyond-reference): wide measures → long (metric, value)
+    rows — a Generate (no shuffle), the schema-normalization step for
+    metric stores."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+        "metric",
+        "value",
+    )
