@@ -141,7 +141,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tfidf",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
       SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -171,7 +171,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_winnow_fingerprints",
-    oracle="""
+    oracle=r"""
     WITH t AS (
       SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
       FROM documents
