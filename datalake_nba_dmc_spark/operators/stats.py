@@ -1,0 +1,101 @@
+"""Exact distributed statistics — moments and correlation from integer sums.
+
+Plain ``stddev``/``corr`` aggregates accumulate doubles, so their low bits
+depend on partial-aggregation order — fine for analysis, fatal for a
+cross-engine differential oracle (and irreproducible run-to-run on a real
+cluster). These helpers instead reduce each column to EXACT integer sums
+(values scaled to fixed-point longs), then combine the sums with a fixed
+double-arithmetic expression tree. Identical inputs → identical IEEE ops →
+bit-identical results on any engine, any partitioning, any cluster size.
+
+Scale notes:
+
+- One hash aggregate, map-side combined: the shuffle carries only
+  (n, Sx, Sy, Sxx, Syy, Sxy) per group — O(groups), not O(rows).
+- Long sums hold exactly while n · (scale·max|x|)² < 2^63; for 100 TB facts
+  with wide value ranges switch the accumulators to ``decimal(38,0)`` —
+  same one-pass shape, ~20% slower.
+- The double combination step is per-group scalar work, negligible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scaled(col: str, scale: int) -> Column:
+    return F.round(F.col(col) * scale).cast("long")
+
+
+def exact_moments(
+    df: DataFrame,
+    group_by: Sequence[str],
+    col: str,
+    scale: int = 1,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Per-group n / mean / sample variance / sample stddev, deterministic.
+
+    mean = Sx / scale / n;  var = (n·Sxx − Sx²) / (n·(n−1)) / scale².
+    All products/differences are computed in double AFTER the exact integer
+    reduction, so there is no long overflow and no order dependence.
+    """
+    p = prefix or col
+    x = _scaled(col, scale)
+    agged = df.groupBy(*group_by).agg(
+        F.count("*").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    s2 = float(scale) * float(scale)
+    return agged.select(
+        *group_by,
+        F.col("_n").alias(f"{p}_n"),
+        (sx / scale / n).alias(f"{p}_mean"),
+        ((n * sxx - sx * sx) / (n * (n - 1)) / s2).alias(f"{p}_var"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1)) / s2).alias(f"{p}_std"),
+    )
+
+
+def exact_corr(
+    df: DataFrame,
+    group_by: Sequence[str],
+    xcol: str,
+    ycol: str,
+    xscale: int = 1,
+    yscale: int = 1,
+    alias: str = "corr",
+) -> DataFrame:
+    """Per-group Pearson correlation from exact integer sums.
+
+    corr = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²)); the scale
+    factors cancel. Same one-pass / O(groups)-shuffle shape as
+    ``exact_moments``.
+    """
+    x, y = _scaled(xcol, xscale), _scaled(ycol, yscale)
+    agged = df.groupBy(*group_by).agg(
+        F.count("*").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    return agged.select(
+        *group_by,
+        F.col("_n").alias("n"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias(alias),
+    )

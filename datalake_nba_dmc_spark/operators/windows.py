@@ -66,6 +66,73 @@ def with_lag(
     return df.withColumn(alias or f"{col}_lag{offset}", F.lag(col, offset).over(w))
 
 
+def with_ntile(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    alias: str = "bucket",
+) -> DataFrame:
+    """Equi-height bucketing (quartiles/deciles). Ordering must include a
+    unique tiebreaker or bucket boundaries are nondeterministic."""
+    return df.withColumn(alias, F.ntile(n).over(_window(partition_by, order_by)))
+
+
+def with_percent_rank(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    alias: str = "pct_rank",
+    cume_alias: str | None = None,
+) -> DataFrame:
+    """percent_rank (and optionally cume_dist) — pure integer-ratio window
+    functions, bit-deterministic across engines."""
+    w = _window(partition_by, order_by)
+    out = df.withColumn(alias, F.percent_rank().over(w))
+    if cume_alias:
+        out = out.withColumn(cume_alias, F.cume_dist().over(w))
+    return out
+
+
+def with_moving_exact_avg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    col: str,
+    preceding: int,
+    scale: int = 100,
+    alias: str | None = None,
+) -> DataFrame:
+    """Moving average over a rows-frame [preceding, current], computed as
+    (exact scaled-long frame sum) / (scale * frame count) so the double is
+    bit-identical in any engine regardless of intra-frame add order."""
+    w = _window(partition_by, order_by).rowsBetween(-preceding, Window.currentRow)
+    exact = F.sum(F.round(F.col(col) * scale).cast("long")).over(w)
+    cnt = F.count("*").over(w)
+    return df.withColumn(
+        alias or f"{col}_mavg", exact / float(scale) / cnt
+    )
+
+
+def with_first_last(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    col: str,
+    first_alias: str,
+    last_alias: str,
+) -> DataFrame:
+    """first_value/last_value over the FULL partition frame — the default
+    frame (unbounded-preceding → current) makes last_value a running value,
+    which is almost never what users mean; pin the frame explicitly."""
+    w = _window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return df.withColumn(first_alias, F.first(col).over(w)).withColumn(
+        last_alias, F.last(col).over(w)
+    )
+
+
 def with_running_sum(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QuerySpec]:
     """Import every suite module so registrations run; return the registry."""
     from datalake_nba_dmc_spark.suite import (  # noqa: F401
+        analytics,
         classic,
         dedup,
         events,

@@ -1,0 +1,253 @@
+"""Analytic-surface queries: window extensions (ntile / percent_rank /
+moving frames / first-last) and exact distributed statistics.
+
+The reference's single window is row_number+filter (SURVEY.md §2.7); this
+module adds the rest of the window-function surface an analytics user
+expects, plus moments/correlation computed deterministically at any scale
+(operators/stats.py explains why plain stddev/corr can't be oracled).
+
+Every double produced here is a fixed expression over exact integer sums,
+so the DuckDB hash comparison is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators import stats, windows
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.suite import query
+
+
+@query(
+    "w5_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS bucket
+    FROM customer
+    """,
+)
+def w5_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height quartiles of account balance within each market segment.
+    One shuffle on the partition key; c_custkey tiebreaker pins bucket
+    boundaries for rows with equal balances."""
+    c = TableRegistry(spark, sf_dir).customer
+    return windows.with_ntile(
+        c,
+        ["c_mktsegment"],
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        4,
+    ).select("c_custkey", "c_mktsegment", "bucket")
+
+
+@query(
+    "w6_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           (CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+            / 100.0) / COUNT(*) OVER w AS o_totalprice_mavg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order moving average of spend per customer — explicit rows-frame,
+    exact cent-scaled frame sums (windows.with_moving_exact_avg)."""
+    o = TableRegistry(spark, sf_dir).orders
+    return windows.with_moving_exact_avg(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        "o_totalprice",
+        preceding=2,
+        scale=100,
+    ).select("o_custkey", "o_orderkey", "o_totalprice_mavg")
+
+
+@query(
+    "w7_first_last_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w7_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order price per customer over the FULL partition frame —
+    the default growing frame would silently make last_value a running
+    value (windows.with_first_last pins the frame)."""
+    o = TableRegistry(spark, sf_dir).orders
+    return windows.with_first_last(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        "o_totalprice",
+        "first_price",
+        "last_price",
+    ).select("o_custkey", "o_orderkey", "first_price", "last_price")
+
+
+@query(
+    "w8_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist — integer-ratio window functions, exactly
+    comparable across engines with the unique (acctbal, custkey) order."""
+    c = TableRegistry(spark, sf_dir).customer
+    return windows.with_percent_rank(
+        c,
+        ["c_mktsegment"],
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        alias="pct_rank",
+        cume_alias="cume",
+    ).select("c_custkey", "c_mktsegment", "pct_rank", "cume")
+
+
+@query(
+    "stat_exact_moments",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             COUNT(*) AS _n,
+             CAST(SUM(CAST(round(l_quantity * 1) AS BIGINT)) AS BIGINT) AS _sx,
+             CAST(SUM(CAST(round(l_quantity * 1) AS BIGINT)
+                      * CAST(round(l_quantity * 1) AS BIGINT)) AS BIGINT) AS _sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           _n AS l_quantity_n,
+           CAST(_sx AS DOUBLE) / 1 / CAST(_n AS DOUBLE) AS l_quantity_mean,
+           (CAST(_n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+             - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+             / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1)) / 1.0
+             AS l_quantity_var,
+           sqrt((CAST(_n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+             - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+             / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1)) / 1.0)
+             AS l_quantity_std
+    FROM a
+    """,
+)
+def stat_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n/mean/variance/stddev of quantity per returnflag, from exact integer
+    sums (operators/stats.exact_moments). One map-side-combined aggregate;
+    the shuffle carries 3 longs per group."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return stats.exact_moments(li, ["l_returnflag"], "l_quantity", scale=1)
+
+
+@query(
+    "stat_corr_qty_price",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             COUNT(*) AS _n,
+             CAST(SUM(qx) AS BIGINT) AS _sx, CAST(SUM(qy) AS BIGINT) AS _sy,
+             CAST(SUM(qx * qx) AS BIGINT) AS _sxx,
+             CAST(SUM(qy * qy) AS BIGINT) AS _syy,
+             CAST(SUM(qx * qy) AS BIGINT) AS _sxy
+      FROM (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 1) AS BIGINT) AS qx,
+               CAST(round(l_extendedprice * 1) AS BIGINT) AS qy
+        FROM lineitem
+      ) GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, _n AS n,
+           (CAST(_n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+             - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+           / (sqrt(CAST(_n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                   - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+              * sqrt(CAST(_n AS DOUBLE) * CAST(_syy AS DOUBLE)
+                     - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE)))
+           AS corr_qty_price
+    FROM a
+    """,
+)
+def stat_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs (whole-dollar) extended price per
+    returnflag — exact integer sums, double combination (operators/stats.
+    exact_corr). Dollar scale keeps Σy² within long range out to sf100;
+    beyond that the accumulators move to decimal(38,0)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return stats.exact_corr(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+        xscale=1,
+        yscale=1,
+        alias="corr_qty_price",
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube: exactly three
+    groupings) with grouping flags to disambiguate produced NULLs. One
+    expand + one shuffle — same cost model as rollup."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    gs = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return gs.agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("double").alias(
+            "sum_qty"
+        ),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS big_share,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER/count_if) — single pass, no joins or
+    self-unions for per-predicate counts."""
+    o = TableRegistry(spark, sf_dir).orders
+    big = F.col("o_totalprice") > 150000.0
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_total"),
+        F.count_if(big).alias("n_big"),
+        (F.count_if(big).cast("double") / F.count("*").cast("double")).alias(
+            "big_share"
+        ),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )

@@ -1,0 +1,80 @@
+"""Unit tests for window extensions and exact-statistics operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators import stats, windows
+
+
+def test_exact_moments_matches_numpy(spark):
+    vals = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 13.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, x double")
+    row = stats.exact_moments(df, ["k"], "x", scale=1).collect()[0]
+    assert row.x_n == len(vals)
+    assert math.isclose(row.x_mean, np.mean(vals), rel_tol=1e-12)
+    assert math.isclose(row.x_var, np.var(vals, ddof=1), rel_tol=1e-12)
+    assert math.isclose(row.x_std, np.std(vals, ddof=1), rel_tol=1e-12)
+
+
+def test_exact_moments_scale_recovers_fractions(spark):
+    vals = [1.25, 2.50, 3.75]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, x double")
+    row = stats.exact_moments(df, ["k"], "x", scale=100).collect()[0]
+    assert math.isclose(row.x_mean, 2.5, rel_tol=1e-12)
+    assert math.isclose(row.x_var, np.var(vals, ddof=1), rel_tol=1e-12)
+
+
+def test_exact_corr_matches_numpy(spark):
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 4.0, 3.0, 6.0]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "k string, x double, y double"
+    )
+    row = stats.exact_corr(df, ["k"], "x", "y").collect()[0]
+    assert math.isclose(row.corr, np.corrcoef(xs, ys)[0][1], rel_tol=1e-12)
+
+
+def test_exact_corr_perfect_correlation(spark):
+    df = spark.createDataFrame(
+        [("g", float(i), 2.0 * i + 1) for i in range(1, 6)],
+        "k string, x double, y double",
+    )
+    assert math.isclose(
+        stats.exact_corr(df, ["k"], "x", "y").collect()[0].corr, 1.0, rel_tol=1e-12
+    )
+
+
+def test_ntile_bucket_sizes(spark):
+    df = spark.createDataFrame([("g", i) for i in range(10)], "k string, v int")
+    out = windows.with_ntile(df, ["k"], [F.col("v").asc()], 4, alias="b")
+    sizes = {r.b: r.n for r in out.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    # 10 rows over 4 buckets -> 3,3,2,2; earlier buckets get the remainder
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+    # bucket assignment follows the ordering
+    assert {r.b for r in out.filter(F.col("v") < 3).collect()} == {1}
+
+
+def test_moving_exact_avg_frame(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(10 * i)) for i in range(1, 5)], "k string, i int, x double"
+    )
+    out = windows.with_moving_exact_avg(
+        df, ["k"], [F.col("i").asc()], "x", preceding=1, alias="m"
+    )
+    got = {r.i: r.m for r in out.collect()}
+    assert got == {1: 10.0, 2: 15.0, 3: 25.0, 4: 35.0}
+
+
+def test_first_last_full_frame(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 7.0), ("g", 3, 9.0)], "k string, i int, x double"
+    )
+    out = windows.with_first_last(
+        df, ["k"], [F.col("i").asc()], "x", "fv", "lv"
+    ).collect()
+    # last_value must be the partition-global last on EVERY row (pinned frame)
+    assert all(r.fv == 5.0 and r.lv == 9.0 for r in out)
