@@ -35,16 +35,23 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_bruteforce_topk",
     "text_stats",
     "text_token_histogram",
+    "text_tfidf",
     "media_metadata",
     "events_tumbling_agg",
     "events_sessionization",
     "events_asof_latest_order",
+    "stat_exact_moments",
+    "w6_moving_avg",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
 ]
 
 
@@ -54,13 +61,35 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
 
+    # Steady-state warmup: fork the Python UDF workers (one per core) and
+    # touch the fact table so JVM/codegen/process-pool startup isn't billed
+    # to whichever query happens to run first.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(10_000, numPartitions=64).select(_warm(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     specs = load_all()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = specs[name].builder(spark, sf_dir)
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        # min of 2 runs: the steady-state number, insulated from one-off
+        # JIT/codegen work and GC pauses triggered by earlier queries.
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators.text import fingerprint
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
 
 # Large prime < 2^31 for minhash permutations (a*h + b mod P).
 _MERSENNE31 = (1 << 31) - 1
@@ -77,10 +78,15 @@ def with_shingles(
     """Staged shingle pipeline: tokens materialize in their own projection so
     the normalize+split+filter work runs ONCE per row. CollapseProject keeps
     the stages separate (a non-cheap alias referenced multiple times is not
-    inlined), so the gram lambda only reads a column attribute."""
+    inlined), so the gram lambda only reads a column attribute.
+
+    Inputs are fanned out to full parallelism first: shingling is
+    compute-bound, and a small single-file corpus otherwise runs the whole
+    downstream pipeline on one core (operators/util.ensure_parallelism)."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
     return (
-        df.withColumn("_toks", toks)
+        ensure_parallelism(df)
+        .withColumn("_toks", toks)
         .withColumn(out, _grams_from_tokens(F.col("_toks"), n))
         .drop("_toks")
     )
@@ -292,6 +298,79 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (id, component),
+    component = min node id in the component.
+
+    Iterative min-label propagation: every node starts labeled with its own
+    id; each round, a node adopts the minimum label among itself and its
+    neighbors; converged when a round changes nothing. Each round is one
+    shuffle (groupBy node) — O(diameter) rounds, and near-dup graphs built
+    from LSH star edges have tiny diameters (the bucket representative
+    links members directly), so 2–3 rounds in practice.
+
+    Scale hygiene: ``localCheckpoint`` after every round truncates the plan
+    lineage — without it the loop builds an exponentially nested plan that
+    strangles the optimizer by ~iteration 10 (classic iterative-Spark trap;
+    on a cluster with an HDFS checkpoint dir, ``checkpoint()`` is the
+    durable equivalent). Convergence is checked with a cheap count action
+    per round.
+    """
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        both.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    both = both.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.a == labels.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id (min doc id in its
+    near-dup component; singletons are their own cluster) and flag the
+    representative to keep. ``pairs`` is any verified near-dup edge list
+    (MinHash/SimHash/embedding). This is the step that turns pairwise
+    similarity into an actual drop-list at 100 TB."""
+    comps = connected_components(pairs, "id_a", "id_b")
+    return (
+        df.join(comps.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .withColumn("cluster_id", F.coalesce("comp", F.col(id_col)))
+        .withColumn("is_representative", F.col("cluster_id") == F.col(id_col))
+        .drop("comp")
+    )
+
+
 def _simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     def vote_fn(i: int):
         # closure factory (not a default-arg lambda) — see minhash_signature
@@ -327,19 +406,53 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     return _simhash_from_hashes(hashes, bits)
 
 
+def simhash_arrow(bits: int = 64):
+    """Vectorized SimHash as an Arrow-batched Pandas UDF over the per-token
+    hash array (xxhash64 computed JVM-side — no strings cross the
+    boundary). numpy unpacks each row's hashes into a (tokens × bits) sign
+    matrix and reduces it in C; the 64 interpreted per-bit vote folds of
+    :func:`_simhash_from_hashes` don't codegen and lose by ~10×. Bit-for-bit
+    identical output to the expression path (test_dedup covers both)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def sig(hash_arrays: pd.Series) -> pd.Series:
+        out = np.empty(len(hash_arrays), dtype=np.uint64)
+        for i, h in enumerate(hash_arrays):
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            votes = (((hv[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+            out[i] = np.bitwise_or.reduce(
+                np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
+            )
+        return pd.Series(out.view(np.int64))
+
+    return sig
+
+
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out: str = "sh", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "sh",
+    bits: int = 64,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Staged SimHash: normalize+tokenize+hash runs once per row in its own
-    projection; the 64 per-bit vote folds then read a column attribute
-    instead of recomputing the array (same staging rationale as
-    :func:`with_shingles`)."""
+    projection; the vote reduction then reads a column attribute instead of
+    recomputing the array (same staging rationale as :func:`with_shingles`).
+    Default path is the Arrow-vectorized reducer (:func:`simhash_arrow`);
+    ``use_arrow=False`` keeps the plan Python-free."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    return (
-        df.withColumn("_tok_hashes", F.transform(toks, lambda t: F.xxhash64(t)))
-        .withColumn(out, _simhash_from_hashes(F.col("_tok_hashes"), bits))
-        .drop("_tok_hashes")
+    staged = ensure_parallelism(df).withColumn(
+        "_tok_hashes", F.transform(toks, lambda t: F.xxhash64(t))
     )
+    if use_arrow:
+        reduced = staged.withColumn(out, simhash_arrow(bits)(F.col("_tok_hashes")))
+    else:
+        reduced = staged.withColumn(out, _simhash_from_hashes(F.col("_tok_hashes"), bits))
+    return reduced.drop("_tok_hashes")
 
 
 def hamming64(a: Column, b: Column) -> Column:

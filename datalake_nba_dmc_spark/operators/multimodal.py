@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -97,7 +98,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return ensure_parallelism(df).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
@@ -127,7 +128,7 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
             out["n_bytes"] = out["payload"].map(lambda p: len(p) if p is not None else None).astype("Int64")
             yield out
 
-    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return ensure_parallelism(df).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

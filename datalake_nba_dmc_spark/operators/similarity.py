@@ -21,6 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float arrays, accumulated in double (JVM codegen)."""
@@ -63,7 +65,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    scored = ensure_parallelism(corpus).crossJoin(F.broadcast(q)).select(
         query_id_col,
         F.col(id_col),
         cosine(F.col(vec_col), F.col("q_vec")).alias("cosine_sim"),
@@ -123,7 +125,9 @@ def lsh_bucketed_topk(
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+    c = ensure_parallelism(corpus).withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), planes)
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("q_vec"),
@@ -172,7 +176,9 @@ def ivf_index(
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, predictionCol="centroid_id"
     ).fit(train.select(feats))
-    assigned = model.transform(corpus.withColumn("features", feats)).drop("features")
+    assigned = model.transform(
+        ensure_parallelism(corpus).withColumn("features", feats)
+    ).drop("features")
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     return assigned, centers
 
@@ -251,7 +257,7 @@ def embedding_near_dups(
     filters to ``>= threshold``."""
     dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
-    b = df.select(
+    b = ensure_parallelism(df).select(
         F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
     )
     a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
+
 #: Tiny per-language stopword marker lists for the n-gram/stopword heuristic
 #: language ID. Real pipelines use fastText/CLD3; the heuristic keeps the
 #: operator self-contained and oracle-checkable.
@@ -64,7 +66,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(
         F.filter(toks, lambda t: F.lower(t).isin(*LANG_MARKERS["en"]))
     )
-    return df.withColumns(
+    return ensure_parallelism(df).withColumns(
         {
             "n_chars_calc": n_chars.cast("long"),
             "n_tokens": n_tokens.cast("long"),
@@ -110,7 +112,7 @@ def lang_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> 
         .when(a["hits"] < b["hits"], 1)
         .otherwise(F.when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1).otherwise(0)),
     ).getItem(0)
-    return df.withColumn(
+    return ensure_parallelism(df).withColumn(
         alias, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     )
 
@@ -130,7 +132,7 @@ def tf_idf(
     terms before the join (the classic vocabulary-size control at 100 TB).
     Smooth-free idf (ln(N/df)) keeps the formula oracle-expressible.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -172,7 +174,7 @@ def with_winnow_fingerprints(
     rule (see operators.dedup.with_shingles).
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    staged = df.withColumn("_nt", norm)
+    staged = ensure_parallelism(df).withColumn("_nt", norm)
     n_grams = F.length("_nt") - (k - 1)
     grams = F.when(
         n_grams >= 1,

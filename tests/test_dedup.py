@@ -119,3 +119,43 @@ def test_simhash_near_dups_pipeline(docs):
     out = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_hamming=16).collect()}
     assert (1, 2) in out
     assert (3, 4) not in out and (1, 4) not in out
+
+
+def test_simhash_arrow_matches_expression(spark):
+    from datalake_nba_dmc_spark.operators.dedup import with_simhash
+
+    texts = [(i, t) for i, t in enumerate([DOC, NEAR, OTHER, "", "one", DOC * 3])]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    arrow = {
+        r["doc_id"]: r["sh"]
+        for r in with_simhash(df, use_arrow=True).select("doc_id", "sh").collect()
+    }
+    expr = {
+        r["doc_id"]: r["sh"]
+        for r in with_simhash(df, use_arrow=False).select("doc_id", "sh").collect()
+    }
+    assert arrow == expr
+
+
+def test_connected_components_chain_and_pair(spark):
+    from datalake_nba_dmc_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (8, 7)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_representatives(spark):
+    from datalake_nba_dmc_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_representative) for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 4: (1, False),
+        3: (3, True), 5: (5, True), 6: (6, True),
+    }
