@@ -116,3 +116,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands). Pure bit-arithmetic expressions; bucket-equi-join shape."""
     docs = TableRegistry(spark, sf_dir).documents
     return D.simhash_near_dups(docs, band_bits=16, max_hamming=3)
+
+
+@query(
+    "dedup_clusters_assign",
+    oracle=f"""
+    WITH RECURSIVE toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS sz FROM sh
+    ), exploded AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.doc_id
+      JOIN sizes sb ON i.id_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS cluster_id,
+           (MIN(comp) = id) AS is_representative
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: exact 3-gram-Jaccard pairs (≥0.5) →
+    connected components (iterative min-label propagation, D.connected_
+    components) → per-document cluster id + representative flag. The one
+    iterative algorithm in the suite, cross-checked against a DuckDB
+    RECURSIVE CTE computing min-reachable-id — the driver hash-compares
+    fixpoints, so convergence itself is oracle-verified."""
+    docs = TableRegistry(spark, sf_dir).documents
+    sh = D.with_shingles(docs.select("doc_id", "text"), "text", 3).select(
+        "doc_id", F.explode("sh").alias("gram")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "gram")
+    b = sh.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pairs = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    return D.dedup_clusters(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "is_representative"
+    )

@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions for the headline queries.
+
+Correctness tests prove the numbers; these prove the PLAN is the one that
+survives a 100 TB scale-up: filters reach the Parquet scan, dimensions
+broadcast, EXISTS compiles to a semi join, top-k avoids a global sort, and
+aggregates are map-side combined. A regression that silently de-optimizes a
+plan (a lost pushdown, a broadcast that became a sort-merge join) fails
+here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datalake_nba_dmc_spark.suite import load_all
+
+SF0001 = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF0001), reason="driver testdata not present"
+)
+
+
+def plan_of(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = load_all()[name].builder(spark, SF0001)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@needs_testdata
+def test_q6_filters_push_to_scan(spark):
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+@needs_testdata
+def test_q1_scan_prunes_columns(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    read = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "l_comment" not in read
+    assert "l_partkey" not in read  # unused column must not be scanned
+    assert "l_quantity" in read
+
+
+@needs_testdata
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q14_promo_revenue"],
+)
+def test_dimensions_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, f"no broadcast join in {name}"
+
+
+@needs_testdata
+def test_q4_exists_is_semi_join(spark):
+    plan = plan_of(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+@needs_testdata
+def test_q22_not_exists_is_anti_join(spark):
+    plan = plan_of(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan
+
+
+@needs_testdata
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+@needs_testdata
+def test_agg_is_partial_then_final(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    # two HashAggregate nodes around one Exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+@needs_testdata
+def test_q1_wholestage_codegen(spark):
+    """The executed (AQE-final) plan must run the scan→agg pipeline inside
+    WholeStageCodegen — the formatted pre-execution plan hides codegen ids,
+    so force execution first."""
+    import contextlib
+    import io
+
+    df = load_all()["tpch_q1_pricing_summary"].builder(spark, SF0001)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, f"no WholeStageCodegen stage markers:\n{plan}"
+
+
+@needs_testdata
+def test_flagship_broadcasts_dim_join(spark):
+    plan = plan_of(spark, "flagship_customer_resume")
+    assert "BroadcastHashJoin" in plan
