@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         classic,
         dedup,
         events,
+        functions_surface,
         multimodal,
         parity,
         similarity,

@@ -1,0 +1,115 @@
+"""Scalar-function-surface queries (dates, strings, null semantics, array
+scalars) — the extended X-row coverage beyond the reference's ten functions
+(SURVEY.md §2.8). Column builders live in ``datalake_nba_dmc_spark/
+functions/scalars.py``; each query projects them over a driver table and is
+hash-checked against the DuckDB twin, which pins cross-engine semantics
+(day-of-week bases, 1-based string positions, NULLIF/null-safe-equality
+behavior) rather than trusting documentation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.functions import (
+    array_scalar_features,
+    date_parts,
+    null_semantics,
+    string_features,
+)
+from datalake_nba_dmc_spark.operators.text import tokens
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.suite import query
+
+
+@query(
+    "func_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
+           month(o_orderdate) AS month, dayofmonth(o_orderdate) AS day,
+           dayofweek(o_orderdate) AS dow, dayofyear(o_orderdate) AS doy,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week
+    FROM orders
+    """,
+)
+def func_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition — one codegen'd projection, no shuffle. The
+    dow column pins the Sunday-base alignment (Spark 1-based vs DuckDB
+    0-based)."""
+    o = TableRegistry(spark, sf_dir).orders
+    parts = date_parts(F.col("o_orderdate"))
+    return o.select("o_orderkey", *[c.alias(n) for n, c in parts.items()])
+
+
+@query(
+    "func_string_surface",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS upper, lower(c_name) AS lower,
+           substring(c_name, 10, 6) AS sub,
+           lpad(c_name, 24, '.') AS lpadded,
+           regexp_replace(c_name, '0+', '0', 'g') AS replaced,
+           COALESCE(regexp_extract(c_name, '(\\d+)', 1), '') AS digits,
+           reverse(c_name) AS rev,
+           strpos(c_name, '0') AS pos_zero,
+           levenshtein(c_name, 'Customer') AS lev,
+           length(c_name) AS n_chars
+    FROM customer
+    """,
+)
+def func_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over customer names. Note regexp_replace is
+    global-by-default in Spark but needs the 'g' flag in DuckDB, and a
+    no-match regexp_extract is '' in Spark vs NULL in DuckDB — the oracle
+    encodes both pins."""
+    c = TableRegistry(spark, sf_dir).customer
+    feats = string_features(F.col("c_name"))
+    return c.select("c_custkey", *[col.alias(n) for n, col in feats.items()])
+
+
+@query(
+    "func_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS maybe_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), '(none)') AS filled,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_sentinel
+    FROM orders
+    """,
+)
+def func_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF / COALESCE / null-safe equality (<=> ≡ IS NOT DISTINCT FROM):
+    is_sentinel is three-valued-logic-proof — TRUE/FALSE, never NULL."""
+    o = TableRegistry(spark, sf_dir).orders
+    sems = null_semantics(F.col("o_orderstatus"), "O")
+    return o.select("o_orderkey", *[col.alias(n) for n, col in sems.items()])
+
+
+@query(
+    "func_array_scalars",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')
+               AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_items,
+           list_sort(toks)[1] AS first_sorted,
+           list_sort(toks)[-1] AS last_sorted,
+           list_contains(toks, 'the') AS has_the,
+           len(list_distinct(toks)) AS n_distinct_items
+    FROM t
+    """,
+)
+def func_array_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface reduced to scalar outputs (size, sorted
+    first/last, membership, distinct count) — scalars hash identically
+    across engines where raw array string-forms don't."""
+    d = TableRegistry(spark, sf_dir).documents
+    feats = array_scalar_features(tokens(F.col("text")))
+    return d.select("doc_id", *[col.alias(n) for n, col in feats.items()])
