@@ -157,3 +157,36 @@ def user_running_state(events: DataFrame, timeout: str = "NoTimeout") -> DataFra
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def followup_join(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream funnel join: (first_type → then_type) by the same user
+    within ``horizon``. Inner join, so it runs in append mode; both sides
+    carry watermarks and the time band bounds BOTH state stores — without
+    the upper bound on ``p_ts`` the purchase side would buffer forever.
+    Batch path: identical join, no watermarks (unified model)."""
+    clicks = events.filter(F.col("event_type") == first_type).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == then_type).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    return clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")

@@ -133,3 +133,86 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, orders, key="user_id", left_ts="ts", right_ts="ot",
         right_cols=["o_orderkey"],
     )
+
+
+@query(
+    "events_sliding_agg",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+             event_type, value FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in exactly
+    two windows (window/slide = 2 expanded rows — the oracle materializes
+    the same expansion with a UNION ALL of shifted buckets). Same
+    (window, key) shuffle as tumbling; runs unchanged under Structured
+    Streaming where the expansion is handled by the window operator."""
+    e = TableRegistry(spark, sf_dir).events
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_followup_within_hour",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, COUNT(p.event_id) AS n_purchases
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour'
+    GROUP BY c.user_id, c.event_id
+    """,
+)
+def events_followup_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel join: purchases per click by the same user within the
+    following hour (operators/temporal.range_join shape, left-outer so
+    unconverted clicks keep a zero row). The user_id equality is the join
+    key; the time band is a post-join filter — the streaming twin is a
+    stream-stream join with a 1h watermark bounding both state stores."""
+    e = TableRegistry(spark, sf_dir).events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("c_user").alias("user_id"), "click_id"
+    ).agg(F.count("p_id").alias("n_purchases"))

@@ -145,3 +145,18 @@ def test_user_running_state(spark, events_dir, tmp_path, events_batch):
     g = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in final.collect()}
     w = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in want.collect()}
     assert g == w
+
+
+@needs_testdata
+def test_followup_join_stream_matches_batch(spark, events_dir, tmp_path):
+    """Inner stream-stream join in append mode: with availableNow draining
+    the whole source, every matched pair is emitted — stream result equals
+    the batch join exactly."""
+    from datalake_nba_dmc_spark.streaming import followup_join
+
+    stream = followup_join(read_events_stream(spark, events_dir))
+    got = _run_stream(spark, stream, str(tmp_path))
+    want = followup_join(_read_events_batch(spark, events_dir))
+    cols = ["user_id", "click_id", "purchase_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
