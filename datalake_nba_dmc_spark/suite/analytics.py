@@ -251,3 +251,29 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
     )
+
+
+@query(
+    "grouped_minmax_norm",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CASE WHEN MAX(c_acctbal) OVER w > MIN(c_acctbal) OVER w
+                THEN (c_acctbal - MIN(c_acctbal) OVER w)
+                     / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w)
+                ELSE 0.0 END AS minmax
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment min-max normalization through the grouped-map Pandas
+    path (operators/grouped.py) — the batch ``applyInPandas`` counterpart
+    of the streaming ``applyInPandasWithState`` operator, verified against
+    a plain window-function oracle so the Arrow round-trip itself is
+    differentially tested."""
+    from datalake_nba_dmc_spark.operators.grouped import grouped_minmax_norm as g
+
+    c = TableRegistry(spark, sf_dir).customer.select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return g(c, ["c_mktsegment"], "c_acctbal")

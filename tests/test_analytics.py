@@ -78,3 +78,15 @@ def test_first_last_full_frame(spark):
     ).collect()
     # last_value must be the partition-global last on EVERY row (pinned frame)
     assert all(r.fv == 5.0 and r.lv == 9.0 for r in out)
+
+
+def test_grouped_minmax_norm(spark):
+    from datalake_nba_dmc_spark.operators.grouped import grouped_minmax_norm
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 5.0)], "k string, x double"
+    )
+    out = {(r.k, r.x): r.minmax for r in grouped_minmax_norm(df, ["k"], "x").collect()}
+    assert out == {("a", 1.0): 0.0, ("a", 3.0): 1.0, ("a", 2.0): 0.5, ("b", 5.0): 0.0}
+    # the input DataFrame's schema must NOT have been mutated
+    assert "minmax" not in df.columns
