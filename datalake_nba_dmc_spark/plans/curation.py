@@ -1,0 +1,110 @@
+"""Training-data curation pipeline: the end-to-end composition of the
+extension operators — what the engine is FOR at 100 TB.
+
+    documents
+      → quality gate   (cheap codegen'd signals; C4/Gopher-style rules)
+      → exact dedup    (normalized-fingerprint hash-agg, min-id winner)
+      → near-dedup     (3-gram Jaccard pairs → connected components →
+                        keep the min-id representative per cluster)
+      → curated corpus + per-(source, lang) yield stats
+
+Every stage is a DataFrame→DataFrame function from ``operators/``; the
+pipeline only composes them, so each stage's scale shape (one shuffle per
+agg/join, no quadratic pair generation, iterative components with
+checkpointed lineage) is documented and tested at the operator level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators import dedup as D
+from datalake_nba_dmc_spark.operators.text import tokens
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Keep documents with ≥ ``min_tokens`` whitespace tokens and ≤
+    ``max_chars`` characters — one codegen'd filter, no shuffle."""
+    return docs.filter(
+        (F.size(tokens(F.col(text_col))) >= min_tokens)
+        & (F.length(F.col(text_col)) <= max_chars)
+    )
+
+
+def near_dup_pairs_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via the shingle-explode
+    equi-join (no all-pairs). The LSH variants (``D.minhash_dedup``) are
+    the drop-in replacement when the corpus outgrows the exact join."""
+    sh = D.with_shingles(docs.select(id_col, text_col), text_col, shingle_n).select(
+        id_col, F.explode("sh").alias("gram")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), "gram")
+        .join(sh.select(F.col(id_col).alias("id_b"), "gram"), on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_chars: int = 2000,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full curation: quality gate → exact dedup → near-dup representative
+    selection. Returns the curated corpus (original columns)."""
+    q = quality_gate(docs, text_col, min_tokens, max_chars)
+    exact = D.exact_dedup(q, text_col, id_col)
+    pairs = near_dup_pairs_exact(exact, text_col, id_col, threshold=jaccard_threshold)
+    clustered = D.dedup_clusters(exact, pairs, id_col)
+    return clustered.filter(F.col("is_representative")).drop(
+        "cluster_id", "is_representative"
+    )
+
+
+def curation_stats(docs: DataFrame, curated: DataFrame) -> DataFrame:
+    """Per-(source, lang) yield: raw count, kept count, kept token total.
+    Three tiny aggregates joined on the group key — the corpus is touched
+    twice (raw count + kept stats), never collected."""
+    raw = docs.groupBy("source", "lang").agg(F.count("*").alias("n_raw"))
+    kept = curated.groupBy("source", "lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("tokens_kept"),
+    )
+    return (
+        raw.join(kept, on=["source", "lang"], how="left")
+        .select(
+            "source",
+            "lang",
+            "n_raw",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )

@@ -188,3 +188,74 @@ def dedup_clusters_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs.select("doc_id"), pairs).select(
         "doc_id", "cluster_id", "is_representative"
     )
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE toks_t AS (
+      SELECT doc_id, source, lang, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS rtoks
+      FROM documents
+    ), q AS (
+      SELECT * FROM toks_t WHERE len(rtoks) >= 5 AND len(text) <= 2000
+    ), winners AS (
+      SELECT MIN(doc_id) AS doc_id FROM q
+      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ), e AS (
+      SELECT q.* FROM q JOIN winners USING (doc_id)
+    ), nt AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM e
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM nt
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS sz FROM sh
+    ), exploded AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM e
+      UNION
+      SELECT ed.b, r.comp FROM reach r JOIN edges ed ON ed.a = r.id
+    ), comps AS (
+      SELECT id AS doc_id, MIN(comp) AS cluster FROM reach GROUP BY id
+    ), kept AS (
+      SELECT e.source, e.lang, e.rtoks FROM e
+      JOIN comps ON e.doc_id = comps.doc_id
+      WHERE comps.cluster = e.doc_id
+    ), raw AS (
+      SELECT source, lang, COUNT(*) AS n_raw FROM documents GROUP BY 1, 2
+    ), ks AS (
+      SELECT source, lang, COUNT(*) AS n_kept,
+             CAST(SUM(len(rtoks)) AS BIGINT) AS tokens_kept
+      FROM kept GROUP BY 1, 2
+    )
+    SELECT raw.source, raw.lang, n_raw,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(tokens_kept, 0) AS tokens_kept
+    FROM raw LEFT JOIN ks ON raw.source = ks.source AND raw.lang = ks.lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation showcase (plans/curation.py):
+    quality gate → exact dedup → 3-gram-Jaccard near-dup clustering →
+    representative selection → per-(source, lang) yield stats. The whole
+    pipeline — including the iterative connected-components stage — is
+    hash-checked against one DuckDB query with a RECURSIVE CTE."""
+    from datalake_nba_dmc_spark.plans.curation import curate, curation_stats
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return curation_stats(docs, curate(docs))

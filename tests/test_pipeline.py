@@ -77,3 +77,29 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition pruning visible in the scan
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_curation_pipeline_toy_corpus(spark):
+    """Quality gate drops short docs, exact dedup collapses identical text,
+    near-dedup keeps one representative per Jaccard cluster."""
+    from datalake_nba_dmc_spark.plans.curation import curate, curation_stats
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s1", len(base)),
+            (2, base, "en", "s1", len(base)),                  # exact dup of 1
+            (3, base + " tonight", "en", "s1", len(base) + 8),  # near dup of 1
+            (4, "too short", "en", "s1", 9),                    # fails quality
+            (5, "a completely different document about spark engines", "en", "s2", 52),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = sorted(r.doc_id for r in curate(docs).collect())
+    assert kept == [1, 5]
+    stats = {
+        (r.source, r.lang): (r.n_raw, r.n_kept, r.tokens_kept)
+        for r in curation_stats(docs, curate(docs)).collect()
+    }
+    assert stats[("s1", "en")] == (4, 1, 12)
+    assert stats[("s2", "en")] == (1, 1, 7)
