@@ -859,3 +859,71 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (each key kept min(multiplicity-in-A,
+    multiplicity-in-R) times) — the bag semantics INTERSECT hides. Spark
+    plans both ALL variants as aggregates + joins, one shuffle each."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.intersectAll(r)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: multiplicities subtract instead of vanish."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.exceptAll(r)
+
+
+@query(
+    "sample_hash_mod",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % 4294967296) % 10 = 0
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by multiplicative key hashing (Knuth's
+    2654435761 mod 2^32). Unlike ``df.sample`` this is reproducible across
+    engines, runs, AND scale-factors (a row keeps or loses membership based
+    only on its key) — the property training-data holdouts need. Pure
+    filter: pushes to the scan, no shuffle, no RNG state."""
+    o = TableRegistry(spark, sf_dir).orders
+    h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    return o.filter(h % 10 == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query("agg_approx_percentiles", oracle=None)  # sketch: no cross-engine twin
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass mergeable quantile sketch (`approx_percentile`,
+    KLL/GK-style) — the 100 TB path where exact percentiles would sort per
+    group. Rows-only check; accuracy vs the exact `agg_percentiles` twin is
+    asserted in test_joins_aggs_windows (within the sketch's rank-error
+    bound)."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", 0.25, 10000).alias("p25"),
+        F.approx_percentile("l_quantity", 0.50, 10000).alias("p50"),
+        F.approx_percentile("l_quantity", 0.90, 10000).alias("p90"),
+    )

@@ -3,8 +3,15 @@ rollup/cube), windows (W1 + rank/lag/running-sum)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF0001), reason="driver testdata not present"
+)
 
 from datalake_nba_dmc_spark.operators.aggregates import (
     column_bounds,
@@ -166,3 +173,24 @@ def test_with_lag(spark, facts):
 def test_with_running_sum(spark, facts):
     out = with_running_sum(facts, ["k"], [F.col("seq")], "v").orderBy("seq").collect()
     assert [r["v_running"] for r in out] == [10, 30, 30, 40]
+
+
+@needs_testdata
+def test_approx_percentile_tracks_exact(spark):
+    """The sketch's p50/p90 must land within 1 quantity unit of the exact
+    interpolated percentiles at sf0.001 (accuracy 10000 → rank error 1e-4)."""
+    from datalake_nba_dmc_spark.suite import load_all
+
+    specs = load_all()
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p90)
+        for r in specs["agg_percentiles"].builder(spark, SF0001).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.p25, r.p50, r.p90)
+        for r in specs["agg_approx_percentiles"].builder(spark, SF0001).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag in exact:
+        for e, a in zip(exact[flag], approx[flag]):
+            assert abs(e - a) <= 1.0, (flag, exact[flag], approx[flag])
