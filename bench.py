@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "curation_pipeline",
     "sim_bruteforce_topk",
     "text_stats",
     "text_token_histogram",
@@ -79,17 +80,17 @@ def main() -> None:
     ).mode("overwrite").save()
 
     specs = load_all()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = specs[name].builder(spark, sf_dir)
-        # min of 2 runs: the steady-state number, insulated from one-off
-        # JIT/codegen work and GC pauses triggered by earlier queries.
-        best = float("inf")
-        for _ in range(2):
+    dfs = {name: specs[name].builder(spark, sf_dir) for name in HEADLINE}
+    # Two full passes, per-query min ACROSS passes: back-to-back repeats of
+    # one query share any transient slowdown (host noise, GC pause), so the
+    # two samples of each query are separated by a full suite pass instead.
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(2):
+        for name in HEADLINE:
             start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            dfs[name].write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], time.perf_counter() - start)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
