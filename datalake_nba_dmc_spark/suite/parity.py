@@ -410,22 +410,23 @@ def a3_multi_measure_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     `total_minutes_played`-style measure)."""
     li = TableRegistry(spark, sf_dir).lineitem
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return agg.multi_measure_agg(
+    scaled = lambda c: F.round(c * 10000).cast("long")  # noqa: E731
+    return agg.multi_measure_agg_preagg(
         li,
         ["l_suppkey", "l_returnflag"],
-        [],
         distinct_count_col="l_orderkey",
         distinct_count_alias="order_count",
-        extra=[
-            _exact_sum(F.col("l_quantity"), "sum_qty"),
-            _exact_sum(F.col("l_extendedprice"), "sum_base_price"),
-            _exact_sum(revenue, "revenue"),
-            F.count("*").alias("line_count"),
-            (
-                (F.sum(F.round(F.col("l_quantity") * 10000).cast("long")) / 10000.0)
-                / F.count("*")
-            ).alias("avg_qty"),
-        ],
+        sums={
+            "__q": scaled(F.col("l_quantity")),
+            "__bp": scaled(F.col("l_extendedprice")),
+            "__rv": scaled(revenue),
+        },
+        derived={
+            "sum_qty": F.col("__q") / 10000.0,
+            "sum_base_price": F.col("__bp") / 10000.0,
+            "revenue": F.col("__rv") / 10000.0,
+            "avg_qty": (F.col("__q") / 10000.0) / F.col("line_count"),
+        },
     ).select(
         "l_suppkey", "l_returnflag", "sum_qty", "sum_base_price", "revenue",
         "order_count", "line_count", "avg_qty",
@@ -446,19 +447,16 @@ def a4_team_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — team-mart aggregate: sums + exact countDistinct (reference
     ...silver-to-gold-team.py:32-48)."""
     o = TableRegistry(spark, sf_dir).orders
-    return agg.multi_measure_agg(
+    return agg.multi_measure_agg_preagg(
         o,
         ["o_orderstatus", "o_orderpriority"],
-        [],
         distinct_count_col="o_custkey",
         distinct_count_alias="distinct_customers",
-        extra=[
-            _exact_sum(F.col("o_totalprice"), "total_price"),
-            F.count("*").alias("order_count"),
-        ],
+        sums={"__tp": F.round(F.col("o_totalprice") * 10000).cast("long")},
+        derived={"total_price": F.col("__tp") / 10000.0},
     ).select(
         "o_orderstatus", "o_orderpriority", "total_price", "distinct_customers",
-        "order_count",
+        F.col("line_count").alias("order_count"),
     )
 
 

@@ -130,6 +130,29 @@ def test_multi_measure_agg_approx_variant(spark):
     assert abs(out["games_played"] - 50) <= 5  # HLL++ default rsd ~2.3%
 
 
+def test_multi_measure_agg_preagg_matches_generic(spark):
+    # Same semantics as the countDistinct plan, incl. NULL distinct keys
+    # (excluded from the distinct count, included in line_count).
+    df = spark.createDataFrame(
+        [("p", 10, "d1"), ("p", 20, "d1"), ("p", 30, "d2"), ("p", 5, None),
+         ("q", 7, "d1")],
+        ["player", "sec", "game_date"],
+    )
+    from datalake_nba_dmc_spark.operators.aggregates import multi_measure_agg_preagg
+
+    generic = multi_measure_agg(
+        df, ["player"], sum_cols=["sec"], distinct_count_col="game_date",
+        extra=[F.count(F.lit(1)).alias("line_count")],
+    )
+    two_phase = multi_measure_agg_preagg(
+        df, ["player"], distinct_count_col="game_date", sums={"sec": F.col("sec")}
+    )
+    cols = ["player", "sec", "games_played", "line_count"]
+    assert sorted(map(tuple, generic.select(cols).collect())) == sorted(
+        map(tuple, two_phase.select(cols).collect())
+    )
+
+
 def test_column_bounds_one_pass(spark):
     df = spark.createDataFrame([(1, 10), (5, -3)], ["a", "b"])
     row = column_bounds(df, ["a", "b"]).first()
