@@ -42,6 +42,27 @@ def top1_per_group(
     )
 
 
+def top1_per_group_maxby(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score: Column,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """W1 scale path — argmax as a hash aggregate instead of a window.
+
+    ``F.max_by(payload, score)`` per payload column, all under one
+    ``groupBy``: a single shuffle WITH map-side combine and no
+    within-partition sort, versus the ranking window's full sort of every
+    group. ``score`` must be totally ordered and tie-free (encode
+    tiebreakers into it) or the argmax is nondeterministic across payload
+    columns. Result column names/types match ``top1_per_group`` restricted
+    to ``group_cols + payload_cols``.
+    """
+    return df.groupBy(*group_cols).agg(
+        *[F.max_by(c, score).alias(c) for c in payload_cols]
+    )
+
+
 def with_rank(
     df: DataFrame,
     partition_by: Sequence[str],

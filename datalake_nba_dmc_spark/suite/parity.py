@@ -538,6 +538,36 @@ def w1_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w1_latest_order_maxby",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   * 1099511627776 + o_orderkey) AS o_orderkey,
+           arg_max(o_orderpriority,
+                   datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   * 1099511627776 + o_orderkey) AS o_orderpriority
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def w1_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 scale variant — same result as ``w1_latest_order_per_customer``
+    via ``max_by`` hash aggregate (SURVEY.md §2.7's noted alternative):
+    one shuffle with map-side combine, no per-group sort. The score packs
+    (orderdate days, orderkey) into one tie-free long: days << 40 leaves
+    room for 10^12 order keys."""
+    o = TableRegistry(spark, sf_dir).orders
+    score = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+        * F.lit(1099511627776).cast("long")
+        + F.col("o_orderkey")
+    )
+    return windows.top1_per_group_maxby(
+        o, ["o_custkey"], score, ["o_orderkey", "o_orderpriority"]
+    )
+
+
+@query(
     "w2_rank_in_group",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,

@@ -180,6 +180,27 @@ def test_top1_per_group_deterministic_ties(spark):
     assert got == {"a": 2, "b": 3}
 
 
+def test_top1_maxby_matches_window(spark):
+    from datalake_nba_dmc_spark.operators.windows import top1_per_group_maxby
+
+    df = spark.createDataFrame(
+        [("a", 10, 1, "x"), ("a", 10, 2, "y"), ("a", 20, 3, "z"),
+         ("b", 5, 4, "w")],
+        ["k", "d", "id", "payload"],
+    )
+    window = top1_per_group(
+        df, ["k"], [F.col("d").desc(), F.col("id").desc()]
+    ).select("k", "id", "payload")
+    # pack (d, id) into one tie-free score, same ordering as the window
+    maxby = top1_per_group_maxby(
+        df, ["k"], F.col("d").cast("long") * 1000 + F.col("id"),
+        ["id", "payload"],
+    )
+    assert sorted(map(tuple, window.collect())) == sorted(
+        map(tuple, maxby.collect())
+    )
+
+
 def test_with_rank_dense_vs_sparse(spark, facts):
     df = spark.createDataFrame([("a", 10), ("a", 10), ("a", 5)], ["k", "v"])
     sparse = with_rank(df, ["k"], [F.col("v").desc()]).collect()
