@@ -10,9 +10,10 @@ Scale design (the whole point of these operators is the 100 TB case):
   never an all-pairs comparison. Candidate pairs are verified with real
   Jaccard, so false positives from banding are filtered.
 - **SimHash**: 64-bit sign-hash of token hashes; near-dups differ in few
-  bits. Banding the 64 bits into chunks gives the same bucket-join shape.
-- All pair generation uses self-joins on bucket keys + ``id_a < id_b`` so
-  each pair appears once and the join stays an equi-join.
+  bits. Banding the 64 bits into chunks gives the same bucket shape.
+- All pair generation emits STAR edges (bucket-min → member), never
+  within-bucket self-joins: O(rows × bands) total even on hot buckets,
+  with duplicate groups recovered by ``connected_components`` transitivity.
 """
 
 from __future__ import annotations
@@ -468,10 +469,15 @@ def simhash_near_dups(
     band_bits: int = 16,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split the fingerprint into
+    """Near-dup STAR edges by SimHash banding: split the fingerprint into
     ``bits/band_bits`` chunks; pairs within ``max_hamming`` must share at
-    least one exact chunk (pigeonhole) → bucket-join on chunks, verify with
-    full Hamming distance."""
+    least one exact chunk (pigeonhole), so candidates collide in a band
+    bucket. Pair generation links members to the bucket's MIN id — the
+    same star-edge shape as :func:`minhash_lsh_candidates` — so hot buckets
+    cost O(bucket), never O(bucket²) (with 2^band_bits buckets, a large
+    corpus makes within-bucket self-joins quadratic). Full Hamming distance
+    then verifies each edge; duplicate GROUPS are recovered downstream via
+    :func:`connected_components` over these edges (transitivity)."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     sh = with_simhash(df.select(id_col, text_col), text_col, "sh", bits).select(
@@ -479,7 +485,6 @@ def simhash_near_dups(
     )
     banded = sh.select(
         id_col,
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -488,15 +493,17 @@ def simhash_near_dups(
                 ]
             )
         ).alias("band_idx", "band_val"),
-    )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val")
-    pairs = (
-        a.join(b, on=["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+    ).withColumn("band_key", F.xxhash64("band_idx", "band_val")).select(id_col, "band_key")
+    rep = banded.groupBy("band_key").agg(F.min(id_col).alias("id_a"))
+    edges = (
+        banded.join(rep, on="band_key")
+        .filter(F.col(id_col) > F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
         .distinct()
     )
-    return pairs.select(
+    verified = edges.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
+    ).join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+    return verified.select(
         "id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)

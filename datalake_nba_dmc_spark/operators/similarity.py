@@ -107,9 +107,9 @@ def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
+    dim: int,
     k: int = 10,
     n_planes: int = 8,
-    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -121,9 +121,11 @@ def lsh_bucketed_topk(
     equi-join on ``bucket`` — at scale, the corpus can be written bucketed
     (``bucketBy(bucket)``) so repeated queries shuffle nothing. Recall < 1;
     raise recall with fewer planes (bigger buckets) or multi-probe.
+
+    ``dim`` is a required parameter (the embedding width is pipeline
+    metadata the caller always has) — inferring it would cost a driver-side
+    ``.first()`` action before the plan even builds.
     """
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     c = ensure_parallelism(corpus).withColumn(
         "bucket", hyperplane_bucket(F.col(vec_col), planes)
@@ -246,23 +248,44 @@ def ivf_topk(
 
 def embedding_near_dups(
     df: DataFrame,
+    dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs are
-    generated only within buckets (equi-self-join), then exact cosine
-    filters to ``>= threshold``."""
-    dim = len(df.select(vec_col).first()[0])
+    """Embedding-cosine near-duplicate STAR edges via LSH bucketing.
+
+    Pair generation links every bucket member to the bucket's MIN id — the
+    same star-edge shape as ``dedup.minhash_lsh_candidates`` — so the work
+    is O(rows), never O(bucket²): with 2^n_planes buckets a 100 TB corpus
+    puts billions of rows in each bucket, and a within-bucket self-join
+    explodes quadratically while star edges stay one groupBy + one join.
+    Exact cosine then verifies each edge against ``threshold``.
+
+    Returned edges are a subset of the all-pairs result; duplicate GROUPS
+    are recovered by ``dedup.connected_components`` /
+    ``dedup.dedup_clusters`` over these edges (transitivity — the same
+    contract the MinHash candidate path has). ``dim`` is required: the
+    embedding width is pipeline metadata, not something to probe with a
+    driver-side action.
+    """
     planes = random_hyperplanes(dim, n_planes, seed)
     b = ensure_parallelism(df).select(
         F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
     )
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
-    pairs = a.join(c, on="bucket").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim")
-    ).filter(F.col("cosine_sim") >= threshold)
+    rep = b.groupBy("bucket").agg(F.min(id_col).alias("id_a"))
+    edges = (
+        b.join(rep, on="bucket")
+        .filter(F.col(id_col) > F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+    vecs_a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vecs_b = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        edges.join(vecs_a, on="id_a")
+        .join(vecs_b, on="id_b")
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -34,23 +34,37 @@ def asof_join(
     Cost: ONE exchange + sort over |L|+|R| — no range-explosion, no
     per-key quadratic argmax, skew handled by AQE like any other sort.
 
+    The carried payload is a single STRUCT of all right columns, not one
+    ``last(ignorenulls)`` per column: per-column carries would resurrect a
+    stale value from an OLDER right row whenever the truly-latest right row
+    holds a legitimate NULL (and different columns could then come from
+    different right rows). The struct itself is never NULL for right rows,
+    so ``last(struct, ignorenulls)`` always pins ALL carried columns to the
+    same latest governing right row and real NULLs survive — matching
+    DuckDB/kdb ASOF semantics.
+
     ``right`` must be unique per (key, right_ts); pre-aggregate if not
     (duplicate timestamps would make "the" as-of row ambiguous).
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    rstruct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     tagged_l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_cols],
+        F.lit(None).cast(rstruct_type).alias("_rv"),
     )
     tagged_r = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).cast(left.schema[left_ts].dataType).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"),
     )
     w = (
         Window.partitionBy("_k")
@@ -58,14 +72,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_l.unionByName(tagged_r).select(
-        "*",
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_rv", ignorenulls=True).over(w).alias("_cv")
     )
     return carried.filter(F.col("_is_left") == 1).select(
-        *lcols, *[F.col(f"_c_{c}").alias(f"{prefix}{c}") for c in right_cols]
+        *lcols,
+        *[F.col("_cv").getField(c).alias(f"{prefix}{c}") for c in right_cols],
     )
 
 

@@ -74,11 +74,25 @@ def compact(
     """Rewrite a table directory to ~``target_files`` files (small-file
     compaction). Runs as its own job so the producing pipeline keeps full
     parallelism; ``repartition`` (not ``coalesce``) so the rewrite itself is
-    balanced. Overwrites via a staging subdir then swap-free rewrite: Spark's
-    overwrite of the same path it reads requires materializing first, so we
-    cache → count → overwrite."""
-    df = spark.read.format(fmt).load(path).repartition(target_files)
-    df.cache()
-    df.count()  # materialize before overwriting the input path
-    df.write.mode("overwrite").format(fmt).save(path)
-    df.unpersist()
+    balanced.
+
+    Staging-dir protocol: the compacted copy is FULLY written to a sibling
+    ``<path>__compacting`` directory before the original is touched, then
+    swapped in via the Hadoop FileSystem API (works for file://, hdfs://,
+    s3a://). Never cache-then-overwrite-in-place: a cached partition evicted
+    mid-write would recompute from the source files being deleted — exactly
+    the memory-pressure regime where compaction runs. The delete→rename pair
+    is not transactional (Delta/Iceberg commits would make it so); crashing
+    between the two leaves the complete staged copy intact for manual swap,
+    never a half-written table.
+    """
+    staging = path.rstrip("/") + "__compacting"
+    spark.read.format(fmt).load(path).repartition(target_files).write.mode(
+        "overwrite"
+    ).format(fmt).save(staging)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    src, dst = hpath(staging), hpath(path)
+    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise OSError(f"compact: rename {staging} -> {path} failed")

@@ -111,9 +111,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)  # xxhash64-based; no SQL twin
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs within Hamming distance 3, found via
-    16-bit banding (pigeonhole guarantees recall for ≤3 flipped bits across
-    4 bands). Pure bit-arithmetic expressions; bucket-equi-join shape."""
+    """SimHash(64-bit) near-dup STAR edges within Hamming distance 3, found
+    via 16-bit banding (pigeonhole guarantees candidate recall for ≤3
+    flipped bits across 4 bands). Bucket-min star edges keep hot buckets
+    O(bucket), never O(bucket²); groups recovered via connected
+    components."""
     docs = TableRegistry(spark, sf_dir).documents
     return D.simhash_near_dups(docs, band_bits=16, max_hamming=3)
 

@@ -93,7 +93,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_bucketed_topk(emb, queries, k=10, n_planes=6, dim=64)
+    return S.lsh_bucketed_topk(emb, queries, dim=64, k=10, n_planes=6)
 
 
 @query("sim_ivf_topk", oracle=None)  # KMeans-trained index; no SQL twin
@@ -110,9 +110,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_embedding_near_dups", oracle=None)
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs generated only within LSH
-    buckets — the embedding-dedup shape for training corpora. Threshold 0.3
-    because the synthetic embeddings contain no true near-dups (max pairwise
-    cosine ≈ 0.47 at sf0.001); production would use ~0.9."""
+    """Embedding-cosine near-duplicate STAR edges (bucket-min → member,
+    O(rows) even on hot buckets) generated only within LSH buckets — the
+    embedding-dedup shape for training corpora; duplicate groups come from
+    connected components over these edges. Threshold 0.3 because the
+    synthetic embeddings contain no true near-dups (max pairwise cosine
+    ≈ 0.47 at sf0.001); production would use ~0.9."""
     emb = TableRegistry(spark, sf_dir).embeddings
-    return S.embedding_near_dups(emb, threshold=0.3, n_planes=6)
+    return S.embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=6)

@@ -16,7 +16,7 @@ bit-identical double.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.sources import TableRegistry
@@ -225,24 +225,25 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q17 shape: correlated scalar aggregate subquery (per-part avg
-    quantity), decorrelated into a per-partkey aggregate + broadcast join —
-    the fact table is scanned twice but shuffled never (per-part avg is a
-    partial-agg into ~#parts rows, broadcast back). Quantities are integral
-    doubles, so SUM(long)/COUNT is exact in both engines."""
+    quantity). The avg is ONLY needed for the brand's parts, so lineitem is
+    first reduced by a broadcast join with the filtered part keys (a tiny
+    dim selection), and the per-part threshold is computed as an
+    unbounded window over l_partkey on the surviving rows — ONE shuffle of
+    the brand-filtered fact rows, one lineitem scan, and no aggregate over
+    all partkeys is ever built or broadcast (an all-parts aggregate is
+    hundreds of millions of rows at scale — a guaranteed broadcast OOM).
+    Quantities are integral doubles, so SUM(long)/COUNT is exact in both
+    engines."""
     t = TableRegistry(spark, sf_dir)
-    li = t.lineitem
-    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (
-            0.2
-            * (F.sum(F.col("l_quantity").cast("long")) / F.count("*"))
-        ).alias("qty_threshold")
-    )
     brand_parts = t.part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
-    joined = (
-        li.select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("ap_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    li_brand = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    threshold = 0.2 * (
+        F.sum(F.col("l_quantity").cast("long")).over(w) / F.count(F.lit(1)).over(w)
+    )
+    joined = li_brand.withColumn("qty_threshold", threshold).filter(
+        F.col("l_quantity") < F.col("qty_threshold")
     )
     return joined.agg(
         (

@@ -121,6 +121,25 @@ def test_simhash_near_dups_pipeline(docs):
     assert (3, 4) not in out and (1, 4) not in out
 
 
+def test_simhash_near_dups_star_edges_not_quadratic(spark):
+    """Identical docs land in one bucket: star edges emit N-1 edges from the
+    bucket min, never the N(N-1)/2 of a within-bucket self-join."""
+    df = spark.createDataFrame([(i, DOC) for i in range(1, 9)], ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(df, max_hamming=0).collect()}
+    assert out == {(1, i) for i in range(2, 9)}
+
+
+def test_simhash_star_clusters_match_allpairs(spark, docs):
+    """Connected components over star edges equal the duplicate groups an
+    all-pairs edge set would produce (transitivity through the bucket min)."""
+    from datalake_nba_dmc_spark.operators.dedup import connected_components
+
+    star = simhash_near_dups(docs, max_hamming=16).select("id_a", "id_b")
+    comps = {r["id"]: r["comp"] for r in connected_components(star).collect()}
+    assert comps[1] == comps[2] == 1  # identical docs: one group, min-id label
+    assert 4 not in comps  # OTHER shares no band bucket
+
+
 def test_simhash_arrow_matches_expression(spark):
     from datalake_nba_dmc_spark.operators.dedup import with_simhash
 

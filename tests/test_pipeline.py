@@ -62,6 +62,9 @@ def test_write_modes_and_compact(spark, tmp_path):
     n_after = len([f for f in os.listdir(big) if f.endswith(".parquet")])
     assert n_after <= 4
     assert read_table(spark, big).count() == 10000
+    # staging-dir protocol: the staged copy was swapped in, not left behind,
+    # and the table was never overwritten in place from its own lineage
+    assert not os.path.exists(big + "__compacting")
 
 
 @needs_testdata

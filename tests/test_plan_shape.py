@@ -110,3 +110,15 @@ def test_q1_wholestage_codegen(spark):
 def test_flagship_broadcasts_dim_join(spark):
     plan = plan_of(spark, "flagship_customer_resume")
     assert "BroadcastHashJoin" in plan
+
+
+@needs_testdata
+def test_q17_no_allparts_aggregate_broadcast(spark):
+    """q17's per-part threshold must be a window over the brand-filtered
+    rows — the ONLY broadcast allowed is the filtered part-key dim. An
+    aggregate over every l_partkey being broadcast is a driver OOM at
+    scale."""
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
+    assert "Window" in plan
+    # tree lines render as "+- BroadcastExchange (n)"; details repeat the name
+    assert plan.count("BroadcastExchange (") == 1, plan

@@ -81,7 +81,7 @@ def test_lsh_bucketed_topk_finds_identical_vector(spark):
             [StructField("query_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
         ),
     )
-    out = lsh_bucketed_topk(corpus, queries, k=3, n_planes=4).collect()
+    out = lsh_bucketed_topk(corpus, queries, dim=4, k=3, n_planes=4).collect()
     top = min(out, key=lambda r: r["rank"])
     assert top["vec_id"] == 0 and top["cosine_sim"] == pytest.approx(1.0)
 
@@ -125,7 +125,19 @@ def test_ivf_topk_partial_probe_subset(spark):
 def test_embedding_near_dups_identical_pair(spark):
     v = [0.5, -1.5, 2.0]
     df = _vecs(spark, [(10, v), (20, v), (30, [9.0, 0.0, -4.0])])
-    out = embedding_near_dups(df, threshold=0.99).collect()
+    out = embedding_near_dups(df, dim=3, threshold=0.99).collect()
     pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out}
     assert pairs[(10, 20)] == pytest.approx(1.0)
     assert all(a < b for a, b in pairs)
+
+
+def test_embedding_near_dups_star_edges_not_quadratic(spark):
+    """One bucket of identical vectors → N-1 star edges from the bucket
+    min, never the quadratic within-bucket pair set."""
+    v = [0.5, -1.5, 2.0]
+    df = _vecs(spark, [(i, v) for i in range(1, 7)])
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, dim=3, threshold=0.99).collect()
+    }
+    assert out == {(1, i) for i in range(2, 7)}
