@@ -84,17 +84,34 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_distinct_users", oracle=None)  # HLL++ sketch: no exact SQL twin
+@query(
+    "events_approx_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, 1 AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) per event_type — the single-pass,
     mergeable-sketch alternative to exact countDistinct's second shuffle
-    (SURVEY.md §4.3-5: the 100 TB path). Rows-only check; the exact twin
-    is oracle-checked in a3/a4."""
-    return (
+    (SURVEY.md §4.3-5: the 100 TB path) — with an in-plan accuracy
+    certificate so the sketch gets a real driver oracle: the approx count
+    must land within 15% (3× the default 5% rsd) of the exact count, and
+    the query emits a 1/0 flag the oracle pins to 1. The exact count rides
+    along so real values are hash-compared too."""
+    agg = (
         TableRegistry(spark, sf_dir)
         .events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
     )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.lit(0.15) * F.col("exact_users")
+    )
+    return agg.select("event_type", "exact_users", within.cast("int").alias("approx_ok"))
 
 
 @query(

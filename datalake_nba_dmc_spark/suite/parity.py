@@ -942,16 +942,44 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(h % 10 == 0).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
-@query("agg_approx_percentiles", oracle=None)  # sketch: no cross-engine twin
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           1 AS p25_ok, 1 AS p50_ok, 1 AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass mergeable quantile sketch (`approx_percentile`,
     KLL/GK-style) — the 100 TB path where exact percentiles would sort per
-    group. Rows-only check; accuracy vs the exact `agg_percentiles` twin is
-    asserted in test_joins_aggs_windows (within the sketch's rank-error
-    bound)."""
+    group — with an IN-PLAN accuracy certificate so the sketch gets a real
+    driver oracle instead of a rows-only row: each approx value is checked
+    against the exact quantiles at q ± 0.005 (accuracy=10000 bounds the
+    sketch's rank error at 1e-4 ≪ 0.005), and the query emits 1/0 flags.
+    The oracle emits constant 1s — any sketch regression breaking the rank
+    bound flips a flag and fails the value-hash. Exact-value parity is
+    separately covered by the `agg_percentiles` twin."""
     li = TableRegistry(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_quantity", 0.25, 10000).alias("p25"),
-        F.approx_percentile("l_quantity", 0.50, 10000).alias("p50"),
-        F.approx_percentile("l_quantity", 0.90, 10000).alias("p90"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25D, 0.50D, 0.90D), 10000)"
+        ).alias("ap"),
+        F.expr(
+            "percentile(l_quantity, array(0.245D, 0.255D, 0.495D, 0.505D, 0.895D, 0.905D))"
+        ).alias("ex"),
+    )
+
+    def ok(i: int):
+        lo, hi = F.col("ex")[2 * i], F.col("ex")[2 * i + 1]
+        v = F.col("ap")[i]
+        return ((v >= lo) & (v <= hi)).cast("int")
+
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        ok(0).alias("p25_ok"),
+        ok(1).alias("p50_ok"),
+        ok(2).alias("p90_ok"),
     )

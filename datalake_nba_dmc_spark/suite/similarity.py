@@ -108,6 +108,56 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+def _recall_check(approx: DataFrame, exact: DataFrame, floor: int) -> DataFrame:
+    """Per-query hit count of an approximate top-k against the exact top-k,
+    reduced to a 1/0 ``recall_ok`` flag (hits ≥ floor) the oracle can pin
+    to 1. Fixed seeds + fixed test data make the hit counts deterministic,
+    so the certificate is stable; the floor is set from the measured
+    sf0.01 recall with headroom (LSH/IVF recall < 1 by design)."""
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hits", F.lit(0)) >= floor).cast("int").alias("recall_ok"),
+        )
+    )
+
+
+_RECALL_ORACLE = """
+    SELECT DISTINCT vec_id AS query_id, 1 AS recall_ok
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+"""
+
+
+@query("sim_lsh_recall", oracle=_RECALL_ORACLE)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy certificate for the LSH top-k path: every query must
+    recover ≥1 of its exact top-10 (with 6 hyperplanes the self-match is
+    structurally guaranteed — the query vector is drawn from the corpus —
+    and measured sf0.01 recall is 1-2/10). Catches bucketing/join breakage
+    that a rows-only check would miss."""
+    exact = sim_bruteforce_topk(spark, sf_dir)
+    approx = sim_lsh_topk(spark, sf_dir)
+    return _recall_check(approx, exact, floor=1)
+
+
+@query("sim_ivf_recall", oracle=_RECALL_ORACLE)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy certificate for the IVF top-k path: probing 4 of 16 KMeans
+    cells must recover ≥5 of the exact top-10 per query (measured sf0.01:
+    7-10/10; deterministic under the fixed KMeans seed)."""
+    exact = sim_bruteforce_topk(spark, sf_dir)
+    approx = sim_ivf_topk(spark, sf_dir)
+    return _recall_check(approx, exact, floor=5)
+
+
 @query("sim_embedding_near_dups", oracle=None)
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate STAR edges (bucket-min → member,

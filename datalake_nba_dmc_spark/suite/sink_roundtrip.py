@@ -1,0 +1,62 @@
+"""Sink round-trip query: gives the write path (K1/K2) a driver-checked
+CORRECTNESS row instead of pytest-only coverage.
+
+Reference semantics being exercised: every reference job ends in an
+overwrite-the-table-directory write (reference
+``aws-job-landing-to-bronze/aws-job-landing-to-bronze.py:85-106`` — its
+coalesce(1)+boto3-rename dance is deliberately replaced per SURVEY.md
+§4.3-2/3 by a parallel partitioned overwrite). The query writes a real
+table with :func:`datalake_nba_dmc_spark.sinks.write_table` (hive-style
+``partition_by`` so downstream reads get partition pruning), reads it back
+with :func:`read_table`, and returns the full row set; the DuckDB oracle
+reads the ORIGINAL source table — so the driver's row-count + schema +
+value-hash compare certifies the write→read cycle is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.sinks import read_table, write_table
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.suite import query
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Per-SF scratch directory inside the repo (the only writable root)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_REPO_ROOT, ".scratch", name, sf_tag)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@query(
+    "k1_write_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    """,
+)
+def k1_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 — overwrite-table write, partitioned by ``o_orderpriority``,
+    then read back. Lossless iff the hash of the read-back rows equals the
+    oracle's hash of the source rows (doubles survive parquet bit-exactly;
+    the partition column round-trips through the directory layout)."""
+    target = _scratch(sf_dir, "k1_roundtrip")
+    src = TableRegistry(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    write_table(src, target, mode="overwrite", partition_by=["o_orderpriority"])
+    return read_table(spark, target).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+    )
