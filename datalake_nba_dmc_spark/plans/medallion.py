@@ -38,13 +38,54 @@ from datalake_nba_dmc_spark.operators import aggregates as agg
 from datalake_nba_dmc_spark.operators import conform, joins, windows
 from datalake_nba_dmc_spark.sinks import read_table, write_table
 from datalake_nba_dmc_spark.sources import load_table
+from datalake_nba_dmc_spark.sources.catalog import (
+    ensure_database,
+    read_catalog_table,
+    save_catalog_table,
+)
 
 
 def _out(base: str, layer: str, name: str) -> str:
     return os.path.join(base, layer, name)
 
 
-def landing_to_bronze(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
+class LayerIO:
+    """Layer-addressed table IO for the pipeline, in two modes.
+
+    ``use_catalog=False`` (default): plain path reads/writes, exactly as
+    before. ``use_catalog=True``: each medallion layer becomes a session-
+    catalog database (``db_bronze``/``db_silver``/``db_gold`` — the open
+    equivalent of the reference's Glue databases, reference
+    ``aws-job-landing-to-bronze/aws-job-landing-to-bronze.py:22-37``) and
+    stages address tables as (database, table); data still lands at the
+    SAME layer paths as external-table locations, so path-mode readers see
+    identical bytes."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, use_catalog: bool = False):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.use_catalog = use_catalog
+
+    def _db(self, layer: str) -> str:
+        db = f"db_{layer}"
+        ensure_database(self.spark, db, location=_out(self.out_dir, "_catalog", db))
+        return db
+
+    def write(self, df: DataFrame, layer: str, name: str) -> str:
+        path = _out(self.out_dir, layer, name)
+        if self.use_catalog:
+            save_catalog_table(df, self._db(layer), name, path=path)
+        else:
+            write_table(df, path)
+        return path
+
+    def read(self, layer: str, name: str) -> DataFrame:
+        if self.use_catalog:
+            return read_catalog_table(self.spark, self._db(layer), name)
+        return read_table(self.spark, _out(self.out_dir, layer, name))
+
+
+def landing_to_bronze(spark: SparkSession, sf_dir: str, io: LayerIO) -> dict[str, str]:
     """Landing → Bronze: type hardening + cleaning per table."""
     paths: dict[str, str] = {}
 
@@ -53,33 +94,29 @@ def landing_to_bronze(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[st
     orders = conform.with_derived(
         orders, o_orderdate=F.col("o_orderdate").cast("date")
     )
-    paths["orders"] = _out(out_dir, "bronze", "orders")
-    write_table(orders, paths["orders"])
+    paths["orders"] = io.write(orders, "bronze", "orders")
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     lineitem = conform.safe_downcast_longs(lineitem)
-    paths["lineitem"] = _out(out_dir, "bronze", "lineitem")
-    write_table(lineitem, paths["lineitem"])
+    paths["lineitem"] = io.write(lineitem, "bronze", "lineitem")
 
     # dim table: whole-row dedup, like the reference's season bio table
     # (aws-job-landing-to-bronze.py:59)
     customer = agg.dedup_rows(load_table(spark, sf_dir, "customer"))
-    paths["customer"] = _out(out_dir, "bronze", "customer")
-    write_table(customer, paths["customer"])
+    paths["customer"] = io.write(customer, "bronze", "customer")
 
     nation = load_table(spark, sf_dir, "nation")
-    paths["nation"] = _out(out_dir, "bronze", "nation")
-    write_table(nation, paths["nation"])
+    paths["nation"] = io.write(nation, "bronze", "nation")
 
     return paths
 
 
-def bronze_to_silver(spark: SparkSession, out_dir: str) -> dict[str, str]:
+def bronze_to_silver(spark: SparkSession, io: LayerIO) -> dict[str, str]:
     """Bronze → Silver: conform names + enrich facts with dimension joins."""
-    orders = read_table(spark, _out(out_dir, "bronze", "orders"))
-    lineitem = read_table(spark, _out(out_dir, "bronze", "lineitem"))
-    customer = read_table(spark, _out(out_dir, "bronze", "customer"))
-    nation = read_table(spark, _out(out_dir, "bronze", "nation"))
+    orders = io.read("bronze", "orders")
+    lineitem = io.read("bronze", "lineitem")
+    customer = io.read("bronze", "customer")
+    nation = io.read("bronze", "nation")
 
     # bulk rename (P2) then J1-style single-key left join; small dim broadcast
     customer = conform.rename_columns(
@@ -91,8 +128,7 @@ def bronze_to_silver(spark: SparkSession, out_dir: str) -> dict[str, str]:
         on="custkey",
         broadcast_right=True,
     )
-    p1 = _out(out_dir, "silver", "orders_customer")
-    write_table(orders_customer, p1)
+    p1 = io.write(orders_customer, "silver", "orders_customer")
 
     # J3-style: fact enriched through two joins with a derived key
     li = conform.with_derived(
@@ -109,33 +145,30 @@ def bronze_to_silver(spark: SparkSession, out_dir: str) -> dict[str, str]:
         on="o_custkey",
         broadcast_right=True,
     )
-    p2 = _out(out_dir, "silver", "lineitem_enriched")
-    write_table(li_full, p2)
+    p2 = io.write(li_full, "silver", "lineitem_enriched")
 
     # dim conformed for gold (J2-style derived join key parallel: nation name)
-    p3 = _out(out_dir, "silver", "nation")
-    write_table(nation, p3)
+    p3 = io.write(nation, "silver", "nation")
     return {"orders_customer": p1, "lineitem_enriched": p2, "nation": p3}
 
 
-def silver_to_silver(spark: SparkSession, out_dir: str) -> dict[str, str]:
+def silver_to_silver(spark: SparkSession, io: LayerIO) -> dict[str, str]:
     """Silver → Silver: column segmentation + dynamic dtype-driven aggregate
     (reference aws-job-silver-to-silver.py:31-49)."""
-    li = read_table(spark, _out(out_dir, "silver", "lineitem_enriched"))
+    li = io.read("silver", "lineitem_enriched")
     seg = li.drop("l_comment", "l_shipinstruct")  # column segmentation (P1)
     daily = agg.dynamic_sum_agg(
         seg,
         group_cols=["o_custkey", "o_orderdate"],
         dtypes=("int", "bigint"),
     )
-    p = _out(out_dir, "silver", "customer_daily")
-    write_table(daily, p)
+    p = io.write(daily, "silver", "customer_daily")
     return {"customer_daily": p}
 
 
-def silver_to_gold_customer(spark: SparkSession, out_dir: str) -> str:
+def silver_to_gold_customer(spark: SparkSession, io: LayerIO) -> str:
     """Silver → Gold: the flagship W1+A3+J4 mart (customer resume)."""
-    oc = read_table(spark, _out(out_dir, "silver", "orders_customer"))
+    oc = io.read("silver", "orders_customer")
     totals = agg.multi_measure_agg(
         oc,
         group_cols=["custkey", "customer_name", "c_mktsegment"],
@@ -153,15 +186,13 @@ def silver_to_gold_customer(spark: SparkSession, out_dir: str) -> str:
         F.col("o_orderpriority").alias("latest_priority"),
     )
     mart = joins.left_join(totals, latest, on="custkey")
-    p = _out(out_dir, "gold", "customer_resume")
-    write_table(mart, p)
-    return p
+    return io.write(mart, "gold", "customer_resume")
 
 
-def silver_to_gold_nation(spark: SparkSession, out_dir: str) -> str:
+def silver_to_gold_nation(spark: SparkSession, io: LayerIO) -> str:
     """Silver → Gold: the A4 franchise-totals mart (nation resume)."""
-    li = read_table(spark, _out(out_dir, "silver", "lineitem_enriched"))
-    nation = read_table(spark, _out(out_dir, "silver", "nation"))
+    li = io.read("silver", "lineitem_enriched")
+    nation = io.read("silver", "nation")
     mart = agg.multi_measure_agg(
         li.join(
             F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
@@ -173,21 +204,25 @@ def silver_to_gold_nation(spark: SparkSession, out_dir: str) -> str:
         distinct_count_col="o_orderdate",
         distinct_count_alias="active_days",
     )
-    p = _out(out_dir, "gold", "nation_resume")
-    write_table(mart, p)
-    return p
+    return io.write(mart, "gold", "nation_resume")
 
 
-def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
+def run_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str, use_catalog: bool = False
+) -> dict[str, str]:
     """Run all five stages in dependency order; returns every written path.
 
     The reference enforces this ordering operationally (five separate Glue
     jobs, maxConcurrentRuns=1 — SURVEY.md §3); here it is explicit code.
+    ``use_catalog=True`` runs the identical stages addressed through
+    session-catalog databases (db_bronze/db_silver/db_gold) instead of raw
+    paths — the reference's Glue-catalog layering (SURVEY.md §1.5).
     """
+    io = LayerIO(spark, out_dir, use_catalog=use_catalog)
     out: dict[str, str] = {}
-    out.update({f"bronze/{k}": v for k, v in landing_to_bronze(spark, sf_dir, out_dir).items()})
-    out.update({f"silver/{k}": v for k, v in bronze_to_silver(spark, out_dir).items()})
-    out.update({f"silver/{k}": v for k, v in silver_to_silver(spark, out_dir).items()})
-    out["gold/customer_resume"] = silver_to_gold_customer(spark, out_dir)
-    out["gold/nation_resume"] = silver_to_gold_nation(spark, out_dir)
+    out.update({f"bronze/{k}": v for k, v in landing_to_bronze(spark, sf_dir, io).items()})
+    out.update({f"silver/{k}": v for k, v in bronze_to_silver(spark, io).items()})
+    out.update({f"silver/{k}": v for k, v in silver_to_silver(spark, io).items()})
+    out["gold/customer_resume"] = silver_to_gold_customer(spark, io)
+    out["gold/nation_resume"] = silver_to_gold_nation(spark, io)
     return out

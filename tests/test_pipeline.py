@@ -106,3 +106,32 @@ def test_curation_pipeline_toy_corpus(spark):
     }
     assert stats[("s1", "en")] == (4, 1, 12)
     assert stats[("s2", "en")] == (1, 1, 7)
+
+
+@needs_testdata
+def test_medallion_pipeline_via_catalog(spark, tmp_path):
+    """The same five stages addressed through session-catalog databases
+    (db_bronze/db_silver/db_gold — the reference's Glue-catalog layering,
+    SURVEY.md §1.5). Catalog-mode output must byte-match path mode, layer
+    databases must exist with their tables listed, and a second run must
+    overwrite (K1 semantics through saveAsTable), not append."""
+    from datalake_nba_dmc_spark.sources.catalog import list_layer_tables
+
+    out = run_pipeline(spark, SF0001, str(tmp_path), use_catalog=True)
+
+    dbs = {d.name for d in spark.catalog.listDatabases()}
+    assert {"db_bronze", "db_silver", "db_gold"} <= dbs
+    assert set(list_layer_tables(spark, "db_gold")) >= {
+        "customer_resume", "nation_resume",
+    }
+
+    # catalog table and the external path hold the same rows
+    mart = spark.table("db_gold.customer_resume")
+    by_path = read_table(spark, out["gold/customer_resume"])
+    assert mart.count() == by_path.count()
+    assert mart.exceptAll(by_path).count() == 0
+
+    # re-run: overwrite, not append
+    n = mart.count()
+    run_pipeline(spark, SF0001, str(tmp_path), use_catalog=True)
+    assert spark.table("db_gold.customer_resume").count() == n
