@@ -477,7 +477,13 @@ def simhash_near_dups(
     cost O(bucket), never O(bucket²) (with 2^band_bits buckets, a large
     corpus makes within-bucket self-joins quadratic). Full Hamming distance
     then verifies each edge; duplicate GROUPS are recovered downstream via
-    :func:`connected_components` over these edges (transitivity)."""
+    :func:`connected_components` over these edges (transitivity).
+
+    The signature plan is computed ONCE: fingerprints ride through the
+    banding explode and the bucket-representative agg carries the min id's
+    fingerprint via ``min_by``, so edge verification needs no join back to
+    the (expensive, full-scan) signature stage — one corpus scan, one
+    bucket shuffle, one broadcast-or-shuffle equi-join on band_key."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     sh = with_simhash(df.select(id_col, text_col), text_col, "sh", bits).select(
@@ -485,6 +491,7 @@ def simhash_near_dups(
     )
     banded = sh.select(
         id_col,
+        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -493,17 +500,20 @@ def simhash_near_dups(
                 ]
             )
         ).alias("band_idx", "band_val"),
-    ).withColumn("band_key", F.xxhash64("band_idx", "band_val")).select(id_col, "band_key")
-    rep = banded.groupBy("band_key").agg(F.min(id_col).alias("id_a"))
-    edges = (
+    ).withColumn("band_key", F.xxhash64("band_idx", "band_val")).select(
+        id_col, "sh", "band_key"
+    )
+    rep = banded.groupBy("band_key").agg(
+        F.min(id_col).alias("id_a"), F.min_by("sh", F.col(id_col)).alias("sh_a")
+    )
+    return (
         banded.join(rep, on="band_key")
         .filter(F.col(id_col) > F.col("id_a"))
-        .select("id_a", F.col(id_col).alias("id_b"))
+        .select(
+            "id_a",
+            F.col(id_col).alias("id_b"),
+            hamming64(F.col("sh_a"), F.col("sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    verified = edges.join(
-        sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
-    ).join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
-    return verified.select(
-        "id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)

@@ -270,22 +270,26 @@ def embedding_near_dups(
     contract the MinHash candidate path has). ``dim`` is required: the
     embedding width is pipeline metadata, not something to probe with a
     driver-side action.
+
+    The bucketed plan is computed ONCE: the representative agg carries the
+    min id's vector via ``min_by``, so edge verification needs no joins
+    back to the bucketing stage — one corpus scan, one bucket shuffle, one
+    equi-join on bucket.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
     b = ensure_parallelism(df).select(
         F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
     )
-    rep = b.groupBy("bucket").agg(F.min(id_col).alias("id_a"))
-    edges = (
+    rep = b.groupBy("bucket").agg(
+        F.min(id_col).alias("id_a"), F.min_by(vec_col, F.col(id_col)).alias("v_a")
+    )
+    return (
         b.join(rep, on="bucket")
         .filter(F.col(id_col) > F.col("id_a"))
-        .select("id_a", F.col(id_col).alias("id_b"))
-    )
-    vecs_a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vecs_b = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    return (
-        edges.join(vecs_a, on="id_a")
-        .join(vecs_b, on="id_b")
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_sim"))
+        .select(
+            "id_a",
+            F.col(id_col).alias("id_b"),
+            cosine(F.col("v_a"), F.col(vec_col)).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -138,6 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
         skew,
         subqueries,
         text,
+        tpch_wide,
     )
 
     ordered = {n: QUERIES[n] for n in _CHECK_PRIORITY if n in QUERIES}
