@@ -80,6 +80,60 @@ def asof_join(
     )
 
 
+def gap_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_cols: Sequence[str],
+    step: str = "interval 1 day",
+    forward_fill: bool = True,
+) -> DataFrame:
+    """Densify a per-key regular time series: emit one row per ``step``
+    between each key's first and last bucket, carrying observed values and
+    (optionally) forward-filling the gaps.
+
+    ``df`` must be one-row-per-(key, bucket) — i.e. already aggregated to
+    the bucket grain (use a groupBy on ``date_trunc`` first). Output adds
+    ``is_observed`` (1 for real rows, 0 for generated gap rows).
+
+    Scale shape: the grid is built per key from a one-shuffle min/max agg
+    and ``sequence()`` + ``explode`` — grid size is bounded by
+    span/step per key, never a cross join against a global calendar; the
+    observed values come back via an equi-join on (key, bucket) that
+    reuses the agg's hash partitioning; the optional forward fill is one
+    window pass per key. Total: two shuffles on the key, both
+    AQE-coalesced, all expressions JVM-side."""
+    keys = list(key_cols)
+    spans = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(step))
+        ).alias(bucket_col),
+    )
+    observed = df.select(
+        *keys, bucket_col, F.struct(*value_cols).alias("_obs")
+    )
+    out = grid.join(observed, on=[*keys, bucket_col], how="left").withColumn(
+        "is_observed", F.col("_obs").isNotNull().cast("int")
+    )
+    if forward_fill:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(bucket_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("_obs", F.last("_obs", ignorenulls=True).over(w))
+    return out.select(
+        *keys,
+        bucket_col,
+        *[F.col("_obs").getField(c).alias(c) for c in value_cols],
+        "is_observed",
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

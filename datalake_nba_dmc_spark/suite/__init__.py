@@ -131,6 +131,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         events,
         functions_surface,
+        lakehouse,
         multimodal,
         parity,
         similarity,
