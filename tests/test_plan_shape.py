@@ -113,6 +113,58 @@ def test_flagship_broadcasts_dim_join(spark):
 
 
 @needs_testdata
+def test_q2_all_dims_broadcast_window_argmin(spark):
+    """q2's correlated MIN must be a window over the already-joined (and
+    therefore tiny) candidate set, with every dimension broadcast — a
+    sort-merge join here means a fact-sized shuffle of the offers table
+    against a dim that should have broadcast."""
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # offers agg map-side combined
+
+
+@needs_testdata
+def test_q16_not_in_is_anti_join_not_nested_loop(spark):
+    """NOT IN over a non-nullable key must compile to a broadcast
+    left-anti hash join; a BroadcastNestedLoopJoin (the null-aware
+    fallback) would be O(rows x exclusions) at scale."""
+    plan = plan_of(spark, "tpch_q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@needs_testdata
+def test_q21_exists_shapes_with_inequality_residual(spark):
+    """q21's EXISTS/NOT EXISTS against the same fact must compile to
+    equi semi/anti joins on l_orderkey with the supplier inequality as a
+    residual condition — never a nested-loop theta join."""
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@needs_testdata
+def test_merge_is_single_full_outer_join(spark):
+    """MERGE semantics = exactly one full-outer shuffle join on the key —
+    no extra exchanges, no row-multiplying inner pre-joins."""
+    plan = plan_of(spark, "merge_upsert_orders")
+    assert "FullOuter" in plan
+    assert plan.count("Exchange (") == 2  # one per side, nothing else
+
+
+@needs_testdata
+def test_scd2_single_window_single_exchange(spark):
+    """SCD2 interval build is ONE window pass: one shuffle on the entity
+    key, one Window node, no joins."""
+    plan = plan_of(spark, "scd2_user_event_history")
+    assert plan.count("Window (") == 1
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+
+
+@needs_testdata
 def test_q17_no_allparts_aggregate_broadcast(spark):
     """q17's per-part threshold must be a window over the brand-filtered
     rows — the ONLY broadcast allowed is the filtered part-key dim. An
