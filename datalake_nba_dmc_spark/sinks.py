@@ -68,6 +68,36 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a table range-partitioned and sorted on ``sort_cols`` — the
+    open-format equivalent of Delta's ``OPTIMIZE ... ZORDER``'s goal for a
+    single sort axis: rows cluster into disjoint key ranges per file, so
+    each Parquet file's min/max footer stats cover a narrow slice and a
+    point/range predicate on the sort key prunes all but a few files
+    before any I/O happens.
+
+    ``repartitionByRange`` samples the key distribution (one extra pass
+    over a sample, not the data) to build balanced range bounds — skewed
+    keys get split across files instead of hot-spotting one writer.
+    ``sortWithinPartitions`` then orders rows inside each file so Parquet
+    page-level (and row-group-level) stats prune WITHIN the surviving
+    files too. At 100 TB this turns "scan everything, filter late" into
+    "open the 1% of files whose range intersects the predicate"."""
+    parts = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).format(fmt).save(path)
+
+
 def compact(
     spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
 ) -> None:

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalake_nba_dmc_spark.sinks import read_table, write_table
+from datalake_nba_dmc_spark.sinks import read_table, write_range_sorted, write_table
 from datalake_nba_dmc_spark.sources import TableRegistry
 from datalake_nba_dmc_spark.suite import query
 
@@ -59,4 +59,32 @@ def k1_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_totalprice",
         F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+    )
+
+
+@query(
+    "y2_range_sorted_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def y2_range_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-sorted data layout (sinks.write_range_sorted): lineitem is
+    written range-partitioned + sorted on l_shipdate, then read back with
+    a one-month predicate. Losslessness is certified by the oracle hash;
+    the pruning effect (the read opens only the files whose min/max range
+    intersects the month) is asserted file-by-file in
+    tests/test_layout.py. At 100 TB this layout is what turns time-range
+    scans from full-table I/O into a handful of files."""
+    target = _scratch(sf_dir, "y2_range_sorted")
+    src = TableRegistry(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    write_range_sorted(src, target, sort_cols=["l_shipdate"], num_files=16)
+    return read_table(spark, target).filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
