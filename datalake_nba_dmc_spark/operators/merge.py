@@ -93,3 +93,52 @@ def merge_upsert(
         .select(*out_keys, row.alias("_row"))
         .select(*key_list, *[F.col(f"_row.{c}").alias(c) for c in val_cols])
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per
+    changed key with ``change_type`` in (insert, delete, update). Keys
+    present in both but with identical non-key values emit nothing.
+
+    The comparison is one full-outer shuffle join on the keys; value
+    equality is a single null-safe struct comparison (so NULL→NULL is
+    unchanged and NULL→value is an update), never per-column driver
+    logic. This is the diff side of :func:`merge_upsert` — the batch
+    equivalent of reading a Delta CDF between two versions."""
+    cols = old.columns
+    if new.columns != cols:
+        raise ValueError(f"schema mismatch: old {cols} vs new {new.columns}")
+    key_list = list(keys)
+    val_cols = [c for c in cols if c not in key_list]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_list],
+        F.struct(F.lit(1).alias("_present"), *val_cols).alias("_o_row"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_list],
+        F.struct(F.lit(1).alias("_present"), *val_cols).alias("_n_row"),
+    )
+    cond = None
+    for k in key_list:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    in_o = F.col("_o_row").isNotNull()
+    in_n = F.col("_n_row").isNotNull()
+    change = (
+        F.when(in_o & ~in_n, F.lit("delete"))
+        .when(~in_o & in_n, F.lit("insert"))
+        .when(~F.col("_o_row").eqNullSafe(F.col("_n_row")), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k) for k in key_list
+    ]
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*out_keys, "change_type")
+    )

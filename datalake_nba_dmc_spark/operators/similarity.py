@@ -246,6 +246,33 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, in long format
+    ``(label, pos, centroid_v, n)`` with ``pos`` 0-based.
+
+    Shape: ``posexplode`` fans each vector into (label, pos, value) rows —
+    dim× row multiplication but perfectly parallel — then ONE hash
+    aggregation on (label, pos) with map-side combine. No collect, no
+    per-label jobs, no quadratic anything; the output is #labels × dim
+    rows. Component sums use the scaled-long exact-sum idiom so the
+    centroid is bit-deterministic under any partial-agg order (float
+    inputs widen to double exactly; rounding identical doubles is
+    engine-independent)."""
+    exploded = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    return exploded.groupBy(label_col, "pos").agg(
+        (
+            (F.sum(F.round(F.col("v").cast("double") * scale).cast("long")) / float(scale))
+            / F.count(F.lit(1))
+        ).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalake_nba_dmc_spark.operators.merge import merge_upsert
+from datalake_nba_dmc_spark.operators.merge import merge_upsert, snapshot_diff
 from datalake_nba_dmc_spark.operators.scd import scd2_from_changes
 from datalake_nba_dmc_spark.operators.temporal import gap_fill
 from datalake_nba_dmc_spark.sources import TableRegistry
@@ -149,3 +149,49 @@ def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         step="interval 1 day",
         forward_fill=True,
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 5 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'update' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+               THEN 'update' END IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of orders (one with keys
+    %5 removed, one with keys %7 removed and every third price bumped):
+    emits (key, insert|delete|update), suppressing identical rows. One
+    full-outer join + one null-safe struct compare
+    (operators/merge.snapshot_diff) — the batch equivalent of a Delta CDF
+    read, and the input generator for merge_upsert."""
+    t = TableRegistry(spark, sf_dir)
+    base = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = base.filter(F.col("o_orderkey") % 5 != 0)
+    new = t.orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])

@@ -943,6 +943,35 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified_segments",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE ((c_custkey * 2654435761) % 4294967296) % 1000 <
+          CASE WHEN c_mktsegment = 'BUILDING' THEN 500
+               WHEN c_mktsegment = 'MACHINERY' THEN 50
+               ELSE 200 END
+    """,
+)
+def sample_stratified_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (operators/sampling.py): keep 50%
+    of BUILDING, 5% of MACHINERY, 20% of everything else — the standard
+    training-mix rebalance, decided by key hash only, so membership is
+    stable across runs, partitionings, and scale factors. One CASE
+    expression in a scan-level filter; no sampleBy RNG, no shuffle."""
+    from datalake_nba_dmc_spark.operators.sampling import sample_stratified
+
+    c = TableRegistry(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    return sample_stratified(
+        c,
+        key_col="c_custkey",
+        stratum_col="c_mktsegment",
+        rates={"BUILDING": 0.5, "MACHINERY": 0.05},
+        default_rate=0.2,
+    )
+
+
+@query(
     "agg_approx_percentiles",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n_rows,

@@ -170,3 +170,29 @@ def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈ 0.47 at sf0.001); production would use ~0.9."""
     emb = TableRegistry(spark, sf_dir).embeddings
     return S.embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=6)
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH expanded AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             UNNEST(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, pos,
+           (CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000.0) / COUNT(*) AS centroid_v,
+           COUNT(*) AS n
+    FROM expanded GROUP BY label, pos
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format — the class-prototype
+    build for embedding analytics (cluster summaries, nearest-prototype
+    classification, drift monitoring). One posexplode fan-out + one
+    map-side-combined aggregation on (label, pos); component sums are
+    scaled-long exact so both engines produce bit-identical centroids."""
+    emb = TableRegistry(spark, sf_dir).embeddings
+    return S.label_centroids(emb)

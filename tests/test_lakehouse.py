@@ -155,3 +155,26 @@ class TestGapFill:
         out = gap_fill(daily, ["uid"], "day", ["v"], forward_fill=False)
         gaps = [r for r in out.collect() if r.is_observed == 0]
         assert gaps and all(r.v is None for r in gaps)
+
+
+class TestSnapshotDiff:
+    def test_insert_delete_update_detected(self, spark):
+        from datalake_nba_dmc_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, s string"
+        )
+        new = spark.createDataFrame(
+            [(2, "B"), (3, "c"), (4, "d")], "k int, s string"
+        )
+        got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert got == {1: "delete", 2: "update", 4: "insert"}  # 3 unchanged → absent
+
+    def test_null_transitions(self, spark):
+        from datalake_nba_dmc_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, "x"), (3, None)], "k int, s string")
+        new = spark.createDataFrame([(1, "v"), (2, None), (3, None)], "k int, s string")
+        got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+        # NULL→value and value→NULL are updates; NULL→NULL is unchanged
+        assert got == {1: "update", 2: "update"}
