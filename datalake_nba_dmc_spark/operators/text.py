@@ -206,3 +206,118 @@ def fingerprint(col: Column | str, normalize: bool = True) -> Column:
     if normalize:
         c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.xxhash64(c)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap_chars: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-width character chunks with overlap —
+    the context-window packing step of a training pipeline. Emits
+    ``(id, chunk_idx, chunk_text, chunk_len)``; empty documents emit no
+    chunks.
+
+    Shape: chunk START OFFSETS are a per-row ``sequence()`` (bounded by
+    each doc's own length) fanned out with ``posexplode`` + a substring
+    projection — all JVM expressions, no Python, no shuffle at all: chunking
+    is embarrassingly row-local, and the output inherits the input
+    partitioning. At 100 TB this is a map-only stage."""
+    if chunk_chars <= overlap_chars:
+        raise ValueError("chunk_chars must exceed overlap_chars")
+    step = chunk_chars - overlap_chars
+    c = F.col(text_col)
+    offsets = F.sequence(F.lit(0), F.length(c) - 1, F.lit(step))
+    return (
+        df.filter(F.length(c) > 0)
+        .select(
+            F.col(id_col),
+            c.alias("_t"),
+            F.posexplode(offsets).alias("chunk_idx", "_off"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(F.col("_t"), F.col("_off") + 1, chunk_chars).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: distinct-word
+    ratio, top-word fraction, duplicate-2-gram fraction. High repetition
+    marks boilerplate/spam for the curation gate.
+
+    Shape: the 2-gram ratio is a pure per-row array expression; the
+    top-word fraction needs a per-doc mode, computed distributively via
+    explode → (doc, word) count → per-doc max/sum re-agg — two map-side-
+    combined shuffles keyed on doc_id, never a per-doc sort. Ratios are
+    integer divisions → bit-identical across engines."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    per_row = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.when(
+            F.size(toks) >= 2,
+            1 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_fraction"),
+    )
+    word_counts = per_row.select(
+        id_col, F.explode("_toks").alias("_w")
+    ).groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    doc_stats = word_counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("_c").alias("_top"),
+    )
+    return (
+        per_row.drop("_toks")
+        .join(doc_stats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_distinct_words", F.lit(0)).alias("n_distinct_words"),
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_distinct_words") / F.col("n_words").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("distinct_word_ratio"),
+            F.when(
+                F.col("n_words") > 0, F.col("_top") / F.col("n_words").cast("double")
+            ).otherwise(F.lit(0.0)).alias("top_word_fraction"),
+            "dup_2gram_fraction",
+        )
+    )
+
+
+#: PII patterns shared with the DuckDB oracle: RE2- and Java-regex
+#: compatible (no lookaround, no backrefs), leftmost-greedy in both.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9\-()]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace email / IPv4 / phone-shaped spans with typed placeholders —
+    the standard pre-training scrub. A chain of ``regexp_replace`` calls
+    (order matters: emails before phones so digits inside addresses are
+    not half-eaten) — one codegen'd projection, map-only at any scale.
+    Real pipelines add locale-specific patterns; the mechanism is this."""
+    out = F.col(text_col)
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return df.withColumn(text_col, out)

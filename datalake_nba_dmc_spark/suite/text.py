@@ -200,3 +200,119 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.with_winnow_fingerprints(docs, "text", k=8, w=4).select(
         "doc_id", F.explode("fps").alias("fp")
     ).distinct()
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    WITH nonempty AS (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+    ), offs AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(0, length(text) - 1, 160)) AS off,
+             CAST(generate_subscripts(
+                    generate_series(0, length(text) - 1, 160), 1) - 1
+                  AS INTEGER) AS chunk_idx
+      FROM nonempty
+    )
+    SELECT doc_id, chunk_idx,
+           substr(text, CAST(off + 1 AS INTEGER), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(off + 1 AS INTEGER), 200)) AS INTEGER)
+             AS chunk_len
+    FROM offs
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: 200-char chunks with 40-char overlap, one
+    row per chunk. Pure per-row sequence+posexplode+substring expressions —
+    a map-only stage at any scale (operators/text.py chunk_documents)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.chunk_documents(docs, chunk_chars=200, overlap_chars=40)
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN 1 - CAST(len(list_distinct(
+                         [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                       )) AS DOUBLE) / (len(w) - 1)
+                  ELSE 0.0 END AS dup_2gram_fraction
+      FROM toks
+    ), wc AS (
+      SELECT doc_id, UNNEST(w) AS word FROM toks
+    ), counts AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM wc GROUP BY doc_id, word
+    ), ds AS (
+      SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top
+      FROM counts GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(COALESCE(ds.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(ds.n_distinct, 0) AS BIGINT) AS n_distinct_words,
+           CASE WHEN ds.n_words > 0
+                THEN CAST(ds.n_distinct AS DOUBLE) / ds.n_words
+                ELSE 0.0 END AS distinct_word_ratio,
+           CASE WHEN ds.n_words > 0
+                THEN CAST(ds.top AS DOUBLE) / ds.n_words
+                ELSE 0.0 END AS top_word_fraction,
+           g.dup_2gram_fraction
+    FROM grams g LEFT JOIN ds ON g.doc_id = ds.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate signals per document: distinct-word
+    ratio, top-word (mode) fraction, duplicate-2-gram fraction. The mode
+    is computed distributively (explode → per-(doc,word) count → per-doc
+    re-agg), never a per-doc sort (operators/text.py repetition_signals)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.repetition_signals(docs)
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1555-00' || CAST(doc_id AS VARCHAR)
+                  || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             '\\+?[0-9][0-9\\-()]{6,}[0-9]', '<PHONE>', 'g') AS text
+    FROM injected
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub certified against the oracle on text with deterministic
+    synthetic PII appended (an email, a phone, an IP derived from each
+    doc_id — so every row exercises every pattern). The patterns are
+    RE2/Java-compatible and applied email→IP→phone in both engines
+    (operators/text.py redact_pii)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1555-00"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".17"),
+        ).alias("text"),
+    )
+    return T.redact_pii(injected)

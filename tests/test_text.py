@@ -115,3 +115,72 @@ def test_fingerprint_normalization_invariance(spark):
     fps = [r["fp"] for r in df.select(fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+class TestChunking:
+    def test_offsets_and_overlap(self, spark):
+        from datalake_nba_dmc_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "abcdefghij")], "doc_id int, text string"
+        )
+        got = sorted(
+            (r.chunk_idx, r.chunk_text, r.chunk_len)
+            for r in chunk_documents(df, chunk_chars=4, overlap_chars=1).collect()
+        )
+        # step 3: offsets 0,3,6,9 -> abcd, defg, ghij, j
+        assert got == [(0, "abcd", 4), (1, "defg", 4), (2, "ghij", 4), (3, "j", 1)]
+
+    def test_empty_doc_emits_nothing(self, spark):
+        from datalake_nba_dmc_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, ""), (2, "xy")], "doc_id int, text string")
+        out = chunk_documents(df, chunk_chars=4, overlap_chars=1).collect()
+        assert {r.doc_id for r in out} == {2}
+
+    def test_overlap_must_be_smaller(self, spark):
+        from datalake_nba_dmc_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "xy")], "doc_id int, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_chars=4, overlap_chars=4)
+
+
+class TestRepetition:
+    def test_known_ratios(self, spark):
+        from datalake_nba_dmc_spark.operators.text import repetition_signals
+
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "w x y z"), (3, "")],
+            "doc_id int, text string",
+        )
+        got = {r.doc_id: r for r in repetition_signals(df).collect()}
+        r1 = got[1]  # words: a,a,a,b -> grams: "a a","a a","a b"
+        assert (r1.n_words, r1.n_distinct_words) == (4, 2)
+        assert r1.distinct_word_ratio == 0.5
+        assert r1.top_word_fraction == 0.75
+        assert abs(r1.dup_2gram_fraction - (1 - 2 / 3)) < 1e-12
+        r2 = got[2]
+        assert r2.distinct_word_ratio == 1.0 and r2.dup_2gram_fraction == 0.0
+        r3 = got[3]
+        assert (r3.n_words, r3.top_word_fraction) == (0, 0.0)
+
+
+class TestRedactPii:
+    def test_patterns(self, spark):
+        from datalake_nba_dmc_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail bob.smith+x@corp.example.org now"),
+                (2, "call +1555-0042199 asap"),
+                (3, "host 192.168.0.1 up"),
+                (4, "clean text only"),
+            ],
+            "doc_id int, text string",
+        )
+        got = {r.doc_id: r.text for r in redact_pii(df).collect()}
+        assert got[1] == "mail <EMAIL> now"
+        assert got[2] == "call <PHONE> asap"
+        assert got[3] == "host <IP> up"
+        assert got[4] == "clean text only"
