@@ -68,6 +68,55 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def overwrite_self_referencing(
+    spark: SparkSession, df: DataFrame, path: str, fmt: str = "parquet"
+) -> None:
+    """Overwrite ``path`` with a plan that READS ``path``: the result is
+    fully written to a staging directory first, then swapped in via the
+    Hadoop FS API (works for file://, hdfs://, s3a://). Never overwrite
+    your own input in place — a lazy (or cache-evicted) plan re-reading
+    the path mid-delete recomputes from files being destroyed. Crashing
+    between delete and rename leaves the complete staged copy for manual
+    swap, never a half-written table."""
+    staging = path.rstrip("/") + "__staging"
+    df.write.mode("overwrite").format(fmt).save(staging)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    src, dst = hpath(staging), hpath(path)
+    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise OSError(f"overwrite_self_referencing: rename {staging} -> {path} failed")
+
+
+def upsert_table(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Merge ``batch`` into the table at ``path`` (MERGE INTO against a
+    plain-format table). First call creates the table; later calls apply
+    matched-update / not-matched-insert via ``operators.merge.merge_upsert``
+    through the staging-swap protocol (the merge reads the path it
+    overwrites). Re-applying the same batch is a no-op by construction
+    (matched rows update to identical values) — the idempotence that makes
+    foreachBatch replays converge."""
+    if not table_exists(spark, path):
+        batch.write.mode("overwrite").format(fmt).save(path)
+        return
+    from datalake_nba_dmc_spark.operators.merge import merge_upsert
+
+    target = spark.read.format(fmt).load(path).select(*batch.columns)
+    overwrite_self_referencing(spark, merge_upsert(target, batch, keys), path, fmt)
+
+
 def write_range_sorted(
     df: DataFrame,
     path: str,
@@ -107,7 +156,7 @@ def compact(
     balanced.
 
     Staging-dir protocol: the compacted copy is FULLY written to a sibling
-    ``<path>__compacting`` directory before the original is touched, then
+    ``<path>__staging`` directory before the original is touched, then
     swapped in via the Hadoop FileSystem API (works for file://, hdfs://,
     s3a://). Never cache-then-overwrite-in-place: a cached partition evicted
     mid-write would recompute from the source files being deleted — exactly
@@ -116,13 +165,5 @@ def compact(
     between the two leaves the complete staged copy intact for manual swap,
     never a half-written table.
     """
-    staging = path.rstrip("/") + "__compacting"
-    spark.read.format(fmt).load(path).repartition(target_files).write.mode(
-        "overwrite"
-    ).format(fmt).save(staging)
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-    src, dst = hpath(staging), hpath(path)
-    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(dst, True)
-    if not fs.rename(src, dst):
-        raise OSError(f"compact: rename {staging} -> {path} failed")
+    compacted = spark.read.format(fmt).load(path).repartition(target_files)
+    overwrite_self_referencing(spark, compacted, path, fmt)

@@ -190,3 +190,72 @@ def followup_join(
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+
+
+def latest_state_per_user(events: DataFrame) -> DataFrame:
+    """Reduce an event set to the latest row per user: ``max_by`` on
+    (ts, event_id) — a hash aggregate with map-side combine, no per-user
+    sort. event_id rides along so the reduction can be re-applied to its
+    own output (idempotent) and ties stay deterministic. Works identically
+    on batch and micro-batch DataFrames."""
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "event_type", "value"), tie
+            ).alias("_last")
+        )
+        .select(
+            "user_id",
+            F.col("_last.ts").alias("ts"),
+            F.col("_last.event_id").alias("event_id"),
+            F.col("_last.event_type").alias("event_type"),
+            F.col("_last.value").alias("value"),
+        )
+    )
+
+
+def upsert_sink(
+    events: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    query_name: str = "events_upsert",
+):
+    """Maintain a latest-state-per-user TABLE from the event stream via
+    ``foreachBatch`` — the standard Structured Streaming pattern for sinks
+    needing merge semantics the file sink lacks.
+
+    Each micro-batch reduces to one row per user, unions with the current
+    table, and re-reduces before the staging-swap overwrite
+    (``sinks.overwrite_self_referencing``). Union-then-argmax (rather than
+    blind key-merge) makes the sink ORDER-ROBUST: a micro-batch delivering
+    older events can never regress newer table state, whatever order the
+    file source lists inputs. It is also replay-idempotent (argmax is) —
+    checkpoint + idempotent batch is the documented exactly-once recipe.
+    Streaming STATE is zero: the cross-batch state lives in the target
+    table itself, so the state store never grows with key cardinality."""
+    from datalake_nba_dmc_spark.sinks import (
+        overwrite_self_referencing,
+        read_table,
+        table_exists,
+        write_table,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        reduced = latest_state_per_user(batch_df)
+        if table_exists(spark, target_path):
+            current = read_table(spark, target_path).select(*reduced.columns)
+            merged = latest_state_per_user(current.unionByName(reduced))
+            overwrite_self_referencing(spark, merged, target_path)
+        else:
+            write_table(reduced, target_path)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

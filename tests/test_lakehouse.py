@@ -178,3 +178,20 @@ class TestSnapshotDiff:
         got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
         # NULL→value and value→NULL are updates; NULL→NULL is unchanged
         assert got == {1: "update", 2: "update"}
+
+
+class TestUpsertTable:
+    def test_create_merge_idempotent(self, spark, tmp_path):
+        from datalake_nba_dmc_spark.sinks import upsert_table
+
+        path = str(tmp_path / "state")
+        b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+        upsert_table(spark, b1, path, keys=["k"])  # creates
+        b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, s string")
+        upsert_table(spark, b2, path, keys=["k"])  # merges
+        want = [(1, "a"), (2, "B"), (3, "c")]
+        got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        assert got == want
+        upsert_table(spark, b2, path, keys=["k"])  # replay converges
+        got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        assert got == want

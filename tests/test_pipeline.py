@@ -64,7 +64,7 @@ def test_write_modes_and_compact(spark, tmp_path):
     assert read_table(spark, big).count() == 10000
     # staging-dir protocol: the staged copy was swapped in, not left behind,
     # and the table was never overwritten in place from its own lineage
-    assert not os.path.exists(big + "__compacting")
+    assert not os.path.exists(big + "__staging")
 
 
 @needs_testdata

@@ -160,3 +160,48 @@ def test_followup_join_stream_matches_batch(spark, events_dir, tmp_path):
     cols = ["user_id", "click_id", "purchase_id"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+@needs_testdata
+def test_upsert_sink_maintains_latest_state(spark, tmp_path):
+    """foreachBatch upsert: stream the events in 3 single-file micro-batches
+    into a parquet state table; the final table must equal the batch argmax
+    over ALL events (order-robust: no batch may regress newer state)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.streaming.events import (
+        latest_state_per_user,
+        upsert_sink,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(
+        os.path.join(SF0001, "events.parquet")
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        part_dir = str(tmp_path / f"part{i}")
+        raw.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        f = glob.glob(part_dir + "/part-*.parquet")[0]
+        shutil.copy(f, src / f"events_{i}.parquet")
+
+    target = str(tmp_path / "state")
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = upsert_sink(stream, target, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 2, "expected multiple micro-batches"
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(target).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in latest_state_per_user(_read_events_batch(spark, str(src))).collect()
+    )
+    assert got == want
