@@ -112,12 +112,16 @@ _CHECK_PRIORITY: list[str] = [
     # -- new / fixed this round (need their first green row)
     "k1_write_roundtrip",
     "agg_approx_percentiles",
-    # -- sentinels: previously-green representatives of each r1-checked
-    #    family, kept inside the window as regression canaries
+    # -- representatives of the families added in r2 (never driver-checked;
+    #    rotate the rest in from r3 on: tpch_wide q2/q7-q9/q11-q13/q16/q20,
+    #    lakehouse scd2/gapfill/cdc, text chunk/repetition/pii, centroids,
+    #    stratified sample, y2 layout roundtrip)
+    "merge_upsert_orders",
+    "tpch_q21_waiting_suppliers",
+    # -- sentinels: previously-green representatives of r1-checked families,
+    #    kept inside the window as regression canaries
     "flagship_customer_resume",
     "tpch_q1_pricing_summary",
-    "a3_multi_measure_agg",
-    "w1_latest_order_per_customer",
 ]
 
 

@@ -233,3 +233,41 @@ def events_followup_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("c_user").alias("user_id"), "click_id"
     ).agg(F.count("p_id").alias("n_purchases"))
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+           CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+           CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS total_value
+    FROM events
+    GROUP BY ROLLUP (y, m, d)
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass materializes the
+    day, month, year, and grand-total aggregates of the event stream
+    (GROUP BY ROLLUP over the calendar hierarchy). Spark expands the
+    grouping sets in a single exchange with partial aggregation — at scale
+    this replaces N separate per-resolution jobs with one, which is how
+    continuous-aggregate tables are backfilled."""
+    e = TableRegistry(spark, sf_dir).events
+    return (
+        e.select(
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.dayofmonth("ts").cast("long").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0).alias(
+                "total_value"
+            ),
+        )
+    )

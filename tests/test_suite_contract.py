@@ -67,11 +67,11 @@ def test_driver_window_priority():
         "sim_ivf_recall",
     ):
         assert name in window, name
-    # regression canaries for r1-checked families
+    # r2-added family representatives + regression canaries
     for name in (
+        "merge_upsert_orders",
+        "tpch_q21_waiting_suppliers",
         "flagship_customer_resume",
         "tpch_q1_pricing_summary",
-        "a3_multi_measure_agg",
-        "w1_latest_order_per_customer",
     ):
         assert name in window, name
