@@ -149,3 +149,84 @@ def test_minhash_identical_sets_identical_sigs(spark, data):
         minhash_signature(F.col("b"), 16).alias("sb"),
     ).first()
     assert row["sa"] == row["sb"]
+
+
+@SLOW
+@given(
+    tvals=st.dictionaries(
+        st.integers(0, 9), st.integers(-100, 100), min_size=0, max_size=6
+    ),
+    svals=st.dictionaries(
+        st.integers(0, 9), st.integers(-100, 100), min_size=0, max_size=6
+    ),
+)
+def test_merge_upsert_equals_dict_update(spark, tvals, svals):
+    """MERGE(update/insert) over keyed rows must equal Python dict.update:
+    source wins on matched keys, both sides' unmatched keys survive."""
+    from datalake_nba_dmc_spark.operators.merge import merge_upsert
+
+    schema = "k int, v int"
+    t = spark.createDataFrame(sorted(tvals.items()) or [], schema=schema)
+    s = spark.createDataFrame(sorted(svals.items()) or [], schema=schema)
+    got = {r.k: r.v for r in merge_upsert(t, s, keys=["k"]).collect()}
+    assert got == {**tvals, **svals}
+
+
+@SLOW
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=60,
+    ),
+    chunk=st.integers(2, 12),
+    overlap=st.integers(0, 6),
+)
+def test_chunks_reconstruct_document(spark, text, chunk, overlap):
+    """Dropping each chunk's overlap prefix (after the first) and
+    concatenating in index order must reproduce the document exactly —
+    no characters lost or duplicated at chunk boundaries."""
+    from hypothesis import assume
+
+    from datalake_nba_dmc_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        (r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(
+            df, chunk_chars=chunk, overlap_chars=overlap
+        ).collect()
+    )
+    if not text:
+        assert rows == []
+        return
+    rebuilt = rows[0][1] + "".join(c[overlap:] for _, c in rows[1:])
+    assert rebuilt == text
+
+
+@SLOW
+@given(
+    old=st.dictionaries(st.integers(0, 9), st.integers(-5, 5), max_size=6),
+    new=st.dictionaries(st.integers(0, 9), st.integers(-5, 5), max_size=6),
+)
+def test_snapshot_diff_inverts_to_new_state(spark, old, new):
+    """Applying the diff's insert/update/delete classification to the old
+    dict must reproduce the new dict (CDC completeness + minimality:
+    unchanged keys never appear)."""
+    from datalake_nba_dmc_spark.operators.merge import snapshot_diff
+
+    schema = "k int, v int"
+    o = spark.createDataFrame(sorted(old.items()) or [], schema=schema)
+    n = spark.createDataFrame(sorted(new.items()) or [], schema=schema)
+    diff = {r.k: r.change_type for r in snapshot_diff(o, n, keys=["k"]).collect()}
+    rebuilt = dict(old)
+    for k, op in diff.items():
+        if op == "delete":
+            rebuilt.pop(k)
+        else:
+            rebuilt[k] = new[k]
+    assert rebuilt == new
+    for k in set(old) & set(new):
+        if old[k] == new[k]:
+            assert k not in diff
