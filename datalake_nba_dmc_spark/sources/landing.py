@@ -53,3 +53,25 @@ def read_jsonl(
     if quarantine_corrupt:
         r = r.option("columnNameOfCorruptRecord", "_corrupt_record")
     return r.json(path)
+
+
+def read_evolving(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read a table directory whose files were written under DIFFERENT
+    schema versions (columns added over time — the normal life of a landing
+    zone). ``mergeSchema`` unions the per-file schemas: rows from files
+    predating a column surface it as NULL, so downstream conforms
+    (rename/cast/derive) see one stable wide schema instead of failing on
+    the first old file.
+
+    Scale note: schema merging reads FOOTERS of all files (distributed in
+    Spark), not data; the cost is per-file metadata, so keep file counts
+    sane with compact(). Type CHANGES on an existing column (even int→long)
+    are a merge CONFLICT and fail fast — Parquet schema merging only unions
+    columns; widening a type is a rewrite (conform.safe_downcast_longs'
+    inverse), not a read option, and silently coercing would paper over a
+    pipeline bug."""
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)

@@ -71,3 +71,37 @@ def test_registry_attribute_access_and_views(spark):
     assert spark.sql("SELECT COUNT(*) c FROM customer").first()["c"] == t.customer.count()
     with pytest.raises(AttributeError):
         t.nonexistent_table
+
+
+def test_read_evolving_merges_added_columns(spark, tmp_path):
+    """Files written under old (k,v) and new (k,v,extra) schemas read as
+    one table: old rows surface extra as NULL. A type CHANGE on an
+    existing column must fail fast (schema merging unions columns, never
+    coerces types)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from datalake_nba_dmc_spark.sources.landing import read_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10)], "k int, v int").write.parquet(path)
+    spark.createDataFrame(
+        [(2, 20, "new")], "k int, v int, extra string"
+    ).write.mode("append").parquet(path)
+
+    df = read_evolving(spark, path)
+    assert set(df.columns) == {"k", "v", "extra"}
+    rows = {r.k: (r.v, r.extra) for r in df.collect()}
+    assert rows == {1: (10, None), 2: (20, "new")}
+    # conform sees one stable schema: old rows filter cleanly on the new col
+    assert df.filter(F.col("extra").isNull()).count() == 1
+
+    # incompatible type drift is surfaced, not silently coerced
+    conflict = str(tmp_path / "conflict")
+    spark.createDataFrame([(1, 10)], "k int, v int").write.parquet(conflict)
+    spark.createDataFrame([(2, "oops")], "k int, v string").write.mode(
+        "append"
+    ).parquet(conflict)
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS|merg"):
+        read_evolving(spark, conflict).collect()
