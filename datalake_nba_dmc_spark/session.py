@@ -29,6 +29,12 @@ RUNTIME_CONFS = {
     # the driver's events parquet carries TIMESTAMP(NANOS)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
+    # Runtime row-level filtering: for a selective join, build a bloom
+    # filter on the filtered (creation) side and push it into the other
+    # side's SCAN — at 100 TB this skips reading most of a fact table when
+    # the dim side is selective but too large to broadcast. Free locally
+    # (thresholds keep it off for tiny inputs), decisive on a cluster.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
