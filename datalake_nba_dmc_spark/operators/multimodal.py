@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -141,3 +142,47 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def audio_waveform_stats(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio feature-extraction plumbing: payload bytes decode to a
+    waveform, reduced to per-clip stats (sample count, duration, RMS,
+    peak) inside ``mapInPandas`` — Arrow batches of blobs enter Python
+    once per batch, numpy vectorizes per clip, and only tiny stat rows
+    come back out (the shape that matters at 100 TB: features travel,
+    payloads don't).
+
+    STUB decode (no soundfile/librosa in this container): the "waveform"
+    is the payload's unsigned bytes — deterministic, so the stats are
+    oracle-checkable; swap one line for ``soundfile.read`` in production.
+    Empty/NULL payloads are dropped (no samples → no stats row), matching
+    the SQL oracle's length>0 grain."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "n_samples": [], "duration_s": [], "rms": [], "peak": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                wave = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(wave))
+                out["duration_s"].append(len(wave) / float(sample_rate))
+                out["rms"].append(float(np.sqrt(np.mean(wave * wave))))
+                out["peak"].append(int(wave.max()))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df).mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)

@@ -4,6 +4,7 @@ Arrow-batched mapInPandas (decode body stubbed — see operators.multimodal)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators import multimodal as M
 from datalake_nba_dmc_spark.sources import TableRegistry
@@ -43,3 +44,33 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame count stubbed deterministically from payload size."""
     docs = TableRegistry(spark, sf_dir).documents
     return M.frame_sample_plan(M.documents_as_media(docs), every_n=10)
+
+
+@query(
+    "media_audio_stats",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unicode(substr(text, CAST(i AS INTEGER), 1)) AS b
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+      WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id,
+           COUNT(*) AS n_samples,
+           COUNT(*) / 16000.0 AS duration_s,
+           sqrt(AVG(CAST(b AS DOUBLE) * b)) AS rms,
+           CAST(MAX(b) AS INTEGER) AS peak
+    FROM chars GROUP BY doc_id
+    """,
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing: per-clip sample count, duration,
+    RMS, and peak computed by numpy inside mapInPandas over Arrow blob
+    batches. The stub waveform is the payload's unsigned bytes (the test
+    corpus is pure ASCII, so the oracle reproduces it from code points) —
+    every value the Python path emits is hash-checked, certifying the
+    whole Arrow decode loop, not just its schema."""
+    docs = TableRegistry(spark, sf_dir).documents
+    media = M.documents_as_media(docs).withColumn(
+        "media_type", F.lit("audio")
+    )
+    return M.audio_waveform_stats(media, sample_rate=16000)

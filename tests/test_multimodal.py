@@ -58,3 +58,24 @@ def test_frame_sample_plan(spark):
     out = frame_sample_plan(media, every_n=2).collect()
     # n_frames = 5 % 300 + 1 = 6 → indices 0,2,4
     assert sorted(r["frame_idx"] for r in out) == [0, 2, 4]
+
+
+def test_audio_waveform_stats_match_numpy(spark):
+    import math
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        audio_waveform_stats,
+        documents_as_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "zz")], "doc_id long, text string"
+    )
+    media = documents_as_media(df)
+    got = {r.media_id: r for r in audio_waveform_stats(media, 8000).collect()}
+    assert set(got) == {1, 3}  # empty payload emits no stats row
+    r1 = got[1]  # bytes 97,98,99
+    assert (r1.n_samples, r1.peak) == (3, 99)
+    assert abs(r1.duration_s - 3 / 8000.0) < 1e-15
+    assert abs(r1.rms - math.sqrt((97**2 + 98**2 + 99**2) / 3)) < 1e-12
+    assert got[3].peak == 122 and got[3].n_samples == 2
