@@ -8,7 +8,7 @@ on a documents table is the difference between hours and weeks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators.util import ensure_parallelism
@@ -321,3 +321,41 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for pattern, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, repl)
     return df.withColumn(text_col, out)
+
+
+def pack_token_bins(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins: within each
+    shard, documents fill bins greedily in a deterministic order; a doc
+    starts in bin floor(tokens_before / budget) (boundary docs straddle —
+    the standard approximation, since sequences are split at context
+    boundaries downstream anyway).
+
+    Scale shape: ONE running-sum window per shard — packing is
+    per-shard-parallel exactly like per-worker packing in real training
+    pipelines, never a global single-partition sort. Output adds
+    ``n_tokens`` and ``bin_id``."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = token_count(F.col(text_col))
+    return (
+        df.select(id_col, shard_col, n_tokens.alias("n_tokens"))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            shard_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor((F.col("_cum") - F.col("n_tokens")) / float(budget))
+            .cast("long")
+            .alias("bin_id"),
+        )
+    )

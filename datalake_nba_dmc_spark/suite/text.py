@@ -316,3 +316,63 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return T.redact_pii(injected)
+
+
+@query(
+    "text_pack_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / 512.0) AS BIGINT) AS bin_id
+    FROM t
+    """,
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per-source shards fill 512-token
+    training bins greedily in doc_id order — one running-sum window per
+    shard, parallel across shards like per-worker packing in practice
+    (operators/text.py pack_token_bins)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.pack_token_bins(docs, budget=512)
+
+
+@query(
+    "corpus_mix_report",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
+          CASE WHEN source IN ('src0', 'src1') THEN 1000
+               WHEN source IN ('src2', 'src3') THEN 100
+               ELSE 400 END
+    GROUP BY source
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalance audit: per-source deterministic sampling
+    rates (keep all of two curated sources, 10% of two noisy ones, 40%
+    default), reported as surviving docs + token budget per source. The
+    mix is a scan-level CASE filter over the key hash
+    (operators/sampling.py) — membership stable across reruns and
+    repartitioning, which is what makes training mixes reproducible."""
+    from datalake_nba_dmc_spark.operators.sampling import sample_stratified
+
+    docs = TableRegistry(spark, sf_dir).documents
+    mixed = sample_stratified(
+        docs,
+        key_col="doc_id",
+        stratum_col="source",
+        rates={"src0": 1.0, "src1": 1.0, "src2": 0.1, "src3": 0.1},
+        default_rate=0.4,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )

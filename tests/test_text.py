@@ -184,3 +184,29 @@ class TestRedactPii:
         assert got[2] == "call <PHONE> asap"
         assert got[3] == "host <IP> up"
         assert got[4] == "clean text only"
+
+
+class TestPackTokenBins:
+    def test_greedy_fill_within_shard(self, spark):
+        from datalake_nba_dmc_spark.operators.text import pack_token_bins
+
+        # 4 docs x 3 tokens, budget 5: cum_before = 0,3,6,9 -> bins 0,0,1,1
+        df = spark.createDataFrame(
+            [(i, "s", "a b c") for i in range(4)],
+            "doc_id int, source string, text string",
+        )
+        got = sorted(
+            (r.doc_id, r.bin_id)
+            for r in pack_token_bins(df, budget=5).collect()
+        )
+        assert got == [(0, 0), (1, 0), (2, 1), (3, 1)]
+
+    def test_shards_pack_independently(self, spark):
+        from datalake_nba_dmc_spark.operators.text import pack_token_bins
+
+        df = spark.createDataFrame(
+            [(0, "x", "a b c"), (1, "y", "a b c")],
+            "doc_id int, source string, text string",
+        )
+        got = {(r.source): r.bin_id for r in pack_token_bins(df, budget=5).collect()}
+        assert got == {"x": 0, "y": 0}  # each shard starts at bin 0
