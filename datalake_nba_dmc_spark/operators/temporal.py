@@ -134,6 +134,58 @@ def gap_fill(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """All (left, right) pairs sharing ``key`` whose half-open intervals
+    overlap (``l_start < r_end AND r_start < l_end``).
+
+    A raw theta join on the band condition degenerates to per-key
+    nested-loop work on hot keys; instead each interval EXPLODES into the
+    fixed-width time buckets it covers and the join becomes an equi-join
+    on (key, bucket) — overlapping intervals must share a bucket, so the
+    bucket join finds every candidate; a distinct + exact band filter
+    removes multi-bucket duplicates and same-bucket non-overlaps. Cost is
+    O(rows × span/bucket) exploded rows and one hash join: pick
+    ``bucket_seconds`` near the typical interval span so the fan-out
+    stays small. This is the standard distributed interval-join shape
+    (the same bucketize-then-equi-join trick as the LSH families)."""
+    ms = 1000 * bucket_seconds
+
+    def buckets(start: str, end: str) -> Column:
+        b0 = F.floor(F.unix_millis(F.col(start)) / ms)
+        b1 = F.floor((F.unix_millis(F.col(end)) - 1) / ms)
+        return F.sequence(b0, F.greatest(b0, b1))
+
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.struct(*left.columns).alias("_l"),
+        F.explode(buckets(left_start, left_end)).alias("_b"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.struct(*right.columns).alias("_r"),
+        F.explode(buckets(right_start, right_end)).alias("_b"),
+    )
+    pairs = l.join(r, on=["_k", "_b"]).drop("_b").distinct()
+    overlap = (F.col(f"_l.{left_start}") < F.col(f"_r.{right_end}")) & (
+        F.col(f"_r.{right_start}") < F.col(f"_l.{left_end}")
+    )
+    lcols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    rcols = [
+        F.col(f"_r.{c}").alias(c if c not in left.columns else f"r_{c}")
+        for c in right.columns
+    ]
+    return pairs.filter(overlap).select(*lcols, *rcols)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

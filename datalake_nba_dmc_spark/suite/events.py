@@ -271,3 +271,57 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_interval_overlap",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts AS start_ts,
+             ts + INTERVAL 1 HOUR AS end_ts
+      FROM events
+    ), r AS (
+      SELECT event_id AS incident_id, user_id, ts AS inc_start,
+             ts + INTERVAL 2 HOUR AS inc_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT l.event_id, l.user_id, r.incident_id
+    FROM l JOIN r ON l.user_id = r.user_id
+     AND l.start_ts < r.inc_end AND r.inc_start < l.end_ts
+     AND l.event_id <> r.incident_id
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: every event's 1-hour activity window against
+    each error's 2-hour incident window for the same user. Intervals are
+    bucketized into hours so the theta band becomes an equi-join on
+    (user, hour-bucket) — never per-key nested loops
+    (operators/temporal.py interval_overlap_join)."""
+    from datalake_nba_dmc_spark.operators.temporal import interval_overlap_join
+
+    e = TableRegistry(spark, sf_dir).events
+    left = e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    right = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("inc_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("inc_end"),
+    )
+    joined = interval_overlap_join(
+        left,
+        right,
+        key="user_id",
+        left_start="start_ts",
+        left_end="end_ts",
+        right_start="inc_start",
+        right_end="inc_end",
+        bucket_seconds=3600,
+    )
+    return joined.filter(F.col("event_id") != F.col("incident_id")).select(
+        "event_id", "user_id", "incident_id"
+    )
