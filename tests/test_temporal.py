@@ -59,3 +59,67 @@ def test_range_join(spark):
     ).select(points["key"], "p", "tag")
     got = {(r["key"], r["p"], r["tag"]) for r in out.collect()}
     assert got == {(1, 5, "a"), (1, 15, "b")}
+
+
+def test_interval_overlap_join_matches_naive_theta_join(spark):
+    """Bucketized interval join must produce exactly the pairs the raw
+    band-condition theta join produces — including intervals spanning many
+    buckets, exact-boundary touches (half-open: NOT overlapping), and keys
+    with no partner."""
+    from datalake_nba_dmc_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "l1"),
+            (1, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 12:00:00"), "l2"),
+            # spans 5 buckets at bucket_seconds=3600
+            (1, _ts("2024-01-01 08:30:00"), _ts("2024-01-01 13:30:00"), "l3"),
+            (2, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "l4"),
+            (3, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "l5"),
+        ],
+        ["k", "s", "e", "lid"],
+    )
+    right = spark.createDataFrame(
+        [
+            # touches l1 end exactly → half-open, NOT an overlap with l1
+            (1, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 11:30:00"), "r1"),
+            (1, _ts("2024-01-01 10:30:00"), _ts("2024-01-01 10:45:00"), "r2"),
+            (2, _ts("2024-01-01 12:00:00"), _ts("2024-01-01 13:00:00"), "r3"),
+        ],
+        ["k", "rs", "re", "rid"],
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "k", "s", "e", "rs", "re", bucket_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (left["k"] == right["k"])
+            & (left["s"] < right["re"])
+            & (right["rs"] < left["e"]),
+        ).collect()
+    }
+    assert got == naive
+    assert got == {("l2", "r1"), ("l1", "r2"), ("l3", "r1"), ("l3", "r2")}
+
+
+def test_interval_overlap_join_no_dup_pairs_across_buckets(spark):
+    """A pair sharing MANY buckets must still appear exactly once."""
+    from datalake_nba_dmc_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"), "L")],
+        ["k", "s", "e", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 06:00:00"), _ts("2024-01-01 18:00:00"), "R")],
+        ["k", "rs", "re", "rid"],
+    )
+    out = interval_overlap_join(
+        left, right, "k", "s", "e", "rs", "re", bucket_seconds=3600
+    )
+    assert out.count() == 1
