@@ -138,6 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
         lakehouse,
         multimodal,
         parity,
+        quality,
         similarity,
         sink_roundtrip,
         skew,

@@ -1,0 +1,93 @@
+"""Data-quality and profiling queries: declarative expectations with a
+violations report, one-pass column profiles, and exact histograms.
+
+The reference has no validation or profiling step (bad rows flow
+silently through the medallion jobs — e.g. the silent null-on-parse at
+reference ``aws-job-bronze-to-silver/aws-job-bronze-to-silver.py:61-66``);
+these queries add the audit surface a production lake runs before/after
+every load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.quality import (
+    accepted_values,
+    expectation_report,
+    in_range,
+    not_null,
+    referential,
+    unique,
+)
+from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.suite import query
+
+
+@query(
+    "dq_orders_expectations",
+    oracle="""
+    SELECT 'not_null_o_custkey' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           COUNT(*) AS total,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values_o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F','O','P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           SUM(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F','O','P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range_o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 250000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 250000
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(COUNT(*) - (COUNT(DISTINCT o_orderkey)
+                 + CASE WHEN COUNT(*) > COUNT(o_orderkey)
+                        THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+                 + CASE WHEN COUNT(*) > COUNT(o_orderkey) THEN 1 ELSE 0 END
+    FROM orders
+    UNION ALL
+    SELECT 'referential_o_custkey',
+           CAST(SUM(CASE WHEN c._r IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*),
+           SUM(CASE WHEN c._r IS NULL THEN 1 ELSE 0 END) = 0
+    FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+    LEFT JOIN (SELECT DISTINCT c_custkey AS _r FROM customer) c
+      ON o.o_custkey = c._r
+    """,
+)
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five expectations over ``orders`` in three Spark jobs total: the
+    three scalar rules share ONE conditional-aggregate scan, uniqueness
+    is one map-side-combined hash agg on the key, and the FK check is one
+    left join against the distinct customer keys (broadcast-sized here;
+    shuffle at scale — AQE decides). The in-range rule is deliberately
+    violated by the data so the failure path is exercised
+    (operators/quality.py)."""
+    t = TableRegistry(spark, sf_dir)
+    orders = t.orders
+    return expectation_report(
+        orders,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            in_range("o_totalprice", 0, 250000),
+            unique("o_orderkey"),
+            referential("o_custkey", t.customer, "c_custkey"),
+        ],
+    )
