@@ -91,3 +91,64 @@ def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             referential("o_custkey", t.customer, "c_custkey"),
         ],
     )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan, three-column profile (nulls / exact distinct / bounds) of
+    ``orders`` in long format — the generalized fix of the reference's
+    N-scans-per-column bounds idiom (operators/profile.py)."""
+    from datalake_nba_dmc_spark.operators.profile import profile_columns
+
+    orders = TableRegistry(spark, sf_dir).orders
+    return profile_columns(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+@query(
+    "profile_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 25000.0)
+                                 AS INT), 0), 19) AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), c AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY bucket)
+    SELECT s.bucket,
+           0.0 + s.bucket * 25000.0 AS bin_lo,
+           0.0 + (s.bucket + 1) * 25000.0 AS bin_hi,
+           COALESCE(c.cnt, 0) AS cnt
+    FROM (SELECT CAST(range AS INT) AS bucket FROM range(0, 20)) s
+    LEFT JOIN c USING (bucket)
+    """,
+)
+def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20-bin equi-width histogram of order totals over
+    [0, 500000]: map-side bucket projection + one tiny hash aggregate +
+    a broadcast bin spine so empty bins report cnt=0
+    (operators/profile.py histogram)."""
+    from datalake_nba_dmc_spark.operators.profile import histogram
+
+    orders = TableRegistry(spark, sf_dir).orders
+    return histogram(spark, orders, "o_totalprice", 0.0, 500000.0, 20)

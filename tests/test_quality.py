@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from datalake_nba_dmc_spark.operators.quality import (
     accepted_values,
     expectation_report,
@@ -67,3 +69,41 @@ def test_multi_column_unique(spark):
     )
     got = _report(df, [unique("a", "b")])
     assert got["unique_a_b"] == (1, 3, False)
+
+
+def test_profile_columns_one_pass(spark):
+    from datalake_nba_dmc_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (2, 30.0), (None, 40.0)], ["a", "b"]
+    )
+    got = {
+        r["col_name"]: (
+            r["n_rows"], r["n_nulls"], r["n_distinct"], r["min_val"], r["max_val"]
+        )
+        for r in profile_columns(df, ["a", "b"]).collect()
+    }
+    assert got["a"] == (4, 1, 2, 1.0, 2.0)
+    assert got["b"] == (4, 1, 3, 10.0, 40.0)
+
+
+def test_histogram_clamps_edges_and_fills_empty_bins(spark):
+    from datalake_nba_dmc_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (25.0,), (40.0,), (100.0,), (None,)],
+        ["x"],
+    )
+    rows = histogram(spark, df, "x", 0.0, 40.0, 4).orderBy("bucket").collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    assert [r["cnt"] for r in rows] == [3, 1, 1, 2]  # -5 clamps low; 40,100 high
+    assert rows[0]["bin_lo"] == 0.0 and rows[3]["bin_hi"] == 40.0
+    assert sum(r["cnt"] for r in rows) == 7  # NULL excluded
+
+
+def test_profile_approx_mode_runs(spark):
+    from datalake_nba_dmc_spark.operators.profile import profile_columns
+
+    df = spark.range(1000).select((F.col("id") % 10).alias("a"))
+    row = profile_columns(df, ["a"], approx=True).collect()[0]
+    assert row["n_rows"] == 1000 and abs(row["n_distinct"] - 10) <= 1
