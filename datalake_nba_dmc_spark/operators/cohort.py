@@ -1,0 +1,73 @@
+"""Cohort retention analysis — the standard product-analytics rollup
+(cohort = first-active period; retention = share of the cohort active
+again N periods later).
+
+Not in the reference (its marts are latest-state only, reference
+``aws-job-silver-to-gold-team/aws-job-silver-to-gold-team.py:55-70``),
+but it is the first query any events-table owner asks for.
+
+Shape chosen for 100 TB of events:
+
+1. Distinct (user, period) pairs — ONE shuffle, map-side combined; this
+   collapses arbitrarily hot users to ≤ periods rows each before
+   anything else touches them.
+2. Per-user first period — a groupBy on user over the already-small
+   pair set (re-uses the hash-partitioning by user_id where AQE can).
+3. Pair ⋈ first-period on user — co-keyed shuffle join.
+4. Count rows per (cohort, offset): because step 1 de-duplicated
+   (user, period) and offset is a function of (period, cohort), a plain
+   ``count`` IS the exact distinct-user count — no second distinct.
+
+Total: three shuffles, none carrying more than |users × periods| rows,
+no windows, no skew-sensitive distinct over raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PERIOD_DAYS = {"week": 7, "month": None, "day": 1}
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str, ts_col: str, period: str = "week"
+) -> DataFrame:
+    """Retention triangle ``(cohort, period_offset, active_users,
+    cohort_size, retention_rate)``. ``period`` ∈ day/week/month; offsets
+    count whole periods since the user's first-active period (month uses
+    calendar-month arithmetic, day/week use exact day counts)."""
+    if period not in _PERIOD_DAYS:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_DAYS)}")
+
+    pairs = events.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(period, F.col(ts_col)).alias("_p"),
+    ).distinct()
+    firsts = pairs.groupBy("_u").agg(F.min("_p").alias("cohort"))
+
+    if period == "month":
+        offset = (
+            (F.year("_p") - F.year("cohort")) * 12
+            + (F.month("_p") - F.month("cohort"))
+        ).cast("int")
+    else:
+        offset = (
+            F.datediff(F.col("_p"), F.col("cohort")) / _PERIOD_DAYS[period]
+        ).cast("int")
+
+    active = (
+        pairs.join(firsts, "_u")
+        .groupBy(F.col("cohort"), offset.alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return active.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "period_offset",
+        "active_users",
+        "cohort_size",
+        (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
+            "retention_rate"
+        ),
+    )

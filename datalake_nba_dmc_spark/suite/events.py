@@ -325,3 +325,39 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.col("event_id") != F.col("incident_id")).select(
         "event_id", "user_id", "incident_id"
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH up AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+      FROM events
+    ), f AS (
+      SELECT u, MIN(p) AS cohort FROM up GROUP BY u
+    ), act AS (
+      SELECT f.cohort,
+             CAST(datediff('day', CAST(f.cohort AS DATE), CAST(up.p AS DATE))
+                  / 7 AS INT) AS period_offset,
+             COUNT(*) AS active_users
+      FROM up JOIN f USING (u)
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY 1
+    )
+    SELECT act.cohort, act.period_offset, act.active_users, sz.cohort_size,
+           CAST(act.active_users AS DOUBLE) / sz.cohort_size AS retention_rate
+    FROM act JOIN sz USING (cohort)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over the events stream: cohort = user's
+    first-active ISO week; each cell counts that cohort's users active N
+    weeks later, with the cohort-share rate. Three bounded shuffles —
+    the distinct (user, week) pair set caps hot users before any join
+    (operators/cohort.py)."""
+    from datalake_nba_dmc_spark.operators.cohort import cohort_retention
+
+    e = TableRegistry(spark, sf_dir).events
+    return cohort_retention(e, "user_id", "ts", period="week")
