@@ -277,3 +277,44 @@ def grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     return g(c, ["c_mktsegment"], "c_acctbal")
+
+
+@query(
+    "sketch_distinct_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           1 AS sketch_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (operators/sketches.py): one scan
+    builds a DataSketches-HLL blob per (l_returnflag, ship-year); the
+    per-returnflag count comes from ``hll_union_agg`` over those blobs
+    ALONE — the 100 TB pattern where a persisted sketch table answers
+    every coarser rollup without rescanning the fact table (unlike
+    ``approx_count_distinct``, whose sketch cannot be stored or
+    re-merged). Driver oracle via accuracy certificate: the estimate must
+    land within 10% of the exact count (lg_k=12 → 1.6% RSE; union does
+    not widen the bound), and the exact count rides along so real values
+    are hash-compared."""
+    from datalake_nba_dmc_spark.operators.sketches import distinct_rollup
+
+    li = TableRegistry(spark, sf_dir).lineitem
+    est = distinct_rollup(
+        li.select("l_returnflag", F.year("l_shipdate").alias("ship_year"), "l_orderkey"),
+        fine_cols=["l_returnflag", "ship_year"],
+        coarse_cols=["l_returnflag"],
+        key_col="l_orderkey",
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    within = (
+        F.abs(F.col("distinct_est") - F.col("exact_orders"))
+        <= F.lit(0.10) * F.col("exact_orders")
+    )
+    return exact.join(est, "l_returnflag").select(
+        "l_returnflag", "exact_orders", within.cast("int").alias("sketch_ok")
+    )
