@@ -43,6 +43,35 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     return spark.read.format(fmt).load(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Incremental ingest: replace ONLY the hive partitions present in
+    ``df``, leaving every other partition untouched (dynamic partition
+    overwrite). This is how a daily job lands day N into a 100 TB
+    partitioned table — rewriting just day N's directory — where a plain
+    ``mode("overwrite")`` would truncate the whole table and re-landing a
+    late/corrected day would otherwise need a read-modify-write of
+    everything. Idempotent per partition: re-running the same batch
+    rewrites the same directories to the same content.
+
+    The mode is set per-write via ``option("partitionOverwriteMode")``
+    (Spark reads it from the write options before the session conf), so
+    concurrent static-overwrite writes elsewhere in the session are
+    unaffected.
+    """
+    (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .save(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

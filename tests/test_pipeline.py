@@ -135,3 +135,27 @@ def test_medallion_pipeline_via_catalog(spark, tmp_path):
     n = mart.count()
     run_pipeline(spark, SF0001, str(tmp_path), use_catalog=True)
     assert spark.table("db_gold.customer_resume").count() == n
+
+
+def test_dynamic_partition_overwrite_touches_only_present_partitions(spark, tmp_path):
+    from datalake_nba_dmc_spark.sinks import overwrite_partitions
+
+    path = str(tmp_path / "dyn")
+    days = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(30)], ["id", "day"]
+    )
+    overwrite_partitions(days, path, ["day"])
+    assert read_table(spark, path).count() == 30
+
+    # re-land ONLY day 2 with corrected (fewer) rows
+    fix = spark.createDataFrame([(999, "2024-01-02")], ["id", "day"])
+    overwrite_partitions(fix, path, ["day"])
+    back = read_table(spark, path)
+    # days 1 and 3 untouched (10 rows each), day 2 replaced by 1 row
+    assert back.count() == 21
+    # partition dirs read back type-inferred (day=2024-01-01 → date)
+    got = {str(r["day"]): r["n"] for r in back.groupBy("day").count().withColumnRenamed("count", "n").collect()}
+    assert got == {"2024-01-01": 10, "2024-01-02": 1, "2024-01-03": 10}
+    # idempotent re-run
+    overwrite_partitions(fix, path, ["day"])
+    assert read_table(spark, path).count() == 21
