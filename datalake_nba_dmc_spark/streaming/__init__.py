@@ -4,6 +4,7 @@ streaming surface for continuous ingest)."""
 
 from datalake_nba_dmc_spark.streaming.events import (  # noqa: F401
     EVENTS_SCHEMA,
+    enrich_with_dimension,
     followup_join,
     read_events_stream,
     session_agg,

@@ -259,3 +259,22 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the bread-and-butter streaming
+    pattern the funnel join doesn't cover: each micro-batch of the
+    (unbounded) stream joins a bounded dimension snapshot. No watermark and
+    NO streaming state: Spark re-plans the static side per micro-batch, so
+    a broadcast hash join runs fresh against the dimension's latest files
+    each trigger (a slowly-changing dim picked up on refresh). The static
+    side is explicitly broadcast — at 100 TB of stream the dimension is
+    the small side by construction, and a shuffle of the stream side per
+    micro-batch would dominate the trigger latency. Works identically on a
+    batch DataFrame (unified model; tests assert stream == batch)."""
+    return events.join(F.broadcast(dim), on, how)

@@ -205,3 +205,25 @@ def test_upsert_sink_maintains_latest_state(spark, tmp_path):
         for r in latest_state_per_user(_read_events_batch(spark, str(src))).collect()
     )
     assert got == want
+
+
+@needs_testdata
+def test_enrich_with_dimension_stream_matches_batch(spark, events_dir, tmp_path):
+    """Stream-static broadcast join: every streamed event picks up its
+    user's dimension row; result equals the batch run of the same
+    function (no watermark, no state, append mode)."""
+    from datalake_nba_dmc_spark.streaming.events import enrich_with_dimension
+
+    dim = load_table(spark, SF0001, "customer").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment", "c_nationkey"
+    )
+    proj = ["event_id", "user_id", "c_mktsegment", "c_nationkey"]
+    stream = enrich_with_dimension(
+        read_events_stream(spark, events_dir), dim, "user_id"
+    ).select(*proj)
+    got = _run_stream(spark, stream, str(tmp_path))
+    want = enrich_with_dimension(
+        _read_events_batch(spark, events_dir), dim, "user_id"
+    ).select(*proj)
+    assert _rows(got, proj) == _rows(want, proj)
+    assert got.count() > 0
