@@ -147,3 +147,35 @@ def expectation_report(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+):
+    """Write a table while collecting pipeline metrics IN-FLIGHT via
+    ``DataFrame.observe`` — zero extra scans, zero extra shuffles.
+
+    ``metrics`` maps names to aggregate expressions (count, null counts,
+    sums, min/max…). Spark accumulates them on the executors as the write
+    job streams rows past; the observed values describe EXACTLY the rows
+    written (a separate audit query could race a concurrent change, and at
+    100 TB it would cost a second full scan). Returns the metrics dict —
+    the write-audit row a scheduler logs next to the job.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    w = (
+        df.observe(obs, *[expr.alias(name) for name, expr in metrics.items()])
+        .write.mode(mode)
+        .format(fmt)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+    return obs.get

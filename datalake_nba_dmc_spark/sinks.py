@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_table(
@@ -174,6 +175,70 @@ def write_range_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).format(fmt).save(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    num_files: int = 64,
+    buckets_per_dim: int = 64,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column data clustering via a Morton (Z-order) curve — the
+    open-format equivalent of Delta ``OPTIMIZE ... ZORDER BY (a, b)``.
+
+    ``write_range_sorted`` clusters ONE axis perfectly and leaves every
+    other column's per-file min/max spanning the full domain (no pruning).
+    Z-ordering trades a little locality on each axis for locality on ALL
+    of them: rows map to a space-filling curve position built by
+    bit-interleaving each column's rank, so files cover small HYPERCUBES
+    of the key space and predicates on ANY z-ordered column skip most
+    files on footer stats alone.
+
+    Scale shape (same recipe Delta uses):
+
+    1. Per-column equi-depth boundaries from ``approxQuantile`` — a
+       sample-based driver action over ``buckets_per_dim`` quantiles,
+       NOT a sort; equi-depth (not ``width_bucket`` equi-width) so skewed
+       columns still spread across buckets.
+    2. Each row's per-column rank = count of boundaries ≤ value — a
+       ``filter`` over a tiny broadcast literal array, pure codegen.
+    3. Morton-interleave the rank bits into one long; range-partition and
+       sort by it (one exchange, the same cost as a single-axis layout
+       write).
+    """
+    import math
+
+    n_bits = max(1, int(math.ceil(math.log2(buckets_per_dim))))
+    ranked = df
+    rank_cols = []
+    for c in zorder_cols:
+        qs = [i / buckets_per_dim for i in range(1, buckets_per_dim)]
+        bounds = df.approxQuantile(c, qs, 0.01)
+        arr = F.array(*[F.lit(b) for b in bounds])
+        rank = F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
+        rank_cols.append(rank.cast("long").alias(f"__zr_{c}"))
+    ranked = df.select("*", *rank_cols)
+    z = F.lit(0).cast("long")
+    for bit in range(n_bits):
+        for d, c in enumerate(zorder_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(f"__zr_{c}"), bit).bitwiseAND(F.lit(1)),
+                    bit * len(zorder_cols) + d,
+                )
+            )
+    zdf = ranked.withColumn("__zval", z)
+    (
+        zdf.repartitionByRange(num_files, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval", *[f"__zr_{c}" for c in zorder_cols])
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )
 
 
 def compact(

@@ -74,3 +74,57 @@ def test_range_sorted_read_prunes_rowgroups(spark, tmp_path):
             touching += 1
     # ~7 years of data in >=4 files; one month must not touch most files
     assert touching <= max(1, total // 2), f"{touching}/{total} files touch one month"
+
+
+def _file_ranges(target, col):
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(os.path.join(target, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        out.append((min(s.min for s in stats), max(s.max for s in stats)))
+    return out
+
+
+def _prune_fraction(ranges, lo, hi):
+    """Share of files a [lo, hi] predicate must open (min/max intersect)."""
+    hit = sum(1 for flo, fhi in ranges if not (fhi < lo or flo > hi))
+    return hit / len(ranges)
+
+
+@needs_testdata
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-order layout: a narrow predicate on EITHER z-ordered column skips
+    most files on footer stats, where a single-axis sort only prunes its
+    own sort key and leaves the other column unprunable (every file spans
+    the full domain)."""
+    from datalake_nba_dmc_spark.sinks import write_zordered
+
+    src = spark.read.parquet(os.path.join(SF0001, "lineitem.parquet")).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    ztarget = str(tmp_path / "li_z")
+    write_zordered(src, ztarget, ["l_partkey", "l_suppkey"], num_files=16)
+    starget = str(tmp_path / "li_s")
+    write_range_sorted(src, starget, sort_cols=["l_partkey"], num_files=16)
+
+    pk_max = src.agg({"l_partkey": "max"}).first()[0]
+    sk_max = src.agg({"l_suppkey": "max"}).first()[0]
+    pk_band = (pk_max // 2, pk_max // 2 + pk_max // 16)
+    sk_band = (sk_max // 2, sk_max // 2 + sk_max // 16)
+
+    z_pk = _prune_fraction(_file_ranges(ztarget, "l_partkey"), *pk_band)
+    z_sk = _prune_fraction(_file_ranges(ztarget, "l_suppkey"), *sk_band)
+    s_sk = _prune_fraction(_file_ranges(starget, "l_suppkey"), *sk_band)
+
+    # both axes prune under z-order…
+    assert z_pk <= 0.5, f"partkey prune fraction {z_pk}"
+    assert z_sk <= 0.75, f"suppkey prune fraction {z_sk}"
+    # …while the single-axis layout cannot prune the second column at all
+    assert s_sk >= 0.9, f"single-axis suppkey unexpectedly pruned: {s_sk}"
+
+    # losslessness
+    assert read_table(spark, ztarget).count() == src.count()
+    assert sorted(read_table(spark, ztarget).columns) == sorted(src.columns)

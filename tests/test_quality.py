@@ -107,3 +107,26 @@ def test_profile_approx_mode_runs(spark):
     df = spark.range(1000).select((F.col("id") % 10).alias("a"))
     row = profile_columns(df, ["a"], approx=True).collect()[0]
     assert row["n_rows"] == 1000 and abs(row["n_distinct"] - 10) <= 1
+
+
+def test_observed_write_collects_metrics_in_flight(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.quality import observed_write
+    from datalake_nba_dmc_spark.sinks import read_table
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None)], ["id", "v"]
+    )
+    path = str(tmp_path / "obs")
+    got = observed_write(
+        df,
+        path,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_v": F.count_if(F.col("v").isNull()),
+            "sum_v": F.sum("v"),
+        },
+    )
+    assert got == {"n_rows": 4, "null_v": 2, "sum_v": 40.0}
+    assert read_table(spark, path).count() == 4
