@@ -111,6 +111,8 @@ _CHECK_PRIORITY: list[str] = [
     "tpch_q22_dormant_customers",
     # -- new / fixed this round (need their first green row)
     "k1_write_roundtrip",
+    "k2_partition_overwrite_roundtrip",
+    "y3_zorder_roundtrip",
     "agg_approx_percentiles",
     # -- representatives of the families added in r2 (never driver-checked;
     #    rotate the rest in from r3 on: tpch_wide q2/q7-q9/q11-q13/q16/q20,

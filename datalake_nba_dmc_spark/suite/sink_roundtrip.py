@@ -20,7 +20,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalake_nba_dmc_spark.sinks import read_table, write_range_sorted, write_table
+from datalake_nba_dmc_spark.sinks import (
+    read_table,
+    write_range_sorted,
+    write_table,
+    write_zordered,
+)
 from datalake_nba_dmc_spark.sources import TableRegistry
 from datalake_nba_dmc_spark.suite import query
 
@@ -87,4 +92,65 @@ def y2_range_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, target).filter(
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+
+
+@query(
+    "y3_zorder_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_suppkey BETWEEN 1 AND 5
+    """,
+)
+def y3_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout (sinks.write_zordered): lineitem is
+    Morton-clustered on (l_partkey, l_suppkey), then read back filtered on
+    the SECOND z-axis — the column a single-sort layout cannot prune at
+    all. Losslessness certified by the oracle hash; the both-axes
+    footer-stat pruning property is asserted file-by-file in
+    tests/test_layout.py. At 100 TB this is what makes multi-dimension
+    slice queries (part AND supplier) open a hypercube of files instead of
+    the whole table."""
+    target = _scratch(sf_dir, "y3_zorder")
+    src = TableRegistry(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    write_zordered(src, target, ["l_partkey", "l_suppkey"], num_files=16)
+    return read_table(spark, target).filter(F.col("l_suppkey").between(1, 5))
+
+
+@query(
+    "k2_partition_overwrite_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+    """,
+)
+def k2_partition_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (sinks.overwrite_partitions): land the
+    full orders table hive-partitioned by priority, then re-land ONLY the
+    1-URGENT partition from a corrected batch (even orderkeys). The
+    driver hash certifies the incremental-ingest contract end-to-end:
+    untouched partitions keep every original row, the re-landed partition
+    holds exactly the new batch — the daily-partition re-land pattern that
+    avoids read-modify-write of a 100 TB table."""
+    from datalake_nba_dmc_spark.sinks import overwrite_partitions
+
+    target = _scratch(sf_dir, "k2_dyn_overwrite")
+    src = TableRegistry(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    write_table(src, target, mode="overwrite", partition_by=["o_orderpriority"])
+    patch = src.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 2 == 0)
+    )
+    overwrite_partitions(patch, target, ["o_orderpriority"])
+    return read_table(spark, target).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
     )
