@@ -517,3 +517,45 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus doc, count the distinct
+    word ``n``-grams it shares with ANY benchmark doc (train/test overlap
+    detection — the standard pre-training hygiene step; only docs with at
+    least one hit are returned, ready for an anti-join back onto the
+    corpus).
+
+    Scale shape: the benchmark side (eval sets — MMLU-sized, i.e. tiny
+    relative to a 100 TB corpus) collapses to its DISTINCT gram set and is
+    broadcast, so the corpus side is a single map-side pass: shingle,
+    explode, broadcast-hash-join, partial count — no shuffle of corpus
+    text at all, and the one reduce shuffle carries only ``(doc_id,
+    count)`` pairs. If the benchmark gram set ever outgrew broadcast
+    range, drop the ``broadcast`` hint and the same plan runs as a
+    shuffled semi-structured join on the gram key.
+
+    Grams are matched on their normalized string form (exact semantics,
+    oracle-friendly); at extreme scale join on ``xxhash64(gram)`` instead
+    to shrink shuffle/broadcast width (64-bit collisions only ever ADD a
+    false hit at ~2^-64 rates).
+    """
+    c = with_shingles(corpus.select(id_col, text_col), text_col, n).select(
+        id_col, F.explode("sh").alias("gram")
+    )
+    b = (
+        with_shingles(benchmark.select(text_col), text_col, n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), on="gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

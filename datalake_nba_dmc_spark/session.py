@@ -26,8 +26,6 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS = {
     # see the builder comment below / operators.dedup staging rationale
     "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    # the driver's events parquet carries TIMESTAMP(NANOS)
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     # Runtime row-level filtering: for a selective join, build a bloom
     # filter on the filtered (creation) side and push it into the other

@@ -199,10 +199,12 @@ def write_zordered(
 
     Scale shape (same recipe Delta uses):
 
-    1. Per-column equi-depth boundaries from ``approxQuantile`` — a
-       sample-based driver action over ``buckets_per_dim`` quantiles,
-       NOT a sort; equi-depth (not ``width_bucket`` equi-width) so skewed
-       columns still spread across buckets.
+    1. Per-column equi-depth boundaries from ONE multi-column
+       ``approxQuantile`` call — a single sample-based driver action
+       computes every dimension's ``buckets_per_dim`` quantiles in one
+       pass over the data, regardless of ``len(zorder_cols)``; equi-depth
+       (not ``width_bucket`` equi-width) so skewed columns still spread
+       across buckets.
     2. Each row's per-column rank = count of boundaries ≤ value — a
        ``filter`` over a tiny broadcast literal array, pure codegen.
     3. Morton-interleave the rank bits into one long; range-partition and
@@ -212,11 +214,10 @@ def write_zordered(
     import math
 
     n_bits = max(1, int(math.ceil(math.log2(buckets_per_dim))))
-    ranked = df
+    qs = [i / buckets_per_dim for i in range(1, buckets_per_dim)]
+    all_bounds = df.approxQuantile(list(zorder_cols), qs, 0.01)
     rank_cols = []
-    for c in zorder_cols:
-        qs = [i / buckets_per_dim for i in range(1, buckets_per_dim)]
-        bounds = df.approxQuantile(c, qs, 0.01)
+    for c, bounds in zip(zorder_cols, all_bounds):
         arr = F.array(*[F.lit(b) for b in bounds])
         rank = F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
         rank_cols.append(rank.cast("long").alias(f"__zr_{c}"))

@@ -39,18 +39,22 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one named table from a scale-factor directory (S1–S6 equivalent).
 
-    The ``events`` table is written with pandas-default TIMESTAMP(NANOS),
-    which Spark's Parquet reader rejects outright; we read nanos as long
-    (dynamic SQL conf) and convert to a microsecond timestamp — `div 1000`
-    floors, matching DuckDB's ns→µs cast of the same file.
+    The ``events`` table is written by pandas/pyarrow with
+    ``isAdjustedToUTC=false`` (no timezone), which Spark 4 reads as
+    ``timestamp_ntz``. The engine (windows, watermarks, ``unix_millis``)
+    and the DuckDB oracle both want plain ``timestamp``; the session
+    timezone is pinned to UTC (session.py), so the cast below is
+    value-preserving. A ``bigint`` epoch-micros column (older writers /
+    legacy confs) is normalized the same way.
     """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros("ts"))
+    return df
 
 
 class TableRegistry:

@@ -30,15 +30,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
-#: On-disk schema: the driver's events parquet carries TIMESTAMP(NANOS),
-#: readable only as long (see sources.registry.load_table).
+#: On-disk schema: the driver's events parquet carries
+#: TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+#: TIMESTAMP_NTZ (see sources.registry.load_table).
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -58,13 +60,13 @@ def read_events_stream(
 
     Streaming file sources require an explicit schema (no inference race);
     ``maxFilesPerTrigger`` throttles micro-batch size for steady backfill.
-    Emits :data:`EVENTS_SCHEMA` (ns→µs timestamp conversion applied).
+    Emits :data:`EVENTS_SCHEMA` (the on-disk NTZ ``ts`` cast to session-tz
+    timestamp — value-preserving under the engine's UTC session timezone).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     r = spark.readStream.schema(EVENTS_FILE_SCHEMA)
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    return r.parquet(source_dir).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return r.parquet(source_dir).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(

@@ -64,66 +64,66 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- never driver-checked as of r1 (CORRECTNESS_r01 covered registry[0:50])
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters_assign",
-    "curation_pipeline",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_histogram",
-    "text_bpe_token_count",
-    "text_tfidf",
-    "text_winnow_fingerprints",
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_lsh_recall",
-    "sim_ivf_recall",
-    "sim_embedding_near_dups",
-    "events_tumbling_agg",
-    "events_sessionization",
-    "events_json_extract",
-    "events_approx_distinct_users",
-    "events_asof_latest_order",
-    "events_sliding_agg",
-    "events_followup_within_hour",
-    "media_metadata",
-    "media_frame_sample",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "func_date_parts",
-    "func_string_surface",
-    "func_null_semantics",
-    "func_array_scalars",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q22_dormant_customers",
-    # -- new / fixed this round (need their first green row)
-    "k1_write_roundtrip",
-    "k2_partition_overwrite_roundtrip",
-    "y3_zorder_roundtrip",
-    "agg_approx_percentiles",
-    # -- representatives of the families added in r2 (never driver-checked;
-    #    rotate the rest in from r3 on: tpch_wide q2/q7-q9/q11-q13/q16/q20,
-    #    lakehouse scd2/gapfill/cdc, text chunk/repetition/pii, centroids,
-    #    stratified sample, y2 layout roundtrip)
-    "merge_upsert_orders",
-    "tpch_q21_waiting_suppliers",
-    # -- sentinels: previously-green representatives of r1-checked families,
-    #    kept inside the window as regression canaries
+    # -- round-3 cut: the 28 queries with NO driver CORRECTNESS row in
+    #    r1 ∪ r2 go first (VERDICT r2 "What's missing" #1), then 22
+    #    always-checked sentinels — one per previously-green family — fill
+    #    the 50-slot window as regression canaries. After r3, every one of
+    #    the registry's queries has a driver row in r1 ∪ r2 ∪ r3.
+    "sketch_distinct_rollup",
+    "sample_stratified_segments",
+    "events_time_rollup",
+    "events_interval_overlap",
+    "events_cohort_retention",
+    "scd2_user_event_history",
+    "gapfill_user_daily",
+    "cdc_snapshot_diff",
+    "media_audio_stats",
+    "dq_orders_expectations",
+    "profile_orders_columns",
+    "profile_price_histogram",
+    "sim_label_centroids",
+    "y2_range_sorted_roundtrip",
+    "text_chunking",
+    "text_repetition",
+    "text_pii_redaction",
+    "text_pack_bins",
+    "corpus_mix_report",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_part_promotion",
+    # -- new in r3 (needs its first driver row)
+    "text_decontaminate",
+    # -- sentinels: green representatives of every r1/r2-checked family,
+    #    kept inside the window so a regression is visible to the driver
+    #    (includes the two canaries that fell out of the r2 window, plus
+    #    tpch_q4 to confirm the bloom-filter bench fix didn't change rows)
     "flagship_customer_resume",
     "tpch_q1_pricing_summary",
+    "tpch_q4_order_priority",
+    "w1_latest_order_per_customer",
+    "a3_multi_measure_agg",
+    "dedup_exact",
+    "dedup_clusters_assign",
+    "dedup_ngram_jaccard",
+    "curation_pipeline",
+    "text_stats",
+    "text_tfidf",
+    "sim_bruteforce_topk",
+    "sim_lsh_recall",
+    "sim_ivf_recall",
+    "events_tumbling_agg",
+    "events_sessionization",
+    "events_asof_latest_order",
+    "media_metadata",
+    "skew_salted_join",
+    "merge_upsert_orders",
+    "k1_write_roundtrip",
 ]
 
 

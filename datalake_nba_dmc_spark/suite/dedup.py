@@ -261,3 +261,34 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return curation_stats(docs, curate(docs))
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 20 != 0
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 20 = 0
+    )
+    SELECT c.doc_id, COUNT(*) AS n_hits
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/eval n-gram overlap): every 20th doc
+    plays the held-out eval set; corpus docs are scored by how many distinct
+    3-grams they share with it (operators/dedup.contamination_hits). The eval
+    gram set is broadcast, so the corpus pass is map-side only — the single
+    reduce shuffle carries (doc_id, count) pairs, never text."""
+    docs = TableRegistry(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.contamination_hits(corpus, bench, "text", n=3).select("doc_id", "n_hits")

@@ -178,3 +178,41 @@ def test_dedup_clusters_representatives(spark):
         1: (1, True), 2: (1, False), 4: (1, False),
         3: (3, True), 5: (5, True), 6: (6, True),
     }
+
+
+def test_contamination_hits(spark):
+    from datalake_nba_dmc_spark.operators.dedup import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # shares 3-grams
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "quick brown fox leaps"),  # shares exactly one 3-gram
+            (4, "short doc"),  # <3 tokens → whole-text gram, no match
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in contamination_hits(corpus, bench).collect()}
+    # bench 3-grams: {watch the quick, the quick brown, quick brown fox,
+    #                 brown fox jumps, fox jumps high}
+    # doc 1 shares: the quick brown, quick brown fox, brown fox jumps → 3
+    # doc 3 shares: quick brown fox → 1
+    assert got == {1: 3, 3: 1}
+
+
+def test_contamination_hits_broadcasts_benchmark(spark):
+    from datalake_nba_dmc_spark.operators.dedup import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    plan = contamination_hits(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -27,11 +27,10 @@ from datalake_nba_dmc_spark.streaming.events import EVENTS_FILE_SCHEMA
 def _read_events_batch(spark, d):
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.read.schema(EVENTS_FILE_SCHEMA)
         .parquet(d)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -176,7 +175,6 @@ def test_upsert_sink_maintains_latest_state(spark, tmp_path):
         upsert_sink,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(
         os.path.join(SF0001, "events.parquet")
     )

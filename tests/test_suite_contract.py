@@ -52,26 +52,51 @@ def test_driver_window_priority():
     must actually land the families that need a row this round inside that
     window, with one sentinel per previously-green family."""
     window = list(load_all())[:50]
-    # r1-unchecked families now in the window
+    # the 28 queries with no driver row in r1 ∪ r2 (VERDICT r2) all fit
     for name in (
+        "sketch_distinct_rollup",
+        "sample_stratified_segments",
+        "events_time_rollup",
+        "events_interval_overlap",
+        "events_cohort_retention",
+        "scd2_user_event_history",
+        "gapfill_user_daily",
+        "cdc_snapshot_diff",
+        "media_audio_stats",
+        "dq_orders_expectations",
+        "profile_orders_columns",
+        "profile_price_histogram",
+        "sim_label_centroids",
+        "y2_range_sorted_roundtrip",
+        "text_chunking",
+        "text_repetition",
+        "text_pii_redaction",
+        "text_pack_bins",
+        "corpus_mix_report",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_stock",
+        "tpch_q12_late_shipments",
+        "tpch_q13_customer_distribution",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q20_part_promotion",
+        "text_decontaminate",
+    ):
+        assert name in window, name
+    # regression canaries: one green representative per checked family
+    for name in (
+        "flagship_customer_resume",
+        "tpch_q1_pricing_summary",
+        "tpch_q4_order_priority",
         "dedup_exact",
         "text_tfidf",
         "sim_bruteforce_topk",
-        "events_asof_latest_order",
+        "events_tumbling_agg",
         "media_metadata",
         "skew_salted_join",
-        "tpch_q17_small_quantity_revenue",
-        "k1_write_roundtrip",
-        "agg_approx_percentiles",
-        "sim_lsh_recall",
-        "sim_ivf_recall",
-    ):
-        assert name in window, name
-    # r2-added family representatives + regression canaries
-    for name in (
         "merge_upsert_orders",
-        "tpch_q21_waiting_suppliers",
-        "flagship_customer_resume",
-        "tpch_q1_pricing_summary",
+        "k1_write_roundtrip",
     ):
         assert name in window, name
