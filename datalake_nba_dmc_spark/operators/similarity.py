@@ -320,3 +320,30 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x| / 127``,
+    ``code_i = round(x_i / scale)`` — 4× storage/bandwidth cut for
+    embedding tables (the standard serving trick; reconstruction error is
+    bounded by scale/2 per component, asserted in tests).
+
+    Map-only column expressions, no UDF, no shuffle: at 100 TB of
+    embeddings this is a pure projection the scan pipeline absorbs.
+    Determinism: float→double promotion is exact and IEEE division/round
+    are correctly rounded, so codes are bit-identical across engines
+    (both Spark and DuckDB round halves away from zero).
+    """
+    mx = F.array_max(F.transform(F.col(vec_col), F.abs)).cast("double")
+    scale = mx / F.lit(127.0)
+    codes = F.when(
+        mx == 0, F.transform(F.col(vec_col), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") / scale).cast("int"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(codes_col, codes)

@@ -8,6 +8,8 @@ on a documents table is the difference between hours and weeks.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -358,4 +360,46 @@ def pack_token_bins(
             .cast("long")
             .alias("bin_id"),
         )
+    )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution features: char count, distinct
+    chars, and Shannon entropy in nats — the classic gibberish/boilerplate
+    detector (natural prose sits ~4–4.5 nats; base64 blobs, repeated
+    padding, and binary spill sit far outside that band).
+
+    Runs as ONE Arrow-batched Pandas UDF projection — map-only, zero
+    shuffle: the char histogram never leaves the row, so at 100 TB the
+    operator costs exactly one corpus scan (the explode→groupBy(doc, char)
+    formulation would shuffle a row per character).
+
+    Cross-engine determinism (driver oracle): each histogram term is
+    rounded to integer micro-nats BEFORE summing (``round(k·ln k · 1e6)``
+    as int64), making the sum order-free and bit-stable; the final
+    ``entropy = round(ln n − s/1e6/n, 6)`` is a fixed expression over
+    those exact integers. Docs with no characters are dropped (matches
+    the SQL twin, where no char rows exist to aggregate).
+    """
+    @F.pandas_udf("n_chars bigint, n_distinct_chars bigint, char_entropy_nats double")
+    def ent(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for t in texts:
+            if not t:
+                out.append((0, 0, 0.0))
+                continue
+            _, counts = np.unique(list(t), return_counts=True)
+            n = int(counts.sum())
+            s = int(np.round(counts * np.log(counts) * 1e6).astype(np.int64).sum())
+            e = float(np.round(np.log(n) - (s / 1e6) / n, 6))
+            out.append((n, len(counts), e))
+        return pd.DataFrame(out, columns=["n_chars", "n_distinct_chars", "char_entropy_nats"])
+
+    return (
+        ensure_parallelism(df)
+        .withColumn("_ce", ent(F.col(text_col)))
+        .select(*df.columns, "_ce.*")
+        .filter(F.col("n_chars") > 0)
     )

@@ -164,3 +164,40 @@ def with_running_sum(
     """Running total with an explicit rows-frame (unbounded-preceding→current)."""
     w = _window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(alias or f"{col}_running", F.sum(col).over(w))
+
+
+def with_time_range_sum(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    range_seconds: int,
+    scale: int = 10000,
+    n_alias: str = "n_in_range",
+    sum_alias: str = "sum_in_range",
+) -> DataFrame:
+    """Event-time RANGE frame aggregation: per row, count + exact scaled sum
+    of ``value_col`` over the trailing ``range_seconds`` window ending at
+    (and including) the row's own timestamp — ``RANGE BETWEEN INTERVAL ...
+    PRECEDING AND CURRENT ROW`` semantics, without bucketing artifacts.
+
+    The frame orders by ``unix_micros(ts)`` so the bound is exact at the
+    on-disk microsecond precision (an interval frame over a truncated
+    seconds/millis key would include or drop boundary rows differently
+    from an engine evaluating at full precision). Peers (equal timestamps)
+    are in-frame together in any engine — value-based frames have no tie
+    ambiguity, so no tiebreaker column is needed.
+
+    Scale shape: one shuffle on the partition key + an in-partition sort;
+    the range frame is evaluated with a sliding two-pointer pass, O(rows)
+    per partition, state bounded by the widest in-range span.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-range_seconds * 1_000_000, 0)
+    )
+    exact = F.sum(F.round(F.col(value_col) * scale).cast("long")).over(w)
+    return df.withColumn(n_alias, F.count("*").over(w)).withColumn(
+        sum_alias, exact / float(scale)
+    )

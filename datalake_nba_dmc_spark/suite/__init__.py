@@ -97,8 +97,11 @@ _CHECK_PRIORITY: list[str] = [
     "tpch_q13_customer_distribution",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_part_promotion",
-    # -- new in r3 (needs its first driver row)
+    # -- new in r3 (need their first driver row)
     "text_decontaminate",
+    "w9_time_range_hour",
+    "text_char_entropy",
+    "emb_int8_quantize",
     # -- sentinels: green representatives of every r1/r2-checked family,
     #    kept inside the window so a regression is visible to the driver
     #    (includes the two canaries that fell out of the r2 window, plus
@@ -110,15 +113,12 @@ _CHECK_PRIORITY: list[str] = [
     "a3_multi_measure_agg",
     "dedup_exact",
     "dedup_clusters_assign",
-    "dedup_ngram_jaccard",
     "curation_pipeline",
     "text_stats",
     "text_tfidf",
     "sim_bruteforce_topk",
     "sim_lsh_recall",
-    "sim_ivf_recall",
     "events_tumbling_agg",
-    "events_sessionization",
     "events_asof_latest_order",
     "media_metadata",
     "skew_salted_join",

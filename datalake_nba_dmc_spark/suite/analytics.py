@@ -318,3 +318,32 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "l_returnflag").select(
         "l_returnflag", "exact_orders", within.cast("int").alias("sketch_ok")
     )
+
+
+@query(
+    "w9_time_range_hour",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_prev_hour,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS DOUBLE)
+             / 10000.0 AS sum_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def w9_time_range_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour activity per event: an event-TIME range frame (not a
+    rows frame) — each row aggregates every same-user event in the hour
+    ending at its own timestamp (operators/windows.with_time_range_sum).
+    Frames at exact microsecond precision match DuckDB's interval frame."""
+    e = TableRegistry(spark, sf_dir).events
+    return windows.with_time_range_sum(
+        e,
+        ["user_id"],
+        "ts",
+        "value",
+        range_seconds=3600,
+        n_alias="n_prev_hour",
+        sum_alias="sum_prev_hour",
+    ).select("user_id", "event_id", "n_prev_hour", "sum_prev_hour")

@@ -196,3 +196,30 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-long exact so both engines produce bit-identical centroids."""
     emb = TableRegistry(spark, sf_dir).embeddings
     return S.label_centroids(emb)
+
+
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           mx / 127.0 AS qscale,
+           CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127.0)) AS INTEGER))
+           END AS codes
+    FROM s
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators/similarity.
+    quantize_int8): per-vector scale + integer codes as a map-only
+    projection — the 4× compression step ahead of ANN serving."""
+    e = TableRegistry(spark, sf_dir).embeddings
+    return S.quantize_int8(e.select("vec_id", "embedding")).select(
+        "vec_id", "qscale", "codes"
+    )

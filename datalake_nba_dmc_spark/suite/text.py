@@ -376,3 +376,36 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents WHERE length(text) > 0
+    ), cnt AS (
+      SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_chars,
+             COUNT(*) AS n_distinct_chars,
+             CAST(SUM(CAST(round(k * ln(k) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, n_chars, n_distinct_chars,
+           round(ln(n_chars) - (CAST(s AS DOUBLE) / 1000000.0) / n_chars, 6)
+             AS char_entropy_nats
+    FROM agg
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (gibberish / encoded-blob
+    detector) — one Arrow-batched map-only pass, zero shuffle
+    (operators/text.char_entropy). The SQL twin has to explode a row per
+    CHARACTER to express the same histogram — the plan shape the operator
+    exists to avoid."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.char_entropy(docs.select("doc_id", "text")).select(
+        "doc_id", "n_chars", "n_distinct_chars", "char_entropy_nats"
+    )

@@ -90,3 +90,34 @@ def test_grouped_minmax_norm(spark):
     assert out == {("a", 1.0): 0.0, ("a", 3.0): 1.0, ("a", 2.0): 0.5, ("b", 5.0): 0.0}
     # the input DataFrame's schema must NOT have been mutated
     assert "minmax" not in df.columns
+
+
+def test_time_range_sum_trailing_hour(spark):
+    import datetime as dt
+
+    from datalake_nba_dmc_spark.operators.windows import with_time_range_sum
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes, micros=0):
+        return t0 + dt.timedelta(minutes=minutes, microseconds=micros)
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(0), 1.0),
+            (1, ts(30), 2.0),
+            (1, ts(60), 4.0),        # exactly 1h after first → still in frame
+            (1, ts(60, 1), 8.0),     # 1h + 1µs: first row falls out
+            (2, ts(0), 100.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = with_time_range_sum(df, ["user_id"], "ts", "value", 3600)
+    got = {
+        (r.user_id, r.ts): (r.n_in_range, r.sum_in_range) for r in out.collect()
+    }
+    assert got[(1, ts(0))] == (1, 1.0)
+    assert got[(1, ts(30))] == (2, 3.0)
+    assert got[(1, ts(60))] == (3, 7.0)      # inclusive 1h bound keeps row 1
+    assert got[(1, ts(60, 1))] == (3, 14.0)  # row 1 aged out at µs precision
+    assert got[(2, ts(0))] == (1, 100.0)

@@ -141,3 +141,29 @@ def test_embedding_near_dups_star_edges_not_quadratic(spark):
         for r in embedding_near_dups(df, dim=3, threshold=0.99).collect()
     }
     assert out == {(1, i) for i in range(2, 7)}
+
+
+def test_quantize_int8_bounds(spark):
+    from datalake_nba_dmc_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0]),
+            (3, [-2.0, 2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # max-|x| component always maps to ±127
+    assert rows[1].codes[0] == 127
+    assert rows[3].codes == [-127, 127]
+    # zero vector → zero codes, zero scale
+    assert rows[2].codes == [0, 0] and rows[2].qscale == 0.0
+    # reconstruction error bounded by scale/2 per component
+    for r in rows.values():
+        if r.qscale == 0.0:
+            continue
+        orig = [1.0, -0.5, 0.25, 0.0] if r.vec_id == 1 else [-2.0, 2.0]
+        for x, c in zip(orig, r.codes):
+            assert abs(x - c * r.qscale) <= r.qscale / 2 + 1e-9

@@ -83,6 +83,9 @@ def test_driver_window_priority():
         "tpch_q16_supplier_part_counts",
         "tpch_q20_part_promotion",
         "text_decontaminate",
+        "w9_time_range_hour",
+        "text_char_entropy",
+        "emb_int8_quantize",
     ):
         assert name in window, name
     # regression canaries: one green representative per checked family

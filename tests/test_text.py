@@ -210,3 +210,23 @@ class TestPackTokenBins:
         )
         got = {(r.source): r.bin_id for r in pack_token_bins(df, budget=5).collect()}
         assert got == {"x": 0, "y": 0}  # each shard starts at bin 0
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from datalake_nba_dmc_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.n_distinct_chars, r.char_entropy_nats)
+        for r in char_entropy(df).collect()
+    }
+    assert set(got) == {1, 2, 3}  # empty/null docs dropped
+    assert got[1] == (4, 1, 0.0)
+    assert got[2][0:2] == (2, 2)
+    assert abs(got[2][2] - math.log(2)) < 1e-5
+    assert abs(got[3][2] - math.log(4)) < 1e-5
