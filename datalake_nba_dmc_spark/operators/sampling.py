@@ -65,3 +65,41 @@ def split_train_holdout(
     permille = int(round(holdout_fraction * 1000))
     h = _key_hash(F.col(key_col), 1000)
     return df.filter(h >= permille), df.filter(h < permille)
+
+
+def resample_balanced(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Rebalance a corpus so every stratum contributes (approximately) the
+    same total ``weight_col`` mass: each stratum's keep-fraction is
+    ``min_stratum_weight / its_weight``, and row membership is decided by
+    the deterministic key hash against that threshold — the data-driven
+    version of :func:`sample_stratified`, where the rates come FROM the
+    data instead of a config (the standard "don't let one crawl dominate
+    the training mix" step).
+
+    Plan: one partial-agg shuffle to get per-stratum totals (a handful of
+    rows), a broadcast join of those thresholds back onto the corpus, and
+    a scan-level hash filter. The corpus itself is never shuffled, and
+    thresholds are exact integers (floor of the weight ratio scaled to
+    ``buckets``), so membership is engine-portable and reproducible at
+    any scale factor.
+    """
+    totals = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("_w"))
+    min_w = totals.agg(F.min("_w").alias("_wmin"))
+    # exact integer division (`div`), not floor-of-double-divide: keeps the
+    # threshold engine-portable past 2^53 total weight. Overflow bound:
+    # min-stratum weight × buckets must fit in int64.
+    thresholds = totals.crossJoin(F.broadcast(min_w)).select(
+        stratum_col,
+        F.expr(f"div(_wmin * {buckets}L, _w)").alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=stratum_col)
+        .filter(_key_hash(F.col(key_col), buckets) < F.col("_thr"))
+        .drop("_thr")
+    )

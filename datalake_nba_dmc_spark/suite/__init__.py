@@ -102,6 +102,7 @@ _CHECK_PRIORITY: list[str] = [
     "w9_time_range_hour",
     "text_char_entropy",
     "emb_int8_quantize",
+    "corpus_resample_balanced",
     # -- sentinels: green representatives of every r1/r2-checked family,
     #    kept inside the window so a regression is visible to the driver
     #    (includes the two canaries that fell out of the r2 window, plus
@@ -122,7 +123,8 @@ _CHECK_PRIORITY: list[str] = [
     "events_asof_latest_order",
     "media_metadata",
     "skew_salted_join",
-    "merge_upsert_orders",
+    # (merge_upsert family regression cover comes from scd2/cdc/gapfill in
+    # the never-checked block above)
     "k1_write_roundtrip",
 ]
 

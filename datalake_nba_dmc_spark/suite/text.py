@@ -409,3 +409,36 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.char_entropy(docs.select("doc_id", "text")).select(
         "doc_id", "n_chars", "n_distinct_chars", "char_entropy_nats"
     )
+
+
+@query(
+    "corpus_resample_balanced",
+    oracle="""
+    WITH totals AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ), thr AS (
+      SELECT source,
+             CAST((SELECT MIN(w) FROM totals) * 1000000 // w AS BIGINT) AS t
+      FROM totals
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < thr.t
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalance: downsample every source to the smallest
+    source's total char mass, membership decided by the portable key hash
+    (operators/sampling.resample_balanced). Thresholds are exact integer
+    divisions broadcast back onto the corpus — the corpus itself is never
+    shuffled."""
+    from datalake_nba_dmc_spark.operators.sampling import resample_balanced
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return (
+        resample_balanced(docs, "doc_id", "source", "n_chars")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

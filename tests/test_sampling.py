@@ -43,3 +43,24 @@ def test_split_is_disjoint_and_total(keyed):
     h = set(r.k for r in hold.collect())
     assert not (t & h)
     assert len(t) + len(h) == 2000
+
+
+def test_resample_balanced_equalizes_mass(spark):
+    from datalake_nba_dmc_spark.operators.sampling import resample_balanced
+
+    # source "big" has 10x the char mass of "small" → ~10% keep rate
+    rows = [(i, "big", 100) for i in range(1000)] + [
+        (10_000 + i, "small", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = resample_balanced(df, "doc_id", "source", "n_chars")
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    # smallest stratum keeps everything (threshold == buckets)
+    assert counts["small"] == 100
+    # dominant stratum downsamples to ~its share (hash-uniform, ±5%)
+    assert 50 <= counts["big"] <= 150
+    # deterministic: same membership on re-run
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out.collect()
+    )

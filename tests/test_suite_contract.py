@@ -86,6 +86,7 @@ def test_driver_window_priority():
         "w9_time_range_hour",
         "text_char_entropy",
         "emb_int8_quantize",
+        "corpus_resample_balanced",
     ):
         assert name in window, name
     # regression canaries: one green representative per checked family
@@ -99,7 +100,6 @@ def test_driver_window_priority():
         "events_tumbling_agg",
         "media_metadata",
         "skew_salted_join",
-        "merge_upsert_orders",
         "k1_write_roundtrip",
     ):
         assert name in window, name
