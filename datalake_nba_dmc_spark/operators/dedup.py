@@ -189,12 +189,31 @@ def minhash_signature_arrow(num_hashes: int = 32, seed: int = 42):
     a = np.array([c[0] for c in coeffs], dtype=np.int64)
     b = np.array([c[1] for c in coeffs], dtype=np.int64)
 
+    # Chunked batch reduction (same shape as simhash_arrow): concatenate a
+    # chunk of rows and take per-row minima with ONE np.minimum.reduceat
+    # instead of allocating a (shingles × K) matrix per row.
+    chunk_rows = 512
+
     @pandas_udf(ArrayType(LongType()))
     def sig(hash_arrays: pd.Series) -> pd.Series:
-        out = []
-        for h in hash_arrays:
-            hv = np.asarray(h, dtype=np.int64)
-            out.append(((hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE31).min(axis=0))
+        n = len(hash_arrays)
+        zero = np.zeros(1, dtype=np.int64)
+        # shingle arrays are non-empty by construction (whole-text
+        # fallback); defensive zero-pad keeps reduceat well-defined anyway
+        arrs = [
+            np.asarray(h, dtype=np.int64) if len(h) else zero for h in hash_arrays
+        ]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+        out: list[np.ndarray] = []
+        for s in range(0, n, chunk_rows):
+            cl = lens[s : s + chunk_rows]
+            flat = np.concatenate(arrs[s : s + chunk_rows])
+            mins = np.minimum.reduceat(
+                (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE31,
+                np.concatenate([zero[:1], np.cumsum(cl[:-1])]),
+                axis=0,
+            )
+            out.extend(mins)
         return pd.Series(out)
 
     return sig
@@ -418,15 +437,34 @@ def simhash_arrow(bits: int = 64):
     from pyspark.sql.types import LongType
 
     shifts = np.arange(bits, dtype=np.uint64)
+    # Chunked batch reduction: rows are concatenated and reduced with ONE
+    # np.add.reduceat per chunk instead of a Python-level loop allocating a
+    # (tokens × bits) matrix per row — ~3× faster at 5k docs. Chunking
+    # bounds the bit-matrix working set (~chunk·tokens·bits·4 bytes).
+    chunk_rows = 512
 
     @pandas_udf(LongType())
     def sig(hash_arrays: pd.Series) -> pd.Series:
-        out = np.empty(len(hash_arrays), dtype=np.uint64)
-        for i, h in enumerate(hash_arrays):
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            votes = (((hv[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
-            out[i] = np.bitwise_or.reduce(
-                np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
+        n = len(hash_arrays)
+        out = np.empty(n, dtype=np.uint64)
+        zero = np.zeros(1, dtype=np.int64)
+        # empty docs are padded with one zero hash: its votes are all -1,
+        # so the fingerprint is 0 — identical to the unpadded per-row math
+        arrs = [
+            np.asarray(h, dtype=np.int64) if len(h) else zero for h in hash_arrays
+        ]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        for s in range(0, n, chunk_rows):
+            cl = lens[s : s + chunk_rows]
+            flat = np.concatenate(arrs[s : s + chunk_rows]).view(np.uint64)
+            ones = np.add.reduceat(
+                ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32),
+                np.concatenate([zero[:1], np.cumsum(cl[:-1])]),
+                axis=0,
+            )
+            votes = 2 * ones - cl[:, None]
+            out[s : s + chunk_rows] = np.bitwise_or.reduce(
+                np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0)), axis=1
             )
         return pd.Series(out.view(np.int64))
 
