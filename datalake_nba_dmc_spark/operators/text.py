@@ -381,7 +381,11 @@ def char_entropy(
     as int64), making the sum order-free and bit-stable; the final
     ``entropy = round(ln n − s/1e6/n, 6)`` is a fixed expression over
     those exact integers. Docs with no characters are dropped (matches
-    the SQL twin, where no char rows exist to aggregate).
+    the SQL twin, where no char rows exist to aggregate) — filtered on
+    ``length(text) > 0`` BEFORE the UDF: an equivalent predicate on the
+    UDF's output would be pushed back through the projection and evaluate
+    the whole UDF twice (once for the filter, once for the projection);
+    the input-side form pushes to the scan instead.
     """
     @F.pandas_udf("n_chars bigint, n_distinct_chars bigint, char_entropy_nats double")
     def ent(texts: pd.Series) -> pd.DataFrame:
@@ -398,8 +402,7 @@ def char_entropy(
         return pd.DataFrame(out, columns=["n_chars", "n_distinct_chars", "char_entropy_nats"])
 
     return (
-        ensure_parallelism(df)
+        ensure_parallelism(df.filter(F.length(text_col) > 0))
         .withColumn("_ce", ent(F.col(text_col)))
         .select(*df.columns, "_ce.*")
-        .filter(F.col("n_chars") > 0)
     )

@@ -167,12 +167,19 @@ def followup_join(
     then_type: str = "purchase",
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream funnel join: (first_type → then_type) by the same user
-    within ``horizon``. Inner join, so it runs in append mode; both sides
-    carry watermarks and the time band bounds BOTH state stores — without
-    the upper bound on ``p_ts`` the purchase side would buffer forever.
-    Batch path: identical join, no watermarks (unified model)."""
+    within ``horizon``. Runs in append mode; both sides carry watermarks
+    and the time band bounds BOTH state stores — without the upper bound on
+    ``p_ts`` the purchase side would buffer forever.
+
+    ``how="left_outer"`` keeps unconverted clicks: the null-extended row
+    for a click with no purchase is emitted only once the watermark passes
+    the click's join horizon (the engine must prove no future match can
+    arrive before it commits the null) — exactly the funnel-drop-off
+    semantics a conversion report needs. Batch path: identical join, no
+    watermarks (unified model)."""
     clicks = events.filter(F.col("event_type") == first_type).select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -191,6 +198,7 @@ def followup_join(
         (F.col("p_user") == F.col("c_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
 
 

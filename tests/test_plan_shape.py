@@ -174,3 +174,53 @@ def test_q17_no_allparts_aggregate_broadcast(spark):
     assert "Window" in plan
     # tree lines render as "+- BroadcastExchange (n)"; details repeat the name
     assert plan.count("BroadcastExchange (") == 1, plan
+
+
+@needs_testdata
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The eval-set gram side must broadcast: the corpus pass stays
+    map-side, and the only shuffle carries (doc_id, count) pairs."""
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
+def test_resample_thresholds_broadcast_corpus_unshuffled(spark):
+    """Per-stratum thresholds join back by broadcast — the corpus side of
+    the membership filter must not shuffle."""
+    plan = plan_of(spark, "corpus_resample_balanced")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
+def test_quantize_is_pure_projection(spark):
+    """int8 quantization adds no exchange and no join: a projection the
+    scan pipeline absorbs."""
+    plan = plan_of(spark, "emb_int8_quantize")
+    for op in ("Exchange", "Join", "Aggregate"):
+        assert op not in plan, op
+
+
+@needs_testdata
+def test_time_range_window_single_exchange(spark):
+    """The RANGE-frame window shuffles once on the partition key — one
+    Exchange, one Sort, no join."""
+    plan = plan_of(spark, "w9_time_range_hour")
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    assert "Join" not in plan
+
+
+@needs_testdata
+def test_char_entropy_single_udf_no_agg_shuffle(spark):
+    """Char entropy is a map-only Arrow projection: the UDF evaluates
+    exactly ONCE (an output-side filter would push back through the
+    projection and double-evaluate it), and there is no aggregation
+    shuffle — the only Exchange is ensure_parallelism's round-robin
+    fan-out (the SQL twin needs a row-per-char explode + two aggs)."""
+    plan = plan_of(spark, "text_char_entropy")
+    # formatted explain prints each node twice (tree line + detail header)
+    assert plan.count("ArrowEvalPython") == 2
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan

@@ -225,3 +225,29 @@ def test_enrich_with_dimension_stream_matches_batch(spark, events_dir, tmp_path)
     ).select(*proj)
     assert _rows(got, proj) == _rows(want, proj)
     assert got.count() > 0
+
+
+@needs_testdata
+def test_followup_left_outer_stream_matches_batch(spark, events_dir, tmp_path):
+    """Left-outer stream-stream join: unmatched clicks get their null row
+    only once the watermark proves no future purchase can match. With
+    availableNow draining the source, matched pairs equal the batch join
+    exactly and null rows appear for (at least) every click whose horizon
+    the final watermark passed — and never for a click that has a match."""
+    from datalake_nba_dmc_spark.streaming import followup_join
+
+    stream = followup_join(read_events_stream(spark, events_dir), how="left_outer")
+    got = _run_stream(spark, stream, str(tmp_path))
+    want = followup_join(_read_events_batch(spark, events_dir), how="left_outer")
+    cols = ["user_id", "click_id", "purchase_id"]
+    got_rows, want_rows = _rows(got, cols), _rows(want, cols)
+    # matched pairs agree exactly
+    got_matched = [r for r in got_rows if r[2] is not None]
+    want_matched = [r for r in want_rows if r[2] is not None]
+    assert got_matched == want_matched
+    # every emitted null row is a true batch null row (no false drop-offs)
+    want_nulls = {r[1] for r in want_rows if r[2] is None}
+    got_nulls = {r[1] for r in got_rows if r[2] is None}
+    assert got_nulls <= want_nulls
+    # the watermark tail may hold back a few, but most nulls must emit
+    assert len(got_nulls) >= 0.8 * len(want_nulls)
