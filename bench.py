@@ -81,11 +81,14 @@ def main() -> None:
 
     specs = load_all()
     dfs = {name: specs[name].builder(spark, sf_dir) for name in HEADLINE}
-    # Two full passes, per-query min ACROSS passes: back-to-back repeats of
-    # one query share any transient slowdown (host noise, GC pause), so the
-    # two samples of each query are separated by a full suite pass instead.
+    # Three full passes, per-query min ACROSS passes: back-to-back repeats
+    # of one query share any transient slowdown (host noise, GC pause), so
+    # each query's samples are separated by full suite passes instead.
+    # Round-over-round comparisons at this scale are dominated by host
+    # noise with only two samples (observed ±30% suite-total swings);
+    # three tightens the min estimate at ~12 s extra runtime.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             start = time.perf_counter()
             dfs[name].write.format("noop").mode("overwrite").save()
