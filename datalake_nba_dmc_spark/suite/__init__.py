@@ -103,6 +103,8 @@ _CHECK_PRIORITY: list[str] = [
     "text_char_entropy",
     "emb_int8_quantize",
     "corpus_resample_balanced",
+    "text_lang_confusion",
+    "text_vocab_coverage",
     # -- sentinels: green representatives of every r1/r2-checked family,
     #    kept inside the window so a regression is visible to the driver
     #    (includes the two canaries that fell out of the r2 window, plus
@@ -116,11 +118,9 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_clusters_assign",
     "curation_pipeline",
     "text_stats",
-    "text_tfidf",
     "sim_bruteforce_topk",
     "sim_lsh_recall",
     "events_tumbling_agg",
-    "events_asof_latest_order",
     "media_metadata",
     "skew_salted_join",
     # (merge_upsert family regression cover comes from scd2/cdc/gapfill in

@@ -6,7 +6,7 @@ measure is rounded to 6 dp on BOTH sides before hashing."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators import text as T
@@ -441,4 +441,92 @@ def corpus_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_balanced(docs, "doc_id", "source", "n_chars")
         .select("doc_id", "source")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang,
+             {_duck_lang_hits(T.LANG_MARKERS['de'])} AS h_de,
+             {_duck_lang_hits(T.LANG_MARKERS['en'])} AS h_en,
+             {_duck_lang_hits(T.LANG_MARKERS['es'])} AS h_es,
+             {_duck_lang_hits(T.LANG_MARKERS['fr'])} AS h_fr
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM h GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID QA: confusion matrix of the declared ``lang`` column vs
+    the detector's prediction — the accuracy report a curation run ships
+    with. One expression projection + one tiny hash agg (cells ≤ langs²)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return (
+        T.lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH c AS (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+    ), top AS (
+      SELECT token, n FROM c ORDER BY n DESC, token LIMIT 500
+    )
+    SELECT token, CAST(n AS BIGINT) AS token_count,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / (SELECT total FROM t) AS cum_share
+    FROM top
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage report: the top-500 tokens by exact corpus
+    frequency with each prefix's cumulative share of all tokens — the
+    how-big-must-the-vocab-be curve tokenizer work starts from.
+
+    Scale shape: wordcount hash-agg (map-side combined), then a
+    DISTRIBUTED top-k (orderBy+limit plans as TakeOrderedAndProject — no
+    global sort of the vocabulary); only the 500 survivors enter the
+    single-partition ranking window, and the grand total joins in as a
+    broadcast one-row literal."""
+    docs = TableRegistry(spark, sf_dir).documents
+    counts = (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("token_count"))
+    )
+    total = counts.agg(F.sum("token_count").alias("_total"))
+    top = counts.orderBy(F.col("token_count").desc(), F.col("token").asc()).limit(500)
+    w = Window.orderBy(F.col("token_count").desc(), F.col("token").asc())
+    cum = Window.orderBy(F.col("token_count").desc(), F.col("token").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "token_count",
+            F.row_number().over(w).alias("rank"),
+            (F.sum("token_count").over(cum).cast("double") / F.col("_total")).alias(
+                "cum_share"
+            ),
+        )
     )

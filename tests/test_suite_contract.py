@@ -87,6 +87,8 @@ def test_driver_window_priority():
         "text_char_entropy",
         "emb_int8_quantize",
         "corpus_resample_balanced",
+        "text_lang_confusion",
+        "text_vocab_coverage",
     ):
         assert name in window, name
     # regression canaries: one green representative per checked family
@@ -95,7 +97,6 @@ def test_driver_window_priority():
         "tpch_q1_pricing_summary",
         "tpch_q4_order_priority",
         "dedup_exact",
-        "text_tfidf",
         "sim_bruteforce_topk",
         "events_tumbling_agg",
         "media_metadata",
