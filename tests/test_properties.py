@@ -230,3 +230,66 @@ def test_snapshot_diff_inverts_to_new_state(spark, old, new):
     for k in set(old) & set(new):
         if old[k] == new[k]:
             assert k not in diff
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="abcdef \n", min_size=1, max_size=40).filter(
+            lambda t: len(t) > 0
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_char_entropy_permutation_invariant_and_bounded(spark, texts):
+    """Entropy depends only on the char multiset: shuffling characters
+    changes nothing, and 0 <= H <= ln(distinct_chars)."""
+    import math
+
+    from datalake_nba_dmc_spark.operators.text import char_entropy
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    perm = [(i, "".join(sorted(t))) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dfp = spark.createDataFrame(perm, "doc_id long, text string")
+    a = {r.doc_id: r.char_entropy_nats for r in char_entropy(df).collect()}
+    b = {r.doc_id: r.char_entropy_nats for r in char_entropy(dfp).collect()}
+    assert a == b
+    d = {r.doc_id: r.n_distinct_chars for r in char_entropy(df).collect()}
+    for i, h in a.items():
+        assert -1e-9 <= h <= math.log(max(d[i], 1)) + 1e-9
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quantize_int8_negation_symmetry_and_range(spark, vecs):
+    """Codes are odd under vector negation, bounded to [-127, 127], and
+    the scale equals max|x|/127."""
+    from datalake_nba_dmc_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    neg = spark.createDataFrame(
+        [(i, [-x for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {r.vec_id: r for r in quantize_int8(df).collect()}
+    b = {r.vec_id: r for r in quantize_int8(neg).collect()}
+    for i in a:
+        assert a[i].qscale == b[i].qscale
+        assert [-c for c in a[i].codes] == b[i].codes
+        assert all(-127 <= c <= 127 for c in a[i].codes)
