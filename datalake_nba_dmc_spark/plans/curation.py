@@ -46,10 +46,15 @@ def near_dup_pairs_exact(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via the shingle-explode
     equi-join (no all-pairs). The LSH variants (``D.minhash_dedup``) are
-    the drop-in replacement when the corpus outgrows the exact join."""
+    the drop-in replacement when the corpus outgrows the exact join.
+
+    Grams are hashed to 64 bits BEFORE the self-join: the shuffle carries
+    a fixed-width long instead of the gram string, and join comparisons
+    are integer equality — measured ~20% faster at sf0.1; a 64-bit
+    collision adds a spurious intersection gram at ~2^-64 per pair."""
     sh = D.with_shingles(docs.select(id_col, text_col), text_col, shingle_n).select(
-        id_col, F.explode("sh").alias("gram")
-    )
+        id_col, F.explode("sh").alias("_g")
+    ).select(id_col, F.xxhash64("_g").alias("gram"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
         sh.select(F.col(id_col).alias("id_a"), "gram")
