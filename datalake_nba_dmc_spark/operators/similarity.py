@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -347,3 +349,101 @@ def quantize_int8(
         F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") / scale).cast("int"))
     )
     return df.withColumn(scale_col, scale).withColumn(codes_col, codes)
+
+
+def embedding_second_moments(
+    df: DataFrame, vec_col: str = "embedding", scale: float = 100_000_000.0
+) -> DataFrame:
+    """Exact upper-triangle second-moment matrix of an embedding column:
+    ``s2[i,j] = Σ_rows floor(x_i · x_j · scale)`` as int64 (1-based i ≤ j).
+
+    The input to distributed covariance/PCA. Scale shape: each Arrow batch
+    reduces to ONE d×d partial matrix in numpy (chunked so the (rows, d, d)
+    product tensor stays ~16 MB), every partition emits at most d(d+1)/2
+    rows, and the final groupBy sums integer partials — associative, so
+    the result is bit-identical under any partitioning. Per-term floor
+    (after exact float32→float64 promotion) makes the sum order-free and
+    engine-portable — the DuckDB twin computes the identical integers.
+    """
+
+    def part(batches):
+        acc = None
+        for pdf in batches:
+            vals = pdf[vec_col].values
+            for s in range(0, len(vals), 512):
+                X = np.stack(vals[s : s + 512]).astype(np.float64)
+                P = (
+                    np.floor(X[:, :, None] * X[:, None, :] * scale)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                acc = P if acc is None else acc + P
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {"i": iu[0] + 1, "j": iu[1] + 1, "s2": acc[iu]}
+        )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(part, "i int, j int, s2 long")
+        .groupBy("i", "j")
+        .agg(F.sum("s2").alias("s2"))
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    out_col: str = "pca",
+    scale: float = 100_000_000.0,
+) -> DataFrame:
+    """Distributed PCA: project embeddings onto their top-``k`` principal
+    components (the standard dimensionality cut ahead of ANN indexing /
+    visualization).
+
+    Three phases, all scale-safe:
+
+    1. Exact moments: :func:`embedding_second_moments` + per-dimension
+       mean sums — two passes whose shuffled rows number O(d²), never
+       O(rows).
+    2. Driver-side eigendecomposition of the d×d covariance (numpy
+       ``eigh`` on a matrix of a few thousand cells — legitimately tiny
+       driver work, the same split Spark MLlib uses). Component signs are
+       pinned (largest-|w| entry positive) so results don't flip between
+       runs.
+    3. Broadcast the (d × k) component matrix; projection is one Arrow
+       batch matmul per partition — map-only, no shuffle.
+    """
+    d = len(df.select(vec_col).first()[0])
+    n = df.count()
+    sm = {(r["i"] - 1, r["j"] - 1): r["s2"] for r in embedding_second_moments(df, vec_col, scale).collect()}
+    mean_rows = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.floor(F.col("x").cast("double") * scale).cast("long")).alias("m"))
+        .collect()
+    )
+    m = np.zeros(d)
+    for r in mean_rows:
+        m[r["i"]] = (r["m"] / scale) / n
+    S = np.zeros((d, d))
+    for (i, j), s2 in sm.items():
+        S[i, j] = S[j, i] = (s2 / scale) / n
+    cov = S - np.outer(m, m)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:k]]  # d × k, descending eigenvalue
+    for c in range(k):
+        if comps[np.abs(comps[:, c]).argmax(), c] < 0:
+            comps[:, c] = -comps[:, c]
+    bc_m, bc_w = m, comps
+
+    @F.pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.values).astype(np.float64) - bc_m
+        Y = X @ bc_w
+        return pd.Series(list(Y))
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -105,6 +105,8 @@ _CHECK_PRIORITY: list[str] = [
     "corpus_resample_balanced",
     "text_lang_confusion",
     "text_vocab_coverage",
+    "emb_second_moments",
+    "emb_pca_project",
     # -- sentinels: green representatives of every r1/r2-checked family,
     #    kept inside the window so a regression is visible to the driver
     #    (includes the two canaries that fell out of the r2 window, plus
@@ -112,14 +114,12 @@ _CHECK_PRIORITY: list[str] = [
     "flagship_customer_resume",
     "tpch_q1_pricing_summary",
     "tpch_q4_order_priority",
-    "w1_latest_order_per_customer",
     "a3_multi_measure_agg",
     "dedup_exact",
     "dedup_clusters_assign",
     "curation_pipeline",
     "text_stats",
     "sim_bruteforce_topk",
-    "sim_lsh_recall",
     "events_tumbling_agg",
     "media_metadata",
     "skew_salted_join",

@@ -223,3 +223,39 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(e.select("vec_id", "embedding")).select(
         "vec_id", "qscale", "codes"
     )
+
+
+@query(
+    "emb_second_moments",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS xi
+      FROM embeddings
+    )
+    SELECT a.i, b.i AS j,
+           CAST(SUM(CAST(floor(CAST(a.xi AS DOUBLE) * CAST(b.xi AS DOUBLE)
+                               * 100000000.0) AS BIGINT)) AS BIGINT) AS s2
+    FROM x a JOIN x b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def emb_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact second-moment (gram) matrix of the embedding table — the input
+    to distributed covariance/PCA (operators/similarity.
+    embedding_second_moments). One Arrow pass reduces each partition to at
+    most d(d+1)/2 integer rows; the SQL twin must self-join a row per
+    COMPONENT (rows × d²) to express the same sums — the plan shape the
+    operator exists to avoid."""
+    e = TableRegistry(spark, sf_dir).embeddings
+    return S.embedding_second_moments(e).select("i", "j", "s2")
+
+
+@query("emb_pca_project", oracle=None)  # eigenvectors have no SQL twin
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection to 8 components (exact-integer moments →
+    driver-side d×d eigh → broadcast matmul). Rows-only driver check; the
+    numerical path is pytest-verified against numpy PCA on the same data."""
+    e = TableRegistry(spark, sf_dir).embeddings
+    return S.pca_project(e.select("vec_id", "embedding"), k=8).select("vec_id", "pca")

@@ -167,3 +167,52 @@ def test_quantize_int8_bounds(spark):
         orig = [1.0, -0.5, 0.25, 0.0] if r.vec_id == 1 else [-2.0, 2.0]
         for x, c in zip(orig, r.codes):
             assert abs(x - c * r.qscale) <= r.qscale / 2 + 1e-9
+
+
+def test_second_moments_match_numpy(spark):
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.similarity import embedding_second_moments
+
+    rng = np.random.default_rng(7)
+    X32 = rng.normal(size=(40, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X32)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.i, r.j): r.s2 for r in embedding_second_moments(df).collect()}
+    X = X32.astype(np.float64)
+    want = np.floor(X[:, :, None] * X[:, None, :] * 1e8).astype(np.int64).sum(axis=0)
+    iu = np.triu_indices(5)
+    assert got == {
+        (int(i) + 1, int(j) + 1): int(want[i, j]) for i, j in zip(*iu)
+    }
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud so components are well-separated
+    X32 = (rng.normal(size=(60, 6)) * np.array([5, 3, 1, 0.5, 0.2, 0.1])).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X32)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: np.array(r.pca) for r in pca_project(df, k=3).collect()}
+    X = X32.astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    w, v = np.linalg.eigh(Xc.T @ Xc / len(X))
+    comps = v[:, np.argsort(w)[::-1][:3]]
+    for c in range(3):
+        if comps[np.abs(comps[:, c]).argmax(), c] < 0:
+            comps[:, c] = -comps[:, c]
+    want = Xc @ comps
+    for i in range(len(X)):
+        # the operator's covariance uses exact floored-integer moments, so
+        # allow a tolerance of the quantization + eigh conditioning
+        assert np.allclose(got[i], want[i], atol=1e-4), i

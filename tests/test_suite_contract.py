@@ -89,6 +89,8 @@ def test_driver_window_priority():
         "corpus_resample_balanced",
         "text_lang_confusion",
         "text_vocab_coverage",
+        "emb_second_moments",
+        "emb_pca_project",
     ):
         assert name in window, name
     # regression canaries: one green representative per checked family
