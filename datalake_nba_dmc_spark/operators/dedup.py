@@ -597,3 +597,81 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest-time dedup: keep only the rows of ``batch`` that are neither
+    exact nor near (n-gram Jaccard ≥ ``threshold``) duplicates of the
+    existing ``corpus``, nor of an earlier (lower-id) row in the batch
+    itself — the standard incremental-crawl admission filter.
+
+    Asymmetric scale shape: the batch is small relative to a 100 TB
+    corpus, so the BATCH side of both checks broadcasts. The exact check
+    is a fingerprint anti-join; the near check explodes only gram HASHES
+    (64-bit longs), broadcast-joins the batch grams onto the corpus grams
+    — one corpus scan, no corpus shuffle — and computes exact Jaccard
+    from intersection counts and broadcast shingle sizes. Batch-internal
+    duplicates resolve by min-id (same convention as :func:`exact_dedup`).
+    """
+    fp = fingerprint(text_col)
+    b_fp = batch.withColumn("_fp", fp)
+    c_fp = corpus.select(fp.alias("_fp")).distinct()
+    # exact: drop batch rows whose fingerprint exists in the corpus, then
+    # keep the min-id representative per batch fingerprint
+    fresh = b_fp.join(F.broadcast(c_fp).hint("broadcast"), on="_fp", how="left_anti")
+    winners = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    fresh = fresh.join(winners, on=id_col, how="left_semi").drop("_fp")
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+            .select(id_col, F.explode("sh").alias("_g"))
+            .select(id_col, F.xxhash64("_g").alias("gram"))
+        )
+
+    bg = grams(fresh)
+    b_sizes = bg.groupBy(id_col).agg(F.count("*").alias("_bsz"))
+    cg = grams(corpus).select(F.col(id_col).alias("_cid"), "gram")
+    c_sizes = cg.groupBy("_cid").agg(F.count("*").alias("_csz"))
+    inter = (
+        cg.join(F.broadcast(bg), on="gram")
+        .groupBy(id_col, "_cid")
+        .agg(F.count("*").alias("_n"))
+    )
+    near_corpus = (
+        inter.join(F.broadcast(b_sizes), on=id_col)
+        .join(c_sizes, on="_cid")
+        .filter(
+            F.col("_n").cast("double") / (F.col("_bsz") + F.col("_csz") - F.col("_n"))
+            >= threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+    survivors = fresh.join(near_corpus, on=id_col, how="left_anti")
+    # batch-internal near-dups: min-id representative via the star pairs
+    bb = grams(survivors)
+    bb_sizes = bb.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    pairs = (
+        bb.select(F.col(id_col).alias("id_a"), "gram")
+        .join(bb.select(F.col(id_col).alias("id_b"), "gram"), on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n"))
+        .join(bb_sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")), on="id_a")
+        .join(bb_sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb")), on="id_b")
+        .filter(
+            F.col("_n").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_n"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(pairs, on=id_col, how="left_anti")

@@ -107,6 +107,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_vocab_coverage",
     "emb_second_moments",
     "emb_pca_project",
+    "dedup_incremental",
     # -- sentinels: green representatives of every r1/r2-checked family,
     #    kept inside the window so a regression is visible to the driver
     #    (includes the two canaries that fell out of the r2 window, plus
@@ -121,7 +122,8 @@ _CHECK_PRIORITY: list[str] = [
     "text_stats",
     "sim_bruteforce_topk",
     "events_tumbling_agg",
-    "media_metadata",
+    # (multimodal family cover comes from media_audio_stats in the
+    # never-checked block above)
     "skew_salted_join",
     # (merge_upsert family regression cover comes from scd2/cdc/gapfill in
     # the never-checked block above)

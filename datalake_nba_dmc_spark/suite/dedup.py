@@ -275,3 +275,60 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     return D.contamination_hits(corpus, bench, "text", n=3).select("doc_id", "n_hits")
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    cfp AS (SELECT DISTINCT {_NORM} AS fp FROM corpus),
+    bf AS (SELECT *, {_NORM} AS fp FROM batch),
+    fresh0 AS (SELECT * FROM bf WHERE fp NOT IN (SELECT fp FROM cfp)),
+    fresh AS (SELECT f.* FROM fresh0 f
+              WHERE f.doc_id IN (SELECT MIN(doc_id) FROM fresh0 GROUP BY fp)),
+    bt AS (SELECT doc_id,
+                  list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+           FROM fresh),
+    bsh AS (SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM bt),
+    bsz AS (SELECT doc_id, len(grams) AS sz FROM bsh),
+    bex AS (SELECT doc_id, unnest(grams) AS gram FROM bsh),
+    ct AS (SELECT doc_id,
+                  list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+           FROM corpus),
+    csh AS (SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM ct),
+    csz AS (SELECT doc_id AS cid, len(grams) AS sz FROM csh),
+    cex AS (SELECT doc_id AS cid, unnest(grams) AS gram FROM csh),
+    interc AS (SELECT b.doc_id, c.cid, COUNT(*) AS n
+               FROM bex b JOIN cex c USING (gram) GROUP BY 1, 2),
+    nearc AS (SELECT DISTINCT i.doc_id
+              FROM interc i JOIN bsz ON i.doc_id = bsz.doc_id
+              JOIN csz ON i.cid = csz.cid
+              WHERE CAST(i.n AS DOUBLE) / (bsz.sz + csz.sz - i.n) >= 0.5),
+    surv AS (SELECT * FROM fresh
+             WHERE doc_id NOT IN (SELECT doc_id FROM nearc)),
+    interb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+               FROM bex a JOIN bex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+               WHERE a.doc_id IN (SELECT doc_id FROM surv)
+                 AND b.doc_id IN (SELECT doc_id FROM surv)
+               GROUP BY 1, 2),
+    dropb AS (SELECT DISTINCT id_b AS doc_id
+              FROM interb
+              JOIN bsz sa ON interb.id_a = sa.doc_id
+              JOIN bsz sb ON interb.id_b = sb.doc_id
+              WHERE CAST(interb.n AS DOUBLE) / (sa.sz + sb.sz - interb.n) >= 0.5)
+    SELECT doc_id, lang, source FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropb)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time admission filter: every 5th doc plays the incoming batch;
+    the rest are the existing corpus. A batch row is admitted iff it is not
+    an exact or near (Jaccard ≥ 0.5) duplicate of the corpus or of an
+    earlier admitted batch row (operators/dedup.incremental_dedup). The
+    batch side broadcasts in every check — the corpus is scanned once and
+    never shuffled."""
+    docs = TableRegistry(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.incremental_dedup(corpus, batch).select("doc_id", "lang", "source")

@@ -216,3 +216,27 @@ def test_contamination_hits_broadcasts_benchmark(spark):
     )
     plan = contamination_hits(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_admission(spark):
+    from datalake_nba_dmc_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "The quick  brown fox jumps over the lazy dog"),  # exact dup (normalized)
+            (11, "the quick brown fox jumps over the lazy cat today"),  # near dup of corpus 1
+            (12, "completely novel text with no overlap whatsoever at all"),
+            (13, "completely novel text with no overlap whatsoever at all friend"),  # near dup of 12
+            (14, "unrelated fresh content mentioning nothing previously seen"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in incremental_dedup(corpus, batch).collect())
+    assert got == [12, 14]

@@ -91,6 +91,7 @@ def test_driver_window_priority():
         "text_vocab_coverage",
         "emb_second_moments",
         "emb_pca_project",
+        "dedup_incremental",
     ):
         assert name in window, name
     # regression canaries: one green representative per checked family
@@ -101,7 +102,6 @@ def test_driver_window_priority():
         "dedup_exact",
         "sim_bruteforce_topk",
         "events_tumbling_agg",
-        "media_metadata",
         "skew_salted_join",
         "k1_write_roundtrip",
     ):
