@@ -186,3 +186,67 @@ def audio_waveform_stats(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ensure_parallelism(df).mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
+
+
+def parse_image_header(payload: bytes | None) -> tuple[str, int | None, int | None]:
+    """REAL (non-stub) container-format sniffing + dimension extraction by
+    struct-parsing the file header — PNG IHDR, GIF logical screen, BMP
+    info header, JPEG SOFn scan. Needs no imaging library, so unlike
+    ``_decode_image`` this path runs as-is in production; only pixel
+    DECODE remains stubbed. Returns (format, width, height), with
+    ("unknown", None, None) for unrecognized payloads.
+    """
+    import struct
+
+    if not payload or len(payload) < 10:
+        return ("unknown", None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", w, abs(h))
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seglen
+        return ("jpeg", None, None)
+    return ("unknown", None, None)
+
+
+def extract_image_headers(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Map-only Arrow pass applying :func:`parse_image_header` to every
+    payload: Arrow batches of binary enter Python once per batch; output
+    adds (format, width, height). At 100 TB this is the metadata-harvest
+    scan that runs BEFORE any expensive decode, so corrupt/mislabeled
+    media is quarantined on header bytes alone."""
+    import pandas as pd
+
+    cols = df.columns
+
+    def part(batches):
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf[payload_col]]
+            out = pdf.drop(columns=[payload_col])
+            out["format"] = [p[0] for p in parsed]
+            out["width"] = pd.array([p[1] for p in parsed], dtype="Int32")
+            out["height"] = pd.array([p[2] for p in parsed], dtype="Int32")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != payload_col
+    )
+    return df.mapInPandas(part, schema + ", format string, width int, height int")

@@ -79,3 +79,43 @@ def test_audio_waveform_stats_match_numpy(spark):
     assert abs(r1.duration_s - 3 / 8000.0) < 1e-15
     assert abs(r1.rms - math.sqrt((97**2 + 98**2 + 99**2) / 3)) < 1e-12
     assert got[3].peak == 122 and got[3].n_samples == 2
+
+
+def test_parse_image_header_real_formats():
+    import struct
+
+    from datalake_nba_dmc_spark.operators.multimodal import parse_image_header
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">IIBBBBB", 640, 480, 8, 6, 0, 0, 0
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 4
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 768, 1024)
+        + b"\x00" * 10
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(bmp) == ("bmp", 100, 50)  # top-down height abs'd
+    assert parse_image_header(jpeg) == ("jpeg", 1024, 768)
+    assert parse_image_header(b"plain text payload") == ("unknown", None, None)
+    assert parse_image_header(None) == ("unknown", None, None)
+
+
+def test_extract_image_headers_distributed(spark):
+    import struct
+
+    from datalake_nba_dmc_spark.operators.multimodal import extract_image_headers
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">IIBBBBB", 12, 34, 8, 6, 0, 0, 0
+    )
+    df = spark.createDataFrame(
+        [(1, png), (2, b"not an image here")],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: (r.format, r.width, r.height) for r in extract_image_headers(df).collect()}
+    assert got == {1: ("png", 12, 34), 2: ("unknown", None, None)}
