@@ -399,10 +399,13 @@ def pca_project(
     k: int = 8,
     out_col: str = "pca",
     scale: float = 100_000_000.0,
+    whiten: bool = False,
 ) -> DataFrame:
     """Distributed PCA: project embeddings onto their top-``k`` principal
     components (the standard dimensionality cut ahead of ANN indexing /
-    visualization).
+    visualization). ``whiten=True`` additionally scales each component by
+    1/√eigenvalue so projected coordinates have unit variance — the usual
+    normalization before cosine/Euclidean ANN on PCA'd vectors.
 
     Three phases, all scale-safe:
 
@@ -434,10 +437,13 @@ def pca_project(
         S[i, j] = S[j, i] = (s2 / scale) / n
     cov = S - np.outer(m, m)
     w, v = np.linalg.eigh(cov)
-    comps = v[:, np.argsort(w)[::-1][:k]]  # d × k, descending eigenvalue
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]  # d × k, descending eigenvalue
     for c in range(k):
         if comps[np.abs(comps[:, c]).argmax(), c] < 0:
             comps[:, c] = -comps[:, c]
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(w[order], 1e-12))
     bc_m, bc_w = m, comps
 
     @F.pandas_udf("array<double>")

@@ -216,3 +216,21 @@ def test_pca_project_matches_numpy(spark):
         # the operator's covariance uses exact floored-integer moments, so
         # allow a tolerance of the quantization + eigh conditioning
         assert np.allclose(got[i], want[i], atol=1e-4), i
+
+
+def test_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(13)
+    X32 = (rng.normal(size=(200, 5)) * np.array([8, 4, 2, 1, 0.5])).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X32)],
+        "vec_id long, embedding array<float>",
+    )
+    Y = np.stack(
+        [r.pca for r in pca_project(df, k=3, whiten=True).orderBy("vec_id").collect()]
+    )
+    # whitened projections have ~unit variance on every component
+    assert np.allclose(Y.var(axis=0), 1.0, atol=0.05)
