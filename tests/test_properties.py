@@ -258,7 +258,9 @@ def test_char_entropy_permutation_invariant_and_bounded(spark, texts):
     assert a == b
     d = {r.doc_id: r.n_distinct_chars for r in char_entropy(df).collect()}
     for i, h in a.items():
-        assert -1e-9 <= h <= math.log(max(d[i], 1)) + 1e-9
+        # entropy is rounded to 6 decimals, which can cross the exact
+        # bound by up to half the rounding step
+        assert -5e-7 <= h <= math.log(max(d[i], 1)) + 5e-7
 
 
 @SLOW
