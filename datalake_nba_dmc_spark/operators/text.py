@@ -406,3 +406,56 @@ def char_entropy(
         .withColumn("_ce", ent(F.col(text_col)))
         .select(*df.columns, "_ce.*")
     )
+
+
+def collocations(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information:
+    ``pmi = ln(P(w1,w2) / (P(w1)·P(w2)))`` over adjacent lowercase token
+    pairs — the classic corpus-exploration signal for multiword
+    expressions ("new york"-style units a tokenizer or stopword list
+    should know about).
+
+    Word-count scale shape: one explode → hash-agg per arity (unigram,
+    bigram; both map-side combined), the two grand totals broadcast as
+    one-row literals, and the PMI projection is a fixed double expression
+    over exact integer counts (one ``ln`` per surviving row, rounded to 6
+    decimals — same cross-engine determinism treatment as TF-IDF).
+    ``min_count`` prunes the long tail before the unigram joins.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    t = ensure_parallelism(df).select(toks.alias("toks"))
+    uni = t.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    n_toks = uni.agg(F.sum("c").alias("n_toks"))
+    pairs = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    n_pairs = big.agg(F.sum("c_xy").alias("n_pairs"))
+    joined = (
+        big.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), on="w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), on="w2")
+        .crossJoin(F.broadcast(n_toks))
+        .crossJoin(F.broadcast(n_pairs))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n_toks") * F.col("n_toks"))
+            / (F.col("n_pairs").cast("double") * F.col("c_x") * F.col("c_y"))
+        ),
+        6,
+    )
+    return joined.select("w1", "w2", "c_xy", pmi.alias("pmi"))

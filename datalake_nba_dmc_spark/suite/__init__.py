@@ -108,6 +108,7 @@ _CHECK_PRIORITY: list[str] = [
     "emb_second_moments",
     "emb_pca_project",
     "dedup_incremental",
+    "text_collocations",
     # -- sentinels: green representatives of every r1/r2-checked family,
     #    kept inside the window so a regression is visible to the driver
     #    (includes the two canaries that fell out of the r2 window, plus
@@ -121,9 +122,9 @@ _CHECK_PRIORITY: list[str] = [
     "curation_pipeline",
     "text_stats",
     "sim_bruteforce_topk",
-    "events_tumbling_agg",
-    # (multimodal family cover comes from media_audio_stats in the
-    # never-checked block above)
+    # (events-family regression cover comes from time_rollup /
+    # interval_overlap / cohort_retention in the never-checked block;
+    # multimodal cover from media_audio_stats)
     "skew_salted_join",
     # (merge_upsert family regression cover comes from scd2/cdc/gapfill in
     # the never-checked block above)

@@ -530,3 +530,42 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_collocations",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ), nt AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_toks FROM uni
+    ), bi AS (
+      SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                     FOR i IN range(1, len(toks))]) AS s
+      FROM t WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2
+    ), np AS (
+      SELECT CAST(SUM(c_xy) AS BIGINT) AS n_pairs FROM bc
+    )
+    SELECT bc.w1, bc.w2, bc.c_xy,
+           round(ln((CAST(bc.c_xy AS DOUBLE) * nt.n_toks * nt.n_toks)
+                    / (CAST(np.n_pairs AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+    FROM bc
+    JOIN uni ua ON bc.w1 = ua.w
+    JOIN uni ub ON bc.w2 = ub.w
+    CROSS JOIN nt CROSS JOIN np
+    WHERE bc.c_xy >= 5
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocations over the corpus (operators/text.
+    collocations) — multiword-expression mining as pure word-count
+    algebra: two hash aggs, two broadcast scalars, one ln per survivor."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.collocations(docs, min_count=5)

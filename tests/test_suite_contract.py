@@ -92,6 +92,7 @@ def test_driver_window_priority():
         "emb_second_moments",
         "emb_pca_project",
         "dedup_incremental",
+        "text_collocations",
     ):
         assert name in window, name
     # regression canaries: one green representative per checked family
@@ -101,7 +102,6 @@ def test_driver_window_priority():
         "tpch_q4_order_priority",
         "dedup_exact",
         "sim_bruteforce_topk",
-        "events_tumbling_agg",
         "skew_salted_join",
         "k1_write_roundtrip",
     ):

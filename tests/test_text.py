@@ -230,3 +230,21 @@ def test_char_entropy_known_values(spark):
     assert got[2][0:2] == (2, 2)
     assert abs(got[2][2] - math.log(2)) < 1e-5
     assert abs(got[3][2] - math.log(4)) < 1e-5
+
+
+def test_collocations_pmi(spark):
+    import math
+
+    from datalake_nba_dmc_spark.operators.text import collocations
+
+    # "new york" always adjacent; "dog" and "cat" never adjacent to each other
+    rows = [(i, "new york city") for i in range(6)] + [
+        (100 + i, "dog sleeps") for i in range(6)
+    ] + [(200 + i, "cat runs") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w1, r.w2): (r.c_xy, r.pmi) for r in collocations(df, min_count=5).collect()}
+    # bigrams: (new,york) x6, (york,city) x6, (dog,sleeps) x6, (cat,runs) x6
+    assert set(got) == {("new", "york"), ("york", "city"), ("dog", "sleeps"), ("cat", "runs")}
+    n_toks, n_pairs = 42, 24  # 6x3 + 6x2 + 6x2 tokens; 6x2 + 6 + 6 bigrams
+    want = round(math.log((6 * n_toks * n_toks) / (n_pairs * 6 * 6)), 6)
+    assert got[("new", "york")] == (6, want)
