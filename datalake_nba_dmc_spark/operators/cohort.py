@@ -71,3 +71,42 @@ def cohort_retention(
             "retention_rate"
         ),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered N-step funnel: for each entity that performed ``steps[0]``,
+    the earliest timestamp of each subsequent step occurring STRICTLY
+    after the previous step's earliest completion — the standard
+    conversion-funnel report (a later step only counts if it happened in
+    order).
+
+    Scale shape: one filtered min-aggregate per step (map-side combined,
+    keyed by ``id_col``) chained by equi-joins on the id. Each join's
+    build side is the survivors of the previous step — monotonically
+    shrinking, so with AQE the deep-funnel joins flip to broadcast as the
+    cohort narrows. No windows over raw events, no per-entity sorting.
+    """
+    first = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(id_col)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    out, cur, prev_col = first, first, "step_1_ts"
+    for i, step in enumerate(steps[1:], start=2):
+        col = f"step_{i}_ts"
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(id_col, prev_col), on=id_col)
+            .filter(F.col(ts_col) > F.col(prev_col))
+            .groupBy(id_col)
+            .agg(F.min(ts_col).alias(col))
+        )
+        out = out.join(nxt, on=id_col, how="left")
+        cur, prev_col = nxt, col
+    return out

@@ -109,6 +109,7 @@ _CHECK_PRIORITY: list[str] = [
     "emb_pca_project",
     "dedup_incremental",
     "text_collocations",
+    "events_funnel_3step",
     # -- sentinels: green representatives of every r1/r2-checked family,
     #    kept inside the window so a regression is visible to the driver
     #    (includes the two canaries that fell out of the r2 window, plus
@@ -121,7 +122,8 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_clusters_assign",
     "curation_pipeline",
     "text_stats",
-    "sim_bruteforce_topk",
+    # (sim-family regression cover comes from emb_second_moments /
+    # emb_pca_project / emb_int8_quantize in the new-query block above)
     # (events-family regression cover comes from time_rollup /
     # interval_overlap / cohort_retention in the never-checked block;
     # multimodal cover from media_audio_stats)

@@ -361,3 +361,35 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = TableRegistry(spark, sf_dir).events
     return cohort_retention(e, "user_id", "ts", period="week")
+
+
+@query(
+    "events_funnel_3step",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT v.user_id, v.t1 AS step_1_ts, c.t2 AS step_2_ts, p.t3 AS step_3_ts
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: each step's earliest
+    completion strictly after the previous step's
+    (operators/cohort.funnel_steps). Incomplete funnels keep null steps —
+    the drop-off report falls straight out of the null counts."""
+    from datalake_nba_dmc_spark.operators.cohort import funnel_steps
+
+    e = TableRegistry(spark, sf_dir).events
+    return funnel_steps(e, ["view", "click", "purchase"]).select(
+        "user_id", "step_1_ts", "step_2_ts", "step_3_ts"
+    )

@@ -61,3 +61,34 @@ def test_unknown_period_rejected(spark):
     df = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], ["u", "t"])
     with pytest.raises(ValueError):
         cohort_retention(df, "u", "t", "quarter")
+
+
+def test_funnel_steps_strict_ordering(spark):
+    import datetime as dt
+
+    from datalake_nba_dmc_spark.operators.cohort import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1 completes in order
+        (1, "view", ts(0)), (1, "click", ts(10)), (1, "purchase", ts(20)),
+        # user 2: purchase BEFORE click → step 3 must be null
+        (2, "view", ts(0)), (2, "purchase", ts(5)), (2, "click", ts(10)),
+        # user 3: click before any view → steps 2,3 null
+        (3, "click", ts(0)), (3, "view", ts(5)),
+        # user 4: never viewed → absent entirely
+        (4, "click", ts(0)), (4, "purchase", ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (ts(0), ts(10), ts(20))
+    assert got[2] == (ts(0), ts(10), None)  # early purchase doesn't count
+    assert got[3] == (ts(5), None, None)

@@ -93,6 +93,7 @@ def test_driver_window_priority():
         "emb_pca_project",
         "dedup_incremental",
         "text_collocations",
+        "events_funnel_3step",
     ):
         assert name in window, name
     # regression canaries: one green representative per checked family
@@ -101,7 +102,6 @@ def test_driver_window_priority():
         "tpch_q1_pricing_summary",
         "tpch_q4_order_priority",
         "dedup_exact",
-        "sim_bruteforce_topk",
         "skew_salted_join",
         "k1_write_roundtrip",
     ):
