@@ -629,26 +629,25 @@ def incremental_dedup(
     winners = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     fresh = fresh.join(winners, on=id_col, how="left_semi").drop("_fp")
 
-    def grams(df: DataFrame) -> DataFrame:
-        return (
-            with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-            .select(id_col, F.explode("sh").alias("_g"))
-            .select(id_col, F.xxhash64("_g").alias("gram"))
-        )
+    from datalake_nba_dmc_spark.plans.curation import sized_gram_rows
 
-    bg = grams(fresh)
-    b_sizes = bg.groupBy(id_col).agg(F.count("*").alias("_bsz"))
-    cg = grams(corpus).select(F.col(id_col).alias("_cid"), "gram")
-    c_sizes = cg.groupBy("_cid").agg(F.count("*").alias("_csz"))
+    # each gram row carries its doc's shingle count, so Jaccard needs no
+    # separate sizes aggregation and the texts are shingled only here
+    bg = sized_gram_rows(fresh, text_col, id_col, shingle_n)
+    cg = sized_gram_rows(corpus, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("_cid"), F.col("sz").alias("_csz"), "gram"
+    )
     inter = (
         cg.join(F.broadcast(bg), on="gram")
         .groupBy(id_col, "_cid")
-        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.first("sz").alias("_bsz"),
+            F.first("_csz").alias("_csz"),
+        )
     )
     near_corpus = (
-        inter.join(F.broadcast(b_sizes), on=id_col)
-        .join(c_sizes, on="_cid")
-        .filter(
+        inter.filter(
             F.col("_n").cast("double") / (F.col("_bsz") + F.col("_csz") - F.col("_n"))
             >= threshold
         )
@@ -656,17 +655,22 @@ def incremental_dedup(
         .distinct()
     )
     survivors = fresh.join(near_corpus, on=id_col, how="left_anti")
-    # batch-internal near-dups: min-id representative via the star pairs
-    bb = grams(survivors)
-    bb_sizes = bb.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    # batch-internal near-dups: reuse the fresh gram rows filtered down to
+    # survivors (semi-join by id) instead of re-shingling the texts
+    bb = bg.join(survivors.select(id_col), on=id_col, how="left_semi")
     pairs = (
-        bb.select(F.col(id_col).alias("id_a"), "gram")
-        .join(bb.select(F.col(id_col).alias("id_b"), "gram"), on="gram")
+        bb.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sa"), "gram")
+        .join(
+            bb.select(F.col(id_col).alias("id_b"), F.col("sz").alias("_sb"), "gram"),
+            on="gram",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_n"))
-        .join(bb_sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")), on="id_a")
-        .join(bb_sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb")), on="id_b")
+        .agg(
+            F.count("*").alias("_n"),
+            F.first("_sa").alias("_sa"),
+            F.first("_sb").alias("_sb"),
+        )
         .filter(
             F.col("_n").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_n"))
             >= threshold

@@ -69,32 +69,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2^-64). At 100 TB, frequent shingles are the skew risk → drop
     top-frequency shingles (stopword shingles) first or salt; here the
     vocab is tiny so AQE skew-join handles it."""
+    from datalake_nba_dmc_spark.plans.curation import sized_gram_rows
+
     docs = TableRegistry(spark, sf_dir).documents
-    sh = D.with_shingles(docs.select("doc_id", "text"), "text", 3).select(
-        "doc_id", F.explode("sh").alias("_g")
-    ).select("doc_id", F.xxhash64("_g").alias("gram"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "gram")
-    b = sh.select(F.col("doc_id").alias("id_b"), "gram")
+    sh = sized_gram_rows(docs, "text", "doc_id", 3)
     inter = (
-        a.join(b, on="gram")
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "gram")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "gram"),
+            on="gram",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = (
-        inter.join(sa, on="id_a")
-        .join(sb, on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
         )
+    )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= 0.5)
 
