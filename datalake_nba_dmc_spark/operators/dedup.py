@@ -606,11 +606,15 @@ def incremental_dedup(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    gram_fanout_cap: int | None = 128,
 ) -> DataFrame:
     """Ingest-time dedup: keep only the rows of ``batch`` that are neither
     exact nor near (n-gram Jaccard ≥ ``threshold``) duplicates of the
     existing ``corpus``, nor of an earlier (lower-id) row in the batch
-    itself — the standard incremental-crawl admission filter.
+    itself — the standard incremental-crawl admission filter. NULL-text
+    batch rows are dropped up front (a NULL fingerprint can never match
+    the corpus in a join, while SQL ``NOT IN`` semantics would drop it —
+    filtering pins both engines to the same answer).
 
     Asymmetric scale shape: the batch is small relative to a 100 TB
     corpus, so the BATCH side of both checks broadcasts. The exact check
@@ -619,7 +623,20 @@ def incremental_dedup(
     — one corpus scan, no corpus shuffle — and computes exact Jaccard
     from intersection counts and broadcast shingle sizes. Batch-internal
     duplicates resolve by min-id (same convention as :func:`exact_dedup`).
+
+    ``gram_fanout_cap`` bounds the batch-internal pair blowup: a gram
+    shared by k batch docs would otherwise generate O(k²) candidate pairs
+    (a hot boilerplate gram inside one crawl dump goes quadratic). The
+    left (lower-id) side of the pair join keeps only the ``cap`` lowest
+    ids per gram, so each gram yields at most cap·k pairs — linear in k —
+    and every doc is still compared against that gram's earliest docs.
+    Exact whenever every gram's batch-frequency ≤ cap (always true for
+    non-pathological batches); under hotter grams, pairs whose ONLY
+    shared grams rank a lower id beyond the cap are missed — a
+    documented, bounded approximation. ``None`` disables the cap.
     """
+    batch = batch.filter(F.col(text_col).isNotNull())
+    corpus = corpus.filter(F.col(text_col).isNotNull())
     fp = fingerprint(text_col)
     b_fp = batch.withColumn("_fp", fp)
     c_fp = corpus.select(fp.alias("_fp")).distinct()
@@ -658,9 +675,18 @@ def incremental_dedup(
     # batch-internal near-dups: reuse the fresh gram rows filtered down to
     # survivors (semi-join by id) instead of re-shingling the texts
     bb = bg.join(survivors.select(id_col), on=id_col, how="left_semi")
+    left = bb.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sa"), "gram")
+    if gram_fanout_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("gram").orderBy("id_a")
+        left = (
+            left.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= gram_fanout_cap)
+            .drop("_rk")
+        )
     pairs = (
-        bb.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sa"), "gram")
-        .join(
+        left.join(
             bb.select(F.col(id_col).alias("id_b"), F.col("sz").alias("_sb"), "gram"),
             on="gram",
         )

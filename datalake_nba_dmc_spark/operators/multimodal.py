@@ -210,19 +210,33 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int | None, int | No
         w, h = struct.unpack("<ii", payload[18:26])
         return ("bmp", w, abs(h))
     if payload[:2] == b"\xff\xd8":
+        n = len(payload)
         i = 2
-        while i + 9 < len(payload):
+        while i < n:
             if payload[i] != 0xFF:
                 break
-            marker = payload[i + 1]
+            # JPEG permits runs of 0xFF fill bytes before the marker byte
+            while i < n and payload[i] == 0xFF:
+                i += 1
+            if i >= n:
+                break
+            marker = payload[i]
+            i += 1
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
-                continue
-            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
-            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                continue  # standalone markers carry no length field
+            if marker == 0xD9:  # EOI without a SOF segment
+                break
+            if i + 2 > n:
+                break
+            seglen = struct.unpack(">H", payload[i : i + 2])[0]
+            if (
+                0xC0 <= marker <= 0xCF
+                and marker not in (0xC4, 0xC8, 0xCC)
+                and i + 7 <= n
+            ):
+                h, w = struct.unpack(">HH", payload[i + 3 : i + 7])
                 return ("jpeg", w, h)
-            i += 2 + seglen
+            i += seglen
         return ("jpeg", None, None)
     return ("unknown", None, None)
 

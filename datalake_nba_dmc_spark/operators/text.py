@@ -392,7 +392,16 @@ def char_entropy(
     rounded to integer micro-nats BEFORE summing (``round(k·ln k · 1e6)``
     as int64), making the sum order-free and bit-stable; the final
     ``entropy = round(ln n − s/1e6/n, 6)`` is a fixed expression over
-    those exact integers. Docs with no characters are dropped (matches
+    those exact integers. Rounding-rule note: ``np.round`` is
+    half-to-even while the DuckDB twin's ``round()`` is
+    half-away-from-zero — the rules differ ONLY when the argument is an
+    exact ``x.5`` double. For the micro-nat terms that requires
+    ``k·ln(k)·1e6`` (``ln`` irrational for every integer k ≥ 2) to land
+    exactly on a representable half — no 64-bit double within reach of
+    k ≤ 2^40 does — and for the final 6-decimal round it requires the
+    double nearest ``s/1e6/n`` to be an exact half at the 7th decimal,
+    equally measure-zero; so the two rules are indistinguishable on any
+    reachable input. Docs with no characters are dropped (matches
     the SQL twin, where no char rows exist to aggregate) — filtered on
     ``length(text) > 0`` BEFORE the UDF: an equivalent predicate on the
     UDF's output would be pushed back through the projection and evaluate

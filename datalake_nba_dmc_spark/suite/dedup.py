@@ -279,8 +279,10 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_incremental",
     oracle=f"""
-    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
-    batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    WITH corpus AS (SELECT * FROM documents
+                    WHERE doc_id % 5 != 0 AND text IS NOT NULL),
+    batch AS (SELECT * FROM documents
+              WHERE doc_id % 5 = 0 AND text IS NOT NULL),
     cfp AS (SELECT DISTINCT {_NORM} AS fp FROM corpus),
     bf AS (SELECT *, {_NORM} AS fp FROM batch),
     fresh0 AS (SELECT * FROM bf WHERE fp NOT IN (SELECT fp FROM cfp)),

@@ -205,24 +205,30 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding,
              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
       FROM embeddings
+    ), c AS (
+      SELECT vec_id, mx,
+             mx / 127.0 AS qscale,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             UNNEST(embedding) AS x
+      FROM s
     )
-    SELECT vec_id,
-           mx / 127.0 AS qscale,
-           CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding,
-                       x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127.0)) AS INTEGER))
-           END AS codes
-    FROM s
+    SELECT vec_id, qscale, pos,
+           CASE WHEN mx = 0 THEN 0
+                ELSE CAST(round(CAST(x AS DOUBLE) / qscale) AS INTEGER)
+           END AS code
+    FROM c
     """,
 )
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (operators/similarity.
     quantize_int8): per-vector scale + integer codes as a map-only
-    projection — the 4× compression step ahead of ANN serving."""
+    projection — the 4× compression step ahead of ANN serving. Output is
+    posexploded to one scalar row per component so the driver's pandas
+    canonicalizer (which cannot sort list cells — VERDICT r3 #1) can sort
+    and hash it; the operator itself still returns the array form."""
     e = TableRegistry(spark, sf_dir).embeddings
-    return S.quantize_int8(e.select("vec_id", "embedding")).select(
-        "vec_id", "qscale", "codes"
-    )
+    q = S.quantize_int8(e.select("vec_id", "embedding"))
+    return q.select("vec_id", "qscale", F.posexplode("codes").alias("pos", "code"))
 
 
 @query(
@@ -256,6 +262,9 @@ def emb_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection to 8 components (exact-integer moments →
     driver-side d×d eigh → broadcast matmul). Rows-only driver check; the
-    numerical path is pytest-verified against numpy PCA on the same data."""
+    numerical path is pytest-verified against numpy PCA on the same data.
+    Output is posexploded to (vec_id, pos, value) scalar rows so the
+    driver's pandas canonicalizer can sort it (VERDICT r3 #1)."""
     e = TableRegistry(spark, sf_dir).embeddings
-    return S.pca_project(e.select("vec_id", "embedding"), k=8).select("vec_id", "pca")
+    proj = S.pca_project(e.select("vec_id", "embedding"), k=8)
+    return proj.select("vec_id", F.posexplode("pca").alias("pos", "value"))

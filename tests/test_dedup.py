@@ -240,3 +240,41 @@ def test_incremental_dedup_admission(spark):
     )
     got = sorted(r.doc_id for r in incremental_dedup(corpus, batch).collect())
     assert got == [12, 14]
+
+
+def test_incremental_dedup_hot_gram_bounded(spark):
+    """A gram shared by 1000 batch docs must not go quadratic (VERDICT r3
+    #5): the fanout cap keeps only the earliest ids on the pair join's
+    left, so the hot gram yields O(cap·k) pairs — and a genuine near-dup
+    of the LOWEST-id hot doc is still caught, because early ids survive
+    the cap."""
+    from datalake_nba_dmc_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document sharing nothing with the batch")],
+        "doc_id long, text string",
+    )
+    rows = [(100 + i, f"common boiler plate u{i} v{i} w{i} x{i} y{i}") for i in range(1000)]
+    rows.append((5000, "common boiler plate u0 v0 w0 x0 z0"))  # near-dup of doc 100
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r.doc_id
+        for r in incremental_dedup(corpus, batch, gram_fanout_cap=8).collect()
+    )
+    assert 5000 not in got  # caught despite the cap (J(100, 5000) = 5/7)
+    assert got == [100 + i for i in range(1000)]  # pairwise J = 1/11 → all admitted
+
+
+def test_incremental_dedup_null_text_dropped(spark):
+    """NULL-text batch rows are dropped up front — pins Spark's join-key
+    semantics to the oracle's NOT IN semantics (ADVICE r3)."""
+    from datalake_nba_dmc_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text"), (2, None)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, "a brand new document")], "doc_id long, text string"
+    )
+    got = sorted(r.doc_id for r in incremental_dedup(corpus, batch).collect())
+    assert got == [11]

@@ -105,6 +105,34 @@ def test_parse_image_header_real_formats():
     assert parse_image_header(None) == ("unknown", None, None)
 
 
+def test_parse_jpeg_fill_bytes_and_tail_sof():
+    """JPEG spec allows runs of 0xFF fill bytes before a marker, and a SOF
+    segment may end exactly at the payload tail — both must still parse
+    (ADVICE r3: the old scan read a fill byte as a marker with a bogus
+    length and its loop bound skipped a tail-flush SOF)."""
+    import struct
+
+    from datalake_nba_dmc_spark.operators.multimodal import parse_image_header
+
+    # fill bytes (0xFF 0xFF) padding before APP0 and before SOF0
+    filled = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
+        + b"\x00" * 10
+    )
+    assert parse_image_header(filled) == ("jpeg", 640, 480)
+    # SOF dimensions end exactly at the payload tail (no trailing bytes)
+    tail = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", 33, 44)
+    )
+    assert parse_image_header(tail) == ("jpeg", 44, 33)
+    # restart markers (standalone, no length) are skipped; EOI terminates
+    rst = b"\xff\xd8" + b"\xff\xd0" * 3 + b"\xff\xd9"
+    assert parse_image_header(rst) == ("jpeg", None, None)
+
+
 def test_extract_image_headers_distributed(spark):
     import struct
 
