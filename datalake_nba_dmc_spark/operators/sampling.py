@@ -103,3 +103,35 @@ def resample_balanced(
         .filter(_key_hash(F.col(key_col), buckets) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def sample_weighted_topk(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, public): each row draws a key ``u^(1/w)`` — here in the
+    equivalent log form ``ln(u)/w`` — and the ``k`` largest keys win. A
+    row's inclusion probability is proportional to its weight, yet the
+    draw is reproducible across runs, partitionings, engines, and scale
+    factors because ``u`` comes from the row-key hash (``(h + 0.5) /
+    2^32`` ∈ (0,1)), not an RNG.
+
+    Scale: the selection compiles to per-partition top-k + a single
+    driver-side merge of k rows (Spark's TakeOrderedAndProject) — no full
+    sort, no shuffle of the losing rows. The standard "pick a
+    quality-weighted subcorpus" primitive.
+
+    Weights must be strictly positive; ties are impossible for distinct
+    keys (distinct h → distinct u, and ``ln(u)/w`` collisions across
+    different (u, w) pairs are measure-zero, far wider than an engine's
+    last-ulp ``ln`` differences).
+    """
+    h = (F.col(key_col) * F.lit(_KNUTH)) % F.lit(_MOD)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_es", es_key)
+        .orderBy(F.col("_es").desc())
+        .limit(k)
+        .drop("_es")
+    )

@@ -480,3 +480,119 @@ def collocations(
         6,
     )
     return joined.select("w1", "w2", "c_xy", pmi.alias("pmi"))
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, appendix A —
+    public paper): the battery of cheap structural filters applied to web
+    text before LLM training, beyond the ratio features of
+    :func:`quality_features`. Adds per-doc signals and a conjunctive
+    ``gopher_pass`` verdict:
+
+    - ``n_words`` in [50, 100 000]
+    - ``mean_word_chars`` (exact: Σ token lengths / n_words) in [3, 10]
+    - ``symbol_word_ratio`` (words containing ``#`` or ``...``) < 0.1
+    - ``bullet_line_frac`` (lines starting with ``-``/``*``/``•``) < 0.9
+    - ``ellipsis_line_frac`` (lines ending with ``...``) < 0.3
+    - ``alpha_word_frac`` (words containing a letter) > 0.8
+    - ``n_stop_hits`` (of the/be/to/of/and/that/have/with) ≥ 2
+
+    Pure built-in expressions (split/filter/aggregate) → one codegen'd
+    map-only projection the scan absorbs; no UDF, no shuffle. All ratios
+    are exact-int divisions, so both engines produce identical doubles.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    n_symbol = F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stops)))
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike("\\.\\.\\.$")))
+    mean_chars = F.when(n_words > 0, sum_len / n_words)
+    symbol_ratio = F.when(n_words > 0, n_symbol / n_words).otherwise(0.0)
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(0.0)
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(0.0)
+    ellipsis_frac = F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(0.0)
+    gopher_pass = (
+        n_words.between(50, 100_000)
+        & mean_chars.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac > 0.8)
+        & (n_stop >= 2)
+    )
+    # no ensure_parallelism: expression-only projection — parallelism comes
+    # from the scan's own splits; a repartition here would only add an
+    # Exchange (plan-asserted map-only in tests/test_plan_shape.py)
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_chars": mean_chars,
+            "symbol_word_ratio": symbol_ratio,
+            "bullet_line_frac": bullet_frac,
+            "ellipsis_line_frac": ellipsis_frac,
+            "alpha_word_frac": alpha_frac,
+            "n_stop_hits": n_stop.cast("long"),
+            "gopher_pass": F.coalesce(gopher_pass, F.lit(False)).cast("int"),
+        }
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram LM — the classic perplexity-style quality score (CCNet-style
+    filtering uses exactly this shape: documents whose tokens are
+    improbable under a background LM are gibberish/boilerplate).
+
+    Word-count scale shape (the 100 TB plan):
+
+    1. One explode → hash-agg to per-(doc, word) counts (map-side
+       combined), then a second hash-agg to corpus word counts — shuffled
+       rows are O(distinct (doc, word)), never O(token instances).
+    2. The grand total rides in as a broadcast one-row literal; the
+       vocabulary join is a plain equi-join on ``word`` (AQE handles hot
+       words; the vocab side is orders of magnitude smaller than the
+       corpus).
+    3. Per-token term ``round(ln(c_w / T) · 1e6)`` is an exact int64, so
+       the per-doc sum is associative/order-free; the final average is one
+       fixed double expression rounded to 6 dp (same cross-engine
+       treatment as TF-IDF/PMI).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    dw = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("n_dw"))
+    )
+    vocab = dw.groupBy("w").agg(F.sum("n_dw").alias("c_w"))
+    total = vocab.agg(F.sum("c_w").alias("t_total"))
+    term = F.round(
+        F.log(F.col("c_w").cast("double") / F.col("t_total").cast("double")) * 1e6
+    ).cast("long")
+    return (
+        dw.join(vocab, on="w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("n_dw") * term).alias("_s"),
+            F.sum("n_dw").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens"),
+            F.round((F.col("_s") / 1e6) / F.col("n_tokens"), 6).alias("avg_logprob"),
+        )
+    )

@@ -64,73 +64,82 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-3 cut: the 28 queries with NO driver CORRECTNESS row in
-    #    r1 ∪ r2 go first (VERDICT r2 "What's missing" #1), then 22
-    #    always-checked sentinels — one per previously-green family — fill
-    #    the 50-slot window as regression canaries. After r3, every one of
-    #    the registry's queries has a driver row in r1 ∪ r2 ∪ r3.
-    "sketch_distinct_rollup",
-    "sample_stratified_segments",
-    "events_time_rollup",
-    "events_interval_overlap",
-    "events_cohort_retention",
-    "scd2_user_event_history",
-    "gapfill_user_daily",
-    "cdc_snapshot_diff",
-    "media_audio_stats",
-    "dq_orders_expectations",
-    "profile_orders_columns",
-    "profile_price_histogram",
-    "sim_label_centroids",
-    "y2_range_sorted_roundtrip",
-    "text_chunking",
-    "text_repetition",
-    "text_pii_redaction",
-    "text_pack_bins",
-    "corpus_mix_report",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_part_promotion",
-    # -- new in r3 (need their first driver row)
-    "text_decontaminate",
-    "w9_time_range_hour",
-    "text_char_entropy",
+    # -- round-4 cut (2 fixed + 5 new + 37 stalest + 6 sentinels = the
+    #    50-slot window):
+    #    1. the two r3 RED rows, reshaped to scalar output this round —
+    #       must re-check first;
+    #    2. the queries new in r4 (first driver row);
+    #    3. the r1-only-checked queries (their only driver row is now
+    #       three rounds old) — 37 of the 46 fit; the 9 deferred ones sit
+    #       right after the window so they lead the r5 cut;
+    #    4. six family sentinels re-confirming the parity core.
+    # -- fixed in r4 (red in CORRECTNESS_r03: array-output canon crash)
     "emb_int8_quantize",
-    "corpus_resample_balanced",
-    "text_lang_confusion",
-    "text_vocab_coverage",
-    "emb_second_moments",
     "emb_pca_project",
-    "dedup_incremental",
-    "text_collocations",
-    "events_funnel_3step",
-    # -- sentinels: green representatives of every r1/r2-checked family,
-    #    kept inside the window so a regression is visible to the driver
-    #    (includes the two canaries that fell out of the r2 window, plus
-    #    tpch_q4 to confirm the bloom-filter bench fix didn't change rows)
+    # -- new in r4 (need their first driver row)
+    "text_gopher_quality",
+    "text_unigram_logprob",
+    "sample_weighted_topk",
+    "sim_lsh_multiprobe_topk",
+    "sim_lsh_multiprobe_recall",
+    # -- r1-only-checked (stalest first driver rows)
+    "j1_left_join_single_key",
+    "j2_left_join_expr_key",
+    "j3_left_join_derived_key",
+    "j4_join_using",
+    "join_semi",
+    "join_anti",
+    "a1_dedup_rows",
+    "a2_dynamic_sum_agg",
+    "a4_team_style_agg",
+    "a5_column_bounds",
+    "w1_latest_order_per_customer",
+    "w2_rank_in_group",
+    "w3_lag",
+    "w4_running_sum",
+    "w5_ntile_quartiles",
+    "w6_moving_avg",
+    "w7_first_last_order",
+    "w8_percent_rank",
+    "f1_filter_eq",
+    "f2_null_guarded_parse",
+    "p1_project_prune",
+    "p2_bulk_rename",
+    "p4p5_derived_columns",
+    "x1x2x3_date_roundtrip",
+    "tpch_q3_shipping_priority",
+    "stat_exact_moments",
+    "stat_corr_qty_price",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_percentiles",
+    "agg_pivot",
+    "project_unpivot",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "sort_topk",
+    "sample_hash_mod",
+    # -- sentinels: one green representative per core family, so a
+    #    regression stays visible to the driver every round
     "flagship_customer_resume",
     "tpch_q1_pricing_summary",
-    "tpch_q4_order_priority",
-    "a3_multi_measure_agg",
     "dedup_exact",
-    "dedup_clusters_assign",
-    "curation_pipeline",
     "text_stats",
-    # (sim-family regression cover comes from emb_second_moments /
-    # emb_pca_project / emb_int8_quantize in the new-query block above)
-    # (events-family regression cover comes from time_rollup /
-    # interval_overlap / cohort_retention in the never-checked block;
-    # multimodal cover from media_audio_stats)
     "skew_salted_join",
-    # (merge_upsert family regression cover comes from scd2/cdc/gapfill in
-    # the never-checked block above)
     "k1_write_roundtrip",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r1-only queries: lead the r5 cut (families covered in
+    #    the window by close siblings this round)
+    "w1_latest_order_maxby",
+    "agg_cube",
+    "agg_conditional",
+    "grouped_minmax_norm",
+    "join_inner",
+    "set_intersect_all",
+    "set_except_all",
+    "x4_split_mmss",
+    "conform_safe_downcast",
 ]
 
 

@@ -1012,3 +1012,30 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(1).alias("p50_ok"),
         ok(2).alias("p90_ok"),
     )
+
+
+@query(
+    "sample_weighted_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ln((((o_orderkey * 2654435761) % 4294967296) + 0.5) / 4294967296.0)
+               / o_totalprice AS es
+      FROM orders)
+    ORDER BY es DESC LIMIT 200
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.sample_weighted_topk, Efraimidis-Spirakis keys off the Knuth
+    key hash): 200 orders drawn with probability ∝ o_totalprice,
+    reproducible across engines/partitionings — selection compiles to
+    per-partition top-k (TakeOrderedAndProject), no full sort. Key
+    collisions are measure-zero, so the engines pick identical sets and
+    the driver's value-hash matches."""
+    from datalake_nba_dmc_spark.operators.sampling import sample_weighted_topk as swt
+
+    o = TableRegistry(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return swt(o, "o_orderkey", "o_totalprice", k=200)

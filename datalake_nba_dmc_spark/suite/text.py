@@ -569,3 +569,104 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra: two hash aggs, two broadcast scalars, one ln per survivor."""
     docs = TableRegistry(spark, sf_dir).documents
     return T.collocations(docs, min_count=5)
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks,
+             list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len,
+             len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')))
+               AS n_symbol,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(toks, x -> lower(x) IN
+                 ('the','be','to','of','and','that','have','with'))) AS n_stop,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+               AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+               AS n_ellipsis
+      FROM t
+    ), r AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words END
+               AS mean_word_chars,
+             CASE WHEN n_words > 0 THEN n_symbol / n_words ELSE 0.0 END
+               AS symbol_word_ratio,
+             CASE WHEN n_lines > 0 THEN n_bullet / n_lines ELSE 0.0 END
+               AS bullet_line_frac,
+             CASE WHEN n_lines > 0 THEN n_ellipsis / n_lines ELSE 0.0 END
+               AS ellipsis_line_frac,
+             CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END
+               AS alpha_word_frac,
+             CAST(n_stop AS BIGINT) AS n_stop_hits
+      FROM s
+    )
+    SELECT doc_id, n_words, mean_word_chars, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+           CAST(coalesce(
+               n_words BETWEEN 50 AND 100000
+               AND mean_word_chars BETWEEN 3.0 AND 10.0
+               AND symbol_word_ratio < 0.1
+               AND bullet_line_frac < 0.9
+               AND ellipsis_line_frac < 0.3
+               AND alpha_word_frac > 0.8
+               AND n_stop_hits >= 2, false) AS INTEGER) AS gopher_pass
+    FROM r
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (operators/text.gopher_quality): the standard
+    structural pre-training filters as one map-only codegen'd projection —
+    exact-integer counts and int/int ratio divisions keep both engines
+    bit-identical, so even the conjunctive pass flag hash-matches."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.gopher_quality(docs).select(
+        "doc_id", "n_words", "mean_word_chars", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stop_hits", "gopher_pass",
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), dw AS (
+      SELECT doc_id, w, COUNT(*) AS n_dw
+      FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+    ), vocab AS (
+      SELECT w, CAST(SUM(n_dw) AS BIGINT) AS c_w FROM dw GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c_w) AS BIGINT) AS t_total FROM vocab
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(dw.n_dw) AS BIGINT) AS n_tokens,
+           round((CAST(SUM(dw.n_dw * CAST(round(
+                      ln(CAST(vocab.c_w AS DOUBLE) / CAST(tot.t_total AS DOUBLE))
+                      * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+                 / CAST(SUM(dw.n_dw) AS BIGINT), 6) AS avg_logprob
+    FROM dw JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY dw.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score (operators/text.
+    unigram_logprob): per-doc average log-probability under the corpus's
+    own unigram distribution — shuffles O(distinct (doc, word)) rows, the
+    grand total rides as a broadcast literal, per-token terms are exact
+    micro-nat int64s so the doc sums are order-free."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.unigram_logprob(docs)

@@ -224,3 +224,39 @@ def test_char_entropy_single_udf_no_agg_shuffle(spark):
     assert plan.count("ArrowEvalPython") == 2
     assert "hashpartitioning" not in plan
     assert "HashAggregate" not in plan
+
+
+@needs_testdata
+def test_gopher_quality_pure_projection(spark):
+    """The Gopher rule battery is a map-only projection: no exchange, no
+    join, no aggregate — the scan pipeline absorbs it."""
+    plan = plan_of(spark, "text_gopher_quality")
+    for op in ("Exchange", "Join", "Aggregate"):
+        assert op not in plan, op
+
+
+@needs_testdata
+def test_weighted_sample_no_global_sort(spark):
+    """Efraimidis-Spirakis selection compiles to TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a full Sort+Exchange."""
+    plan = plan_of(spark, "sample_weighted_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+@needs_testdata
+def test_unigram_logprob_broadcast_total(spark):
+    """The grand-total one-row aggregate joins back by broadcast; the
+    (doc, word) side never sort-merge-joins against it."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@needs_testdata
+def test_multiprobe_corpus_single_bucket_join(spark):
+    """Multi-probe explodes only the broadcast query side: the corpus is
+    bucketed once and equi-joins by broadcast — no corpus shuffle."""
+    plan = plan_of(spark, "sim_lsh_multiprobe_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

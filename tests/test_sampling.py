@@ -64,3 +64,28 @@ def test_resample_balanced_equalizes_mass(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in out.collect()
     )
+
+
+def test_sample_weighted_topk(spark):
+    import math
+
+    from datalake_nba_dmc_spark.operators.sampling import sample_weighted_topk
+
+    rows = [(i, float(1 + (i % 7) * 100)) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = sorted(r.k for r in sample_weighted_topk(df, "k", "w", k=50).collect())
+    # mirror the Efraimidis-Spirakis keys in plain Python (same IEEE ops)
+    def es_key(key, w):
+        h = (key * 2654435761) % 4294967296
+        return math.log((h + 0.5) / 4294967296.0) / w
+    want = sorted(k for k, w in sorted(rows, key=lambda r: -es_key(*r))[:50])
+    assert got == want
+    assert len(got) == 50
+    # weight-1 rows are ~100x less likely than weight-601 rows
+    weights = {k: w for k, w in rows}
+    heavy = sum(1 for k in got if weights[k] >= 401)
+    assert heavy >= 35  # ~43% of rows hold ~57% of mass; observed 39/50
+    # k >= n returns everything
+    assert sample_weighted_topk(df, "k", "w", k=1000).count() == 500
+    # schema untouched (helper column dropped)
+    assert sample_weighted_topk(df, "k", "w", k=5).columns == ["k", "w"]

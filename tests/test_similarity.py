@@ -234,3 +234,62 @@ def test_pca_whiten_unit_variance(spark):
     )
     # whitened projections have ~unit variance on every component
     assert np.allclose(Y.var(axis=0), 1.0, atol=0.05)
+
+
+def test_multiprobe_buckets_distinct_and_base_first(spark):
+    from datalake_nba_dmc_spark.operators.similarity import (
+        hyperplane_bucket,
+        multiprobe_buckets,
+        random_hyperplanes,
+    )
+    from pyspark.sql import functions as F
+
+    planes = random_hyperplanes(dim=8, n_planes=6, seed=42)
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = df.select(
+        hyperplane_bucket(F.col("embedding"), planes).alias("base"),
+        multiprobe_buckets(F.col("embedding"), planes, n_probes=4).alias("probes"),
+    ).collect()
+    for r in got:
+        assert len(r.probes) == 4
+        assert len(set(r.probes)) == 4  # single-bit flips of one base: distinct
+        assert r.probes[0] == r.base  # base bucket probed first
+        for p in r.probes[1:]:
+            diff = p ^ r.base
+            assert diff != 0 and (diff & (diff - 1)) == 0  # exactly one bit flipped
+
+
+def test_multiprobe_recall_monotone(spark):
+    """More probes → superset of candidates → per-query exact-top-k hit
+    counts can only rise (selection is by true cosine, so an exact hit
+    present at fewer probes survives at more probes)."""
+    from datalake_nba_dmc_spark.operators.similarity import lsh_multiprobe_topk
+    from pyspark.sql import functions as F
+
+    import random as _r
+    rng = _r.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    import numpy as np
+    m = {i: np.array(v) for i, v in rows}
+    exact = {}
+    for q in range(3):
+        sims = sorted(
+            ((float(m[q] @ m[i]) / (np.linalg.norm(m[q]) * np.linalg.norm(m[i]))), i)
+            for i in m
+        )[::-1][:10]
+        exact[q] = {i for _, i in sims}
+    hits = {}
+    for probes in (1, 5):
+        ap = lsh_multiprobe_topk(df, queries, dim=16, k=10, n_planes=6, n_probes=probes)
+        hits[probes] = {q: 0 for q in range(3)}
+        for r in ap.collect():
+            if r.vec_id in exact[r.query_id]:
+                hits[probes][r.query_id] += 1
+    for q in range(3):
+        assert hits[5][q] >= hits[1][q] >= 1  # self-match structurally guaranteed
+    assert sum(hits[5].values()) >= sum(hits[1].values())

@@ -48,61 +48,47 @@ def test_entry_smoke(spark):
 
 def test_driver_window_priority():
     """The driver checks only the first ~50 registry entries per round
-    (observed cap in CORRECTNESS_r01). The rotation in suite._CHECK_PRIORITY
-    must actually land the families that need a row this round inside that
-    window, with one sentinel per previously-green family."""
-    window = list(load_all())[:50]
-    # the 28 queries with no driver row in r1 ∪ r2 (VERDICT r2) all fit
+    (observed cap in CORRECTNESS_r01). The r4 cut: the two r3-red queries
+    (reshaped this round) and every query new in r4 must be in the window,
+    followed by the stalest r1-only-checked queries and six family
+    sentinels; the deferred r1-only names sit just past the edge so they
+    lead the r5 cut."""
+    names = list(load_all())
+    window = names[:50]
+    # the two CORRECTNESS_r03 red rows re-check first
+    assert window[0] == "emb_int8_quantize"
+    assert window[1] == "emb_pca_project"
+    # new in r4: first driver row
     for name in (
-        "sketch_distinct_rollup",
-        "sample_stratified_segments",
-        "events_time_rollup",
-        "events_interval_overlap",
-        "events_cohort_retention",
-        "scd2_user_event_history",
-        "gapfill_user_daily",
-        "cdc_snapshot_diff",
-        "media_audio_stats",
-        "dq_orders_expectations",
-        "profile_orders_columns",
-        "profile_price_histogram",
-        "sim_label_centroids",
-        "y2_range_sorted_roundtrip",
-        "text_chunking",
-        "text_repetition",
-        "text_pii_redaction",
-        "text_pack_bins",
-        "corpus_mix_report",
-        "tpch_q2_min_cost_supplier",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q9_product_profit",
-        "tpch_q11_important_stock",
-        "tpch_q12_late_shipments",
-        "tpch_q13_customer_distribution",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q20_part_promotion",
-        "text_decontaminate",
-        "w9_time_range_hour",
-        "text_char_entropy",
-        "emb_int8_quantize",
-        "corpus_resample_balanced",
-        "text_lang_confusion",
-        "text_vocab_coverage",
-        "emb_second_moments",
-        "emb_pca_project",
-        "dedup_incremental",
-        "text_collocations",
-        "events_funnel_3step",
+        "text_gopher_quality",
+        "text_unigram_logprob",
+        "sample_weighted_topk",
+        "sim_lsh_multiprobe_topk",
+        "sim_lsh_multiprobe_recall",
     ):
         assert name in window, name
-    # regression canaries: one green representative per checked family
+    # stalest r1-only-checked queries promoted into the window
+    for name in (
+        "j1_left_join_single_key",
+        "a1_dedup_rows",
+        "w4_running_sum",
+        "f1_filter_eq",
+        "tpch_q3_shipping_priority",
+        "set_union_all",
+        "sort_topk",
+        "sample_hash_mod",
+    ):
+        assert name in window, name
+    # regression sentinels: one green representative per core family
     for name in (
         "flagship_customer_resume",
         "tpch_q1_pricing_summary",
-        "tpch_q4_order_priority",
         "dedup_exact",
+        "text_stats",
         "skew_salted_join",
         "k1_write_roundtrip",
     ):
         assert name in window, name
+    # deferred r1-only queries lead the post-window region (r5 front)
+    assert "w1_latest_order_maxby" in names[50:59]
+    assert "conform_safe_downcast" in names[50:59]

@@ -248,3 +248,48 @@ def test_collocations_pmi(spark):
     n_toks, n_pairs = 42, 24  # 6x3 + 6x2 + 6x2 tokens; 6x2 + 6 + 6 bigrams
     want = round(math.log((6 * n_toks * n_toks) / (n_pairs * 6 * 6)), 6)
     assert got[("new", "york")] == (6, want)
+
+
+def test_gopher_quality_rules(spark):
+    from datalake_nba_dmc_spark.operators.text import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style and grace"] * 5
+    )  # 65 words, mean len ~4, plenty of stopwords, all alphabetic
+    too_short = "tiny doc"
+    symbols = " ".join(["the of and that have with"] * 10 + ["#tag"] * 10)  # >10% symbol words
+    bullets = "\n".join(["- item the of and that have with more words here"] * 10)
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, symbols), (4, bullets)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert got[1].gopher_pass == 1
+    assert got[1].n_words == 65
+    assert abs(got[1].alpha_word_frac - 1.0) < 1e-12
+    assert got[2].gopher_pass == 0  # < 50 words
+    assert got[3].gopher_pass == 0  # symbol ratio 10/70 > 0.1
+    assert got[3].symbol_word_ratio > 0.1
+    assert got[4].gopher_pass == 0  # every line is a bullet
+    assert got[4].bullet_line_frac == 1.0
+
+
+def test_unigram_logprob_small(spark):
+    import math
+
+    from datalake_nba_dmc_spark.operators.text import unigram_logprob
+
+    # corpus: "a a b" + "a c" -> counts a:3 b:1 c:1, T=5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    t1 = (2 * round(math.log(3 / 5) * 1e6) + round(math.log(1 / 5) * 1e6)) / 1e6 / 3
+    t2 = (round(math.log(3 / 5) * 1e6) + round(math.log(1 / 5) * 1e6)) / 1e6 / 2
+    assert got[1].n_tokens == 3
+    assert abs(got[1].avg_logprob - round(t1, 6)) < 1e-9
+    assert got[2].n_tokens == 2
+    assert abs(got[2].avg_logprob - round(t2, 6)) < 1e-9
+    # log-probs are negative; doc 1 leans more on the frequent token "a"
+    assert got[1].avg_logprob < 0 and got[2].avg_logprob < 0
+    assert got[1].avg_logprob > got[2].avg_logprob
