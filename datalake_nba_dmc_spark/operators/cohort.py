@@ -110,3 +110,62 @@ def funnel_steps(
         out = out.join(nxt, on=id_col, how="left")
         cur, prev_col = nxt, col
     return out
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    attribution_window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Last-touch marketing attribution: for every conversion event, the
+    most recent touch event (``touch_types``) by the same user at or
+    before the conversion and within ``attribution_window_days`` — the
+    standard product-analytics credit assignment. Conversions with no
+    in-window touch keep NULL attribution (they still count).
+
+    Scale shape: touches first reduce to unique (user, ts) rows (max
+    event_id pins simultaneous touches deterministically), then the
+    point-in-time lookup is :func:`~datalake_nba_dmc_spark.operators.
+    temporal.asof_join`'s union-merge — ONE exchange + sort over
+    |conversions| + |touches|, no per-key quadratic argmax, no range
+    explosion. The window cutoff is a post-hoc null-out, not a join
+    predicate, so the join stays a pure as-of merge.
+    """
+    from datalake_nba_dmc_spark.operators.temporal import asof_join
+
+    touches = (
+        events.filter(F.col("event_type").isin(*touch_types))
+        .groupBy(user_col, ts_col)
+        .agg(
+            F.max("event_id").alias("touch_event_id"),
+            F.max_by("event_type", "event_id").alias("touch_type"),
+        )
+        .withColumn("touch_ts", F.col(ts_col))
+    )
+    conversions = events.filter(F.col("event_type") == conversion_type).select(
+        "event_id", user_col, ts_col, "value"
+    )
+    att = asof_join(
+        conversions,
+        touches,
+        key=user_col,
+        left_ts=ts_col,
+        right_ts=ts_col,
+        right_cols=["touch_event_id", "touch_type", "touch_ts"],
+        prefix="",
+    )
+    in_window = F.col("touch_ts") >= F.col(ts_col) - F.expr(
+        f"INTERVAL {int(attribution_window_days)} DAYS"
+    )
+    return att.select(
+        "event_id",
+        user_col,
+        ts_col,
+        "value",
+        F.when(in_window, F.col("touch_event_id")).alias("touch_event_id"),
+        F.when(in_window, F.col("touch_type")).alias("touch_type"),
+        F.when(in_window, F.col("touch_ts")).alias("touch_ts"),
+    )

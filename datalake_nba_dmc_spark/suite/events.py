@@ -393,3 +393,49 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(e, ["view", "click", "purchase"]).select(
         "user_id", "step_1_ts", "step_2_ts", "step_3_ts"
     )
+
+
+@query(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, ts,
+             MAX(event_id) AS touch_event_id,
+             max_by(event_type, event_id) AS touch_type,
+             ts AS touch_ts
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ), conv AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), att AS (
+      SELECT c.event_id, c.user_id, c.ts, c.value,
+             t.touch_event_id, t.touch_type, t.touch_ts
+      FROM conv c
+      ASOF LEFT JOIN touches t
+        ON c.user_id = t.user_id AND t.ts <= c.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_event_id END
+             AS touch_event_id,
+           CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type END
+             AS touch_type,
+           CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_ts END
+             AS touch_ts
+    FROM att
+    """,
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credited to the same user's
+    most recent click/view within 7 days (operators/cohort.
+    last_touch_attribution). The lookup is the as-of union-merge — one
+    exchange over conversions+touches, mirrored by DuckDB's native ASOF
+    LEFT JOIN; the attribution window is a post-hoc null-out on both
+    sides so the join itself stays a pure as-of merge."""
+    from datalake_nba_dmc_spark.operators.cohort import last_touch_attribution
+
+    e = TableRegistry(spark, sf_dir).events
+    return last_touch_attribution(
+        e, touch_types=["click", "view"], conversion_type="purchase",
+        attribution_window_days=7,
+    )

@@ -154,3 +154,25 @@ def k2_partition_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         "o_custkey",
         F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
     )
+
+
+@query(
+    "k3_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    """,
+)
+def k3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-pluggability proof on a SECOND columnar format: orders
+    written to ORC (Spark-native, no extra jar) and read back; lossless
+    iff the read-back hash equals the parquet source's oracle hash —
+    doubles and strings survive ORC bit-exactly. The same
+    ``write_table(fmt=...)`` path Delta/Iceberg would use where their
+    jars exist (README notes the sandbox has none)."""
+    target = _scratch(sf_dir, "k3_orc_roundtrip")
+    src = TableRegistry(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    write_table(src, target, mode="overwrite", fmt="orc")
+    return read_table(spark, target, fmt="orc")

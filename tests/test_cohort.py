@@ -92,3 +92,44 @@ def test_funnel_steps_strict_ordering(spark):
     assert got[1] == (ts(0), ts(10), ts(20))
     assert got[2] == (ts(0), ts(10), None)  # early purchase doesn't count
     assert got[3] == (ts(5), None, None)
+
+
+def test_last_touch_attribution(spark):
+    from datetime import datetime as dt
+
+    from datalake_nba_dmc_spark.operators.cohort import last_touch_attribution
+
+    rows = [
+        # user 1: click d1, view d3, purchase d4 -> attributed to the view
+        (1, dt(2024, 1, 1), 1, "click", 0.0, None),
+        (2, dt(2024, 1, 3), 1, "view", 0.0, None),
+        (3, dt(2024, 1, 4), 1, "purchase", 10.0, None),
+        # user 2: click 10 days before purchase -> outside the 7-day window
+        (4, dt(2024, 1, 1), 2, "click", 0.0, None),
+        (5, dt(2024, 1, 11), 2, "purchase", 20.0, None),
+        # user 3: purchase with no touch at all
+        (6, dt(2024, 1, 5), 3, "purchase", 30.0, None),
+        # user 4: touch AFTER the purchase only -> no credit
+        (7, dt(2024, 1, 6), 4, "purchase", 40.0, None),
+        (8, dt(2024, 1, 7), 4, "click", 0.0, None),
+        # user 5: simultaneous click+view at the same ts -> max event_id wins
+        (9, dt(2024, 1, 2), 5, "click", 0.0, None),
+        (10, dt(2024, 1, 2), 5, "view", 0.0, None),
+        (11, dt(2024, 1, 2, 12), 5, "purchase", 50.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    got = {
+        r.event_id: r
+        for r in last_touch_attribution(
+            df, ["click", "view"], "purchase", attribution_window_days=7
+        ).collect()
+    }
+    assert set(got) == {3, 5, 6, 7, 11}
+    assert got[3].touch_event_id == 2 and got[3].touch_type == "view"
+    assert got[5].touch_event_id is None  # outside window
+    assert got[6].touch_event_id is None  # never touched
+    assert got[7].touch_event_id is None  # touch after conversion
+    assert got[11].touch_event_id == 10 and got[11].touch_type == "view"

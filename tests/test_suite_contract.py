@@ -65,6 +65,8 @@ def test_driver_window_priority():
         "sample_weighted_topk",
         "sim_lsh_multiprobe_topk",
         "sim_lsh_multiprobe_recall",
+        "events_last_touch_attribution",
+        "k3_orc_roundtrip",
     ):
         assert name in window, name
     # stalest r1-only-checked queries promoted into the window
@@ -76,7 +78,6 @@ def test_driver_window_priority():
         "tpch_q3_shipping_priority",
         "set_union_all",
         "sort_topk",
-        "sample_hash_mod",
     ):
         assert name in window, name
     # regression sentinels: one green representative per core family
@@ -90,5 +91,6 @@ def test_driver_window_priority():
     ):
         assert name in window, name
     # deferred r1-only queries lead the post-window region (r5 front)
-    assert "w1_latest_order_maxby" in names[50:59]
-    assert "conform_safe_downcast" in names[50:59]
+    assert "w1_latest_order_maxby" in names[50:61]
+    assert "sample_hash_mod" in names[50:61]
+    assert "conform_safe_downcast" in names[50:61]
