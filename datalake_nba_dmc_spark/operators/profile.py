@@ -112,3 +112,51 @@ def histogram(
             F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
         )
     )
+
+
+def robust_outlier_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_cutoff: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) outlier profile per group: exact median,
+    median-absolute-deviation, and the count of rows whose modified
+    z-score ``0.6745 · |x − median| / MAD`` exceeds ``z_cutoff``
+    (Iglewicz-Hoaglin, public) — the standard mean/σ-free data-quality
+    screen, immune to the outliers it is hunting.
+
+    Two grouped exact percentiles + one broadcast join back: the group
+    medians/MADs are O(groups) rows, so the corpus is scanned twice and
+    never shuffled (the percentile aggregates shuffle only per-group
+    value lists). Exact ``percentile`` holds each group's values in the
+    aggregation buffer — right for bounded-cardinality profiling groups
+    (status flags, sources, partitions); switch to ``approx_percentile``
+    for unbounded group sizes at 100 TB, where ±ε on the median moves a
+    z-screen by nothing that matters.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        F.count("*").alias("n_rows"),
+    )
+    dev = (
+        df.join(F.broadcast(med), on=group_col)
+        .withColumn("_adev", F.abs(F.col(value_col) - F.col("med")))
+    )
+    mad = dev.groupBy(group_col).agg(F.expr("percentile(_adev, 0.5)").alias("mad"))
+    flagged = (
+        dev.join(F.broadcast(mad), on=group_col)
+        .withColumn(
+            "_is_out",
+            (
+                (F.lit(0.6745) * F.col("_adev") / F.col("mad")) > F.lit(z_cutoff)
+            ).cast("int"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("_is_out").alias("n_outliers"))
+    )
+    return (
+        med.join(mad, on=group_col)
+        .join(flagged, on=group_col)
+        .select(group_col, "n_rows", "med", "mad", "n_outliers")
+    )

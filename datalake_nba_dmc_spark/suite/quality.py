@@ -152,3 +152,39 @@ def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = TableRegistry(spark, sf_dir).orders
     return histogram(spark, orders, "o_totalprice", 0.0, 500000.0, 20)
+
+
+@query(
+    "profile_price_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag AS grp, quantile_cont(l_extendedprice, 0.5) AS med,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1
+    ), dev AS (
+      SELECT l.l_returnflag AS grp,
+             abs(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.grp
+    ), mad AS (
+      SELECT grp, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    ), fl AS (
+      SELECT d.grp,
+             CAST(SUM(CASE WHEN 0.6745 * d.adev / mad.mad > 3.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad USING (grp) GROUP BY 1
+    )
+    SELECT med.grp AS l_returnflag, med.n_rows, med.med, mad.mad, fl.n_outliers
+    FROM med JOIN mad ON med.grp = mad.grp JOIN fl ON med.grp = fl.grp
+    """,
+)
+def profile_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier screen (operators/profile.
+    robust_outlier_profile): exact median + MAD + modified-z count per
+    return flag — mean/σ-free DQ stats that outliers can't poison. Spark's
+    exact ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    identically on identical doubles (verified bit-equal), so even the
+    medians hash-match."""
+    from datalake_nba_dmc_spark.operators.profile import robust_outlier_profile
+
+    li = TableRegistry(spark, sf_dir).lineitem
+    return robust_outlier_profile(li, "l_returnflag", "l_extendedprice")

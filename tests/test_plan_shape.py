@@ -260,3 +260,23 @@ def test_multiprobe_corpus_single_bucket_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_attribution_single_asof_merge(spark):
+    """Last-touch attribution rides the as-of union-merge: no
+    range-condition join (which would plan as BroadcastNestedLoop or
+    Cartesian), just hash exchanges + one window."""
+    plan = plan_of(spark, "events_last_touch_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+@needs_testdata
+def test_outlier_profile_broadcast_back(spark):
+    """The O(groups) median/MAD rows join back to the corpus by
+    broadcast — the fact side never sort-merge-joins."""
+    plan = plan_of(spark, "profile_price_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

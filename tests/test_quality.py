@@ -130,3 +130,19 @@ def test_observed_write_collects_metrics_in_flight(spark, tmp_path):
     )
     assert got == {"n_rows": 4, "null_v": 2, "sum_v": 40.0}
     assert read_table(spark, path).count() == 4
+
+
+def test_robust_outlier_profile(spark):
+    from datalake_nba_dmc_spark.operators.profile import robust_outlier_profile
+
+    # group a: tight cluster around 10 with one wild point; group b: clean
+    rows = [("a", float(v)) for v in (9, 9, 10, 10, 10, 11, 11, 1000)] + [
+        ("b", float(v)) for v in (5, 6, 7, 8, 9)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r.g: r for r in robust_outlier_profile(df, "g", "x").collect()}
+    assert got["a"].n_rows == 8 and got["a"].med == 10.0
+    # adevs for a: [1,1,0,0,0,1,1,990] -> MAD = 1 -> only 1000 flagged
+    assert got["a"].mad == 1.0
+    assert got["a"].n_outliers == 1
+    assert got["b"].med == 7.0 and got["b"].n_outliers == 0

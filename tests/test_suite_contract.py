@@ -67,6 +67,7 @@ def test_driver_window_priority():
         "sim_lsh_multiprobe_recall",
         "events_last_touch_attribution",
         "k3_orc_roundtrip",
+        "profile_price_outliers",
     ):
         assert name in window, name
     # stalest r1-only-checked queries promoted into the window
@@ -91,6 +92,6 @@ def test_driver_window_priority():
     ):
         assert name in window, name
     # deferred r1-only queries lead the post-window region (r5 front)
-    assert "w1_latest_order_maxby" in names[50:61]
-    assert "sample_hash_mod" in names[50:61]
-    assert "conform_safe_downcast" in names[50:61]
+    assert "w1_latest_order_maxby" in names[50:62]
+    assert "sample_hash_mod" in names[50:62]
+    assert "conform_safe_downcast" in names[50:62]
