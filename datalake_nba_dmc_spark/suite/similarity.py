@@ -295,3 +295,70 @@ def sim_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_bruteforce_topk(spark, sf_dir)
     approx = sim_lsh_multiprobe_topk(spark, sf_dir)
     return _recall_check(approx, exact, floor=1)
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH quant AS (
+      SELECT vec_id, label, {_DUCK_QUANT} AS qv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS q_label, qv AS q_qv
+      FROM quant WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, c.vec_id, c.label,
+             CAST(list_sum([c.qv[i] * q.q_qv[i] FOR i IN range(1, len(c.qv)+1)]) AS DOUBLE)
+             / (sqrt(CAST(list_sum([c.qv[i] * c.qv[i] FOR i IN range(1, len(c.qv)+1)]) AS DOUBLE))
+                * sqrt(CAST(list_sum([q.q_qv[i] * q.q_qv[i] FOR i IN range(1, len(q.q_qv)+1)]) AS DOUBLE)))
+               AS cosine_sim
+      FROM quant c CROSS JOIN q
+      WHERE c.label != q.q_label
+    )
+    SELECT query_id, vec_id, label, cosine_sim, rank FROM (
+      SELECT query_id, vec_id, label, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 5 most-similar vectors with a DIFFERENT label — the highest-value
+    negatives for metric-learning batches. Same broadcast-queries × one
+    corpus scan shape as the brute-force top-k (the label inequality is a
+    scan-level filter before ranking); at 100 TB swap the exact scorer
+    for the LSH/IVF bucketed paths unchanged."""
+    emb = TableRegistry(spark, sf_dir).embeddings
+    quant = emb.select(
+        "vec_id", "label", _quantize(F.col("embedding")).alias("qv")
+    )
+    queries = quant.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qv").alias("q_qv"),
+    )
+    scored = (
+        quant.crossJoin(F.broadcast(queries))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            (
+                _int_dot(F.col("qv"), F.col("q_qv")).cast("double")
+                / (
+                    F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
+                    * F.sqrt(_int_dot(F.col("q_qv"), F.col("q_qv")).cast("double"))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "label", "cosine_sim", "rank")
+    )

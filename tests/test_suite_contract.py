@@ -68,6 +68,7 @@ def test_driver_window_priority():
         "events_last_touch_attribution",
         "k3_orc_roundtrip",
         "profile_price_outliers",
+        "sim_hard_negatives",
     ):
         assert name in window, name
     # stalest r1-only-checked queries promoted into the window
@@ -92,6 +93,6 @@ def test_driver_window_priority():
     ):
         assert name in window, name
     # deferred r1-only queries lead the post-window region (r5 front)
-    assert "w1_latest_order_maxby" in names[50:62]
-    assert "sample_hash_mod" in names[50:62]
-    assert "conform_safe_downcast" in names[50:62]
+    assert "w1_latest_order_maxby" in names[50:63]
+    assert "sample_hash_mod" in names[50:63]
+    assert "conform_safe_downcast" in names[50:63]
