@@ -522,27 +522,46 @@ def simhash_near_dups(
     fingerprint via ``min_by``, so edge verification needs no join back to
     the (expensive, full-scan) signature stage — one corpus scan, one
     bucket shuffle, one broadcast-or-shuffle equi-join on band_key."""
-    n_bands = bits // band_bits
-    mask = (1 << band_bits) - 1
     sh = with_simhash(df.select(id_col, text_col), text_col, "sh", bits).select(
         id_col, "sh"
     )
-    banded = sh.select(
+    return banded_hash_edges(sh, id_col, "sh", bits, band_bits, max_hamming)
+
+
+def banded_hash_edges(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 64,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic banded near-dup STAR edges over ANY ``bits``-wide integer
+    fingerprint column (SimHash text fingerprints, perceptual image
+    hashes, audio chroma hashes, …): band the fingerprint into
+    ``bits/band_bits`` exact chunks (pigeonhole guarantees a shared chunk
+    within ``max_hamming``), link members to the bucket-min representative
+    (O(bucket) even on hot buckets), verify with full Hamming distance.
+    The signature stage is evaluated once — the representative agg carries
+    the min id's fingerprint via ``min_by``."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
         id_col,
-        "sh",
+        sig_col,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("sh", i * band_bits).bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned(sig_col, i * band_bits).bitwiseAND(F.lit(mask))
                     for i in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_val"),
     ).withColumn("band_key", F.xxhash64("band_idx", "band_val")).select(
-        id_col, "sh", "band_key"
+        id_col, sig_col, "band_key"
     )
     rep = banded.groupBy("band_key").agg(
-        F.min(id_col).alias("id_a"), F.min_by("sh", F.col(id_col)).alias("sh_a")
+        F.min(id_col).alias("id_a"), F.min_by(sig_col, F.col(id_col)).alias("_sig_a")
     )
     return (
         banded.join(rep, on="band_key")
@@ -550,7 +569,7 @@ def simhash_near_dups(
         .select(
             "id_a",
             F.col(id_col).alias("id_b"),
-            hamming64(F.col("sh_a"), F.col("sh")).alias("hamming"),
+            hamming64(F.col("_sig_a"), F.col(sig_col)).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -264,3 +264,69 @@ def extract_image_headers(df: DataFrame, payload_col: str = "payload") -> DataFr
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != payload_col
     )
     return df.mapInPandas(part, schema + ", format string, width int, height int")
+
+
+def perceptual_hash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """64-bit blockwise-mean perceptual hash per media payload — the
+    aHash-family fingerprint image dedup pipelines run before training
+    (near-identical images differ in few bits; exact byte hashing misses
+    re-encodes). Bit i is set iff block i's mean intensity exceeds the
+    global mean.
+
+    STUB decode (no imaging libs in this container): the "intensity
+    stream" is the payload's raw bytes, split into 64 equal blocks —
+    deterministic, so the banding/verify plumbing downstream is fully
+    testable; swap one line for a real grayscale-resize decode in
+    production. Arrow `mapInPandas`: payload bytes enter Python once per
+    batch and only (media_id, phash) rows come back — at 100 TB the
+    payloads never travel past this scan. Empty/NULL payloads are
+    dropped (no pixels → no fingerprint).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                if p is None or len(p) == 0:
+                    continue
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+                pad = (-len(arr)) % 64
+                if pad:
+                    arr = np.pad(arr, (0, pad))
+                means = arr.reshape(64, -1).mean(axis=1)
+                bits = means > means.mean()
+                h = 0
+                for i in range(64):
+                    if bits[i]:
+                        h |= 1 << i
+                if h >= 1 << 63:
+                    h -= 1 << 64  # two's-complement into signed int64
+                ids.append(mid)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return ensure_parallelism(df).mapInPandas(
+        batches, schema="media_id long, phash long"
+    )
+
+
+def phash_near_dups(
+    df: DataFrame, payload_col: str = "payload", max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate STAR edges over the perceptual hash: one
+    fingerprint scan (:func:`perceptual_hash`), then the same banded
+    pigeonhole candidate generation + Hamming verify every other
+    fingerprint family uses (``dedup.banded_hash_edges``) — O(rows ×
+    bands) with bucket-min star edges, never an all-pairs image compare.
+    Duplicate GROUPS come from ``dedup.connected_components`` over these
+    edges, exactly as for text."""
+    from datalake_nba_dmc_spark.operators.dedup import banded_hash_edges
+
+    sig = perceptual_hash(df, payload_col)
+    return banded_hash_edges(
+        sig, "media_id", "phash", bits=64, band_bits=16, max_hamming=max_hamming
+    )

@@ -74,3 +74,16 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type", F.lit("audio")
     )
     return M.audio_waveform_stats(media, sample_rate=16000)
+
+
+@query("media_phash_near_dups", oracle=None)  # byte-block hash: no SQL twin
+def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate star edges over the 64-bit perceptual hash
+    (operators/multimodal.perceptual_hash → dedup.banded_hash_edges): the
+    aHash-family dedup pass image training corpora run to catch
+    re-encodes byte hashing misses. One fingerprint scan (payloads never
+    leave the executors), banded pigeonhole candidates, Hamming verify.
+    Rows-only driver check; the hash math and edge semantics are
+    pytest-pinned on crafted block patterns (test_multimodal)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return M.phash_near_dups(M.documents_as_media(docs), max_hamming=3)

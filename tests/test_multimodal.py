@@ -147,3 +147,39 @@ def test_extract_image_headers_distributed(spark):
     )
     got = {r.media_id: (r.format, r.width, r.height) for r in extract_image_headers(df).collect()}
     assert got == {1: ("png", 12, 34), 2: ("unknown", None, None)}
+
+
+def _block_payload(block_vals, per_block=10):
+    return bytes(b for v in block_vals for b in [v] * per_block)
+
+
+def test_perceptual_hash_and_near_dups(spark):
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_dups,
+    )
+
+    base = [10 if i % 2 == 0 else 200 for i in range(64)]
+    near = list(base)
+    near[0] = 200  # one block crosses the global mean -> 1-bit hamming
+    far = [200 if i % 2 == 0 else 10 for i in range(64)]  # inverted pattern
+    df = spark.createDataFrame(
+        [
+            (1, _block_payload(base)),
+            (2, _block_payload(near)),
+            (3, _block_payload(far)),
+            (4, _block_payload(base)),  # exact re-encode of 1
+            (5, None),  # null payload dropped
+        ],
+        "media_id long, payload binary",
+    )
+    sig = {r.media_id: r.phash for r in perceptual_hash(df).collect()}
+    assert set(sig) == {1, 2, 3, 4}
+    assert sig[1] == sig[4]
+    assert bin((sig[1] ^ sig[2]) & ((1 << 64) - 1)).count("1") == 1
+    assert bin((sig[1] ^ sig[3]) & ((1 << 64) - 1)).count("1") == 64
+
+    edges = {
+        (r.id_a, r.id_b): r.hamming for r in phash_near_dups(df).collect()
+    }
+    assert edges == {(1, 2): 1, (1, 4): 0}  # star edges to min id; 3 is alone
