@@ -295,3 +295,68 @@ def test_quantize_int8_negation_symmetry_and_range(spark, vecs):
         assert a[i].qscale == b[i].qscale
         assert [-c for c in a[i].codes] == b[i].codes
         assert all(-127 <= c <= 127 for c in a[i].codes)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),
+            st.floats(min_value=0.001, max_value=1000.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_matches_python_mirror(spark, rows, k):
+    """The ES selection equals the plain-Python mirror of the same keys on
+    any inputs — partitioning/engine cannot change membership."""
+    import math
+
+    from datalake_nba_dmc_spark.operators.sampling import sample_weighted_topk
+
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = sorted(r.k for r in sample_weighted_topk(df, "k", "w", k=k).collect())
+
+    def es(key, w):
+        h = (key * 2654435761) % 4294967296
+        return math.log((h + 0.5) / 4294967296.0) / w
+
+    want = sorted(key for key, w in sorted(rows, key=lambda r: -es(*r))[:k])
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_gopher_ratios_bounded(spark, texts):
+    """On arbitrary unicode documents every Gopher ratio stays in [0, 1],
+    counts are non-negative, and the pass flag is always 0/1 (never
+    NULL)."""
+    from datalake_nba_dmc_spark.operators.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in gopher_quality(df).collect():
+        assert r.n_words >= 0 and r.n_stop_hits >= 0
+        for ratio in (
+            r.symbol_word_ratio,
+            r.bullet_line_frac,
+            r.ellipsis_line_frac,
+            r.alpha_word_frac,
+        ):
+            assert ratio is not None and 0.0 <= ratio <= 1.0
+        assert r.gopher_pass in (0, 1)
+        if r.n_words > 0:
+            assert r.mean_word_chars > 0
