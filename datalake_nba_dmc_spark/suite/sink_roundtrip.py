@@ -176,3 +176,34 @@ def k3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_table(src, target, mode="overwrite", fmt="orc")
     return read_table(spark, target, fmt="orc")
+
+
+@query(
+    "k4_csv_landing_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def k4_csv_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-format proof: nation written as header CSV and re-read
+    through the landing source (sources/landing.read_csv — the
+    reference's crawler-cataloged text-file entry point, reference
+    ``aws-job-landing-to-bronze/aws-job-landing-to-bronze.py:22-37``)
+    with an EXPLICIT schema, as a production landing job would. Lossless
+    iff the read-back hash equals the parquet source's oracle hash —
+    integers and strings round-trip CSV exactly (no doubles here; CSV is
+    the reference's landing format for conformable text tables, not a
+    float-precision medium)."""
+    from datalake_nba_dmc_spark.sources.landing import read_csv
+
+    target = _scratch(sf_dir, "k4_csv_landing")
+    src = TableRegistry(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src.write.mode("overwrite").option("header", True).csv(target)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    from pyspark.sql.types import StructType
+
+    return read_csv(
+        spark, target, schema=StructType.fromDDL(schema), header=True
+    ).select("n_nationkey", "n_name", "n_regionkey")
