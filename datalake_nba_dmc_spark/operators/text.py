@@ -596,3 +596,40 @@ def unigram_logprob(
             F.round((F.col("_s") / 1e6) / F.col("n_tokens"), 6).alias("avg_logprob"),
         )
     )
+
+
+def gram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    shingles that appear in NO other document (corpus document-frequency
+    1) — high novelty marks genuinely fresh content, low novelty marks
+    boilerplate/templated text, and for generated corpora it is the cheap
+    memorization-risk screen (a "new" doc built from already-seen grams).
+
+    Word-count scale shape: the shared shingle machinery
+    (plans/curation.sized_gram_rows — one staged shingle evaluation,
+    64-bit gram hashes) feeds one DF hash-agg and one equi-join back on
+    the gram key; shuffled rows are O(distinct (doc, gram)), the same
+    cost class as TF-IDF. Novelty is an exact int/int division."""
+    from datalake_nba_dmc_spark.plans.curation import sized_gram_rows
+
+    g = sized_gram_rows(df, text_col, id_col, shingle_n)
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("_df"))
+    return (
+        g.join(dfreq, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.first("sz").cast("long").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )

@@ -64,13 +64,13 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-4 cut (2 fixed + 11 new + 31 stalest + 6 sentinels = the
+    # -- round-4 cut (2 fixed + 12 new + 30 stalest + 6 sentinels = the
     #    50-slot window):
     #    1. the two r3 RED rows, reshaped to scalar output this round —
     #       must re-check first;
     #    2. the queries new in r4 (first driver row);
     #    3. the r1-only-checked queries (their only driver row is now
-    #       three rounds old) — 31 of the 46 fit; the 15 deferred ones sit
+    #       three rounds old) — 30 of the 46 fit; the 16 deferred ones sit
     #       right after the window so they lead the r5 cut;
     #    4. six family sentinels re-confirming the parity core.
     # -- fixed in r4 (red in CORRECTNESS_r03: array-output canon crash)
@@ -88,6 +88,7 @@ _CHECK_PRIORITY: list[str] = [
     "sim_hard_negatives",
     "media_phash_near_dups",
     "k4_csv_landing_roundtrip",
+    "text_gram_novelty",
     # -- r1-only-checked (stalest first driver rows)
     "j1_left_join_single_key",
     "j2_left_join_expr_key",
@@ -117,7 +118,6 @@ _CHECK_PRIORITY: list[str] = [
     "stat_exact_moments",
     "stat_corr_qty_price",
     "agg_grouping_sets",
-    "agg_rollup",
     "set_union_all",
     "sort_topk",
     # -- sentinels: one green representative per core family, so a
@@ -134,6 +134,7 @@ _CHECK_PRIORITY: list[str] = [
     "w1_latest_order_maxby",
     "agg_pivot",
     "agg_percentiles",
+    "agg_rollup",
     "agg_cube",
     "agg_conditional",
     "grouped_minmax_norm",

@@ -333,3 +333,39 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return D.incremental_dedup(corpus, batch).select("doc_id", "lang", "source")
+
+
+@query(
+    "text_gram_novelty",
+    oracle=f"""
+    WITH bt AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), bsh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM bt
+    ), ex AS (
+      SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM bsh
+    ), cnt AS (
+      SELECT gram, COUNT(*) AS dfreq FROM ex GROUP BY 1
+    )
+    SELECT e.doc_id,
+           CAST(MAX(e.sz) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN c.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(e.sz) AS novelty
+    FROM ex e JOIN cnt c USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle novelty (operators/text.gram_novelty): share of a
+    doc's distinct 3-gram shingles that no other doc contains —
+    boilerplate/memorization screening as word-count algebra over the
+    shared 64-bit gram-hash rows (collision odds 2^-64 vs the oracle's
+    string grams)."""
+    from datalake_nba_dmc_spark.operators import text as T
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.gram_novelty(docs)

@@ -71,6 +71,7 @@ def test_driver_window_priority():
         "sim_hard_negatives",
         "media_phash_near_dups",
         "k4_csv_landing_roundtrip",
+        "text_gram_novelty",
     ):
         assert name in window, name
     # stalest r1-only-checked queries promoted into the window
@@ -95,6 +96,6 @@ def test_driver_window_priority():
     ):
         assert name in window, name
     # deferred r1-only queries lead the post-window region (r5 front)
-    assert "w1_latest_order_maxby" in names[50:65]
-    assert "sample_hash_mod" in names[50:65]
-    assert "conform_safe_downcast" in names[50:65]
+    assert "w1_latest_order_maxby" in names[50:66]
+    assert "sample_hash_mod" in names[50:66]
+    assert "conform_safe_downcast" in names[50:66]

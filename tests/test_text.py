@@ -293,3 +293,23 @@ def test_unigram_logprob_small(spark):
     # log-probs are negative; doc 1 leans more on the frequent token "a"
     assert got[1].avg_logprob < 0 and got[2].avg_logprob < 0
     assert got[1].avg_logprob > got[2].avg_logprob
+
+
+def test_gram_novelty(spark):
+    from datalake_nba_dmc_spark.operators.text import gram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # shares shingles with 2
+            (2, "alpha beta gamma epsilon"),        # overlap: (alpha beta gamma)
+            (3, "totally different words entirely"),  # all novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gram_novelty(df).collect()}
+    # doc1 shingles: (a b g), (b g d) -> (a b g) shared with doc2
+    assert got[1].n_grams == 2 and got[1].n_novel == 1
+    assert abs(got[1].novelty - 0.5) < 1e-12
+    assert got[2].n_grams == 2 and got[2].n_novel == 1
+    assert got[3].n_grams == 2 and got[3].n_novel == 2
+    assert got[3].novelty == 1.0
