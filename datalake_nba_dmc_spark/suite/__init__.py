@@ -64,13 +64,13 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-4 cut (2 fixed + 12 new + 30 stalest + 6 sentinels = the
+    # -- round-4 cut (2 fixed + 13 new + 29 stalest + 6 sentinels = the
     #    50-slot window):
     #    1. the two r3 RED rows, reshaped to scalar output this round —
     #       must re-check first;
     #    2. the queries new in r4 (first driver row);
     #    3. the r1-only-checked queries (their only driver row is now
-    #       three rounds old) — 30 of the 46 fit; the 16 deferred ones sit
+    #       three rounds old) — 29 of the 46 fit; the 17 deferred ones sit
     #       right after the window so they lead the r5 cut;
     #    4. six family sentinels re-confirming the parity core.
     # -- fixed in r4 (red in CORRECTNESS_r03: array-output canon crash)
@@ -89,6 +89,7 @@ _CHECK_PRIORITY: list[str] = [
     "media_phash_near_dups",
     "k4_csv_landing_roundtrip",
     "text_gram_novelty",
+    "events_latest_state_per_user",
     # -- r1-only-checked (stalest first driver rows)
     "j1_left_join_single_key",
     "j2_left_join_expr_key",
@@ -117,7 +118,6 @@ _CHECK_PRIORITY: list[str] = [
     "tpch_q3_shipping_priority",
     "stat_exact_moments",
     "stat_corr_qty_price",
-    "agg_grouping_sets",
     "set_union_all",
     "sort_topk",
     # -- sentinels: one green representative per core family, so a
@@ -135,6 +135,7 @@ _CHECK_PRIORITY: list[str] = [
     "agg_pivot",
     "agg_percentiles",
     "agg_rollup",
+    "agg_grouping_sets",
     "agg_cube",
     "agg_conditional",
     "grouped_minmax_norm",

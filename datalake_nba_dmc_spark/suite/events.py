@@ -439,3 +439,26 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         e, touch_types=["click", "view"], conversion_type="purchase",
         attribution_window_days=7,
     )
+
+
+@query(
+    "events_latest_state_per_user",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def events_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming upsert sink's state view as a batch query
+    (streaming/events.latest_state_per_user — the SAME function runs per
+    micro-batch under foreachBatch in upsert_sink): latest event per user
+    via one max_by hash aggregate with map-side combine — no per-user
+    sort, no window shuffle; (ts, event_id) tiebreak keeps the reduction
+    idempotent and deterministic on both engines."""
+    from datalake_nba_dmc_spark.streaming.events import latest_state_per_user
+
+    e = TableRegistry(spark, sf_dir).events
+    return latest_state_per_user(e)

@@ -72,6 +72,7 @@ def test_driver_window_priority():
         "media_phash_near_dups",
         "k4_csv_landing_roundtrip",
         "text_gram_novelty",
+        "events_latest_state_per_user",
     ):
         assert name in window, name
     # stalest r1-only-checked queries promoted into the window
@@ -96,6 +97,6 @@ def test_driver_window_priority():
     ):
         assert name in window, name
     # deferred r1-only queries lead the post-window region (r5 front)
-    assert "w1_latest_order_maxby" in names[50:66]
-    assert "sample_hash_mod" in names[50:66]
-    assert "conform_safe_downcast" in names[50:66]
+    assert "w1_latest_order_maxby" in names[50:67]
+    assert "sample_hash_mod" in names[50:67]
+    assert "conform_safe_downcast" in names[50:67]
