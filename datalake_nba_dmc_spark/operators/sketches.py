@@ -1,4 +1,4 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL).
+"""Mergeable sketches (Apache DataSketches HLL / KLL / Theta).
 
 The reference computes exact ``countDistinct`` marts (reference
 ``aws-job-silver-to-gold-player/aws-job-silver-to-gold-player.py:66-70``);
@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,75 @@ def distinct_rollup(
     scheduled pipeline would split into "build sketch table" (once) and
     "roll up" (per dashboard query)."""
     return hll_rollup(hll_partial(df, fine_cols, key_col, lg_k), coarse_cols)
+
+
+def kll_partial(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 200,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """One scan → one binary KLL quantile sketch of ``value_col`` (double)
+    per fine-grain group. The quantile counterpart of ``hll_partial``:
+    ``approx_percentile`` answers ONE aggregation, but its state cannot be
+    stored; a persisted KLL sketch table answers any later quantile/rank
+    question and any coarser rollup without rescanning the fact table.
+    Normalized rank error ≈ 1.65% at the default k=200; merging does not
+    widen the bound (KLL is mergeable by construction)."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(value_col, F.lit(k)).alias(sketch_col)
+    )
+
+
+def kll_quantile_rollup(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    sketch_col: str = "kll_sketch",
+    prefix: str = "q",
+) -> DataFrame:
+    """Merge fine-grain KLL sketches up to ``group_cols`` and read one
+    estimate per requested quantile (columns ``{prefix}{pct}``), plus the
+    merged sketch itself so callers can also probe ranks. Pure
+    sketch-table input — the fact table is never touched; the merge is a
+    fixed-size-state hash agg (skew-immune like the HLL path)."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double(sketch_col).alias(sketch_col)
+    )
+    cols = [F.col(c) for c in group_cols] + [F.col(sketch_col)]
+    for q in quantiles:
+        cols.append(
+            F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(float(q))).alias(
+                f"{prefix}{int(round(q * 100))}"
+            )
+        )
+    return merged.select(*cols)
+
+
+def theta_overlap(
+    df: DataFrame,
+    key_col: str,
+    flag_a: Column,
+    flag_b: Column,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-key set algebra between two row predicates via Theta
+    sketches: |A ∩ B| and |A \\ B| estimates from ONE scan. This is the
+    capability HLL lacks — HLL unions but cannot intersect; Theta supports
+    intersection/difference with bounded error, so audience-overlap /
+    cross-segment-reach questions at 100 TB are one scan + sketch algebra
+    instead of a distinct-heavy self-join. Returns a single row with
+    ``est_inter`` and ``est_diff_a`` (A minus B)."""
+    sk = df.select(
+        F.theta_sketch_agg(F.when(flag_a, F.col(key_col)), F.lit(lg_k)).alias("sk_a"),
+        F.theta_sketch_agg(F.when(flag_b, F.col(key_col)), F.lit(lg_k)).alias("sk_b"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_inter"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_diff_a"),
+    )

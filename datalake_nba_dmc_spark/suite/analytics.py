@@ -347,3 +347,155 @@ def w9_time_range_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_alias="n_prev_hour",
         sum_alias="sum_prev_hour",
     ).select("user_id", "event_id", "n_prev_hour", "sum_prev_hour")
+
+
+@query(
+    "sketch_quantile_rollup",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity AS v, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, v,
+             SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_c,
+             SUM(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM counts
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cum_c >= (n + 1) // 2 THEN v END) AS exact_med,
+           MIN(CASE WHEN cum_c >= (9 * n + 9) // 10 THEN v END) AS exact_p90,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           1 AS kll_ok
+    FROM cum GROUP BY 1
+    """,
+)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-QUANTILE sketch rollup (operators/sketches.kll_partial /
+    kll_quantile_rollup): one scan builds a DataSketches-KLL blob per
+    (l_returnflag, ship-year); per-returnflag quantiles come from
+    ``kll_merge_agg_double`` over those blobs ALONE — the quantile twin of
+    the HLL distinct rollup (``approx_percentile`` state cannot be stored
+    or re-merged; a persisted KLL sketch table answers any later
+    quantile/rank question without rescanning the fact table). Driver
+    oracle via accuracy certificate: the merged sketch's median/p90
+    estimates must land within ±2.0 of the exact discrete quantiles (KLL
+    k=200 → 1.65% rank error, < 1 value step on the uniform 1..50
+    l_quantity domain; merging does not widen the bound). The exact
+    quantiles ride along as integer-exact discrete quantiles (smallest
+    value whose inclusive cumulative count reaches ceil(q·n), integer
+    threshold arithmetic) so real values are hash-compared bit-stably —
+    interpolated percentile_cont values could differ in ULPs between
+    engines."""
+    from datalake_nba_dmc_spark.operators.sketches import (
+        kll_partial,
+        kll_quantile_rollup,
+    )
+
+    li = TableRegistry(spark, sf_dir).lineitem
+    sk = kll_quantile_rollup(
+        kll_partial(
+            li.select(
+                "l_returnflag", F.year("l_shipdate").alias("ship_year"), "l_quantity"
+            ),
+            ["l_returnflag", "ship_year"],
+            "l_quantity",
+        ),
+        ["l_returnflag"],
+        quantiles=[0.5, 0.9],
+    )
+
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    # integer-division thresholds, mirrored exactly: (n+1)//2 and (9n+9)//10
+    exact = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum_c") >= F.floor((F.col("n") + 1) / 2), F.col("v"))
+        ).alias("exact_med"),
+        F.min(
+            F.when(F.col("cum_c") >= F.floor((F.lit(9) * F.col("n") + 9) / 10), F.col("v"))
+        ).alias("exact_p90"),
+        F.max("n").alias("n_rows"),
+    )
+    # value-space certificate: l_quantity is uniform over 1..50, so the
+    # 1.65% KLL rank error is < 1 value step; ±2.0 covers it plus the ≤1
+    # step offset between KLL's quantile definition and the discrete one.
+    # (kll_sketch_get_rank_double needs a FOLDABLE probe, so a rank-space
+    # certificate can't use per-group exact values.)
+    ok = (F.abs(F.col("q50") - F.col("exact_med")) <= 2.0) & (
+        F.abs(F.col("q90") - F.col("exact_p90")) <= 2.0
+    )
+    return exact.join(sk, "l_returnflag").select(
+        "l_returnflag", "exact_med", "exact_p90", "n_rows", ok.cast("int").alias("kll_ok")
+    )
+
+
+@query(
+    "sketch_theta_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    SELECT
+      (SELECT COUNT(*) FROM a WHERE o_custkey IN (SELECT o_custkey FROM b))
+        AS exact_inter,
+      (SELECT COUNT(*) FROM a WHERE o_custkey NOT IN (SELECT o_custkey FROM b))
+        AS exact_only_a,
+      1 AS theta_ok
+    """,
+)
+def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer overlap between the URGENT and HIGH order segments
+    via Theta sketches (operators/sketches.theta_overlap) — set
+    INTERSECTION/DIFFERENCE of distincts, the algebra HLL cannot do (HLL
+    only unions). One scan builds both segment sketches; the overlap and
+    A-minus-B reach are sketch algebra, no distinct-heavy self-join. At
+    100 TB this answers audience-overlap questions from a persisted
+    per-segment sketch table. Certificate: both estimates within 5% of the
+    exact counts (lg_k=12 keeps the sketch exact below ~4k distincts, so
+    test scales are exact); exact counts ride along for the value-hash."""
+    from datalake_nba_dmc_spark.operators.sketches import theta_overlap
+
+    o = TableRegistry(spark, sf_dir).orders
+    est = theta_overlap(
+        o,
+        "o_custkey",
+        F.col("o_orderpriority") == "1-URGENT",
+        F.col("o_orderpriority") == "2-HIGH",
+    )
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    exact = a.join(b, "o_custkey", "left_semi").agg(
+        F.count("*").alias("exact_inter")
+    ).crossJoin(
+        a.join(b, "o_custkey", "left_anti").agg(F.count("*").alias("exact_only_a"))
+    )
+    ok = (
+        (
+            F.abs(F.col("est_inter") - F.col("exact_inter"))
+            <= F.lit(0.05) * F.col("exact_inter")
+        )
+        & (
+            F.abs(F.col("est_diff_a") - F.col("exact_only_a"))
+            <= F.lit(0.05) * F.col("exact_only_a")
+        )
+    )
+    return exact.crossJoin(est).select(
+        "exact_inter", "exact_only_a", ok.cast("int").alias("theta_ok")
+    )

@@ -75,3 +75,72 @@ def test_global_rollup_sees_cross_group_overlap(spark):
     )
     assert abs(est - total_exact) <= 0.08 * total_exact
     assert est < naive_sum - 100  # the sketch union deduplicates overlap
+
+
+def _values(spark, n_groups=3, n_per_group=2000):
+    # group g holds values g*0.5 + Uniform-ish spread over [0, 100) via a
+    # deterministic low-discrepancy sequence (i*phi mod 100).
+    rows = [
+        (f"g{g}", "fa" if i % 2 else "fb", float((i * 61.803398875 + g * 0.5) % 100.0))
+        for g in range(n_groups)
+        for i in range(n_per_group)
+    ]
+    return spark.createDataFrame(rows, ["coarse", "fine", "v"])
+
+
+def test_kll_rollup_quantiles_within_rank_error(spark):
+    from datalake_nba_dmc_spark.operators.sketches import kll_partial, kll_quantile_rollup
+
+    df = _values(spark)
+    est = {
+        r["coarse"]: (r["q50"], r["q90"])
+        for r in kll_quantile_rollup(
+            kll_partial(df, ["coarse", "fine"], "v"), ["coarse"], [0.5, 0.9]
+        ).collect()
+    }
+    import numpy as np
+
+    pdf = df.toPandas()
+    for g, (q50, q90) in est.items():
+        vals = np.sort(pdf[pdf.coarse == g].v.values)
+        # 1.65% rank error at k=200, 5σ-ish margin → ±5% rank window
+        for q, got in ((0.5, q50), (0.9, q90)):
+            lo = vals[int(max(0, (q - 0.05) * len(vals)))]
+            hi = vals[min(len(vals) - 1, int((q + 0.05) * len(vals)))]
+            assert lo <= got <= hi, (g, q, got, lo, hi)
+
+
+def test_kll_merge_matches_direct_sketch_exactly(spark):
+    """KLL merge determinism: merging fine-grain sketches and sketching
+    the coarse grain directly may compact differently, but both must land
+    within the rank bound of each other."""
+    from datalake_nba_dmc_spark.operators.sketches import kll_partial, kll_quantile_rollup
+
+    df = _values(spark)
+    rolled = {
+        r["coarse"]: r["q50"]
+        for r in kll_quantile_rollup(
+            kll_partial(df, ["coarse", "fine"], "v"), ["coarse"], [0.5]
+        ).collect()
+    }
+    direct = {
+        r["coarse"]: r["q50"]
+        for r in kll_quantile_rollup(
+            kll_partial(df, ["coarse"], "v"), ["coarse"], [0.5]
+        ).collect()
+    }
+    for g in direct:
+        assert abs(rolled[g] - direct[g]) <= 5.0, (g, rolled[g], direct[g])
+
+
+def test_theta_overlap_exact_at_small_cardinality(spark):
+    """Below ~2^lg_k distincts a Theta sketch is in exact mode, so the
+    intersection/difference estimates must equal the true counts."""
+    from datalake_nba_dmc_spark.operators.sketches import theta_overlap
+
+    rows = [(k, k % 3 == 0, k % 2 == 0) for k in range(1000)]
+    df = spark.createDataFrame(rows, ["key", "in_a", "in_b"])
+    out = theta_overlap(df, "key", F.col("in_a"), F.col("in_b")).collect()[0]
+    # A = multiples of 3 (334), B = evens (500); A∩B = multiples of 6 (167)
+    assert out["est_inter"] == 167
+    assert out["est_diff_a"] == 334 - 167
