@@ -369,3 +369,29 @@ def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return T.gram_novelty(docs)
+
+
+@query(
+    "er_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS c_custkey_a, b.c_custkey AS c_custkey_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: every customer-name pair within
+    edit distance 1, via the FastSS deletion-neighborhood blocking join
+    (operators/linkage.fuzzy_pairs_fastss) — linear signature fan-out
+    (L+1 per string) + an equi-join on 64-bit signature hashes + exact
+    levenshtein verify, instead of the oracle's O(n²) theta-join (which
+    IS the DuckDB twin here, so the blocked plan is differentially proven
+    complete: any candidate the blocking missed would show up as a
+    row-count mismatch). Unlike prefix/segment blocking, the shared
+    'Customer#' boilerplate prefix creates no hot block — each signature
+    pins the whole string minus one character."""
+    from datalake_nba_dmc_spark.operators.linkage import fuzzy_pairs_fastss
+
+    c = TableRegistry(spark, sf_dir).customer.select("c_custkey", "c_name")
+    return fuzzy_pairs_fastss(c, "c_custkey", "c_name")
