@@ -169,3 +169,31 @@ def last_touch_attribution(
         F.when(in_window, F.col("touch_type")).alias("touch_type"),
         F.when(in_window, F.col("touch_ts")).alias("touch_ts"),
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): for each
+    user's time-ordered event stream, count every consecutive
+    (``from_type`` → ``to_type``) step across all users — the input to
+    next-action models and funnel discovery.
+
+    Scale shape: ONE exchange on ``user_col`` + per-partition sort for the
+    lag, then a map-side-combinable hash agg on the (from, to) pair whose
+    output is at most |types|² rows — no self-join on the event table (the
+    naive pairing of ``e1 ⋈ e2 ON e2 is next after e1`` is a per-user
+    quadratic). The tiebreaker makes the ordering total, so simultaneous
+    events produce a deterministic transition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    steps = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(F.count("*").alias("n_steps"))

@@ -200,3 +200,45 @@ def range_join(
     linear when keys are selective. (For band-only joins with no equi-key,
     bucketize the time axis first so an equi-key exists.)"""
     return left.join(right, on=(left[key] == right[key]) & (left[point] >= range_start) & (left[point] < range_end))
+
+
+def band_lookup_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_width: float = 25_000.0,
+) -> DataFrame:
+    """Keyless range-containment lookup: each fact row joins the band row
+    whose half-open interval ``[lo, hi)`` contains ``value_col`` — the
+    price-tier / IP-geolocation / CIDR-table shape, where NO equi-key
+    exists and a naive ``BETWEEN`` theta-join compiles to a broadcast
+    nested loop that evaluates every band per fact row.
+
+    Bin acceleration: each band EXPLODES into the fixed-width value bins
+    it covers, the fact row computes its single bin arithmetically, and
+    the join becomes an equi-join on the bin (hash lookup, O(1) per fact
+    row) + a residual containment filter. The same bucketize-then-equi
+    trick as ``interval_overlap_join``, on the value axis. Pick
+    ``bin_width`` near the typical band width so the explode fan-out per
+    band stays small; the exploded band table is still tiny and is
+    broadcast."""
+    exploded = bands.select(
+        F.struct(*bands.columns).alias("_band"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width).cast("long"),
+                F.floor(F.col(hi_col) / bin_width).cast("long"),
+            )
+        ).alias("_bin"),
+    )
+    keyed = fact.withColumn(
+        "_bin", F.floor(F.col(value_col) / bin_width).cast("long")
+    )
+    out = keyed.join(F.broadcast(exploded), "_bin").filter(
+        (F.col(value_col) >= F.col(f"_band.{lo_col}"))
+        & (F.col(value_col) < F.col(f"_band.{hi_col}"))
+    )
+    band_cols = [F.col(f"_band.{c}").alias(c) for c in bands.columns]
+    return out.select(*[F.col(c) for c in fact.columns], *band_cols)

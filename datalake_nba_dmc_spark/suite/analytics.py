@@ -499,3 +499,56 @@ def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(est).select(
         "exact_inter", "exact_only_a", ok.cast("int").alias("theta_ok")
     )
+
+
+@query(
+    "mart_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, n_orders, monetary,
+           NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM base
+    """,
+)
+def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM mart: one agg over orders, then three global NTILE(5)
+    scores (1 = best). Monetary sums are scaled-long exact; every NTILE
+    carries the o_custkey tiebreaker so equal measures land in
+    deterministic quintiles. Scale note: a global NTILE is a single-task
+    sort at the mart grain (customers, not orders) — fine to |customers| ≈
+    10⁸; beyond that, swap to percent_rank over a range-partitioned sort
+    or bucket by approxQuantile boundaries."""
+    from pyspark.sql import Window
+
+    o = TableRegistry(spark, sf_dir).orders
+    scaled = F.round(F.col("o_totalprice") * 10000).cast("long")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        (F.sum(scaled).cast("double") / 10000.0).alias("monetary"),
+    )
+    return base.select(
+        "o_custkey",
+        "last_order",
+        "n_orders",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )

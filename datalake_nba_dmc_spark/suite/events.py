@@ -462,3 +462,29 @@ def events_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = TableRegistry(spark, sf_dir).events
     return latest_state_per_user(e)
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH steps AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_steps
+    FROM steps WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's time-ordered
+    event stream (operators/cohort.transition_counts): one exchange on
+    user_id + lag window + a map-side-combinable (from, to) count — never
+    a self-join on the event table. The event_id tiebreaker totalizes the
+    ordering so simultaneous events transition deterministically."""
+    from datalake_nba_dmc_spark.operators.cohort import transition_counts
+
+    e = TableRegistry(spark, sf_dir).events
+    return transition_counts(e)

@@ -1039,3 +1039,51 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     return swt(o, "o_orderkey", "o_totalprice", k=200)
+
+
+@query(
+    "join_price_band_lookup",
+    oracle="""
+    WITH bands(band_id, band, lo, hi) AS (
+      VALUES (1, 'nano',   0.0,      1000.0),
+             (2, 'small',  1000.0,   50000.0),
+             (3, 'mid',    50000.0,  150000.0),
+             (4, 'large',  150000.0, 300000.0),
+             (5, 'jumbo',  300000.0, 600000.0)
+    )
+    SELECT b.band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_price_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range-containment lookup: every order joined to its price
+    band via the bin-accelerated band join (operators/temporal.
+    band_lookup_join) — bands explode into fixed-width value bins, the
+    fact side computes its bin arithmetically, and the lookup is an
+    equi-join + residual filter instead of the nested-loop BETWEEN join
+    the oracle runs. The IP-geolocation/CIDR-table shape: with 3M bands a
+    nested loop evaluates 3M predicates per row; the bin join stays O(1)
+    per fact row."""
+    from datalake_nba_dmc_spark.operators.temporal import band_lookup_join
+
+    o = TableRegistry(spark, sf_dir).orders
+    bands = o.sparkSession.createDataFrame(
+        [
+            (1, "nano", 0.0, 1000.0),
+            (2, "small", 1000.0, 50000.0),
+            (3, "mid", 50000.0, 150000.0),
+            (4, "large", 150000.0, 300000.0),
+            (5, "jumbo", 300000.0, 600000.0),
+        ],
+        ["band_id", "band", "lo", "hi"],
+    )
+    tagged = band_lookup_join(o, bands, "o_totalprice")
+    return tagged.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        _exact_sum(F.col("o_totalprice"), "revenue"),
+    )

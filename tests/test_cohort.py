@@ -133,3 +133,38 @@ def test_last_touch_attribution(spark):
     assert got[6].touch_event_id is None  # never touched
     assert got[7].touch_event_id is None  # touch after conversion
     assert got[11].touch_event_id == 10 and got[11].touch_type == "view"
+
+
+def test_transition_counts_basic(spark):
+    from datalake_nba_dmc_spark.operators.cohort import transition_counts
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> b ; user 2: b -> a ; user 3 single event (no step)
+        (1, t0, 1, "a"), (2, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "b"),
+        (4, t0, 2, "b"), (5, t0 + dt.timedelta(minutes=5), 2, "a"),
+        (6, t0, 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"]): r["n_steps"]
+        for r in transition_counts(df).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_transition_counts_simultaneous_events_use_tiebreaker(spark):
+    from datalake_nba_dmc_spark.operators.cohort import transition_counts
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(10, t0, 1, "x"), (11, t0, 1, "y"), (12, t0, 1, "z")]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"])
+        for r in transition_counts(df).collect()
+    }
+    # event_id order: x -> y -> z
+    assert got == {("x", "y"), ("y", "z")}

@@ -123,3 +123,47 @@ def test_interval_overlap_join_no_dup_pairs_across_buckets(spark):
         left, right, "k", "s", "e", "rs", "re", bucket_seconds=3600
     )
     assert out.count() == 1
+
+
+def test_band_lookup_join_boundaries_and_uncovered_values(spark):
+    from datalake_nba_dmc_spark.operators.temporal import band_lookup_join
+
+    bands = spark.createDataFrame(
+        [(1, "low", 0.0, 100.0), (2, "high", 100.0, 250.0)],
+        ["band_id", "band", "lo", "hi"],
+    )
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 99.999), (3, 100.0), (4, 249.9), (5, 250.0), (6, -1.0)],
+        ["id", "v"],
+    )
+    got = {
+        r["id"]: r["band"]
+        for r in band_lookup_join(fact, bands, "v", bin_width=30.0).collect()
+    }
+    # half-open [lo, hi): 100.0 belongs to 'high', 250.0 and -1.0 match nothing
+    assert got == {1: "low", 2: "low", 3: "high", 4: "high"}
+
+
+def test_band_lookup_join_matches_theta_join(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import band_lookup_join
+
+    bands = spark.createDataFrame(
+        [(i, f"b{i}", float(i * 37), float(i * 37 + 53)) for i in range(10)],
+        ["band_id", "band", "lo", "hi"],
+    )  # overlapping bands: a value may match several
+    fact = spark.createDataFrame(
+        [(i, float((i * 7.31) % 400)) for i in range(500)], ["id", "v"]
+    )
+    got = {
+        (r["id"], r["band_id"])
+        for r in band_lookup_join(fact, bands, "v", bin_width=25.0).collect()
+    }
+    want = {
+        (r["id"], r["band_id"])
+        for r in fact.join(
+            bands, (fact.v >= bands.lo) & (fact.v < bands.hi)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
