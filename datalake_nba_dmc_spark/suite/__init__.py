@@ -64,13 +64,13 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-4 cut (2 fixed + 13 new + 29 stalest + 6 sentinels = the
+    # -- round-4 cut (2 fixed + 19 new + 23 stalest + 6 sentinels = the
     #    50-slot window):
     #    1. the two r3 RED rows, reshaped to scalar output this round —
     #       must re-check first;
     #    2. the queries new in r4 (first driver row);
     #    3. the r1-only-checked queries (their only driver row is now
-    #       three rounds old) — 29 of the 46 fit; the 17 deferred ones sit
+    #       three rounds old) — 23 of the 46 fit; the 23 deferred ones sit
     #       right after the window so they lead the r5 cut;
     #    4. six family sentinels re-confirming the parity core.
     # -- fixed in r4 (red in CORRECTNESS_r03: array-output canon crash)
@@ -90,13 +90,16 @@ _CHECK_PRIORITY: list[str] = [
     "k4_csv_landing_roundtrip",
     "text_gram_novelty",
     "events_latest_state_per_user",
+    "sketch_quantile_rollup",
+    "sketch_theta_overlap",
+    "er_fuzzy_name_pairs",
+    "events_transition_matrix",
+    "join_price_band_lookup",
+    "mart_rfm_segments",
     # -- r1-only-checked (stalest first driver rows)
     "j1_left_join_single_key",
     "j2_left_join_expr_key",
-    "j3_left_join_derived_key",
-    "j4_join_using",
     "join_semi",
-    "join_anti",
     "a1_dedup_rows",
     "a2_dynamic_sum_agg",
     "a4_team_style_agg",
@@ -106,9 +109,6 @@ _CHECK_PRIORITY: list[str] = [
     "w3_lag",
     "w4_running_sum",
     "w5_ntile_quartiles",
-    "w6_moving_avg",
-    "w7_first_last_order",
-    "w8_percent_rank",
     "f1_filter_eq",
     "f2_null_guarded_parse",
     "p1_project_prune",
@@ -131,6 +131,12 @@ _CHECK_PRIORITY: list[str] = [
     # ------------------------- window edge (first 50 above) -------------
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
+    "j3_left_join_derived_key",
+    "j4_join_using",
+    "join_anti",
+    "w6_moving_avg",
+    "w7_first_last_order",
+    "w8_percent_rank",
     "w1_latest_order_maxby",
     "agg_pivot",
     "agg_percentiles",

@@ -73,6 +73,12 @@ def test_driver_window_priority():
         "k4_csv_landing_roundtrip",
         "text_gram_novelty",
         "events_latest_state_per_user",
+        "sketch_quantile_rollup",
+        "sketch_theta_overlap",
+        "er_fuzzy_name_pairs",
+        "events_transition_matrix",
+        "join_price_band_lookup",
+        "mart_rfm_segments",
     ):
         assert name in window, name
     # stalest r1-only-checked queries promoted into the window
@@ -97,6 +103,8 @@ def test_driver_window_priority():
     ):
         assert name in window, name
     # deferred r1-only queries lead the post-window region (r5 front)
-    assert "w1_latest_order_maxby" in names[50:67]
-    assert "sample_hash_mod" in names[50:67]
-    assert "conform_safe_downcast" in names[50:67]
+    assert "w1_latest_order_maxby" in names[50:73]
+    assert "sample_hash_mod" in names[50:73]
+    assert "conform_safe_downcast" in names[50:73]
+    assert "j3_left_join_derived_key" in names[50:73]
+    assert "w6_moving_avg" in names[50:73]
