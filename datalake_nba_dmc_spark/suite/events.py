@@ -488,3 +488,44 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = TableRegistry(spark, sf_dir).events
     return transition_counts(e)
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH steps AS (
+      SELECT LAG(event_type, 2) OVER w AS t1,
+             LAG(event_type, 1) OVER w AS t2,
+             event_type AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM steps WHERE t1 IS NOT NULL
+    GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths (sequence mining over each
+    user's ordered event stream): two lag windows on ONE exchange share
+    the same sort, then a tiny (≤ |types|³) hash agg and a
+    TakeOrderedAndProject top-k — never a positional self-join on the
+    event table. Deterministic under the (ts, event_id) total order and
+    the (count desc, path asc) tiebreak."""
+    from pyspark.sql import Window
+
+    e = TableRegistry(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    steps = e.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    return (
+        steps.select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(20)
+    )

@@ -670,3 +670,30 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-nat int64s so the doc sums are order-free."""
     docs = TableRegistry(spark, sf_dir).documents
     return T.unigram_logprob(docs)
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    SELECT token, token_count FROM (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS token_count
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token
+    ) ORDER BY token_count DESC, token ASC LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens WITHOUT a full-vocabulary shuffle
+    (operators/frequent.heavy_hitters_exact): per-partition Misra–Gries
+    summaries bound the candidate set to cap×partitions items, then a
+    broadcast semi-join recounts candidates exactly — shuffle
+    O(candidates), not O(|vocab|), and the counts (hence this oracle
+    comparison) are EXACT. The oracle's plan is the naive full
+    explode-group-sort this operator exists to avoid at 100 TB."""
+    from datalake_nba_dmc_spark.operators.frequent import heavy_hitters_exact
+
+    docs = TableRegistry(spark, sf_dir).documents
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    return heavy_hitters_exact(toks, "token", k=20).select(
+        "token", "item_count"
+    ).withColumnRenamed("item_count", "token_count")
