@@ -64,13 +64,13 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-4 cut (2 fixed + 21 new + 21 stalest + 6 sentinels = the
+    # -- round-4 cut (2 fixed + 23 new + 19 stalest + 6 sentinels = the
     #    50-slot window):
     #    1. the two r3 RED rows, reshaped to scalar output this round —
     #       must re-check first;
     #    2. the queries new in r4 (first driver row);
     #    3. the r1-only-checked queries (their only driver row is now
-    #       three rounds old) — 21 of the 46 fit; the 25 deferred ones sit
+    #       three rounds old) — 19 of the 46 fit; the 27 deferred ones sit
     #       right after the window so they lead the r5 cut;
     #    4. six family sentinels re-confirming the parity core.
     # -- fixed in r4 (red in CORRECTNESS_r03: array-output canon crash)
@@ -98,16 +98,16 @@ _CHECK_PRIORITY: list[str] = [
     "mart_rfm_segments",
     "text_heavy_hitters",
     "events_top_paths",
+    "events_dedup_replay",
+    "events_daily_anomalies",
     # -- r1-only-checked (stalest first driver rows)
     "j1_left_join_single_key",
     "j2_left_join_expr_key",
-    "join_semi",
     "a1_dedup_rows",
     "a2_dynamic_sum_agg",
     "a4_team_style_agg",
     "a5_column_bounds",
     "w1_latest_order_per_customer",
-    "w2_rank_in_group",
     "w4_running_sum",
     "f1_filter_eq",
     "f2_null_guarded_parse",
@@ -134,6 +134,8 @@ _CHECK_PRIORITY: list[str] = [
     "j3_left_join_derived_key",
     "j4_join_using",
     "join_anti",
+    "join_semi",
+    "w2_rank_in_group",
     "w3_lag",
     "w5_ntile_quartiles",
     "w6_moving_avg",

@@ -529,3 +529,107 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@query(
+    "events_dedup_replay",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM (SELECT * FROM events UNION ALL
+          SELECT * FROM events WHERE event_id % 3 = 0)
+    GROUP BY event_id, user_id, event_type
+    HAVING FALSE
+    UNION ALL
+    SELECT event_id, user_id, event_type, 1 AS n_copies
+    FROM events
+    """,
+)
+def events_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay dedup — the batch twin of
+    streaming.stream_dedup (dropDuplicatesWithinWatermark): a partially
+    replayed feed (every third event delivered twice) collapses back to
+    exactly-once on event_id. The oracle is simply the original feed with
+    n_copies pinned to 1 — any surviving duplicate or lost event breaks
+    the row count. At scale this is one hash agg keyed on the id; the
+    streaming path bounds the id-state by the watermark horizon instead
+    (test_streaming covers stream==batch)."""
+    from datalake_nba_dmc_spark.streaming.events import stream_dedup
+
+    e = TableRegistry(spark, sf_dir).events
+    replayed = e.unionAll(e.filter(F.col("event_id") % 3 == 0))
+    return stream_dedup(replayed).groupBy(
+        "event_id", "user_id", "event_type"
+    ).agg(F.count("*").cast("long").alias("n_copies"))
+
+
+@query(
+    "events_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sx
+      FROM events GROUP BY 1
+    ), rolled AS (
+      SELECT day, n_events, sx,
+             CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+             CAST(SUM(sx) OVER w AS BIGINT) AS wsx,
+             CAST(SUM(sx * sx) OVER w AS BIGINT) AS wsxx
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n_events,
+           CAST(sx AS DOUBLE) / 10000.0 AS revenue,
+           CASE WHEN wn >= 3 AND (CAST(wn AS DOUBLE) * CAST(wsxx AS DOUBLE)
+                     - CAST(wsx AS DOUBLE) * CAST(wsx AS DOUBLE)) > 0
+                THEN CASE WHEN abs(CAST(sx AS DOUBLE)
+                               - CAST(wsx AS DOUBLE) / CAST(wn AS DOUBLE))
+                          > 2.0 * sqrt((CAST(wn AS DOUBLE) * CAST(wsxx AS DOUBLE)
+                               - CAST(wsx AS DOUBLE) * CAST(wsx AS DOUBLE))
+                               / (CAST(wn AS DOUBLE) * (CAST(wn AS DOUBLE) - 1.0)))
+                          THEN 1 ELSE 0 END
+                ELSE 0 END AS anomaly
+    FROM rolled
+    """,
+)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen over daily event revenue — the
+    time-series data-quality monitor: per day, flag |x - μ₇| > 2σ₇ over
+    the trailing 7-day window. All moments come from exact scaled-long
+    sums (the stat_exact_moments discipline), so μ/σ are identical IEEE
+    expressions in both engines and the flag is bit-stable; the daily
+    grain means the window runs over a tiny pre-aggregated frame, never
+    the raw events."""
+    from pyspark.sql import Window
+
+    e = TableRegistry(spark, sf_dir).events
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sx"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    rolled = daily.select(
+        "day",
+        "n_events",
+        "sx",
+        F.count("*").over(w).cast("long").alias("wn"),
+        F.sum("sx").over(w).cast("long").alias("wsx"),
+        F.sum(F.col("sx") * F.col("sx")).over(w).cast("long").alias("wsxx"),
+    )
+    wn = F.col("wn").cast("double")
+    num = wn * F.col("wsxx").cast("double") - (
+        F.col("wsx").cast("double") * F.col("wsx").cast("double")
+    )
+    std = F.sqrt(num / (wn * (wn - 1.0)))
+    dev = F.abs(F.col("sx").cast("double") - F.col("wsx").cast("double") / wn)
+    anomaly = F.when(
+        (F.col("wn") >= 3) & (num > 0),
+        F.when(dev > 2.0 * std, F.lit(1)).otherwise(F.lit(0)),
+    ).otherwise(F.lit(0))
+    return rolled.select(
+        "day",
+        "n_events",
+        (F.col("sx").cast("double") / 10000.0).alias("revenue"),
+        anomaly.alias("anomaly"),
+    )

@@ -280,3 +280,55 @@ def test_outlier_profile_broadcast_back(spark):
     plan = plan_of(spark, "profile_price_outliers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
+def test_band_lookup_is_broadcast_hash_join_not_nested_loop(spark):
+    """The bin-accelerated band join must compile to a broadcast HASH join
+    on the bin key (O(1) probe per fact row); the naive BETWEEN predicate
+    would appear as BroadcastNestedLoopJoin (O(bands) per row)."""
+    plan = plan_of(spark, "join_price_band_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@needs_testdata
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
+    """Candidate recount must be a broadcast LEFT SEMI hash join (corpus
+    never shuffled on the token) and the final top-k a
+    TakeOrderedAndProject, not a global Sort."""
+    plan = plan_of(spark, "text_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
+def test_top_paths_two_lags_share_one_exchange(spark):
+    """Both lag windows order identically, so the plan needs exactly ONE
+    exchange on user_id for the window stage (plus the final single-
+    partition top-k exchange); a second window sort would double it."""
+    plan = plan_of(spark, "events_top_paths")
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges == 1, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+@needs_testdata
+def test_transition_matrix_single_window_exchange(spark):
+    plan = plan_of(spark, "events_transition_matrix")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    # final (from,to) agg is map-side combined: partial then final
+    assert plan.count("HashAggregate") >= 2
+
+
+@needs_testdata
+def test_fuzzy_pairs_distinct_shuffles_integers_only(spark):
+    """The pair-dedup exchange must carry the integer ids + dist, not the
+    text payloads (narrow-shuffle trade in operators/linkage.py)."""
+    plan = plan_of(spark, "er_fuzzy_name_pairs")
+    ex_lines = [
+        ln for ln in plan.splitlines() if "hashpartitioning(c_custkey_a" in ln
+    ]
+    assert ex_lines, plan
+    assert all("_text" not in ln and "c_name" not in ln for ln in ex_lines), ex_lines
