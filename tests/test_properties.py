@@ -360,3 +360,69 @@ def test_gopher_ratios_bounded(spark, texts):
         assert r.gopher_pass in (0, 1)
         if r.n_words > 0:
             assert r.mean_word_chars > 0
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SLOW
+@given(
+    names=st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=6),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_fastss_pairs_equal_brute_force(spark, names):
+    """FastSS deletion-neighborhood completeness + soundness law: the
+    blocked pair set equals the brute-force levenshtein<=1 pair set for
+    ARBITRARY strings (tiny alphabet maximizes near-collisions, incl.
+    insert/delete cases with unequal lengths and transposition false
+    positives the verify step must kill)."""
+    from datalake_nba_dmc_spark.operators.linkage import fuzzy_pairs_fastss
+
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_fastss(df, "id", "name").collect()
+    }
+    want = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=60), min_size=1, max_size=15
+    )
+)
+def test_heavy_hitters_exact_topk_when_guarantee_holds(spark, counts):
+    """Two-phase heavy hitters equals true top-k whenever every top-k item
+    clears the n/(cap+1) completeness threshold — with cap >= n the MG
+    phase never prunes, so the law must hold for ANY multiset."""
+    from collections import Counter
+
+    from datalake_nba_dmc_spark.operators.frequent import heavy_hitters_exact
+
+    items = [f"t{i}" for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame([(x,) for x in items], ["token"]).repartition(3)
+    k = min(5, len(counts))
+    got = [
+        (r["token"], r["item_count"])
+        for r in heavy_hitters_exact(df, "token", k=k, cap=len(items) + 1).collect()
+    ]
+    want = sorted(Counter(items).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
