@@ -9,6 +9,7 @@ from datalake_nba_dmc_spark.streaming.events import (  # noqa: F401
     read_events_stream,
     session_agg,
     stream_dedup,
+    transition_steps,
     tumbling_agg,
     user_running_state,
 )

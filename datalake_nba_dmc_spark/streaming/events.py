@@ -288,3 +288,55 @@ def enrich_with_dimension(
     micro-batch would dominate the trigger latency. Works identically on a
     batch DataFrame (unified model; tests assert stream == batch)."""
     return events.join(F.broadcast(dim), on, how)
+
+
+_TRANSITION_OUT_SCHEMA = StructType(
+    [StructField("from_type", StringType()), StructField("to_type", StringType())]
+)
+_TRANSITION_STATE_SCHEMA = StructType(
+    [StructField("last_type", StringType()), StructField("last_event_id", LongType())]
+)
+
+
+def _emit_transitions(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    types = pdf["event_type"].tolist()
+    if state.exists:
+        last_type, _ = state.get
+        types = [last_type] + types
+    last = pdf.iloc[-1]
+    state.update((str(last["event_type"]), int(last["event_id"])))
+    yield pd.DataFrame({"from_type": types[:-1], "to_type": types[1:]})
+
+
+def transition_steps(events: DataFrame) -> DataFrame:
+    """Consecutive (from_type → to_type) steps per user — the streaming
+    twin of operators/cohort.transition_counts' step extraction.
+
+    Streaming path: ``applyInPandasWithState`` keyed on user_id; state is
+    just (last_type, last_event_id), so the store holds ONE tiny row per
+    user regardless of stream length, and each micro-batch emits exactly
+    its new transitions (the batch is sorted on (ts, event_id) inside the
+    Arrow group, and the carried state stitches the cross-batch step).
+    Requires micro-batches to arrive in event-time order (time-ordered
+    file drops); for out-of-order replays use the batch lag-window path,
+    which sorts globally. Batch path: identical step rows via one lag
+    window (same (ts, event_id) total order). Aggregate either output with
+    ``groupBy(from_type, to_type).count()`` for the transition matrix."""
+    if events.isStreaming:
+        return events.groupBy("user_id").applyInPandasWithState(
+            _emit_transitions,
+            outputStructType=_TRANSITION_OUT_SCHEMA,
+            stateStructType=_TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())

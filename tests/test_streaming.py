@@ -251,3 +251,31 @@ def test_followup_left_outer_stream_matches_batch(spark, events_dir, tmp_path):
     assert got_nulls <= want_nulls
     # the watermark tail may hold back a few, but most nulls must emit
     assert len(got_nulls) >= 0.8 * len(want_nulls)
+
+
+@needs_testdata
+def test_transition_steps_stream_matches_batch(spark, events_dir, tmp_path):
+    """Stateful transition extraction: streaming the events through
+    applyInPandasWithState (state = one (last_type, last_event_id) row per
+    user) must produce exactly the batch lag-window's transition multiset,
+    and hence the same transition matrix as
+    operators/cohort.transition_counts."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.cohort import transition_counts
+    from datalake_nba_dmc_spark.streaming import read_events_stream
+    from datalake_nba_dmc_spark.streaming.events import transition_steps
+
+    stream = transition_steps(read_events_stream(spark, events_dir))
+    got = _run_stream(spark, stream, str(tmp_path))
+    got_counts = Counter(
+        (r["from_type"], r["to_type"]) for r in got.collect()
+    )
+    batch = _read_events_batch(spark, events_dir)
+    want_counts = {
+        (r["from_type"], r["to_type"]): r["n_steps"]
+        for r in transition_counts(batch).collect()
+    }
+    assert dict(got_counts) == want_counts and len(want_counts) > 0
