@@ -64,13 +64,13 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-4 cut (2 fixed + 23 new + 19 stalest + 6 sentinels = the
+    # -- round-4 cut (2 fixed + 25 new + 17 stalest + 6 sentinels = the
     #    50-slot window):
     #    1. the two r3 RED rows, reshaped to scalar output this round —
     #       must re-check first;
     #    2. the queries new in r4 (first driver row);
     #    3. the r1-only-checked queries (their only driver row is now
-    #       three rounds old) — 19 of the 46 fit; the 27 deferred ones sit
+    #       three rounds old) — 17 of the 46 fit; the 29 deferred ones sit
     #       right after the window so they lead the r5 cut;
     #    4. six family sentinels re-confirming the parity core.
     # -- fixed in r4 (red in CORRECTNESS_r03: array-output canon crash)
@@ -100,12 +100,13 @@ _CHECK_PRIORITY: list[str] = [
     "events_top_paths",
     "events_dedup_replay",
     "events_daily_anomalies",
+    "emb_pq_codes",
+    "sim_pq_adc_recall",
     # -- r1-only-checked (stalest first driver rows)
     "j1_left_join_single_key",
     "j2_left_join_expr_key",
     "a1_dedup_rows",
     "a2_dynamic_sum_agg",
-    "a4_team_style_agg",
     "a5_column_bounds",
     "w1_latest_order_per_customer",
     "w4_running_sum",
@@ -117,7 +118,6 @@ _CHECK_PRIORITY: list[str] = [
     "x1x2x3_date_roundtrip",
     "tpch_q3_shipping_priority",
     "stat_exact_moments",
-    "stat_corr_qty_price",
     "set_union_all",
     "sort_topk",
     # -- sentinels: one green representative per core family, so a
@@ -136,6 +136,8 @@ _CHECK_PRIORITY: list[str] = [
     "join_anti",
     "join_semi",
     "w2_rank_in_group",
+    "a4_team_style_agg",
+    "stat_corr_qty_price",
     "w3_lag",
     "w5_ntile_quartiles",
     "w6_moving_avg",

@@ -293,3 +293,68 @@ def test_multiprobe_recall_monotone(spark):
     for q in range(3):
         assert hits[5][q] >= hits[1][q] >= 1  # self-match structurally guaranteed
     assert sum(hits[5].values()) >= sum(hits[1].values())
+
+
+def test_pq_codes_shape_and_range(spark):
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = S.pq_train(df, dim=16, m=4, k=8)
+    codes = {r["vec_id"]: r["codes"] for r in S.pq_encode(df, books).collect()}
+    assert len(codes) == 200
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+
+
+def test_pq_adc_self_match_when_codebook_memorizes(spark):
+    """With k >= number of distinct subvectors, KMeans can memorize every
+    subvector → reconstruction is (near) exact and each query's ADC top-1
+    is itself with ~0 distance."""
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = S.pq_train(df, dim=8, m=2, k=6, max_iter=40)
+    codes = S.pq_encode(df, books)
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    top = S.pq_adc_topk(codes, queries, books, k=1)
+    for r in top.collect():
+        assert r["vec_id"] == r["query_id"], r
+        assert r["adc_dist"] < 1e-6, r
+
+
+def test_pq_adc_matches_python_reference(spark):
+    """ADC distances computed by the Spark expression must equal the
+    plain-Python LUT sum for every (query, vector) pair."""
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(12)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    m, k, sub = 3, 4, 4
+    books = S.pq_train(df, dim=12, m=m, k=k)
+    codes = {r["vec_id"]: r["codes"] for r in S.pq_encode(df, books).collect()}
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): r["adc_dist"]
+        for r in S.pq_adc_topk(S.pq_encode(df, books), queries, books, k=40).collect()
+    }
+    vecs = dict(rows)
+    for qid in (0, 1):
+        q = vecs[qid]
+        for vid, code in codes.items():
+            want = sum(
+                sum((q[j * sub + t] - books[j][code[j]][t]) ** 2 for t in range(sub))
+                for j in range(m)
+            )
+            assert abs(got[(qid, vid)] - want) < 1e-9, (qid, vid)
