@@ -633,3 +633,33 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx").cast("double") / 10000.0).alias("revenue"),
         anomaly.alias("anomaly"),
     )
+
+
+@query(
+    "events_variant_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                >= 50 THEN 1 END) AS BIGINT) AS n_high
+    FROM events WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type: props
+    is parsed ONCE per row (``parse_json`` → open binary-variant
+    encoding) and fields are read with typed ``variant_get`` paths — the
+    modern engine path for schema-on-read JSON (shredded columnar access
+    at scale) vs the per-field Jackson re-parse of repeated
+    ``get_json_object`` calls (``events_json_extract`` shows that
+    legacy path). The parse is staged as a real column so the two
+    ``variant_get`` reads share one decode (the with_shingles rule)."""
+    e = TableRegistry(spark, sf_dir).events.filter(F.col("props").isNotNull())
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.when(k >= 50, F.lit(1))).cast("long").alias("n_high"),
+    )
