@@ -262,3 +262,25 @@ def compact(
     """
     compacted = spark.read.format(fmt).load(path).repartition(target_files)
     overwrite_self_referencing(spark, compacted, path, fmt)
+
+
+def file_manifest(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Small-files / layout introspection for a written table: per
+    partition-key, the number of physical files and row count, from ONE
+    scan using ``input_file_name()`` — the operational report that decides
+    when :func:`compact` is worth running (a 100 TB table with thousands
+    of KB-sized files per partition wastes its scan parallelism on open
+    overhead and defeats footer-stat skipping). Returns
+    (*partition_cols, ``n_files``, ``n_rows``)."""
+    df = read_table(spark, path, fmt).withColumn("_file", F.input_file_name())
+    # input_file_name() is non-deterministic to the analyzer, so it must be
+    # projected to a column before it can feed an aggregate.
+    return df.groupBy(*partition_cols).agg(
+        F.countDistinct("_file").alias("n_files"),
+        F.count("*").alias("n_rows"),
+    )

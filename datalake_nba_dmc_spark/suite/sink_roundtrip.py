@@ -207,3 +207,39 @@ def k4_csv_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(
         spark, target, schema=StructType.fromDDL(schema), header=True
     ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "k5_file_manifest",
+    oracle="""
+    SELECT o_orderpriority, 1 AS n_files, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def k5_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout introspection (sinks.file_manifest): orders are clustered on
+    the partition key before a hive-partitioned write (repartition by
+    o_orderpriority → every partition VALUE lands wholly in one task →
+    exactly one file per partition directory), then one
+    ``input_file_name()`` scan reports files + rows per partition. The
+    oracle pins n_files=1 — a broken clustering (e.g. dropping the
+    repartition re-fans each partition value across all write tasks) or a
+    lossy write shows up as a value mismatch. This is the report that
+    schedules :func:`~datalake_nba_dmc_spark.sinks.compact` on a real
+    lake."""
+    from datalake_nba_dmc_spark.sinks import file_manifest, write_table
+
+    target = _scratch(sf_dir, "k5_manifest")
+    src = TableRegistry(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_table(
+        src.repartition("o_orderpriority"),
+        target,
+        partition_by=["o_orderpriority"],
+    )
+    return file_manifest(spark, target, ["o_orderpriority"]).select(
+        "o_orderpriority",
+        F.col("n_files").cast("int").alias("n_files"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -128,3 +128,29 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
     # losslessness
     assert read_table(spark, ztarget).count() == src.count()
     assert sorted(read_table(spark, ztarget).columns) == sorted(src.columns)
+
+
+def test_file_manifest_counts_files_and_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.sinks import file_manifest, write_table
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(1000)], ["id", "part"]
+    )
+    target = str(tmp_path / "manifest_tbl")
+    # 4 shuffle partitions per value → 4 files per partition directory
+    write_table(df.repartition(8, "id"), target, partition_by=["part"])
+    got = {
+        r["part"]: (r["n_files"], r["n_rows"])
+        for r in file_manifest(spark, target, ["part"]).collect()
+    }
+    assert got["a"][1] == 500 and got["b"][1] == 500
+    assert got["a"][0] > 1 and got["b"][0] > 1  # un-clustered write fragments
+    # clustered rewrite: one file per partition value
+    write_table(df.repartition("part"), target, partition_by=["part"])
+    got2 = {
+        r["part"]: r["n_files"]
+        for r in file_manifest(spark, target, ["part"]).collect()
+    }
+    assert got2 == {"a": 1, "b": 1}
