@@ -64,13 +64,13 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-4 cut (2 fixed + 27 new + 15 stalest + 6 sentinels = the
+    # -- round-4 cut (2 fixed + 29 new + 13 stalest + 6 sentinels = the
     #    50-slot window):
     #    1. the two r3 RED rows, reshaped to scalar output this round —
     #       must re-check first;
     #    2. the queries new in r4 (first driver row);
     #    3. the r1-only-checked queries (their only driver row is now
-    #       three rounds old) — 15 of the 46 fit; the 31 deferred ones sit
+    #       three rounds old) — 13 of the 46 fit; the 33 deferred ones sit
     #       right after the window so they lead the r5 cut;
     #    4. six family sentinels re-confirming the parity core.
     # -- fixed in r4 (red in CORRECTNESS_r03: array-output canon crash)
@@ -104,6 +104,8 @@ _CHECK_PRIORITY: list[str] = [
     "sim_pq_adc_recall",
     "events_variant_agg",
     "k5_file_manifest",
+    "dedup_keep_best_quality",
+    "text_source_overlap",
     # -- r1-only-checked (stalest first driver rows)
     "j1_left_join_single_key",
     "j2_left_join_expr_key",
@@ -113,9 +115,7 @@ _CHECK_PRIORITY: list[str] = [
     "w1_latest_order_per_customer",
     "w4_running_sum",
     "f1_filter_eq",
-    "p1_project_prune",
     "p4p5_derived_columns",
-    "x1x2x3_date_roundtrip",
     "tpch_q3_shipping_priority",
     "stat_exact_moments",
     "set_union_all",
@@ -140,6 +140,8 @@ _CHECK_PRIORITY: list[str] = [
     "stat_corr_qty_price",
     "p2_bulk_rename",
     "f2_null_guarded_parse",
+    "p1_project_prune",
+    "x1x2x3_date_roundtrip",
     "w3_lag",
     "w5_ntile_quartiles",
     "w6_moving_avg",

@@ -395,3 +395,112 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = TableRegistry(spark, sf_dir).customer.select("c_custkey", "c_name")
     return fuzzy_pairs_fastss(c, "c_custkey", "c_name")
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS sz FROM sh
+    ), exploded AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.doc_id
+      JOIN sizes sb ON i.id_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+    ), assign AS (
+      SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT a.cluster_id, d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM assign a JOIN documents d USING (doc_id)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                               ORDER BY length(d.text) DESC, d.doc_id ASC) = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (same exact
+    3-gram-Jaccard + connected-components pipeline as
+    ``dedup_clusters_assign``) keep their LONGEST member instead of the
+    min-id one — the curation policy that preserves the fullest copy of
+    boilerplate-duplicated pages. The pick is one ``max_by`` hash
+    aggregate over (n_chars, -doc_id) keys — no per-cluster sort, no
+    window over the corpus; differentially proven against the recursive
+    CTE + QUALIFY oracle end-to-end (clustering AND selection)."""
+    from datalake_nba_dmc_spark.plans.curation import near_dup_pairs_exact
+
+    docs = TableRegistry(spark, sf_dir).documents
+    pairs = near_dup_pairs_exact(docs, "text", "doc_id", threshold=0.5)
+    assign = D.dedup_clusters(docs.select("doc_id"), pairs)
+    joined = assign.join(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars")),
+        "doc_id",
+    )
+    best = joined.groupBy("cluster_id").agg(
+        F.max_by(
+            F.struct("doc_id", "n_chars"),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("_b")
+    )
+    return best.select(
+        "cluster_id", F.col("_b.doc_id").alias("doc_id"), F.col("_b.n_chars").alias("n_chars")
+    )
+
+
+@query(
+    "text_source_overlap",
+    oracle=f"""
+    WITH toks_t AS (
+      SELECT doc_id, source,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT source, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), sg AS (
+      SELECT DISTINCT source, unnest(grams) AS gram FROM sh
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct 3-gram shingles both contain — the provenance
+    screen that catches one crawl source republishing another (inputs to
+    per-source dedup priorities and eval-set isolation). Grams reduce to
+    DISTINCT (gram, source) rows first, so the self-join is over the
+    deduplicated gram vocabulary per source — |sources| is tiny, the join
+    output is bounded by shared-vocabulary size, and the corpus is
+    scanned once."""
+    docs = TableRegistry(spark, sf_dir).documents
+    staged = D.with_shingles(docs.select("source", "text"))
+    sg = staged.select("source", F.explode("sh").alias("gram")).distinct()
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )

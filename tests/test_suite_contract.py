@@ -87,6 +87,8 @@ def test_driver_window_priority():
         "sim_pq_adc_recall",
         "events_variant_agg",
         "k5_file_manifest",
+        "dedup_keep_best_quality",
+        "text_source_overlap",
     ):
         assert name in window, name
     # stalest r1-only-checked queries promoted into the window
@@ -111,12 +113,12 @@ def test_driver_window_priority():
     ):
         assert name in window, name
     # deferred r1-only queries lead the post-window region (r5 front)
-    assert "w1_latest_order_maxby" in names[50:81]
-    assert "sample_hash_mod" in names[50:81]
-    assert "conform_safe_downcast" in names[50:81]
-    assert "j3_left_join_derived_key" in names[50:81]
-    assert "w6_moving_avg" in names[50:81]
-    assert "w3_lag" in names[50:81]
-    assert "join_semi" in names[50:81]
-    assert "w2_rank_in_group" in names[50:81]
-    assert "a4_team_style_agg" in names[50:81]
+    assert "w1_latest_order_maxby" in names[50:83]
+    assert "sample_hash_mod" in names[50:83]
+    assert "conform_safe_downcast" in names[50:83]
+    assert "j3_left_join_derived_key" in names[50:83]
+    assert "w6_moving_avg" in names[50:83]
+    assert "w3_lag" in names[50:83]
+    assert "join_semi" in names[50:83]
+    assert "w2_rank_in_group" in names[50:83]
+    assert "a4_team_style_agg" in names[50:83]
