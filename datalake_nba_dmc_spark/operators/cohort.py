@@ -189,11 +189,26 @@ def transition_counts(
     naive pairing of ``e1 ⋈ e2 ON e2 is next after e1`` is a per-user
     quadratic). The tiebreaker makes the ordering total, so simultaneous
     events produce a deterministic transition."""
+    steps = transition_steps_batch(events, user_col, ts_col, type_col, tiebreak_col)
+    return steps.groupBy("from_type", "to_type").agg(F.count("*").alias("n_steps"))
+
+
+def transition_steps_batch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """The step-extraction half of :func:`transition_counts`: one row per
+    consecutive (from_type, to_type) pair under the per-user
+    (``ts_col``, ``tiebreak_col``) total order — one exchange + lag
+    window. Shared by the streaming twin's batch path
+    (``streaming.transition_steps``)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
-    steps = events.select(
+    return events.select(
         F.lag(type_col).over(w).alias("from_type"),
         F.col(type_col).alias("to_type"),
     ).filter(F.col("from_type").isNotNull())
-    return steps.groupBy("from_type", "to_type").agg(F.count("*").alias("n_steps"))

@@ -61,8 +61,11 @@ def heavy_hitters_exact(
     Returns (``item_col``, ``item_count``) — exactly the k most frequent,
     ties broken by item value ascending, provided every true top-k item
     has count > n/(cap+1) (guaranteed comfortably for k ≪ cap)."""
+    item_type = items.schema[item_col].dataType.simpleString()
     candidates = (
-        items.mapInPandas(_mg_summarize(item_col, cap), schema=f"{item_col} string")
+        items.mapInPandas(
+            _mg_summarize(item_col, cap), schema=f"{item_col} {item_type}"
+        )
         .distinct()
     )
     exact = (

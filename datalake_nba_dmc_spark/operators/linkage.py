@@ -77,8 +77,13 @@ def fuzzy_pairs_fastss(
     The candidate self-join is a plain equi-join on the 64-bit signature
     hash; every true pair is produced (neighborhood-intersection
     guarantee), every false positive (shared variant at distance 2, or a
-    hash collision) is removed by the verify filter."""
-    sigs = _deletion_signatures(df, id_col, text_col)
+    hash collision) is removed by the verify filter. NULL texts are
+    dropped up front: they all hash to the same NULL signature, which
+    would form one quadratic hot block the verify step then discards
+    pair-by-pair (and NULL has no meaningful edit distance anyway)."""
+    sigs = _deletion_signatures(
+        df.filter(F.col(text_col).isNotNull()), id_col, text_col
+    )
     a = sigs.select(
         F.col("_sig"),
         F.col(id_col).alias("_id_a"),

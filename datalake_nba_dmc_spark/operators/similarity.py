@@ -582,6 +582,11 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} not divisible by m={m}: trailing dimensions would be"
+            " silently dropped from every codebook"
+        )
     if sample_fraction:
         corpus = corpus.sample(sample_fraction, seed=seed)
     sub = dim // m
@@ -666,7 +671,17 @@ def pq_adc_topk(
             for c in books[j]
         ]
         luts.append((row[query_id_col], lut))
-    lutdf = spark.createDataFrame(luts, [query_id_col, "lut"])
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    lut_schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType),
+            StructField("lut", ArrayType(DoubleType())),
+        ]
+    )
+    # explicit schema: an empty query set must yield an empty result, not
+    # a cannot-infer-schema crash
+    lutdf = spark.createDataFrame(luts, lut_schema)
     dist = F.aggregate(
         F.zip_with(
             F.col("codes"),

@@ -109,9 +109,12 @@ def kll_quantile_rollup(
     )
     cols = [F.col(c) for c in group_cols] + [F.col(sketch_col)]
     for q in quantiles:
+        # encode the full quantile value in the name (q50, q90, q99_5 …)
+        # so distinct quantiles can never collide into one column name
+        pct = f"{q * 100:.10g}".replace(".", "_")
         cols.append(
             F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(float(q))).alias(
-                f"{prefix}{int(round(q * 100))}"
+                f"{prefix}{pct}"
             )
         )
     return merged.select(*cols)

@@ -224,6 +224,14 @@ def band_lookup_join(
     ``bin_width`` near the typical band width so the explode fan-out per
     band stays small; the exploded band table is still tiny and is
     broadcast."""
+    overlap = set(fact.columns) & set(bands.columns)
+    if overlap:
+        raise ValueError(
+            f"fact and bands share column names {sorted(overlap)}: rename one"
+            " side (the output carries both schemas side by side)"
+        )
+    if "_bin" in fact.columns or "_bin" in bands.columns:
+        raise ValueError("'_bin' is reserved by band_lookup_join")
     exploded = bands.select(
         F.struct(*bands.columns).alias("_band"),
         F.explode(

@@ -293,9 +293,7 @@ def enrich_with_dimension(
 _TRANSITION_OUT_SCHEMA = StructType(
     [StructField("from_type", StringType()), StructField("to_type", StringType())]
 )
-_TRANSITION_STATE_SCHEMA = StructType(
-    [StructField("last_type", StringType()), StructField("last_event_id", LongType())]
-)
+_TRANSITION_STATE_SCHEMA = StructType([StructField("last_type", StringType())])
 
 
 def _emit_transitions(
@@ -304,10 +302,9 @@ def _emit_transitions(
     pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     types = pdf["event_type"].tolist()
     if state.exists:
-        last_type, _ = state.get
+        (last_type,) = state.get
         types = [last_type] + types
-    last = pdf.iloc[-1]
-    state.update((str(last["event_type"]), int(last["event_id"])))
+    state.update((str(pdf.iloc[-1]["event_type"]),))
     yield pd.DataFrame({"from_type": types[:-1], "to_type": types[1:]})
 
 
@@ -316,14 +313,15 @@ def transition_steps(events: DataFrame) -> DataFrame:
     twin of operators/cohort.transition_counts' step extraction.
 
     Streaming path: ``applyInPandasWithState`` keyed on user_id; state is
-    just (last_type, last_event_id), so the store holds ONE tiny row per
-    user regardless of stream length, and each micro-batch emits exactly
-    its new transitions (the batch is sorted on (ts, event_id) inside the
+    just the last event type, so the store holds ONE tiny row per user
+    regardless of stream length, and each micro-batch emits exactly its
+    new transitions (the batch is sorted on (ts, event_id) inside the
     Arrow group, and the carried state stitches the cross-batch step).
     Requires micro-batches to arrive in event-time order (time-ordered
     file drops); for out-of-order replays use the batch lag-window path,
-    which sorts globally. Batch path: identical step rows via one lag
-    window (same (ts, event_id) total order). Aggregate either output with
+    which sorts globally. Batch path: delegates to
+    ``operators/cohort.transition_steps_batch`` (same (ts, event_id)
+    total order). Aggregate either output with
     ``groupBy(from_type, to_type).count()`` for the transition matrix."""
     if events.isStreaming:
         return events.groupBy("user_id").applyInPandasWithState(
@@ -333,10 +331,6 @@ def transition_steps(events: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    from pyspark.sql import Window
+    from datalake_nba_dmc_spark.operators.cohort import transition_steps_batch
 
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    return events.select(
-        F.lag("event_type").over(w).alias("from_type"),
-        F.col("event_type").alias("to_type"),
-    ).filter(F.col("from_type").isNotNull())
+    return transition_steps_batch(events)

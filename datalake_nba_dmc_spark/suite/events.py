@@ -569,13 +569,14 @@ def events_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
              CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sx
+             CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS sx1
       FROM events GROUP BY 1
     ), rolled AS (
-      SELECT day, n_events, sx,
+      SELECT day, n_events, sx, sx1,
              CAST(COUNT(*) OVER w AS BIGINT) AS wn,
-             CAST(SUM(sx) OVER w AS BIGINT) AS wsx,
-             CAST(SUM(sx * sx) OVER w AS BIGINT) AS wsxx
+             CAST(SUM(sx1) OVER w AS BIGINT) AS wsx,
+             CAST(SUM(sx1 * sx1) OVER w AS BIGINT) AS wsxx
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
@@ -583,7 +584,7 @@ def events_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sx AS DOUBLE) / 10000.0 AS revenue,
            CASE WHEN wn >= 3 AND (CAST(wn AS DOUBLE) * CAST(wsxx AS DOUBLE)
                      - CAST(wsx AS DOUBLE) * CAST(wsx AS DOUBLE)) > 0
-                THEN CASE WHEN abs(CAST(sx AS DOUBLE)
+                THEN CASE WHEN abs(CAST(sx1 AS DOUBLE)
                                - CAST(wsx AS DOUBLE) / CAST(wn AS DOUBLE))
                           > 2.0 * sqrt((CAST(wn AS DOUBLE) * CAST(wsxx AS DOUBLE)
                                - CAST(wsx AS DOUBLE) * CAST(wsx AS DOUBLE))
@@ -600,29 +601,39 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (the stat_exact_moments discipline), so μ/σ are identical IEEE
     expressions in both engines and the flag is bit-stable; the daily
     grain means the window runs over a tiny pre-aggregated frame, never
-    the raw events."""
+    the raw events.
+
+    Overflow discipline: the z-score is scale-invariant, so the MOMENTS
+    use a whole-unit scaled sum (sx1 = Σ round(value)) while only the
+    displayed revenue uses the 10^-4 scale — squaring the 10^-4-scaled
+    sum would pass 2^63 at roughly the sf0.1 daily volume (and crash
+    under ANSI mode). With whole units, 7·sx1² stays in range up to
+    ~6000× the sf0.1 daily volume; beyond that move wsxx to
+    decimal(38,0)."""
     from pyspark.sql import Window
 
     e = TableRegistry(spark, sf_dir).events
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count("*").cast("long").alias("n_events"),
         F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sx"),
+        F.sum(F.round(F.col("value")).cast("long")).alias("sx1"),
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     rolled = daily.select(
         "day",
         "n_events",
         "sx",
+        "sx1",
         F.count("*").over(w).cast("long").alias("wn"),
-        F.sum("sx").over(w).cast("long").alias("wsx"),
-        F.sum(F.col("sx") * F.col("sx")).over(w).cast("long").alias("wsxx"),
+        F.sum("sx1").over(w).cast("long").alias("wsx"),
+        F.sum(F.col("sx1") * F.col("sx1")).over(w).cast("long").alias("wsxx"),
     )
     wn = F.col("wn").cast("double")
     num = wn * F.col("wsxx").cast("double") - (
         F.col("wsx").cast("double") * F.col("wsx").cast("double")
     )
     std = F.sqrt(num / (wn * (wn - 1.0)))
-    dev = F.abs(F.col("sx").cast("double") - F.col("wsx").cast("double") / wn)
+    dev = F.abs(F.col("sx1").cast("double") - F.col("wsx").cast("double") / wn)
     anomaly = F.when(
         (F.col("wn") >= 3) & (num > 0),
         F.when(dev > 2.0 * std, F.lit(1)).otherwise(F.lit(0)),

@@ -59,3 +59,14 @@ def test_partition_invariance(spark):
             ]
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_non_string_item_column(spark):
+    """The MG summarize schema must follow the item column's type."""
+    items = [(i % 7,) for i in range(700)]
+    df = spark.createDataFrame(items, ["key"])
+    got = [
+        (r["key"], r["item_count"])
+        for r in heavy_hitters_exact(df, "key", k=3, cap=50).collect()
+    ]
+    assert got == [(0, 100), (1, 100), (2, 100)]

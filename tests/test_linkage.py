@@ -70,3 +70,12 @@ def test_shared_prefix_is_not_a_hot_block(spark):
     n_pairs = out.count()
     # 500 ids over 4 digit positions: neighbors differ in one digit
     assert 0 < n_pairs < 500 * 40  # n² would be 124,750 unordered pairs
+
+
+def test_null_texts_are_dropped_not_blocked(spark):
+    rows = [(1, "alpha"), (2, "alphb"), (3, None), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"]) for r in fuzzy_pairs_fastss(df, "id", "name").collect()
+    }
+    assert got == {(1, 2)}  # NULL rows pair with nothing, including each other

@@ -358,3 +358,31 @@ def test_pq_adc_matches_python_reference(spark):
                 for j in range(m)
             )
             assert abs(got[(qid, vid)] - want) < 1e-9, (qid, vid)
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, [0.0] * 10)], ["vec_id", "embedding"])
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_train(df, dim=10, m=3)
+
+
+def test_pq_adc_empty_query_set_returns_empty(spark):
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    books = S.pq_train(df, dim=8, m=2, k=4)
+    queries = df.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.pq_adc_topk(S.pq_encode(df, books), queries, books, k=3)
+    assert out.count() == 0

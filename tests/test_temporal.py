@@ -167,3 +167,14 @@ def test_band_lookup_join_matches_theta_join(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_band_lookup_join_rejects_column_collisions(spark):
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.temporal import band_lookup_join
+
+    bands = spark.createDataFrame([(1, 0.0, 10.0)], ["id", "lo", "hi"])
+    fact = spark.createDataFrame([(1, 5.0)], ["id", "v"])
+    with pytest.raises(ValueError, match="share column names"):
+        band_lookup_join(fact, bands, "v")
