@@ -646,13 +646,16 @@ def incremental_dedup(
     ``gram_fanout_cap`` bounds the batch-internal pair blowup: a gram
     shared by k batch docs would otherwise generate O(k²) candidate pairs
     (a hot boilerplate gram inside one crawl dump goes quadratic). The
-    left (lower-id) side of the pair join keeps only the ``cap`` lowest
-    ids per gram, so each gram yields at most cap·k pairs — linear in k —
-    and every doc is still compared against that gram's earliest docs.
-    Exact whenever every gram's batch-frequency ≤ cap (always true for
-    non-pathological batches); under hotter grams, pairs whose ONLY
-    shared grams rank a lower id beyond the cap are missed — a
-    documented, bounded approximation. ``None`` disables the cap.
+    cap applies ONLY to candidate GENERATION (the lower-id side of the
+    pair join keeps the ``cap`` lowest ids per gram → at most cap·k pairs
+    per gram, linear in k); every generated pair is then re-counted
+    EXACTLY against both docs' full gram sets, so the Jaccard values —
+    and hence the admit/drop decisions — match the uncapped oracle for
+    every pair found. The only approximation left is candidate recall: a
+    true pair is missed only if EVERY shared gram ranks its lower id
+    beyond the cap — at threshold ≥ 0.5 that means half the doc's
+    shingles are cap-deep hot grams, i.e. pure boilerplate. ``None``
+    disables the cap.
     """
     batch = batch.filter(F.col(text_col).isNotNull())
     corpus = corpus.filter(F.col(text_col).isNotNull())
@@ -704,12 +707,22 @@ def incremental_dedup(
             .filter(F.col("_rk") <= gram_fanout_cap)
             .drop("_rk")
         )
-    pairs = (
-        left.join(
-            bb.select(F.col(id_col).alias("id_b"), F.col("sz").alias("_sb"), "gram"),
-            on="gram",
-        )
+    cand = (
+        left.join(bb.select(F.col(id_col).alias("id_b"), "gram"), on="gram")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact recount: the capped join above only PROPOSES pairs; the
+    # intersection size must come from both docs' FULL gram sets, else a
+    # pair whose lower id ranks past the cap on some shared grams gets an
+    # undercounted _n and a wrongly-low Jaccard (admitting a true dup the
+    # uncapped oracle drops)
+    a_g = bb.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sa"), "gram")
+    b_g = bb.select(F.col(id_col).alias("id_b"), F.col("sz").alias("_sb"), "gram")
+    pairs = (
+        cand.join(a_g, on="id_a")
+        .join(b_g, on=["id_b", "gram"])
         .groupBy("id_a", "id_b")
         .agg(
             F.count("*").alias("_n"),

@@ -126,14 +126,19 @@ def robust_outlier_profile(
     (Iglewicz-Hoaglin, public) — the standard mean/σ-free data-quality
     screen, immune to the outliers it is hunting.
 
-    Two grouped exact percentiles + one broadcast join back: the group
-    medians/MADs are O(groups) rows, so the corpus is scanned twice and
-    never shuffled (the percentile aggregates shuffle only per-group
-    value lists). Exact ``percentile`` holds each group's values in the
-    aggregation buffer — right for bounded-cardinality profiling groups
-    (status flags, sources, partitions); switch to ``approx_percentile``
-    for unbounded group sizes at 100 TB, where ±ε on the median moves a
-    z-screen by nothing that matters.
+    Scale shape: the group medians/MADs are O(groups) rows broadcast
+    back, so the corpus is scanned three times (median pass, MAD pass,
+    flag pass) but never shuffled (the percentile aggregates shuffle only
+    per-group value lists). Exact ``percentile`` holds each group's
+    values in the aggregation buffer — right for bounded-cardinality
+    profiling groups (status flags, sources, partitions); switch to
+    ``approx_percentile`` for unbounded group sizes at 100 TB, where ±ε
+    on the median moves a z-screen by nothing that matters.
+
+    MAD = 0 (≥ half the group's values equal the median — constant
+    columns, discrete flags) pins ``n_outliers`` to 0 rather than
+    dividing by zero: the modified z-score is undefined there, and both
+    engines mirror the same guard so the convention is oracle-checked.
     """
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med"),
@@ -148,9 +153,12 @@ def robust_outlier_profile(
         dev.join(F.broadcast(mad), on=group_col)
         .withColumn(
             "_is_out",
-            (
-                (F.lit(0.6745) * F.col("_adev") / F.col("mad")) > F.lit(z_cutoff)
-            ).cast("int"),
+            F.when(
+                (F.col("mad") > 0)
+                & ((F.lit(0.6745) * F.col("_adev") / F.col("mad")) > F.lit(z_cutoff)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
         )
         .groupBy(group_col)
         .agg(F.sum("_is_out").alias("n_outliers"))

@@ -4,8 +4,14 @@
 partitioning, scale factor, and engine — unusable for training-data
 holdouts that must be reproducible across reruns and re-shards. These
 operators decide membership from the ROW KEY alone (multiplicative
-hashing, Knuth's 2654435761 mod 2^32), so a row keeps or loses membership
-no matter how the data is partitioned or how big the table grows.
+hashing over the key's 31-bit halves with Knuth's 2654435761 and
+xxhash's 2246822519, mod 2^32), so a row keeps or loses membership no
+matter how the data is partitioned or how big the table grows. The
+split-half form exists because a raw ``key * 2654435761`` passes 2^63
+for keys ≥ ~3.5e9 — an ARITHMETIC_OVERFLOW under ANSI mode at exactly
+the 100 TB key ranges this is meant for; each half's product stays below
+2^62, so the arithmetic is exact int64 in both engines for any
+non-negative key below 2^62.
 
 Scale: pure filters — they push to the scan, add no shuffle, keep no RNG
 state, and compose with partition pruning.
@@ -19,12 +25,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _KNUTH = 2654435761
+_KNUTH2 = 2246822519
 _MOD = 4294967296
+_LOWMASK = 2147483647  # 2^31 - 1
 
 
 def _key_hash(key: Column, buckets: int) -> Column:
     """Deterministic engine-portable hash bucket in [0, buckets)."""
-    return ((key * F.lit(_KNUTH)) % F.lit(_MOD)) % F.lit(buckets)
+    lo = key.bitwiseAND(F.lit(_LOWMASK))
+    hi = F.shiftrightunsigned(key.cast("long"), 31)
+    h = (
+        (lo * F.lit(_KNUTH)) % F.lit(_MOD) + (hi * F.lit(_KNUTH2)) % F.lit(_MOD)
+    ) % F.lit(_MOD)
+    return h % F.lit(buckets)
+
+
+def duck_key_hash(key_sql: str, buckets: int) -> str:
+    """The DuckDB SQL twin of :func:`_key_hash`, character-for-character
+    the same arithmetic, for oracle strings."""
+    return (
+        f"((({key_sql} & {_LOWMASK}) * {_KNUTH}) % {_MOD}"
+        f" + (({key_sql} >> 31) * {_KNUTH2}) % {_MOD}) % {_MOD} % {buckets}"
+    )
 
 
 def sample_fraction(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
@@ -126,7 +148,7 @@ def sample_weighted_topk(
     different (u, w) pairs are measure-zero, far wider than an engine's
     last-ulp ``ln`` differences).
     """
-    h = (F.col(key_col) * F.lit(_KNUTH)) % F.lit(_MOD)
+    h = _key_hash(F.col(key_col), _MOD)
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
     es_key = F.log(u) / F.col(weight_col).cast("double")
     return (

@@ -456,16 +456,10 @@ def pca_project(
 
 
 def _plane_margin(vec_col: Column, plane: list[float]) -> Column:
-    """Signed distance proxy of a vector to one hyperplane (the raw dot)."""
-    return F.aggregate(
-        F.zip_with(
-            vec_col,
-            F.array(*[F.lit(float(p)) for p in plane]),
-            lambda x, y: (x * y).cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    """Signed distance proxy of a vector to one hyperplane — the shared
+    :func:`dot` against the plane as a literal array, so the multiprobe
+    base bucket's doubles are bit-identical to ``hyperplane_bucket``'s."""
+    return dot(vec_col, F.array(*[F.lit(float(p)) for p in plane]))
 
 
 def multiprobe_buckets(

@@ -614,10 +614,13 @@ def gram_novelty(
     (plans/curation.sized_gram_rows — one staged shingle evaluation,
     64-bit gram hashes) feeds one DF hash-agg and one equi-join back on
     the gram key; shuffled rows are O(distinct (doc, gram)), the same
-    cost class as TF-IDF. Novelty is an exact int/int division."""
+    cost class as TF-IDF. Novelty is an exact int/int division. NULL-text
+    docs are excluded up front — the shingle fallback would otherwise
+    hand them one phantom empty-string gram (a doc with no text has zero
+    shingles, and the SQL twin's gram join drops such docs anyway)."""
     from datalake_nba_dmc_spark.plans.curation import sized_gram_rows
 
-    g = sized_gram_rows(df, text_col, id_col, shingle_n)
+    g = sized_gram_rows(df.filter(F.col(text_col).isNotNull()), text_col, id_col, shingle_n)
     dfreq = g.groupBy("gram").agg(F.count("*").alias("_df"))
     return (
         g.join(dfreq, on="gram")

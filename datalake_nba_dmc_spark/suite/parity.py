@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from datalake_nba_dmc_spark.operators import aggregates as agg
 from datalake_nba_dmc_spark.operators import conform, joins, windows
 from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.operators.sampling import duck_key_hash
 from datalake_nba_dmc_spark.suite import query
 
 
@@ -925,29 +926,34 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_hash_mod",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE ((o_orderkey * 2654435761) % 4294967296) % 10 = 0
+    WHERE {duck_key_hash("o_orderkey", 10)} = 0
     """,
 )
 def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~10% sample by multiplicative key hashing (Knuth's
-    2654435761 mod 2^32). Unlike ``df.sample`` this is reproducible across
-    engines, runs, AND scale-factors (a row keeps or loses membership based
-    only on its key) — the property training-data holdouts need. Pure
-    filter: pushes to the scan, no shuffle, no RNG state."""
+    """Deterministic ~10% sample by multiplicative key hashing (Knuth +
+    xxhash primes over the key's 31-bit halves, mod 2^32 — overflow-free
+    int64 up to 2^62 keys; see operators/sampling.py). Unlike
+    ``df.sample`` this is reproducible across engines, runs, AND
+    scale-factors (a row keeps or loses membership based only on its key)
+    — the property training-data holdouts need. Pure filter: pushes to
+    the scan, no shuffle, no RNG state."""
+    from datalake_nba_dmc_spark.operators.sampling import _key_hash
+
     o = TableRegistry(spark, sf_dir).orders
-    h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
-    return o.filter(h % 10 == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.filter(_key_hash(F.col("o_orderkey"), 10) == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
 
 
 @query(
     "sample_stratified_segments",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE ((c_custkey * 2654435761) % 4294967296) % 1000 <
+    WHERE {duck_key_hash("c_custkey", 1000)} <
           CASE WHEN c_mktsegment = 'BUILDING' THEN 500
                WHEN c_mktsegment = 'MACHINERY' THEN 50
                ELSE 200 END
@@ -1016,10 +1022,10 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_weighted_topk",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey, o_totalprice FROM (
       SELECT o_orderkey, o_custkey, o_totalprice,
-             ln((((o_orderkey * 2654435761) % 4294967296) + 0.5) / 4294967296.0)
+             ln(({duck_key_hash("o_orderkey", 4294967296)} + 0.5) / 4294967296.0)
                / o_totalprice AS es
       FROM orders)
     ORDER BY es DESC LIMIT 200

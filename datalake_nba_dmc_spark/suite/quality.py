@@ -169,7 +169,7 @@ def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT grp, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
     ), fl AS (
       SELECT d.grp,
-             CAST(SUM(CASE WHEN 0.6745 * d.adev / mad.mad > 3.5
+             CAST(SUM(CASE WHEN mad.mad > 0 AND 0.6745 * d.adev / mad.mad > 3.5
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM dev d JOIN mad USING (grp) GROUP BY 1
     )

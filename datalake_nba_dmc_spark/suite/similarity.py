@@ -33,6 +33,44 @@ def _int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def _cosine_rank_topk(
+    quant: DataFrame,
+    queries: DataFrame,
+    k: int,
+    extra_cols: tuple[str, ...] = (),
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Shared broadcast-queries × corpus-scan cosine ranking: exact
+    integer dot products over the quantized vectors, optional scan-level
+    predicate (e.g. the hard-negative label inequality), then a per-query
+    ranking window cut at ``k``. One definition so the scoring and
+    tie-break conventions cannot drift between the exact top-k and its
+    filtered variants."""
+    scored = quant.crossJoin(F.broadcast(queries))
+    if pre_filter is not None:
+        scored = scored.filter(pre_filter)
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        *extra_cols,
+        (
+            _int_dot(F.col("qv"), F.col("q_qv")).cast("double")
+            / (
+                F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
+                * F.sqrt(_int_dot(F.col("q_qv"), F.col("q_qv")).cast("double"))
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", *extra_cols, "cosine_sim", "rank")
+    )
+
+
 @query(
     "sim_bruteforce_topk",
     oracle=f"""
@@ -65,23 +103,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = quant.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
-    scored = quant.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "vec_id",
-        (
-            _int_dot(F.col("qv"), F.col("q_qv")).cast("double")
-            / (
-                F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
-                * F.sqrt(_int_dot(F.col("q_qv"), F.col("q_qv")).cast("double"))
-            )
-        ).alias("cosine_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "cosine_sim", "rank")
-    )
+    return _cosine_rank_topk(quant, queries, k=10)
 
 
 @query("sim_lsh_topk", oracle=None)  # python-seeded hyperplanes; no SQL twin
@@ -338,29 +360,12 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.col("qv").alias("q_qv"),
     )
-    scored = (
-        quant.crossJoin(F.broadcast(queries))
-        .filter(F.col("label") != F.col("q_label"))
-        .select(
-            "query_id",
-            "vec_id",
-            "label",
-            (
-                _int_dot(F.col("qv"), F.col("q_qv")).cast("double")
-                / (
-                    F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
-                    * F.sqrt(_int_dot(F.col("q_qv"), F.col("q_qv")).cast("double"))
-                )
-            ).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "vec_id", "label", "cosine_sim", "rank")
+    return _cosine_rank_topk(
+        quant,
+        queries,
+        k=5,
+        extra_cols=("label",),
+        pre_filter=F.col("label") != F.col("q_label"),
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators import text as T
 from datalake_nba_dmc_spark.sources import TableRegistry
+from datalake_nba_dmc_spark.operators.sampling import duck_key_hash
 from datalake_nba_dmc_spark.suite import query
 
 # DuckDB-side normalized whitespace token list (matches operators.text.tokens).
@@ -348,7 +349,7 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
     FROM documents
-    WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
+    WHERE {duck_key_hash("doc_id", 1000)} <
           CASE WHEN source IN ('src0', 'src1') THEN 1000
                WHEN source IN ('src2', 'src3') THEN 100
                ELSE 400 END
@@ -413,7 +414,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_resample_balanced",
-    oracle="""
+    oracle=f"""
     WITH totals AS (
       SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
       FROM documents GROUP BY source
@@ -424,7 +425,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.source
     FROM documents d JOIN thr USING (source)
-    WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < thr.t
+    WHERE {duck_key_hash("d.doc_id", 1000000)} < thr.t
     ORDER BY d.doc_id
     """,
 )

@@ -278,3 +278,33 @@ def test_incremental_dedup_null_text_dropped(spark):
     )
     got = sorted(r.doc_id for r in incremental_dedup(corpus, batch).collect())
     assert got == [11]
+
+
+def test_incremental_cap_recounts_pairs_exactly(spark):
+    """A capped batch-internal join may only affect candidate RECALL,
+    never the Jaccard of a found pair: a near-dup pair whose shared
+    boilerplate grams rank its lower id past the cap must still be
+    counted against the docs' FULL gram sets (an undercounted
+    intersection would wrongly admit the duplicate)."""
+    from datalake_nba_dmc_spark.operators.dedup import incremental_dedup
+
+    boiler = "alpha beta gamma delta"  # 2 shingles, shared by everyone
+    filler = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(20)
+    ]
+    tail = "same same2 same3 same4 same5 same6 same7 same8"
+    dup_pair = [(100, f"{boiler} {tail}"), (101, f"{boiler} {tail}")]
+    batch = spark.createDataFrame(filler + dup_pair, ["doc_id", "text"])
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+
+    capped = incremental_dedup(
+        corpus, batch, threshold=0.75, gram_fanout_cap=2
+    )
+    uncapped = incremental_dedup(
+        corpus, batch, threshold=0.75, gram_fanout_cap=None
+    )
+    got_capped = sorted(r["doc_id"] for r in capped.collect())
+    got_uncapped = sorted(r["doc_id"] for r in uncapped.collect())
+    assert got_capped == got_uncapped  # cap must not change decisions here
+    assert 100 in got_capped and 101 not in got_capped  # exact dup dropped

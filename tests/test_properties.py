@@ -321,7 +321,8 @@ def test_weighted_sample_matches_python_mirror(spark, rows, k):
     got = sorted(r.k for r in sample_weighted_topk(df, "k", "w", k=k).collect())
 
     def es(key, w):
-        h = (key * 2654435761) % 4294967296
+        h = ((key & 2147483647) * 2654435761) % 4294967296
+        h = (h + ((key >> 31) * 2246822519) % 4294967296) % 4294967296
         return math.log((h + 0.5) / 4294967296.0) / w
 
     want = sorted(key for key, w in sorted(rows, key=lambda r: -es(*r))[:k])

@@ -76,7 +76,8 @@ def test_sample_weighted_topk(spark):
     got = sorted(r.k for r in sample_weighted_topk(df, "k", "w", k=50).collect())
     # mirror the Efraimidis-Spirakis keys in plain Python (same IEEE ops)
     def es_key(key, w):
-        h = (key * 2654435761) % 4294967296
+        h = ((key & 2147483647) * 2654435761) % 4294967296
+        h = (h + ((key >> 31) * 2246822519) % 4294967296) % 4294967296
         return math.log((h + 0.5) / 4294967296.0) / w
     want = sorted(k for k, w in sorted(rows, key=lambda r: -es_key(*r))[:50])
     assert got == want
