@@ -284,3 +284,72 @@ def file_manifest(
         F.countDistinct("_file").alias("n_files"),
         F.count("*").alias("n_rows"),
     )
+
+
+def table_versions(spark: SparkSession, root: str) -> list[int]:
+    """Committed versions of a versioned table (sorted ascending): the
+    ``v=N`` child directories of ``root``. Staging directories are
+    invisible by construction (:func:`versioned_write` renames into place
+    only after the write completes)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    p = hpath(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def versioned_write(
+    spark: SparkSession, df: DataFrame, root: str, fmt: str = "parquet"
+) -> int:
+    """Append a new immutable VERSION of a table — poor-man's snapshot
+    isolation + time travel on any Hadoop filesystem, no table-format
+    jars (the honest native fallback where Delta/Iceberg are
+    unavailable; see README "Table formats").
+
+    Commit protocol: the data is FULLY written to a ``_staging_v{N}``
+    sibling, then a single directory rename publishes it as ``v=N`` —
+    readers list only committed ``v=`` directories, so a crashed writer
+    leaves an invisible staging dir, never a half-readable version. Old
+    versions are immutable (writers never touch them), so concurrent
+    readers of any pinned version are never disturbed — the two
+    properties (atomic publish, immutable history) that make overwrite
+    pipelines re-runnable. Concurrent writers: the rename loses if v=N
+    appeared meanwhile; we retry with the next number (optimistic
+    concurrency, like a table format's commit retry). Returns the
+    committed version number."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    rootp = hpath(root)
+    fs = rootp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(rootp)
+    n = (table_versions(spark, root) or [0])[-1] + 1
+    staging = root.rstrip("/") + f"/_staging_v{n}"
+    df.write.mode("overwrite").format(fmt).save(staging)
+    while True:
+        dst = hpath(root.rstrip("/") + f"/v={n}")
+        if not fs.exists(dst) and fs.rename(hpath(staging), dst):
+            return n
+        n += 1
+
+
+def versioned_read(
+    spark: SparkSession, root: str, version: int | None = None, fmt: str = "parquet"
+) -> DataFrame:
+    """Read one committed version (``None`` → latest) — time travel. A
+    pinned version is stable forever; the latest pointer is just the max
+    committed directory, resolved at plan time."""
+    versions = table_versions(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    return spark.read.format(fmt).load(root.rstrip("/") + f"/v={v}")

@@ -243,3 +243,60 @@ def k5_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_files").cast("int").alias("n_files"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "k6_versioned_roundtrip",
+    oracle="""
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM orders
+    UNION ALL
+    SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM orders WHERE o_totalprice > 150000.0
+    """,
+)
+def k6_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel (sinks.versioned_write/versioned_read):
+    v1 = the full orders table, v2 = the high-value subset; the query then
+    reads BOTH versions back — v1 via an explicit pinned version AFTER v2
+    was committed (time travel: the old snapshot is immutable), v2 via the
+    latest pointer — and aggregates each. The rename-as-commit protocol
+    means a crashed writer can never surface a half-written version; this
+    is the native no-jar fallback for the Delta/Iceberg snapshot
+    semantics the sandbox cannot load (README "Table formats")."""
+    import pyspark.sql.functions as _F
+
+    from datalake_nba_dmc_spark.sinks import versioned_read, versioned_write
+
+    root = _scratch(sf_dir, "k6_versioned")
+    # scratch reset: the version chain must restart per run so the driver
+    # sees the same two versions every time
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    p = hpath(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+    src = TableRegistry(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1 = versioned_write(spark, src, root)
+    v2 = versioned_write(spark, src.filter(F.col("o_totalprice") > 150000.0), root)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            _F.lit(version).alias("version"),
+            _F.count("*").cast("long").alias("n_rows"),
+            (
+                _F.sum(_F.round(_F.col("o_totalprice") * 10000).cast("long"))
+                .cast("double")
+                / 10000.0
+            ).alias("revenue"),
+        )
+
+    pinned_v1 = versioned_read(spark, root, version=v1)
+    latest = versioned_read(spark, root)  # resolves to v2
+    return agg(pinned_v1, v1).unionAll(agg(latest, v2))

@@ -154,3 +154,34 @@ def test_file_manifest_counts_files_and_rows(spark, tmp_path):
         for r in file_manifest(spark, target, ["part"]).collect()
     }
     assert got2 == {"a": 1, "b": 1}
+
+
+def test_versioned_tables_time_travel_and_commit_protocol(spark, tmp_path):
+    from datalake_nba_dmc_spark.sinks import (
+        table_versions,
+        versioned_read,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "vtable")
+    df1 = spark.createDataFrame([(i, "a") for i in range(100)], ["id", "tag"])
+    df2 = spark.createDataFrame([(i, "b") for i in range(40)], ["id", "tag"])
+    v1 = versioned_write(spark, df1, root)
+    v2 = versioned_write(spark, df2, root)
+    assert (v1, v2) == (1, 2)
+    assert table_versions(spark, root) == [1, 2]
+    # time travel: v1 unchanged after v2's commit
+    assert versioned_read(spark, root, version=1).count() == 100
+    assert versioned_read(spark, root).count() == 40  # latest = v2
+    # staging dirs are never visible as versions
+    import os
+
+    (tmp_path / "vtable" / "_staging_v99").mkdir()
+    assert table_versions(spark, root) == [1, 2]
+    # unknown version is an explicit error
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        versioned_read(spark, root, version=7)
+    with pytest.raises(FileNotFoundError):
+        versioned_read(spark, str(tmp_path / "missing"))
