@@ -279,3 +279,62 @@ def test_transition_steps_stream_matches_batch(spark, events_dir, tmp_path):
         for r in transition_counts(batch).collect()
     }
     assert dict(got_counts) == want_counts and len(want_counts) > 0
+
+
+@needs_testdata
+def test_transition_state_survives_query_restart(spark, events_dir, tmp_path):
+    """Checkpoint recovery: a SECOND streaming run over the same
+    checkpoint must resume the per-user state (last event type) written
+    by the first run — the cross-restart guarantee that makes the
+    stateful operator production-usable, strictly stronger than
+    cross-micro-batch stitching inside one run."""
+    import pandas as pd
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.cohort import transition_counts
+    from datalake_nba_dmc_spark.streaming import read_events_stream
+    from datalake_nba_dmc_spark.streaming.events import transition_steps
+
+    src = tmp_path / "src"
+    src.mkdir()
+    full = _read_events_batch(spark, events_dir).orderBy("ts", "event_id").limit(2000)
+    pdf = full.toPandas()
+    half = len(pdf) // 2
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def sink(batch_df, _batch_id):
+        collected.extend(
+            (r["from_type"], r["to_type"]) for r in batch_df.collect()
+        )
+
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        # one NEW file per run (the file source tracks seen files by
+        # path): the second run starts from the checkpoint and must
+        # stitch across the restart via recovered state. foreachBatch,
+        # not the memory sink — only real sinks support checkpoint
+        # recovery across restarts.
+        part.to_parquet(
+            src / f"chunk{i}.parquet",
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        stream = transition_steps(read_events_stream(spark, str(src)))
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = Counter(collected)
+    want = {
+        (r["from_type"], r["to_type"]): r["n_steps"]
+        for r in transition_counts(full).collect()
+    }
+    assert dict(got) == want and len(want) > 0
