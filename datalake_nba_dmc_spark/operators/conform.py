@@ -95,3 +95,15 @@ def split_mmss(col: str | Column) -> tuple[Column, Column]:
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, ":")
     return parts.getItem(0).cast("int"), parts.getItem(1).cast("int")
+
+
+def union_evolved(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-evolution union: combine snapshots whose schemas drifted
+    (columns added or dropped over time) by NAME, with missing columns
+    null-filled — the read-side half of schema evolution for plain-format
+    tables (table formats do this in metadata; here it is one
+    ``unionByName(allowMissingColumns=True)``, a zero-shuffle plan where
+    each side just projects to the merged schema). Positional ``union``
+    would silently misalign columns — the classic drifted-schema bug this
+    wrapper exists to prevent."""
+    return old.unionByName(new, allowMissingColumns=True)

@@ -168,3 +168,32 @@ def robust_outlier_profile(
         .join(flagged, on=group_col)
         .select(group_col, "n_rows", "med", "mad", "n_outliers")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    [``lo_q``, ``hi_q``] interpolated percentiles — the standard
+    heavy-tail taming step before training-feature extraction (unlike
+    dropping outliers, every row survives with a bounded value).
+
+    Scale shape: one grouped exact-percentile pass produces O(groups)
+    bound rows, broadcast back onto the corpus for a map-only clamp —
+    the corpus is scanned twice and never shuffled. Exact ``percentile``
+    holds per-group values in the agg buffer (bounded-cardinality groups;
+    swap to ``approx_percentile`` beyond that). Returns the input plus
+    ``out_col`` and the group bounds ``_lo``/``_hi``."""
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo_q})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi_q})").alias("_hi"),
+    )
+    return df.join(F.broadcast(bounds), on=group_col).withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    )

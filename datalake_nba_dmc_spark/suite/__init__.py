@@ -132,6 +132,8 @@ _CHECK_PRIORITY: list[str] = [
     # -- new in late r4, no window slot left: leads the r5 cut together
     #    with the deferred r1-only names below
     "k6_versioned_roundtrip",
+    "profile_winsorize",
+    "conform_union_evolved",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

@@ -1093,3 +1093,49 @@ def join_price_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         _exact_sum(F.col("o_totalprice"), "revenue"),
     )
+
+
+@query(
+    "conform_union_evolved",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT COALESCE(o_orderpriority, '(pre-upgrade)') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM unioned GROUP BY 1
+    """,
+)
+def conform_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (operators/conform.union_evolved): an old
+    snapshot written BEFORE the o_orderpriority column existed unions
+    with the evolved snapshot by NAME, the missing column null-filled —
+    the read-side schema-evolution semantics plain-format lakes need
+    (positional union would silently misalign; table formats do this in
+    metadata). Zero-shuffle plan: each side only projects to the merged
+    schema; the aggregate then treats pre-upgrade rows as their own
+    bucket."""
+    from datalake_nba_dmc_spark.operators.conform import union_evolved
+
+    o = TableRegistry(spark, sf_dir).orders
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    unioned = union_evolved(v1, v2)
+    return unioned.groupBy(
+        F.coalesce("o_orderpriority", F.lit("(pre-upgrade)")).alias("priority")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        _exact_sum(F.col("o_totalprice"), "revenue"),
+    )

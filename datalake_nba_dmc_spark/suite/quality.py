@@ -188,3 +188,53 @@ def profile_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = TableRegistry(spark, sf_dir).lineitem
     return robust_outlier_profile(li, "l_returnflag", "l_extendedprice")
+
+
+@query(
+    "profile_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           CAST(SUM(CAST(round(
+             least(greatest(l.l_extendedprice, b.lo), b.hi) * 100
+           ) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_winsorized
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def profile_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/profile.winsorize): extended
+    price clipped to each returnflag's [p05, p95] interpolated
+    percentiles — the heavy-tail taming step before feature extraction.
+    One grouped percentile pass + broadcast-back map-only clamp; Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    bit-identically (established by profile_price_outliers), and the
+    clipped sum is cent-scaled exact, so clip counts AND the winsorized
+    mass hash-match."""
+    from datalake_nba_dmc_spark.operators.profile import winsorize
+
+    li = TableRegistry(spark, sf_dir).lineitem
+    w = winsorize(li, "l_returnflag", "l_extendedprice")
+    return w.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((F.col("l_extendedprice") < F.col("_lo")).cast("long")).alias(
+            "n_clip_lo"
+        ),
+        F.sum((F.col("l_extendedprice") > F.col("_hi")).cast("long")).alias(
+            "n_clip_hi"
+        ),
+        (
+            F.sum(F.round(F.col("winsorized") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("sum_winsorized"),
+    )

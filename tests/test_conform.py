@@ -86,3 +86,16 @@ def test_split_mmss(spark):
     assert (row["m"], row["s"]) == (34, 56)
     schema = df.select(mins.alias("m"), secs.alias("s")).schema
     assert isinstance(schema["m"].dataType, IntegerType)
+
+
+def test_union_evolved_aligns_by_name_and_nullfills(spark):
+    from datalake_nba_dmc_spark.operators.conform import union_evolved
+
+    old = spark.createDataFrame([(1, 10.0)], ["id", "amount"])
+    # evolved snapshot: new column added AND column order changed
+    new = spark.createDataFrame(
+        [("x", 2, 20.0)], ["tag", "id", "amount"]
+    )
+    out = union_evolved(old, new)
+    got = {r["id"]: (r["amount"], r["tag"]) for r in out.collect()}
+    assert got == {1: (10.0, None), 2: (20.0, "x")}

@@ -146,3 +146,18 @@ def test_robust_outlier_profile(spark):
     assert got["a"].mad == 1.0
     assert got["a"].n_outliers == 1
     assert got["b"].med == 7.0 and got["b"].n_outliers == 0
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    from datalake_nba_dmc_spark.operators.profile import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", 1e9), ("g", -1e9)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = winsorize(df, "grp", "v", lo_q=0.1, hi_q=0.9).collect()
+    lo = min(r["_lo"] for r in out)
+    hi = max(r["_hi"] for r in out)
+    assert all(lo <= r["winsorized"] <= hi for r in out)
+    # the extreme rows survive, clamped to the bounds
+    clamped = {r["winsorized"] for r in out if abs(r["v"]) == 1e9}
+    assert clamped == {lo, hi}
+    assert len(out) == 102  # winsorization drops nothing
