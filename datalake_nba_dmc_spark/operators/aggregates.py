@@ -134,3 +134,29 @@ def rollup_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataF
 def cube_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFrame:
     """All grouping-set combinations (beyond-reference)."""
     return df.cube(*group_cols).agg(*aggs)
+
+
+def merge_partial_aggs(
+    state: DataFrame, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch's partial
+    aggregate into an existing aggregate STATE table by summing every
+    non-key column — the materialized-view delta-update pattern. A
+    100 TB fact table's daily mart refresh touches only the day's rows:
+    compute the batch's partials, merge with the stored state, write the
+    state back (``sinks.versioned_write`` gives the state table snapshot
+    history).
+
+    Only works for distributive measures (counts, sums — and things
+    derived from them like averages via sum/count); pair with the HLL/KLL
+    sketch states in ``operators/sketches`` for mergeable
+    distincts/quantiles. One union + one hash agg over O(groups) rows;
+    the historical facts are never rescanned."""
+    non_keys = [c for c in state.columns if c not in keys]
+    if [c for c in delta.columns if c not in keys] != non_keys:
+        raise ValueError("state and delta must share the same aggregate schema")
+    return (
+        state.unionByName(delta.select(*state.columns))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in non_keys])
+    )

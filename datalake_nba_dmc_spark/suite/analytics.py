@@ -552,3 +552,39 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
         .alias("m_score"),
     )
+
+
+@query(
+    "agg_incremental_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_scaled
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta update (operators/aggregates.
+    merge_partial_aggs): the per-priority mart is maintained
+    incrementally — aggregate the historical two-thirds once (the stored
+    STATE), aggregate only the new batch, and fold the batch partials
+    into the state by summing — then proven equal to the oracle's
+    full-table aggregate. The 100 TB pattern where a daily refresh
+    touches one day's rows instead of rescanning the fact table; works
+    for any distributive measure (scaled-long sums here; HLL/KLL sketch
+    states cover distincts/quantiles)."""
+    from datalake_nba_dmc_spark.operators.aggregates import merge_partial_aggs
+
+    o = TableRegistry(spark, sf_dir).orders
+    scaled = F.round(F.col("o_totalprice") * 10000).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(scaled).alias("revenue_scaled"),
+        )
+
+    state = partial(o.filter(F.col("o_orderkey") % 3 != 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 3 == 0))
+    return merge_partial_aggs(state, delta, ["o_orderpriority"])

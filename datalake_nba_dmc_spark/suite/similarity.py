@@ -415,3 +415,26 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.pq_adc_topk(codes, queries, books, k=10, vec_col="nvec")
     exact = sim_bruteforce_topk(spark, sf_dir)
     return _recall_check(approx, exact, floor=1)
+
+
+@query(
+    "emb_cluster_assign_ok",
+    oracle="SELECT vec_id, 1 AS assign_ok FROM embeddings",
+)
+def emb_cluster_assign_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding KMeans clustering with a per-row assignment certificate:
+    every vector's MLlib-assigned centroid (operators/similarity.
+    ivf_index → distributed KMeans + model.transform) must equal the
+    argmin squared-L2 centroid computed independently by the engine's own
+    inline array expressions (``nearest_centroids`` with n_probe=1) —
+    cross-validating the two scoring paths the ANN family depends on. The
+    oracle pins assign_ok=1 for every vector; any drift between MLlib's
+    distance math and the expression path (ties broken differently,
+    wrong slice arithmetic) surfaces as a hash mismatch."""
+    emb = TableRegistry(spark, sf_dir).embeddings
+    assigned, centers = S.ivf_index(emb, n_centroids=8)
+    ours = S.nearest_centroids(F.col("embedding"), centers, n_probe=1)[0]
+    return assigned.select(
+        "vec_id",
+        (F.col("centroid_id") == ours).cast("int").alias("assign_ok"),
+    )

@@ -234,3 +234,39 @@ def test_approx_percentile_tracks_exact(spark):
     for r in rows:
         assert (r.p25_ok, r.p50_ok, r.p90_ok) == (1, 1, 1), r
         assert r.n_rows > 0
+
+
+def test_merge_partial_aggs_equals_full_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.aggregates import merge_partial_aggs
+
+    rows = [(i % 4, i, float(i) * 1.5) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["grp", "k", "v"])
+
+    def partial(d):
+        return d.groupBy("grp").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("v_scaled"),
+        )
+
+    merged = merge_partial_aggs(
+        partial(df.filter(F.col("k") % 3 != 0)),
+        partial(df.filter(F.col("k") % 3 == 0)),
+        ["grp"],
+    )
+    got = {r["grp"]: (r["n"], r["v_scaled"]) for r in merged.collect()}
+    want = {r["grp"]: (r["n"], r["v_scaled"]) for r in partial(df).collect()}
+    assert got == want
+
+
+def test_merge_partial_aggs_rejects_schema_drift(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.aggregates import merge_partial_aggs
+
+    a = spark.createDataFrame([(1, 2)], ["grp", "n"])
+    b = spark.createDataFrame([(1, 2, 3)], ["grp", "n", "extra"])
+    with pytest.raises(ValueError, match="same aggregate schema"):
+        merge_partial_aggs(a, b, ["grp"])
