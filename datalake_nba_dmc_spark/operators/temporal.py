@@ -250,3 +250,46 @@ def band_lookup_join(
     )
     band_cols = [F.col(f"_band.{c}").alias(c) for c in bands.columns]
     return out.select(*[F.col(c) for c in fact.columns], *band_cols)
+
+
+def nearest_value_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_val: str,
+    right_val: str,
+    right_cols: Sequence[str],
+    prefix: str = "nearest_",
+) -> DataFrame:
+    """For each left row, the right row (same ``key``) whose ``right_val``
+    is CLOSEST to ``left_val`` on the number line — nearest-calibration /
+    nearest-tier matching, where as-of's one-sided "latest ≤" is the
+    wrong semantics. Ties (exact midpoints) go to the smaller right
+    value; left rows with no right rows for their key keep NULLs.
+
+    Composition, not a new engine primitive: two :func:`asof_join`
+    union-merge passes — backward (largest right ≤ left) and forward
+    (smallest right ≥ left, which is just as-of on the NEGATED axis) —
+    then a per-row pick of the nearer candidate. Cost: two exchanges+
+    sorts over |L|+|R|, no range explosion, no per-key quadratic argmin
+    (the naive plan is a theta-join + window over |L|·|R| rows)."""
+    rcols = list(dict.fromkeys([right_val, *right_cols]))
+    lcols = left.columns
+
+    b = asof_join(left, right, key, left_val, right_val, rcols, prefix="_b_")
+    ln = b.withColumn("_negl", -F.col(left_val))
+    rn = right.withColumn("_negr", -F.col(right_val))
+    f = asof_join(ln, rn, key, "_negl", "_negr", rcols, prefix="_f_")
+
+    b_rv, f_rv = F.col(f"_b_{right_val}"), F.col(f"_f_{right_val}")
+    take_b = b_rv.isNotNull() & (
+        f_rv.isNull()
+        | ((F.col(left_val) - b_rv) <= (f_rv - F.col(left_val)))
+    )
+    chosen = F.when(
+        take_b, F.struct(*[F.col(f"_b_{c}").alias(c) for c in rcols])
+    ).otherwise(F.struct(*[F.col(f"_f_{c}").alias(c) for c in rcols]))
+    return f.select(
+        *lcols,
+        *[chosen.getField(c).alias(f"{prefix}{c}") for c in rcols],
+    )

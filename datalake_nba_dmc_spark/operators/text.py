@@ -636,3 +636,48 @@ def gram_novelty(
             (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+def sentence_boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_threshold: int = 3,
+) -> DataFrame:
+    """Per-document sentence-level boilerplate share: the fraction of a
+    doc's distinct sentences that appear in more than ``df_threshold``
+    documents corpus-wide — the sentence-grain complement of the shingle
+    novelty screen (cookie banners, footers, templated disclaimers
+    repeat as WHOLE sentences long before they dominate shingles).
+
+    Sentences are ``[.!?]``-delimited trimmed segments (an RE2-safe split
+    so the DuckDB twin tokenizes identically — no lookbehind). Shape:
+    distinct (doc, sentence) rows → document-frequency hash agg on the
+    sentence → join back on the sentence key → per-doc counts; shuffled
+    rows are O(distinct (doc, sentence)), the TF-IDF cost class."""
+    sent = (
+        df.select(
+            id_col,
+            F.explode(F.split(F.col(text_col), r"[.!?]+")).alias("_raw"),
+        )
+        .select(id_col, F.trim(F.col("_raw")).alias("sentence"))
+        .filter(F.col("sentence") != "")
+        .distinct()
+    )
+    dfreq = sent.groupBy("sentence").agg(F.count("*").alias("_df"))
+    return (
+        sent.join(dfreq, on="sentence")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum((F.col("_df") > df_threshold).cast("long")).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_sentences",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_sentences"), 6
+            ).alias("boiler_share"),
+        )
+    )

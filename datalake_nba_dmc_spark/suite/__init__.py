@@ -136,6 +136,8 @@ _CHECK_PRIORITY: list[str] = [
     "conform_union_evolved",
     "agg_incremental_maintenance",
     "emb_cluster_assign_ok",
+    "join_nearest_tier",
+    "text_sentence_boilerplate",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

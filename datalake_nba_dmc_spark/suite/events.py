@@ -674,3 +674,56 @@ def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.count(F.when(k >= 50, F.lit(1))).cast("long").alias("n_high"),
     )
+
+
+_TIER_CENTERS = [
+    ("click", 5.0, "low"), ("click", 25.0, "mid"), ("click", 50.0, "high"),
+    ("view", 10.0, "low"), ("view", 40.0, "mid"), ("view", 80.0, "high"),
+    ("purchase", 50.0, "low"), ("purchase", 150.0, "mid"), ("purchase", 250.0, "high"),
+    ("signup", 1.0, "low"), ("signup", 3.0, "mid"), ("signup", 9.0, "high"),
+    ("error", 20.0, "low"), ("error", 60.0, "mid"), ("error", 120.0, "high"),
+]
+
+_TIER_VALUES_SQL = ", ".join(
+    f"('{t}', {c}, '{label}')" for t, c, label in _TIER_CENTERS
+)
+
+
+@query(
+    "join_nearest_tier",
+    oracle=f"""
+    WITH centers(event_type, center, tier) AS (VALUES {_TIER_VALUES_SQL})
+    SELECT event_id, value, nearest_center, nearest_tier FROM (
+      SELECT e.event_id, e.value, c.center AS nearest_center,
+             c.tier AS nearest_tier,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY abs(e.value - c.center), c.center) AS rn
+      FROM events e JOIN centers c USING (event_type))
+    WHERE rn = 1
+    """,
+)
+def join_nearest_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-value matching (operators/temporal.nearest_value_join):
+    every event snaps to the CLOSEST per-type tier center on the value
+    axis — the nearest-calibration semantics one-sided as-of can't give.
+    Implemented as two as-of union-merge passes (backward + forward on
+    the negated axis) and a per-row nearer-candidate pick: two sorts over
+    |L|+|R|, while the oracle's plan is the |L|·|R| theta-join + window
+    this operator exists to avoid. Midpoint ties go to the smaller
+    center in BOTH engines."""
+    from datalake_nba_dmc_spark.operators.temporal import nearest_value_join
+
+    e = TableRegistry(spark, sf_dir).events.select("event_id", "event_type", "value")
+    centers = e.sparkSession.createDataFrame(
+        _TIER_CENTERS, ["event_type", "center", "tier"]
+    )
+    out = nearest_value_join(
+        e, centers, key="event_type", left_val="value", right_val="center",
+        right_cols=["tier"],
+    )
+    return out.select(
+        "event_id",
+        "value",
+        F.col("nearest_center"),
+        F.col("nearest_tier"),
+    )

@@ -698,3 +698,36 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(toks, "token", k=20).select(
         "token", "item_count"
     ).withColumnRenamed("item_count", "token_count")
+
+
+@query(
+    "text_sentence_boilerplate",
+    oracle="""
+    WITH sent AS (
+      SELECT DISTINCT doc_id, trim(s) AS sentence
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s
+            FROM documents)
+      WHERE trim(s) != ''
+    ), dfreq AS (
+      SELECT sentence, COUNT(*) AS dfc FROM sent GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(CASE WHEN dfc > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           round(CAST(SUM(CASE WHEN dfc > 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS boiler_share
+    FROM sent JOIN dfreq USING (sentence)
+    GROUP BY doc_id
+    """,
+)
+def text_sentence_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level boilerplate share per document (operators/text.
+    sentence_boilerplate_stats): the fraction of a doc's distinct
+    sentences appearing in more than 3 documents corpus-wide — cookie
+    banners and templated footers repeat as whole sentences long before
+    they dominate shingle statistics. Distinct (doc, sentence) rows → one
+    document-frequency hash agg → join back; the TF-IDF cost class."""
+    from datalake_nba_dmc_spark.operators.text import sentence_boilerplate_stats
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return sentence_boilerplate_stats(docs)

@@ -178,3 +178,48 @@ def test_band_lookup_join_rejects_column_collisions(spark):
     fact = spark.createDataFrame([(1, 5.0)], ["id", "v"])
     with pytest.raises(ValueError, match="share column names"):
         band_lookup_join(fact, bands, "v")
+
+
+def test_nearest_value_join_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import nearest_value_join
+
+    left = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), float((i * 7.7) % 100)) for i in range(300)],
+        ["id", "key", "v"],
+    )
+    right = spark.createDataFrame(
+        [("k%d" % (j % 3), float(j * 9.5), "r%d" % j) for j in range(30)],
+        ["key", "rv", "tag"],
+    )
+    got = {
+        r["id"]: (r["nearest_rv"], r["nearest_tag"])
+        for r in nearest_value_join(
+            left, right, "key", "v", "rv", ["tag"]
+        ).collect()
+    }
+    want = {}
+    rrows = [(r["key"], r["rv"], r["tag"]) for r in right.collect()]
+    for r in left.collect():
+        cands = [(abs(r["v"] - rv), rv, tag) for k, rv, tag in rrows if k == r["key"]]
+        d, rv, tag = min(cands)  # tie -> smaller rv, matching the operator
+        want[r["id"]] = (rv, tag)
+    assert got == want
+
+
+def test_nearest_value_join_ties_and_missing_keys(spark):
+    from datalake_nba_dmc_spark.operators.temporal import nearest_value_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 15.0), (2, "zz", 1.0)], ["id", "key", "v"]
+    )
+    right = spark.createDataFrame(
+        [("a", 10.0, "lo"), ("a", 20.0, "hi")], ["key", "rv", "tag"]
+    )
+    got = {
+        r["id"]: (r["nearest_rv"], r["nearest_tag"])
+        for r in nearest_value_join(left, right, "key", "v", "rv", ["tag"]).collect()
+    }
+    assert got[1] == (10.0, "lo")  # exact midpoint -> smaller right value
+    assert got[2] == (None, None)  # no right rows for key 'zz'

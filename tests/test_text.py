@@ -313,3 +313,19 @@ def test_gram_novelty(spark):
     assert got[2].n_grams == 2 and got[2].n_novel == 1
     assert got[3].n_grams == 2 and got[3].n_novel == 2
     assert got[3].novelty == 1.0
+
+
+def test_sentence_boilerplate_stats(spark):
+    from datalake_nba_dmc_spark.operators.text import sentence_boilerplate_stats
+
+    boiler = "Accept all cookies."
+    rows = [(i, f"{boiler} Unique insight number {i}!") for i in range(5)]
+    rows.append((99, "Entirely novel text with no repeats."))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["n_boiler"], r["boiler_share"])
+        for r in sentence_boilerplate_stats(df, df_threshold=3).collect()
+    }
+    for i in range(5):
+        assert got[i] == (2, 1, 0.5)  # the cookie banner is boilerplate
+    assert got[99] == (1, 0, 0.0)
