@@ -99,3 +99,61 @@ def exact_corr(
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias(alias),
     )
+
+
+def psi_binned(
+    df: DataFrame,
+    split_col: Column,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the rows where ``split_col`` is
+    true (baseline A) and false (comparison B) — the standard
+    distribution-drift monitor for feature/label pipelines
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 action).
+
+    Equi-width bins over [lo, hi] with edge clamping (same binning as
+    ``profile.histogram``); per-bin shares are Laplace-smoothed
+    (``(cnt + 0.5) / (total + nbins/2)``) so empty bins contribute finite
+    terms deterministically instead of the ±inf of the raw formula.
+    Returns one row per bin: counts, both shares, and the bin's PSI
+    contribution ``(pa − pb)·ln(pa/pb)`` rounded to 6 dp (ln may differ
+    in the last ulp across engines — the tf_idf rounding rule); sum the
+    contributions for the scalar PSI.
+
+    Scale shape: ONE scan → conditional counts per bin (map-side
+    combined, ≤ nbins groups) → totals broadcast back. No sort, no
+    per-row state — the grain is bins, never rows."""
+    w = (float(hi) - float(lo)) / nbins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(value_col) - float(lo)) / F.lit(w)).cast("int"), F.lit(0)),
+        F.lit(nbins - 1),
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"), split_col.cast("int").alias("_is_a"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("_is_a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("_is_a")).cast("long").alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    sm = float(nbins) / 2.0
+    pa = (F.col("n_a") + 0.5) / (F.col("_ta") + sm)
+    pb = (F.col("n_b") + 0.5) / (F.col("_tb") + sm)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round(pa, 6).alias("share_a"),
+            F.round(pb, 6).alias("share_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+        )
+    )

@@ -138,6 +138,8 @@ _CHECK_PRIORITY: list[str] = [
     "emb_cluster_assign_ok",
     "join_nearest_tier",
     "text_sentence_boilerplate",
+    "stat_psi_price_drift",
+    "events_user_idle_report",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

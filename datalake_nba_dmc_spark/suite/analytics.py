@@ -588,3 +588,47 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = partial(o.filter(F.col("o_orderkey") % 3 != 0))
     delta = partial(o.filter(F.col("o_orderkey") % 3 == 0))
     return merge_partial_aggs(state, delta, ["o_orderpriority"])
+
+
+@query(
+    "stat_psi_price_drift",
+    oracle="""
+    WITH c AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 60000.0) AS INT),
+                            0), 9) AS bucket,
+             CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS a
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), g AS (
+      SELECT bucket,
+             CAST(SUM(a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - a) AS BIGINT) AS n_b
+      FROM c GROUP BY bucket
+    ), t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM g)
+    SELECT bucket, n_a, n_b,
+           round((n_a + 0.5) / (ta + 5.0), 6) AS share_a,
+           round((n_b + 0.5) / (tb + 5.0), 6) AS share_b,
+           round(((n_a + 0.5) / (ta + 5.0) - (n_b + 0.5) / (tb + 5.0))
+                 * ln(((n_a + 0.5) / (ta + 5.0)) / ((n_b + 0.5) / (tb + 5.0))),
+                 6) AS psi_contrib
+    FROM g CROSS JOIN t
+    """,
+)
+def stat_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift report (operators/stats.
+    psi_binned): order-price distribution pre-1998 vs 1998-onward, 10
+    equi-width bins over [0, 600k] — the standard feature-drift monitor a
+    training pipeline runs before every data refresh. One scan, ≤ nbins
+    groups, Laplace-smoothed shares so empty bins stay finite; per-bin
+    contributions rounded to 6 dp (the tf_idf ln rule) and summed by the
+    reader for the scalar PSI."""
+    from datalake_nba_dmc_spark.operators.stats import psi_binned
+
+    o = TableRegistry(spark, sf_dir).orders
+    return psi_binned(
+        o,
+        split_col=F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+        value_col="o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        nbins=10,
+    )

@@ -727,3 +727,50 @@ def join_nearest_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nearest_center"),
         F.col("nearest_tier"),
     )
+
+
+@query(
+    "events_user_idle_report",
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS mx FROM events),
+    last_seen AS (
+      SELECT user_id, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, last_ts, n_events,
+           CAST(FLOOR(CAST(epoch_us(mx - last_ts) AS DOUBLE) / 86400000000.0)
+                AS BIGINT) AS days_idle,
+           CASE WHEN last_ts < mx - INTERVAL '36 hours' THEN 1 ELSE 0 END
+             AS inactive_36h
+    FROM last_seen CROSS JOIN horizon
+    """,
+)
+def events_user_idle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn/idleness report: every user's last activity, lifetime event
+    count, whole days idle relative to the stream horizon (max ts), and a
+    36-hour inactivity flag — the re-engagement audience builder. One
+    hash agg per user + a broadcast one-row horizon; no window, no
+    self-join. Idle days are exact integer arithmetic on epoch
+    microseconds so both engines floor identically."""
+    e = TableRegistry(spark, sf_dir).events
+    horizon = e.agg(F.max("ts").alias("_mx"))
+    last_seen = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count("*").cast("long").alias("n_events")
+    )
+    idle_us = F.unix_micros(F.col("_mx")) - F.unix_micros(F.col("last_ts"))
+    return (
+        last_seen.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "last_ts",
+            "n_events",
+            F.floor(idle_us.cast("double") / 86400000000.0)
+            .cast("long")
+            .alias("days_idle"),
+            (
+                F.col("last_ts") < F.col("_mx") - F.expr("INTERVAL 36 HOURS")
+            )
+            .cast("int")
+            .alias("inactive_36h"),
+        )
+    )

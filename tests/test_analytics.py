@@ -121,3 +121,29 @@ def test_time_range_sum_trailing_hour(spark):
     assert got[(1, ts(60))] == (3, 7.0)      # inclusive 1h bound keeps row 1
     assert got[(1, ts(60, 1))] == (3, 14.0)  # row 1 aged out at µs precision
     assert got[(2, ts(0))] == (1, 100.0)
+
+
+def test_psi_binned_detects_shift_and_is_symmetric_zero(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import psi_binned
+
+    same = spark.createDataFrame(
+        [(i % 2 == 0, float(i % 100)) for i in range(2000)], ["is_a", "v"]
+    )
+    psi_same = sum(
+        r["psi_contrib"]
+        for r in psi_binned(same, F.col("is_a"), "v", 0.0, 100.0, 10).collect()
+    )
+    assert abs(psi_same) < 0.01  # identical distributions → PSI ≈ 0
+
+    shifted = spark.createDataFrame(
+        [(True, float(i % 50)) for i in range(1000)]
+        + [(False, 50.0 + float(i % 50)) for i in range(1000)],
+        ["is_a", "v"],
+    )
+    psi_shift = sum(
+        r["psi_contrib"]
+        for r in psi_binned(shifted, F.col("is_a"), "v", 0.0, 100.0, 10).collect()
+    )
+    assert psi_shift > 0.25  # disjoint supports → strong drift signal
