@@ -300,3 +300,41 @@ def k6_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned_v1 = versioned_read(spark, root, version=v1)
     latest = versioned_read(spark, root)  # resolves to v2
     return agg(pinned_v1, v1).unionAll(agg(latest, v2))
+
+
+@query(
+    "k7_jsonl_landing_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    """,
+)
+def k7_jsonl_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-format proof for JSONL (sources/landing.read_jsonl): the
+    supplier table written as JSON lines, one hand-corrupted record
+    appended, then re-read with an explicit schema and corrupt-record
+    quarantine — the crawler-drop entry format next to CSV (k4). The
+    corrupt line must land in the quarantine column and be EXCLUDED, so
+    the surviving rows hash-equal the parquet source's oracle exactly;
+    a silent-coercion regression (corrupt row kept as nulls, or a good
+    row misparsed) breaks the count or the hash."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from datalake_nba_dmc_spark.sources.landing import read_jsonl
+
+    target = _scratch(sf_dir, "k7_jsonl_landing")
+    src = TableRegistry(spark, sf_dir).supplier.select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    src.write.mode("overwrite").json(target)
+    with open(os.path.join(target, "zz_corrupt.json"), "w") as f:
+        f.write('{"s_suppkey": 999999, "s_name": "broken\n')
+
+    schema = StructType.fromDDL(
+        "s_suppkey bigint, s_name string, s_nationkey bigint, _corrupt_record string"
+    )
+    raw = read_jsonl(spark, target, schema=schema, quarantine_corrupt=True)
+    return raw.filter(F.col("_corrupt_record").isNull()).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
