@@ -334,7 +334,12 @@ def k7_jsonl_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = StructType.fromDDL(
         "s_suppkey bigint, s_name string, s_nationkey bigint, _corrupt_record string"
     )
-    raw = read_jsonl(spark, target, schema=schema, quarantine_corrupt=True)
+    # Spark disallows plans that reference ONLY the internal corrupt
+    # column after pruning (e.g. a count() over this query) unless the
+    # parsed result is cached first — the documented contract for
+    # corrupt-record queries. The table is landing-sized; the cache is
+    # what makes the quarantine filter legal in every downstream shape.
+    raw = read_jsonl(spark, target, schema=schema, quarantine_corrupt=True).cache()
     return raw.filter(F.col("_corrupt_record").isNull()).select(
         "s_suppkey", "s_name", "s_nationkey"
     )
