@@ -153,7 +153,9 @@ def merge_partial_aggs(
     distincts/quantiles. One union + one hash agg over O(groups) rows;
     the historical facts are never rescanned."""
     non_keys = [c for c in state.columns if c not in keys]
-    if [c for c in delta.columns if c not in keys] != non_keys:
+    # order-insensitive: unionByName aligns columns, so a delta SELECTed
+    # in a different column order is still a valid refresh
+    if {c for c in delta.columns if c not in keys} != set(non_keys):
         raise ValueError("state and delta must share the same aggregate schema")
     return (
         state.unionByName(delta.select(*state.columns))

@@ -204,9 +204,12 @@ def transition_steps_batch(
     consecutive (from_type, to_type) pair under the per-user
     (``ts_col``, ``tiebreak_col``) total order — one exchange + lag
     window. Shared by the streaming twin's batch path
-    (``streaming.transition_steps``)."""
+    (``streaming.transition_steps``). NULL-typed events are excluded up
+    front so the semantics are symmetric (a NULL type can be neither end
+    of a step) and identical between the batch and streaming paths."""
     from pyspark.sql import Window
 
+    events = events.filter(F.col(type_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     return events.select(
         F.lag(type_col).over(w).alias("from_type"),

@@ -193,7 +193,13 @@ def winsorize(
         F.expr(f"percentile({value_col}, {lo_q})").alias("_lo"),
         F.expr(f"percentile({value_col}, {hi_q})").alias("_hi"),
     )
+    # NULL guard: greatest/least SKIP null arguments, so an unguarded
+    # clamp would fabricate the group's _lo for every NULL measurement —
+    # missing values must stay missing through a taming step.
     return df.join(F.broadcast(bounds), on=group_col).withColumn(
         out_col,
-        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+        ),
     )

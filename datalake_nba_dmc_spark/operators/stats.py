@@ -127,10 +127,14 @@ def psi_binned(
     combined, ≤ nbins groups) → totals broadcast back. No sort, no
     per-row state — the grain is bins, never rows."""
     w = (float(hi) - float(lo)) / nbins
+    # clamp the LONG bucket BEFORE narrowing to int: a corrupt outlier
+    # value puts the raw floor() past 2^31 and an early cast would be an
+    # ANSI ARITHMETIC_OVERFLOW — on the one operator whose whole job is
+    # being fed suspect data
     bucket = F.least(
-        F.greatest(F.floor((F.col(value_col) - float(lo)) / F.lit(w)).cast("int"), F.lit(0)),
+        F.greatest(F.floor((F.col(value_col) - float(lo)) / F.lit(w)), F.lit(0)),
         F.lit(nbins - 1),
-    )
+    ).cast("int")
     counts = (
         df.filter(F.col(value_col).isNotNull())
         .select(bucket.alias("bucket"), split_col.cast("int").alias("_is_a"))

@@ -275,6 +275,15 @@ def nearest_value_join(
     (the naive plan is a theta-join + window over |L|·|R| rows)."""
     rcols = list(dict.fromkeys([right_val, *right_cols]))
     lcols = left.columns
+    reserved = {"_negl", "_negr"} & (set(lcols) | set(right.columns))
+    if reserved:
+        raise ValueError(f"{sorted(reserved)} are reserved by nearest_value_join")
+    clash = {f"{prefix}{c}" for c in rcols} & set(lcols)
+    if clash:
+        raise ValueError(
+            f"output columns {sorted(clash)} collide with left columns;"
+            " pick a different prefix"
+        )
 
     b = asof_join(left, right, key, left_val, right_val, rcols, prefix="_b_")
     ln = b.withColumn("_negl", -F.col(left_val))

@@ -322,22 +322,38 @@ def versioned_write(
     versions are immutable (writers never touch them), so concurrent
     readers of any pinned version are never disturbed — the two
     properties (atomic publish, immutable history) that make overwrite
-    pipelines re-runnable. Concurrent writers: the rename loses if v=N
-    appeared meanwhile; we retry with the next number (optimistic
-    concurrency, like a table format's commit retry). Returns the
-    committed version number."""
+    pipelines re-runnable. Concurrent writers: each writer stages under
+    its own nonce path and retries the publish with the next number if
+    v=N appeared meanwhile (optimistic concurrency, like a table format's
+    commit retry). Residual TOCTOU: between the exists-check and the
+    rename another writer can still publish the same N — a window real
+    table formats close with an atomic metastore/log commit that a bare
+    filesystem cannot express; single-writer-per-table (the normal
+    scheduler discipline) avoids it entirely. Returns the committed
+    version number."""
+    import uuid
+
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     rootp = hpath(root)
     fs = rootp.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.mkdirs(rootp)
     n = (table_versions(spark, root) or [0])[-1] + 1
-    staging = root.rstrip("/") + f"/_staging_v{n}"
+    # the staging name carries a per-writer nonce, NOT the contended
+    # version number: two concurrent writers computing the same n would
+    # otherwise share one staging path and overwrite each other's files
+    # before the publish race is even reached
+    staging = root.rstrip("/") + f"/_staging_{uuid.uuid4().hex}"
     df.write.mode("overwrite").format(fmt).save(staging)
     while True:
         dst = hpath(root.rstrip("/") + f"/v={n}")
-        if not fs.exists(dst) and fs.rename(hpath(staging), dst):
+        if fs.exists(dst):  # lost the publish race → retry the next number
+            n += 1
+            continue
+        if fs.rename(hpath(staging), dst):
             return n
-        n += 1
+        # rename failed with a free destination: a real FS error (perms,
+        # staging vanished) — surface it instead of spinning forever
+        raise OSError(f"versioned_write: rename {staging} -> v={n} failed")
 
 
 def versioned_read(

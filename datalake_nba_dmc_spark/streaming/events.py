@@ -324,12 +324,19 @@ def transition_steps(events: DataFrame) -> DataFrame:
     total order). Aggregate either output with
     ``groupBy(from_type, to_type).count()`` for the transition matrix."""
     if events.isStreaming:
-        return events.groupBy("user_id").applyInPandasWithState(
-            _emit_transitions,
-            outputStructType=_TRANSITION_OUT_SCHEMA,
-            stateStructType=_TRANSITION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+        # NULL-typed events dropped BEFORE the stateful op, matching the
+        # batch path: otherwise str(None) would enter the state as the
+        # literal 'None' and emit phantom transitions
+        return (
+            events.filter(F.col("event_type").isNotNull())
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _emit_transitions,
+                outputStructType=_TRANSITION_OUT_SCHEMA,
+                stateStructType=_TRANSITION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
     from datalake_nba_dmc_spark.operators.cohort import transition_steps_batch
 

@@ -471,7 +471,7 @@ def events_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS from_type,
              event_type AS to_type
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
     )
     SELECT from_type, to_type, COUNT(*) AS n_steps
     FROM steps WHERE from_type IS NOT NULL

@@ -339,6 +339,9 @@ def k7_jsonl_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parsed result is cached first — the documented contract for
     # corrupt-record queries. The table is landing-sized; the cache is
     # what makes the quarantine filter legal in every downstream shape.
+    # The entry is deliberately not unpersisted here (the returned plan
+    # still needs it); MEMORY_AND_DISK evicts under pressure and the
+    # harness session drops it at shutdown.
     raw = read_jsonl(spark, target, schema=schema, quarantine_corrupt=True).cache()
     return raw.filter(F.col("_corrupt_record").isNull()).select(
         "s_suppkey", "s_name", "s_nationkey"

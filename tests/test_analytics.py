@@ -147,3 +147,18 @@ def test_psi_binned_detects_shift_and_is_symmetric_zero(spark):
         for r in psi_binned(shifted, F.col("is_a"), "v", 0.0, 100.0, 10).collect()
     )
     assert psi_shift > 0.25  # disjoint supports → strong drift signal
+
+
+def test_psi_binned_survives_extreme_outliers(spark):
+    """A corrupt value at 1e15 must clamp into the edge bin, not overflow
+    the int bucket under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import psi_binned
+
+    rows = [(i % 2 == 0, float(i % 100)) for i in range(200)] + [(True, 1.0e15)]
+    df = spark.createDataFrame(rows, ["is_a", "v"])
+    out = psi_binned(df, F.col("is_a"), "v", 0.0, 100.0, 10).collect()
+    assert sum(r["n_a"] + r["n_b"] for r in out) == 201
+    top = [r for r in out if r["bucket"] == 9][0]
+    assert top["n_a"] >= 11  # the outlier clamped into the last bin

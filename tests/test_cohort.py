@@ -168,3 +168,22 @@ def test_transition_counts_simultaneous_events_use_tiebreaker(spark):
     }
     # event_id order: x -> y -> z
     assert got == {("x", "y"), ("y", "z")}
+
+
+def test_transition_counts_ignores_null_types(spark):
+    from datalake_nba_dmc_spark.operators.cohort import transition_counts
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"),
+        (2, t0 + dt.timedelta(minutes=1), 1, None),
+        (3, t0 + dt.timedelta(minutes=2), 1, "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {
+        (r["from_type"], r["to_type"]): r["n_steps"]
+        for r in transition_counts(df).collect()
+    }
+    # the NULL event is skipped entirely: a -> b, never (a -> NULL) steps
+    assert got == {("a", "b"): 1}

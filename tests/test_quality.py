@@ -161,3 +161,13 @@ def test_winsorize_clips_to_group_bounds(spark):
     clamped = {r["winsorized"] for r in out if abs(r["v"]) == 1e9}
     assert clamped == {lo, hi}
     assert len(out) == 102  # winsorization drops nothing
+
+
+def test_winsorize_keeps_nulls_null(spark):
+    from datalake_nba_dmc_spark.operators.profile import winsorize
+
+    rows = [("g", float(v)) for v in range(10)] + [("g", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize(df, "grp", "v").collect()
+    null_rows = [r for r in out if r["v"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["winsorized"] is None
