@@ -162,3 +162,52 @@ def merge_partial_aggs(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in non_keys])
     )
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket pair mining: for every pair of items co-occurring in
+    at least ``min_support`` baskets, the co-occurrence count and the
+    LIFT ``P(a,b) / (P(a)·P(b))`` — the association-rule screen behind
+    recommendations and assortment analysis (the pairwise core of
+    Apriori; higher-order itemsets iterate this).
+
+    Scale shape: baskets reduce to DISTINCT (basket, item) rows, the
+    pair self-join is an equi-join on the basket id, so the blow-up is
+    Σ k_b² over ITEMS-PER-BASKET k_b (single digits in practice), never
+    |items|² — plus two tiny aggregates for the item supports and one
+    broadcast of the basket total. A pathological mega-basket is the
+    skew risk: cap items per basket upstream if k_b is unbounded."""
+    items = df.select(basket_col, item_col).distinct()
+    n_baskets = items.select(basket_col).distinct().agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    support = items.groupBy(item_col).agg(F.count("*").cast("long").alias("_s"))
+    a = items.select(F.col(basket_col), F.col(item_col).alias("item_a"))
+    b = items.select(F.col(basket_col), F.col(item_col).alias("item_b"))
+    pairs = (
+        a.join(b, on=basket_col)
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    return (
+        pairs.join(support.select(F.col(item_col).alias("item_a"), F.col("_s").alias("_sa")), "item_a")
+        .join(support.select(F.col(item_col).alias("item_b"), F.col("_s").alias("_sb")), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("_n")
+                / (F.col("_sa").cast("double") * F.col("_sb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

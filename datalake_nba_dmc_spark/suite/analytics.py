@@ -632,3 +632,41 @@ def stat_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=600000.0,
         nbins=10,
     )
+
+
+@query(
+    "mart_basket_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS nb FROM items),
+    sup AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s
+            FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) * n.nb
+                 / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN sup sa ON p.item_a = sa.l_partkey
+    JOIN sup sb ON p.item_b = sb.l_partkey
+    CROSS JOIN n
+    """,
+)
+def mart_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs over order line items
+    (operators/aggregates.basket_pairs): parts co-purchased in ≥2 orders
+    with their lift — the pairwise Apriori core behind recommendations.
+    The self-join is keyed on the order id, so the blow-up is
+    items-per-order squared (single digits), never |parts|²; supports
+    and the basket total are tiny side aggregates. Lift rounded to 6 dp
+    (the tf_idf cross-engine rule for transcendental-free but
+    division-chained doubles)."""
+    from datalake_nba_dmc_spark.operators.aggregates import basket_pairs
+
+    li = TableRegistry(spark, sf_dir).lineitem
+    return basket_pairs(li, "l_orderkey", "l_partkey", min_support=2)

@@ -270,3 +270,23 @@ def test_merge_partial_aggs_rejects_schema_drift(spark):
     b = spark.createDataFrame([(1, 2, 3)], ["grp", "n", "extra"])
     with pytest.raises(ValueError, match="same aggregate schema"):
         merge_partial_aggs(a, b, ["grp"])
+
+
+def test_basket_pairs_counts_and_lift(spark):
+    from datalake_nba_dmc_spark.operators.aggregates import basket_pairs
+
+    # 4 baskets: {x,y} together twice, {x,z} once, y alone once
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"),
+        (2, "x"),  # duplicate line in the same basket must not double-count
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["lift"])
+        for r in basket_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    # supports: x in 3 baskets, y in 3; pair in 2 of 4 → lift = 2*4/(3*3)
+    assert got == {("x", "y"): (2, round(8 / 9, 6))}
