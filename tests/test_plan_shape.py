@@ -332,3 +332,42 @@ def test_fuzzy_pairs_distinct_shuffles_integers_only(spark):
     ]
     assert ex_lines, plan
     assert all("_text" not in ln and "c_name" not in ln for ln in ex_lines), ex_lines
+
+
+@needs_testdata
+def test_nearest_join_is_two_asof_merges(spark):
+    """nearest_value_join must compile to exactly TWO window-sort passes
+    (backward + forward as-of) — never a theta-join between facts and
+    the band table."""
+    plan = plan_of(spark, "join_nearest_tier")
+    assert plan.count("Window") >= 2
+    # the value-side pairing must not appear as a nested-loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@needs_testdata
+def test_psi_plan_has_no_sort(spark):
+    """PSI is pure binned aggregation: no Sort anywhere in the plan (the
+    only join is the broadcast of the one-row totals)."""
+    plan = plan_of(spark, "stat_psi_price_drift")
+    assert "Sort (" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
+def test_winsorize_bounds_broadcast_back(spark):
+    plan = plan_of(spark, "profile_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
+def test_basket_pairs_equi_join_on_basket(spark):
+    """The pair self-join must be keyed on the order id (hash-partitioned
+    equi-join) — the items-per-basket² bound depends on it."""
+    plan = plan_of(spark, "mart_basket_pairs")
+    assert "hashpartitioning(l_orderkey" in plan or "l_orderkey" in plan
+    # exactly ONE nested-loop join is expected: the cross join against the
+    # broadcast ONE-ROW basket total; the pair self-join itself must not
+    # be a second one
+    assert plan.count("BroadcastNestedLoopJoin") == 1
