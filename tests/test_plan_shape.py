@@ -369,5 +369,6 @@ def test_basket_pairs_equi_join_on_basket(spark):
     assert "hashpartitioning(l_orderkey" in plan or "l_orderkey" in plan
     # exactly ONE nested-loop join is expected: the cross join against the
     # broadcast ONE-ROW basket total; the pair self-join itself must not
-    # be a second one
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # be a second one. Count the tree form — formatted explain repeats
+    # each node bare in the details section.
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
