@@ -142,6 +142,7 @@ _CHECK_PRIORITY: list[str] = [
     "events_user_idle_report",
     "k7_jsonl_landing_roundtrip",
     "mart_basket_pairs",
+    "func_try_arithmetic",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

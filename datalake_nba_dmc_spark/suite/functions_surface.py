@@ -113,3 +113,40 @@ def func_array_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TableRegistry(spark, sf_dir).documents
     feats = array_scalar_features(tokens(F.col("text")))
     return d.select("doc_id", *[col.alias(n) for n, col in feats.items()])
+
+
+@query(
+    "func_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 25.0, 0.0) AS unit_margin,
+           TRY_CAST(l_comment_free AS BIGINT) AS parsed_qty,
+           CASE WHEN l_quantity >= 1 AND l_quantity <= 127
+                THEN CAST(l_quantity AS TINYINT) END AS qty_i8
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+                 CAST(CAST(l_quantity AS INT) AS VARCHAR) AS l_comment_free
+          FROM lineitem)
+    """,
+)
+def func_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: ``try_divide`` (NULL, not an
+    exception, on the rows where quantity hits the divisor's zero),
+    ``try_cast`` string→bigint, and a guarded narrowing cast — the
+    error-as-NULL idioms that let a pipeline run under Spark 4's default
+    ANSI mode without wrapping every expression in its own job-killing
+    failure path (the same hardening theme as this round's overflow
+    fixes). DuckDB twins: NULLIF-guarded division and TRY_CAST."""
+    li = TableRegistry(spark, sf_dir).lineitem
+    qty_str = F.col("l_quantity").cast("int").cast("string")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25.0
+        ).alias("unit_margin"),
+        qty_str.try_cast("bigint").alias("parsed_qty"),
+        F.when(
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 127),
+            F.col("l_quantity").cast("tinyint"),
+        ).alias("qty_i8"),
+    )
