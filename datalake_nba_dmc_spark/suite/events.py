@@ -774,3 +774,33 @@ def events_user_idle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inactive_36h"),
         )
     )
+
+
+@query(
+    "events_user_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(COALESCE(value, 0.0) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the arbitrary-stateful streaming family: the final
+    state of streaming.user_running_state (applyInPandasWithState — one
+    (n, total) row per user maintained across micro-batches) equals this
+    batch aggregate over the full feed; test_streaming asserts the
+    stream==batch identity, and this query gives the family an
+    oracle-checked batch surface. Scaled-long exact sums over
+    null-coalesced values (the stateful op counts null-value events but
+    adds 0)."""
+    e = TableRegistry(spark, sf_dir).events
+    return e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 10000).cast("long"))
+            .cast("double")
+            / 10000.0
+        ).alias("total_value"),
+    )
