@@ -144,6 +144,7 @@ _CHECK_PRIORITY: list[str] = [
     "mart_basket_pairs",
     "func_try_arithmetic",
     "events_user_running_totals",
+    "events_time_to_convert",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

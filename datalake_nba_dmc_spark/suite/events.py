@@ -804,3 +804,58 @@ def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("total_value"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           CASE WHEN p.first_purchase_ts IS NOT NULL
+                THEN CAST(FLOOR(CAST(epoch_us(p.first_purchase_ts - s.signup_ts)
+                                     AS DOUBLE) / 3600000000.0) AS BIGINT)
+           END AS hours_to_convert
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY (the funnel counts conversions; this measures
+    how long they take): per signed-up user, the first signup, the first
+    at-or-after purchase, and whole hours between — the survival-curve
+    input for activation analysis. Two filtered min-aggregates + one
+    left join keyed on the user (never an event-level self-join); the
+    latency is exact integer arithmetic on epoch microseconds so both
+    engines floor identically; never-converting users keep NULLs."""
+    e = TableRegistry(spark, sf_dir).events
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    delta_us = F.unix_micros(F.col("first_purchase_ts")) - F.unix_micros(
+        F.col("signup_ts")
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.when(
+            F.col("first_purchase_ts").isNotNull(),
+            F.floor(delta_us.cast("double") / 3600000000.0).cast("long"),
+        ).alias("hours_to_convert"),
+    )
