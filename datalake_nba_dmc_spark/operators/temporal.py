@@ -266,6 +266,10 @@ def nearest_value_join(
     nearest-tier matching, where as-of's one-sided "latest ≤" is the
     wrong semantics. Ties (exact midpoints) go to the smaller right
     value; left rows with no right rows for their key keep NULLs.
+    Sub-ulp nuance (property-tested): when two same-side right values sit
+    within one double ulp of equal distance, the as-of construction picks
+    the truly nearer one (largest-below / smallest-above), where a naive
+    argmin over rounded double distances could pick either.
 
     Composition, not a new engine primitive: two :func:`asof_join`
     union-merge passes — backward (largest right ≤ left) and forward

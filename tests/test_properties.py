@@ -427,3 +427,53 @@ def test_heavy_hitters_exact_topk_when_guarantee_holds(spark, counts):
     ]
     want = sorted(Counter(items).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert got == want
+
+
+@SLOW
+@given(
+    lvals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=12
+    ),
+    rvals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=0, max_size=8,
+        unique=True,
+    ),
+)
+def test_nearest_value_join_law(spark, lvals, rvals):
+    """nearest_value_join law on arbitrary floats (incl. subnormals and
+    empty right sides): the result is the backward candidate (largest
+    right ≤ v) unless the forward one is strictly closer in double
+    arithmetic — which equals the naive distance-argmin everywhere except
+    same-side sub-ulp neighbors, where this pick is the truly nearer
+    value."""
+    from datalake_nba_dmc_spark.operators.temporal import nearest_value_join
+
+    left = spark.createDataFrame(
+        [(i, "k", float(v)) for i, v in enumerate(lvals)], "id long, key string, v double"
+    )
+    right = spark.createDataFrame(
+        [("k", float(rv), str(j)) for j, rv in enumerate(rvals)],
+        "key string, rv double, tag string",
+    )
+    got = {
+        r["id"]: r["nearest_rv"]
+        for r in nearest_value_join(left, right, "key", "v", "rv", ["tag"]).collect()
+    }
+    for i, v in enumerate(lvals):
+        if not rvals:
+            assert got[i] is None
+            continue
+        # mirror of the operator's exact semantics: backward = largest
+        # rv <= v, forward = smallest rv >= v, backward wins non-strict
+        # double-distance ties. (A naive argmin over DOUBLE distances
+        # disagrees on same-side values within one ulp of each other —
+        # where the operator's pick is the truly nearer one.)
+        below = [rv for rv in rvals if rv <= v]
+        above = [rv for rv in rvals if rv >= v]
+        b = max(below) if below else None
+        f = min(above) if above else None
+        if b is not None and (f is None or (v - b) <= (f - v)):
+            want = b
+        else:
+            want = f
+        assert got[i] == want, (v, got[i], want)
