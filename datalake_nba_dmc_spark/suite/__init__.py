@@ -145,6 +145,7 @@ _CHECK_PRIORITY: list[str] = [
     "func_try_arithmetic",
     "events_user_running_totals",
     "events_time_to_convert",
+    "lakehouse_version_diff",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

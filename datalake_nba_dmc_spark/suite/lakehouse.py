@@ -195,3 +195,63 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@query(
+    "lakehouse_version_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 != 0
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT o_orderkey, change_type FROM (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                       THEN 'update' END AS change_type
+      FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+    WHERE change_type IS NOT NULL
+    """,
+)
+def lakehouse_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two COMMITTED table versions: two snapshots go
+    through sinks.versioned_write (overlapping subsets with some rows
+    doubled — inserts, deletes, AND updates all present), then
+    operators/merge.snapshot_diff runs over two time-travel reads — the
+    poor-man's Delta CDF: version history from the rename-as-commit
+    store, the change feed from one full-outer diff, no table-format
+    jars. Every change row is oracle-checked against the same diff
+    computed from the source definitions."""
+    from datalake_nba_dmc_spark.operators.merge import snapshot_diff
+    from datalake_nba_dmc_spark.sinks import versioned_read, versioned_write
+
+    from datalake_nba_dmc_spark.suite.sink_roundtrip import _scratch
+
+    root = _scratch(sf_dir, "vdiff")
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    p = hpath(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+    o = TableRegistry(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") % 4 != 0)
+    v2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    n1 = versioned_write(spark, v1, root)
+    n2 = versioned_write(spark, v2, root)
+    return snapshot_diff(
+        versioned_read(spark, root, version=n1),
+        versioned_read(spark, root, version=n2),
+        keys=["o_orderkey"],
+    )
