@@ -146,6 +146,9 @@ _CHECK_PRIORITY: list[str] = [
     "events_user_running_totals",
     "events_time_to_convert",
     "lakehouse_version_diff",
+    "events_dau_wau",
+    "mart_supplier_pareto",
+    "emb_pca_whitened",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

@@ -670,3 +670,51 @@ def mart_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = TableRegistry(spark, sf_dir).lineitem
     return basket_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@query(
+    "mart_supplier_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT)
+               AS rev_scaled
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (SELECT CAST(SUM(rev_scaled) AS BIGINT) AS t FROM rev)
+    SELECT l_suppkey, rev_scaled,
+           CAST(SUM(rev_scaled) OVER (ORDER BY rev_scaled DESC, l_suppkey)
+                AS BIGINT) AS cum_scaled,
+           round(CAST(SUM(rev_scaled) OVER (ORDER BY rev_scaled DESC, l_suppkey)
+                      AS DOUBLE) / t, 6) AS cum_share
+    FROM rev CROSS JOIN tot
+    """,
+)
+def mart_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration curve: suppliers ranked by revenue with the
+    running cumulative share — the 80/20 analysis behind vendor
+    consolidation. The global running sum runs at the SUPPLIER grain
+    (O(|suppliers|) rows after one fact-table aggregation), so the
+    single-task window is over thousands of rows, not the fact table —
+    the same mart-grain discipline as the RFM NTILEs; exact scaled-long
+    sums keep the shares bit-stable."""
+    from pyspark.sql import Window
+
+    li = TableRegistry(spark, sf_dir).lineitem
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 10000).cast("long")).alias(
+            "rev_scaled"
+        )
+    )
+    tot = rev.agg(F.sum("rev_scaled").cast("long").alias("t"))
+    w = (
+        Window.orderBy(F.col("rev_scaled").desc(), F.col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey",
+        "rev_scaled",
+        F.sum("rev_scaled").over(w).cast("long").alias("cum_scaled"),
+        F.round(
+            F.sum("rev_scaled").over(w).cast("double") / F.col("t"), 6
+        ).alias("cum_share"),
+    )

@@ -859,3 +859,58 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(delta_us.cast("double") / 3600000000.0).cast("long"),
         ).alias("hours_to_convert"),
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ), cover AS (
+      SELECT DISTINCT day + (INTERVAL 1 DAY * off) AS cover_day, user_id
+      FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS off)
+    ), wau AS (
+      SELECT cover_day AS day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM cover GROUP BY cover_day
+    )
+    SELECT d.day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    dashboard staple. Exact windowed DISTINCT counts without a windowed
+    distinct (which Spark cannot express directly): each (user, day)
+    activity row EXPLODES into the 7 future days whose trailing window it
+    covers, then one distinct + one count per day — bounded ×7 fan-out,
+    the same bucketize-then-aggregate trick as the interval join, instead
+    of a 7-way self-join or a per-day subquery. Days with zero activity
+    produce no row (both engines agree). WAU days past the stream's end
+    are kept only where a DAU row exists (inner join)."""
+    e = TableRegistry(spark, sf_dir).events
+    du = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    cover = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+        )
+        .select(
+            (F.col("day") + F.make_interval(days=F.col("off"))).alias("cover_day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = cover.groupBy(F.col("cover_day").alias("day")).agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )

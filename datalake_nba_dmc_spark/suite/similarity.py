@@ -438,3 +438,18 @@ def emb_cluster_assign_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("centroid_id") == ours).cast("int").alias("assign_ok"),
     )
+
+
+@query("emb_pca_whitened", oracle=None)  # eigen-decomposition; no SQL twin
+def emb_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened PCA projection (operators/similarity.pca_project with
+    whiten=True): components scaled to unit variance — the decorrelated
+    input contrastive/metric losses prefer. Same exact-integer-moment →
+    driver eigh → broadcast matmul path as emb_pca_project; whitening is
+    just a per-component rescale of the projection matrix, so the plan is
+    identical. Rows-only (posexploded scalar rows); the unwhitened twin's
+    pytest-vs-numpy check covers the shared numerical path and
+    test_similarity covers the variance normalization itself."""
+    e = TableRegistry(spark, sf_dir).embeddings
+    proj = S.pca_project(e.select("vec_id", "embedding"), k=8, whiten=True)
+    return proj.select("vec_id", F.posexplode("pca").alias("pos", "value"))
