@@ -820,8 +820,7 @@ def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
            CASE WHEN p.first_purchase_ts IS NOT NULL
-                THEN CAST(FLOOR(CAST(epoch_us(p.first_purchase_ts - s.signup_ts)
-                                     AS DOUBLE) / 3600000000.0) AS BIGINT)
+                THEN epoch_us(p.first_purchase_ts - s.signup_ts) // 3600000000
            END AS hours_to_convert
     FROM s LEFT JOIN p ON s.user_id = p.user_id
     """,
@@ -847,17 +846,20 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase_ts"))
     )
-    delta_us = F.unix_micros(F.col("first_purchase_ts")) - F.unix_micros(
-        F.col("signup_ts")
+    # TRUE integer division (`div`), not floor-of-double-divide: the
+    # deltas are non-negative longs, so both engines' integer `//`/`div`
+    # agree exactly at every hour boundary
+    delta_hours = F.expr(
+        "(unix_micros(first_purchase_ts) - unix_micros(signup_ts))"
+        " div 3600000000"
     )
     return s.join(p, "user_id", "left").select(
         "user_id",
         "signup_ts",
         "first_purchase_ts",
-        F.when(
-            F.col("first_purchase_ts").isNotNull(),
-            F.floor(delta_us.cast("double") / 3600000000.0).cast("long"),
-        ).alias("hours_to_convert"),
+        F.when(F.col("first_purchase_ts").isNotNull(), delta_hours).alias(
+            "hours_to_convert"
+        ),
     )
 
 

@@ -230,13 +230,10 @@ def lakehouse_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_nba_dmc_spark.operators.merge import snapshot_diff
     from datalake_nba_dmc_spark.sinks import versioned_read, versioned_write
 
-    from datalake_nba_dmc_spark.suite.sink_roundtrip import _scratch
+    from datalake_nba_dmc_spark.suite.sink_roundtrip import _scratch, _scratch_reset
 
     root = _scratch(sf_dir, "vdiff")
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-    p = hpath(root)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+    _scratch_reset(spark, root)
 
     o = TableRegistry(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
     v1 = o.filter(F.col("o_orderkey") % 4 != 0)

@@ -42,6 +42,15 @@ def _scratch(sf_dir: str, name: str) -> str:
     return path
 
 
+def _scratch_reset(spark: SparkSession, root: str) -> None:
+    """Recursively delete a scratch root via the Hadoop FS API so a
+    versioned-store query restarts its chain identically every run
+    (shared by the k6 round-trip and the version-diff query)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    p = hpath(root)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
 @query(
     "k1_write_roundtrip",
     oracle="""
@@ -275,10 +284,7 @@ def k6_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch(sf_dir, "k6_versioned")
     # scratch reset: the version chain must restart per run so the driver
     # sees the same two versions every time
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-    p = hpath(root)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+    _scratch_reset(spark, root)
 
     src = TableRegistry(spark, sf_dir).orders.select(
         "o_orderkey", "o_totalprice"
