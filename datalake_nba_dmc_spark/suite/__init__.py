@@ -149,6 +149,7 @@ _CHECK_PRIORITY: list[str] = [
     "events_dau_wau",
     "mart_supplier_pareto",
     "emb_pca_whitened",
+    "events_heatmap_hour_dow",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

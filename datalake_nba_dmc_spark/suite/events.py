@@ -916,3 +916,29 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "events_heatmap_hour_dow",
+    oracle="""
+    SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap at the (day-of-week × hour) grain — the load-
+    pattern dashboard behind capacity planning and send-time picking.
+    One hash agg over ≤ 168 cells with an exact per-cell distinct-user
+    count; Spark's 1-based-Sunday ``dayofweek`` is aligned to DuckDB's
+    0-based convention by subtracting 1 (the same pin as
+    functions/scalars.date_parts)."""
+    e = TableRegistry(spark, sf_dir).events
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
