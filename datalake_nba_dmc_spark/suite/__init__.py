@@ -150,6 +150,8 @@ _CHECK_PRIORITY: list[str] = [
     "mart_supplier_pareto",
     "emb_pca_whitened",
     "events_heatmap_hour_dow",
+    "text_source_lang_diversity",
+    "stat_gini_order_value",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

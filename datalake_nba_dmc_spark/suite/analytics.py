@@ -718,3 +718,54 @@ def mart_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_scaled").over(w).cast("double") / F.col("t"), 6
         ).alias("cum_share"),
     )
+
+
+@query(
+    "stat_gini_order_value",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(v) OVER () AS s
+      FROM r
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           round(CAST(SUM((2 * i - n - 1) * v) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * MAX(s)), 6) AS gini
+    FROM ranked
+    """,
+)
+def stat_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality summary behind
+    whale-concentration monitoring, via the exact rank formula
+    ``Σ(2i−n−1)·vᵢ / (n·Σv)`` over spend-ranked customers. The global
+    rank runs at the CUSTOMER grain after one fact aggregation (the
+    mart-grain window discipline); spend is scaled-long exact and the
+    single division is rounded to 6 dp, so the scalar hash-matches."""
+    from pyspark.sql import Window
+
+    o = TableRegistry(spark, sf_dir).orders
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 10000).cast("long")).alias("v")
+    )
+    w = Window.orderBy(F.col("v"), F.col("o_custkey"))
+    wall = Window.partitionBy()
+    ranked = r.select(
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("v").over(wall).alias("s"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("v")).cast("double")
+            / (F.max("n").cast("double") * F.max("s")),
+            6,
+        ).alias("gini"),
+    )

@@ -731,3 +731,43 @@ def text_sentence_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return sentence_boilerplate_stats(docs)
+
+
+@query(
+    "text_source_lang_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source
+    )
+    SELECT c.source,
+           CAST(MAX(t.tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           round(-SUM((CAST(c.n AS DOUBLE) / t.tot)
+                      * ln(CAST(c.n AS DOUBLE) / t.tot)), 6) AS lang_entropy
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+    """,
+)
+def text_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix diversity: Shannon entropy of each
+    source's declared-language distribution — the corpus-assembly metric
+    that flags monolingual crawls pretending to be diverse (entropy 0)
+    vs genuinely mixed sources. Two tiny hash aggregates over
+    (source, lang) cells; entropy terms rounded to 6 dp (the tf_idf ln
+    rule) so the engines hash-match."""
+    docs = TableRegistry(spark, sf_dir).documents
+    c = docs.groupBy("source", "lang").agg(F.count("*").cast("long").alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").cast("long").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )
