@@ -152,6 +152,7 @@ _CHECK_PRIORITY: list[str] = [
     "events_heatmap_hour_dow",
     "text_source_lang_diversity",
     "stat_gini_order_value",
+    "func_date_arithmetic",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

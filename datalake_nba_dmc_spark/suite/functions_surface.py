@@ -150,3 +150,42 @@ def func_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("tinyint"),
         ).alias("qty_i8"),
     )
+
+
+@query(
+    "func_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR)
+             AS ship_by,
+           CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)
+             AS days_since_epoch0,
+           CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR)
+             AS quarter_start
+    FROM orders
+    """,
+)
+def func_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic surface beyond the reference's parse/format pair:
+    interval addition, month-end snapping, exact day differences against
+    a fixed epoch, and quarter truncation — each pinned against the
+    DuckDB twin so cross-engine calendar semantics (inclusive diffs,
+    month-end behavior) are hash-checked rather than assumed."""
+    o = TableRegistry(spark, sf_dir).orders
+    # dates emitted as ISO strings: DuckDB surfaces interval-arithmetic
+    # results as timestamps to pandas while Spark returns dates, and the
+    # cell-level str() forms differ even when the days agree — strings
+    # pin the comparison (same convention as functions/scalars.date_parts)
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).cast("string").alias("ship_by"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch0"),
+        F.date_trunc("quarter", "o_orderdate")
+        .cast("date")
+        .cast("string")
+        .alias("quarter_start"),
+    )
