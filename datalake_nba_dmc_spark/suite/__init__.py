@@ -153,6 +153,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_source_lang_diversity",
     "stat_gini_order_value",
     "func_date_arithmetic",
+    "text_length_deciles",
     # -- deferred r1-only queries: lead the r5 cut (families covered in
     #    the window by close siblings this round)
     "j3_left_join_derived_key",

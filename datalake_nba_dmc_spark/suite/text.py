@@ -771,3 +771,56 @@ def text_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
         )
     )
+
+
+@query(
+    "text_length_deciles",
+    oracle="""
+    WITH counts AS (
+      SELECT length(text) AS v, COUNT(*) AS c
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum_c,
+             SUM(c) OVER () AS n
+      FROM counts
+    ), probes AS (SELECT unnest(range(1, 10)) AS d)
+    SELECT d AS decile,
+           CAST(MIN(CASE WHEN cum_c * 10 >= d * n THEN v END) AS BIGINT)
+             AS len_at_decile
+    FROM cum CROSS JOIN probes
+    GROUP BY d
+    """,
+)
+def text_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution deciles: for each decile d, the
+    smallest document length whose cumulative count reaches d/10 of the
+    corpus — the curriculum/batch-shape profile, via the integer-exact
+    discrete-quantile pattern (cum_c·10 ≥ d·n keeps every comparison in
+    integer arithmetic; no percentile interpolation to drift
+    cross-engine). One (length → count) agg + a window over distinct
+    lengths + a 9-row probe explode."""
+    from pyspark.sql import Window
+
+    docs = TableRegistry(spark, sf_dir).documents.filter(F.col("text").isNotNull())
+    counts = docs.groupBy(F.length("text").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    probes = docs.sparkSession.range(1, 10).select(F.col("id").alias("d"))
+    return (
+        cum.crossJoin(F.broadcast(probes))
+        .groupBy(F.col("d").alias("decile"))
+        .agg(
+            F.min(
+                F.when(F.col("cum_c") * 10 >= F.col("d") * F.col("n"), F.col("v"))
+            )
+            .cast("long")
+            .alias("len_at_decile")
+        )
+    )

@@ -113,13 +113,13 @@ def test_driver_window_priority():
     ):
         assert name in window, name
     # deferred r1-only queries lead the post-window region (r5 front)
-    assert "k6_versioned_roundtrip" in names[50:105]
-    assert "w1_latest_order_maxby" in names[50:105]
-    assert "sample_hash_mod" in names[50:105]
-    assert "conform_safe_downcast" in names[50:105]
-    assert "j3_left_join_derived_key" in names[50:105]
-    assert "w6_moving_avg" in names[50:105]
-    assert "w3_lag" in names[50:105]
-    assert "join_semi" in names[50:105]
-    assert "w2_rank_in_group" in names[50:105]
-    assert "a4_team_style_agg" in names[50:105]
+    assert "k6_versioned_roundtrip" in names[50:106]
+    assert "w1_latest_order_maxby" in names[50:106]
+    assert "sample_hash_mod" in names[50:106]
+    assert "conform_safe_downcast" in names[50:106]
+    assert "j3_left_join_derived_key" in names[50:106]
+    assert "w6_moving_avg" in names[50:106]
+    assert "w3_lag" in names[50:106]
+    assert "join_semi" in names[50:106]
+    assert "w2_rank_in_group" in names[50:106]
+    assert "a4_team_style_agg" in names[50:106]
