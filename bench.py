@@ -55,6 +55,35 @@ HEADLINE = [
     "tpch_q18_large_volume_customers",
 ]
 
+#: Extended set (r5+): separately-totaled perf signal for the expensive
+#: non-headline queries, so a plan regression outside the 29-query headline
+#: becomes visible round-over-round (VERDICT r4 "What's wrong" #2). The
+#: headline list above stays untouched for cross-round comparability; this
+#: section's total is reported under "extended_total" and never mixed into
+#: the headline "value".
+EXTENDED = [
+    "er_fuzzy_name_pairs",
+    "text_gopher_quality",
+    "text_unigram_logprob",
+    "text_heavy_hitters",
+    "text_gram_novelty",
+    "sketch_distinct_rollup",
+    "sketch_quantile_rollup",
+    "sketch_theta_overlap",
+    "lakehouse_version_diff",
+    "mart_basket_pairs",
+    "mart_supplier_pareto",
+    "dedup_incremental",
+    "text_decontaminate",
+    "sim_ivf_topk",
+    "sim_lsh_multiprobe_topk",
+    "emb_pq_codes",
+    "events_top_paths",
+    "events_last_touch_attribution",
+    "agg_incremental_maintenance",
+    "stat_psi_price_drift",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,21 +110,36 @@ def main() -> None:
 
     specs = load_all()
     dfs = {name: specs[name].builder(spark, sf_dir) for name in HEADLINE}
-    # Three full passes, per-query min ACROSS passes: back-to-back repeats
-    # of one query share any transient slowdown (host noise, GC pause), so
-    # each query's samples are separated by full suite passes instead.
-    # Round-over-round comparisons at this scale are dominated by host
-    # noise with only two samples (observed ±30% suite-total swings);
-    # three tightens the min estimate at ~12 s extra runtime.
-    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _ in range(3):
-        for name in HEADLINE:
-            start = time.perf_counter()
-            dfs[name].write.format("noop").mode("overwrite").save()
-            timings[name] = min(timings[name], time.perf_counter() - start)
-    timings = {name: round(t, 3) for name, t in timings.items()}
 
+    def run_set(names: list[str], passes: int) -> dict[str, float]:
+        # Per-query min ACROSS full passes: back-to-back repeats of one
+        # query share any transient slowdown (host noise, GC pause), so
+        # each query's samples are separated by full suite passes instead.
+        # Round-over-round comparisons at this scale are dominated by host
+        # noise with only two samples (observed ±30% suite-total swings).
+        t: dict[str, float] = {n: float("inf") for n in names}
+        for _ in range(passes):
+            for n in names:
+                start = time.perf_counter()
+                dfs[n].write.format("noop").mode("overwrite").save()
+                t[n] = min(t[n], time.perf_counter() - start)
+        return {n: round(v, 3) for n, v in t.items()}
+
+    # Three passes for the headline set (the graded, cross-round number).
+    timings = run_set(HEADLINE, passes=3)
     total = round(sum(timings.values()), 3)
+
+    # Extended set: two passes (regression visibility, not the headline
+    # metric — min-of-2 is enough to catch a plan regression, which shows
+    # up as 2×+, not ±10%). Kept out of "value" for comparability. Queries
+    # whose builders perform side-effecting writes at build time
+    # (lakehouse/versioned families) are built fresh here, once.
+    for n in EXTENDED:
+        if n not in dfs:
+            dfs[n] = specs[n].builder(spark, sf_dir)
+    ext_timings = run_set(EXTENDED, passes=2)
+    ext_total = round(sum(ext_timings.values()), 3)
+
     print(
         json.dumps(
             {
@@ -104,6 +148,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "extended_total": ext_total,
+                "extended": ext_timings,
             }
         )
     )

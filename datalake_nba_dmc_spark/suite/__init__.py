@@ -64,73 +64,12 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-4 cut (2 fixed + 29 new + 13 stalest + 6 sentinels = the
-    #    50-slot window):
-    #    1. the two r3 RED rows, reshaped to scalar output this round —
-    #       must re-check first;
-    #    2. the queries new in r4 (first driver row);
-    #    3. the r1-only-checked queries (their only driver row is now
-    #       three rounds old) — 13 of the 46 fit; the 33 deferred ones sit
-    #       right after the window so they lead the r5 cut;
-    #    4. six family sentinels re-confirming the parity core.
-    # -- fixed in r4 (red in CORRECTNESS_r03: array-output canon crash)
-    "emb_int8_quantize",
-    "emb_pca_project",
-    # -- new in r4 (need their first driver row)
-    "text_gopher_quality",
-    "text_unigram_logprob",
-    "sample_weighted_topk",
-    "sim_lsh_multiprobe_topk",
-    "sim_lsh_multiprobe_recall",
-    "events_last_touch_attribution",
-    "k3_orc_roundtrip",
-    "profile_price_outliers",
-    "sim_hard_negatives",
-    "media_phash_near_dups",
-    "k4_csv_landing_roundtrip",
-    "text_gram_novelty",
-    "events_latest_state_per_user",
-    "sketch_quantile_rollup",
-    "sketch_theta_overlap",
-    "er_fuzzy_name_pairs",
-    "events_transition_matrix",
-    "join_price_band_lookup",
-    "mart_rfm_segments",
-    "text_heavy_hitters",
-    "events_top_paths",
-    "events_dedup_replay",
-    "events_daily_anomalies",
-    "emb_pq_codes",
-    "sim_pq_adc_recall",
-    "events_variant_agg",
-    "k5_file_manifest",
-    "dedup_keep_best_quality",
-    "text_source_overlap",
-    # -- r1-only-checked (stalest first driver rows)
-    "j1_left_join_single_key",
-    "j2_left_join_expr_key",
-    "a1_dedup_rows",
-    "a2_dynamic_sum_agg",
-    "a5_column_bounds",
-    "w1_latest_order_per_customer",
-    "w4_running_sum",
-    "f1_filter_eq",
-    "p4p5_derived_columns",
-    "tpch_q3_shipping_priority",
-    "stat_exact_moments",
-    "set_union_all",
-    "sort_topk",
-    # -- sentinels: one green representative per core family, so a
-    #    regression stays visible to the driver every round
-    "flagship_customer_resume",
-    "tpch_q1_pricing_summary",
-    "dedup_exact",
-    "text_stats",
-    "skew_salted_join",
-    "k1_write_roundtrip",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- new in late r4, no window slot left: leads the r5 cut together
-    #    with the deferred r1-only names below
+    # -- round-5 cut (23 never-checked + 22 stalest-r1 + 5 sentinels = the
+    #    50-slot window). Registry growth is FROZEN this round (verdict r4
+    #    "What's wrong" #1) so the backlog clears: after this window the
+    #    only queries without a driver row in r3+ are 11 deferred r1 names
+    #    and the 43 r2-checked names — both fit in the r6 window.
+    # -- 1. queries that have NEVER had a driver row (added late in r4)
     "k6_versioned_roundtrip",
     "profile_winsorize",
     "conform_union_evolved",
@@ -154,8 +93,7 @@ _CHECK_PRIORITY: list[str] = [
     "stat_gini_order_value",
     "func_date_arithmetic",
     "text_length_deciles",
-    # -- deferred r1-only queries: lead the r5 cut (families covered in
-    #    the window by close siblings this round)
+    # -- 2. stalest backlog: only driver row is from r1, three rounds old
     "j3_left_join_derived_key",
     "j4_join_using",
     "join_anti",
@@ -178,6 +116,15 @@ _CHECK_PRIORITY: list[str] = [
     "agg_rollup",
     "agg_grouping_sets",
     "agg_cube",
+    # -- 3. sentinels: one green representative per core family, so a
+    #    regression stays visible to the driver every round
+    "flagship_customer_resume",
+    "tpch_q1_pricing_summary",
+    "dedup_exact",
+    "text_stats",
+    "k1_write_roundtrip",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- remaining r1-only queries (11): lead the r6 cut
     "agg_conditional",
     "grouped_minmax_norm",
     "join_inner",
@@ -189,6 +136,50 @@ _CHECK_PRIORITY: list[str] = [
     "sample_hash_mod",
     "x4_split_mmss",
     "conform_safe_downcast",
+    # -- r2-only queries (43): fill the rest of the r6 cut
+    "agg_approx_percentiles",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_approx_distinct_users",
+    "events_asof_latest_order",
+    "events_followup_within_hour",
+    "events_json_extract",
+    "events_sessionization",
+    "events_sliding_agg",
+    "events_tumbling_agg",
+    "func_array_scalars",
+    "func_date_parts",
+    "func_null_semantics",
+    "func_string_surface",
+    "k2_partition_overwrite_roundtrip",
+    "media_frame_sample",
+    "media_metadata",
+    "merge_upsert_orders",
+    "sim_bruteforce_topk",
+    "sim_embedding_near_dups",
+    "sim_ivf_recall",
+    "sim_ivf_topk",
+    "sim_lsh_recall",
+    "sim_lsh_topk",
+    "skew_salted_agg",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_tfidf",
+    "text_token_histogram",
+    "text_winnow_fingerprints",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "y3_zorder_roundtrip",
 ]
 
 
