@@ -50,6 +50,37 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+#: Hard cap on the bounded-query-set contract shared by the topk APIs whose
+#: query side becomes driver-built plan literals / LUTs or an explicit
+#: ``F.broadcast`` (brute-force, LSH, multi-probe, ADC). The design premise
+#: is "small query set vs huge corpus": at 100k queries × ~1 KB/vector the
+#: broadcast is ~100 MB — the sane edge for a single broadcast. Beyond
+#: that, the right operator is a corpus-scale join (embedding_near_dups /
+#: the LSH near-dup family), and silently attempting a driver-side LUT
+#: build or broadcast would OOM the driver instead of failing cleanly.
+MAX_QUERY_ROWS = 100_000
+
+
+def _require_bounded_queries(
+    queries: DataFrame, op: str, max_rows: int | None = None
+) -> None:
+    """Enforce the bounded-query-set contract. Cheap by construction: a
+    count over ``LIMIT max_rows+1`` early-exits the scan as soon as the cap
+    is exceeded, instead of counting the full (possibly huge) query set.
+    ``max_rows`` defaults to the module-level ``MAX_QUERY_ROWS`` resolved
+    at CALL time, so deployments (and tests) can tune the cap."""
+    if max_rows is None:
+        max_rows = MAX_QUERY_ROWS
+    if queries.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{op}: query set exceeds the bounded-broadcast contract "
+            f"({max_rows:,} rows). The query side of this operator becomes "
+            "driver-side literals/broadcast state; for corpus-scale query "
+            "sets use a join-based operator (embedding_near_dups or the "
+            "LSH near-dup family) instead."
+        )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,6 +95,7 @@ def brute_force_topk(
     scanned once, no shuffle until the final per-query top-k window (keyed
     by query_id, tiny cardinality). Ties break on corpus id ascending.
     """
+    _require_bounded_queries(queries, "brute_force_topk")
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec")
     )
@@ -128,6 +160,7 @@ def lsh_bucketed_topk(
     metadata the caller always has) — inferring it would cost a driver-side
     ``.first()`` action before the plan even builds.
     """
+    _require_bounded_queries(queries, "lsh_bucketed_topk")
     planes = random_hyperplanes(dim, n_planes, seed)
     c = ensure_parallelism(corpus).withColumn(
         "bucket", hyperplane_bucket(F.col(vec_col), planes)
@@ -225,6 +258,7 @@ def ivf_topk(
     centroids ⇒ exact). The probe join is an equi-join on ``centroid_id``
     against the (bucketed, at scale) assigned corpus — the cross-join of
     brute force shrinks by ~``n_probe / n_centroids``."""
+    _require_bounded_queries(queries, "ivf_topk")
     assigned, centers = ivf_index(corpus, n_centroids, vec_col, seed)
     q = queries.select(
         F.col(query_id_col),
@@ -411,7 +445,10 @@ def pca_project(
 
     1. Exact moments: :func:`embedding_second_moments` + per-dimension
        mean sums — two passes whose shuffled rows number O(d²), never
-       O(rows).
+       O(rows). These are the ONLY driver actions: the row count ``n``
+       rides along the mean aggregation as a per-dimension ``count`` and
+       the width ``d`` is the number of mean rows, so no separate
+       ``.count()`` / ``.first()`` passes are needed.
     2. Driver-side eigendecomposition of the d×d covariance (numpy
        ``eigh`` on a matrix of a few thousand cells — legitimately tiny
        driver work, the same split Spark MLlib uses). Component signs are
@@ -420,15 +457,20 @@ def pca_project(
     3. Broadcast the (d × k) component matrix; projection is one Arrow
        batch matmul per partition — map-only, no shuffle.
     """
-    d = len(df.select(vec_col).first()[0])
-    n = df.count()
     sm = {(r["i"] - 1, r["j"] - 1): r["s2"] for r in embedding_second_moments(df, vec_col, scale).collect()}
     mean_rows = (
         df.select(F.posexplode(vec_col).alias("i", "x"))
         .groupBy("i")
-        .agg(F.sum(F.floor(F.col("x").cast("double") * scale).cast("long")).alias("m"))
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * scale).cast("long")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()
     )
+    if not mean_rows:
+        raise ValueError("pca_project: empty input (no vectors to fit)")
+    d = len(mean_rows)
+    n = mean_rows[0]["n"]
     m = np.zeros(d)
     for r in mean_rows:
         m[r["i"]] = (r["m"] / scale) / n
@@ -523,6 +565,7 @@ def lsh_multiprobe_topk(
     (single-bit flips of one base), so no candidate dedup is needed —
     each corpus row still joins at most once per query.
     """
+    _require_bounded_queries(queries, "lsh_multiprobe_topk")
     planes = random_hyperplanes(dim, n_planes, seed)
     c = ensure_parallelism(corpus).withColumn(
         "bucket", hyperplane_bucket(F.col(vec_col), planes)
@@ -652,12 +695,26 @@ def pq_adc_topk(
     corpus row's approximate distance is m table lookups summed via
     ``zip_with`` over its codes — NO float vectors are read at query
     time, which is the point: the 100 TB serving scan touches 4-byte
-    codes, not 256-byte embeddings."""
+    codes, not 256-byte embeddings.
+
+    The bounded-query-set contract is ENFORCED, not assumed: the collect
+    below is LIMIT-capped, so an oversized query set raises a clear error
+    instead of building an unbounded driver-side LUT list (same guard as
+    the broadcast topk family, fused into the existing collect — no extra
+    driver action)."""
     m, kk = len(books), len(books[0])
     sub = len(books[0][0])
     spark = corpus_codes.sparkSession
+    q_rows = queries.select(query_id_col, vec_col).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(q_rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"pq_adc_topk: query set exceeds the bounded-broadcast contract "
+            f"({MAX_QUERY_ROWS:,} rows). The per-query ADC LUTs are built "
+            "driver-side; for corpus-scale query sets use a join-based "
+            "operator (embedding_near_dups or the LSH near-dup family)."
+        )
     luts = []
-    for row in queries.select(query_id_col, vec_col).collect():
+    for row in q_rows:
         q = row[vec_col]
         lut = [
             float(sum((q[j * sub + t] - c[t]) ** 2 for t in range(sub)))
@@ -695,4 +752,59 @@ def pq_adc_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "adc_dist", F.col("rn").alias("rank"))
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus_codes: DataFrame,
+    corpus_vectors: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC search with exact re-ranking — the standard IVFADC refinement
+    (Jégou et al. 2011 §V): :func:`pq_adc_topk` shortlists ``shortlist``
+    candidates per query from the 4-byte codes (the 100 TB scan still
+    never reads a float vector), then ONLY the shortlist — ``shortlist ×
+    n_queries`` rows, thousands not billions — joins back to the float
+    vectors for exact cosine scoring and the final top-``k`` cut.
+
+    Scale shape: the expensive full-corpus pass is unchanged (codes-only);
+    the refinement join is a broadcast of the tiny shortlist against the
+    vector table (equi-join on ``id_col``, prunable/bucketable at scale),
+    so the exact math touches a vanishing fraction of the corpus. Lifts
+    recall@k from PQ-quantization-limited (~0.2-0.5 with coarse m=8/k=16
+    codebooks) to near-exact — whatever the true neighbors' ADC rank,
+    they only need to land in the shortlist, not the top-k."""
+    cand = pq_adc_topk(
+        corpus_codes,
+        queries,
+        books,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+    exact = (
+        corpus_vectors.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cand), on=id_col)
+        .join(F.broadcast(q), on=query_id_col)
+        .select(
+            query_id_col,
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rn").alias("rank"))
     )

@@ -386,3 +386,65 @@ def test_pq_adc_empty_query_set_returns_empty(spark):
     )
     out = S.pq_adc_topk(S.pq_encode(df, books), queries, books, k=3)
     assert out.count() == 0
+
+
+def test_bounded_query_contract_rejects_oversized_sets(spark, monkeypatch):
+    """VERDICT r4 #3: the broadcast-query-side topk APIs must FAIL CLEANLY
+    (clear ValueError, no driver-side LUT build / broadcast attempt) when
+    the query set exceeds the bounded-broadcast contract."""
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    monkeypatch.setattr(S, "MAX_QUERY_ROWS", 5)
+    rng = np.random.RandomState(11)
+    corpus = _vecs(spark, enumerate(rng.randn(12, 8)))
+    big_queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    with pytest.raises(ValueError, match="bounded-broadcast contract"):
+        brute_force_topk(corpus, big_queries, k=3)
+    with pytest.raises(ValueError, match="bounded-broadcast contract"):
+        lsh_bucketed_topk(corpus, big_queries, dim=8, k=3)
+    with pytest.raises(ValueError, match="bounded-broadcast contract"):
+        S.lsh_multiprobe_topk(corpus, big_queries, dim=8, k=3)
+    with pytest.raises(ValueError, match="bounded-broadcast contract"):
+        S.ivf_topk(corpus, big_queries, k=3, n_centroids=2)
+    books = S.pq_train(corpus, dim=8, m=2, k=4)
+    with pytest.raises(ValueError, match="bounded-broadcast contract"):
+        S.pq_adc_topk(S.pq_encode(corpus, books), big_queries, books, k=3)
+
+    # at the cap (not over) everything still runs
+    ok_queries = big_queries.filter(F.col("query_id") < 5)
+    assert brute_force_topk(corpus, ok_queries, k=3).count() == 15
+
+
+def test_pq_adc_rerank_recovers_exact_topk(spark):
+    """IVFADC-style refinement: with a shortlist big enough, the re-ranked
+    result must equal the exact brute-force top-k even when raw ADC's own
+    top-k (coarse codebooks) would miss — and at shortlist=k it degrades
+    to raw-ADC candidates re-scored exactly."""
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(30, 8)
+    corpus = _vecs(spark, enumerate(vecs))
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])],
+        StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    books = S.pq_train(corpus, dim=8, m=2, k=4)
+    codes = S.pq_encode(corpus, books)
+    got = S.pq_adc_rerank_topk(codes, corpus, queries, books, k=5, shortlist=30)
+    exact = brute_force_topk(corpus, queries, k=5)
+    got_ids = [r["vec_id"] for r in got.orderBy("rank").collect()]
+    exact_ids = [r["vec_id"] for r in exact.orderBy("rank").collect()]
+    assert got_ids == exact_ids
+    # scores come from the float vectors, not ADC distances
+    sims = {r["vec_id"]: r["cosine_sim"] for r in got.collect()}
+    cv = vecs.astype(np.float32).astype(np.float64)
+    ref = (cv @ cv[0]) / (np.linalg.norm(cv, axis=1) * np.linalg.norm(cv[0]))
+    for vid, s in sims.items():
+        assert s == pytest.approx(float(ref[vid]), abs=1e-6)
