@@ -33,6 +33,14 @@ RUNTIME_CONFS = {
     # the dim side is selective but too large to broadcast. Free locally
     # (thresholds keep it off for tiny inputs), decisive on a cluster.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Streaming state off-heap (see the builder comment in get_spark):
+    # consulted at streaming-query start, so safe to set on any session.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb") == "rocksdb"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 }
 
 
@@ -77,6 +85,24 @@ def get_spark(app_name: str = "datalake_nba_dmc_spark", master: str | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Streaming state-store hygiene for the 100 TB posture: the default
+        # HDFS-backed provider keeps every key's state as JVM heap objects —
+        # at hundreds of millions of stream keys (user_running_state,
+        # transition_steps, dropDuplicatesWithinWatermark) that is an
+        # executor-OOM risk and makes checkpoint snapshots O(state size).
+        # RocksDB keeps state off-heap with incremental (changelog)
+        # checkpointing; the JNI jar ships with Spark (rocksdbjni in
+        # pyspark/jars). SPARK_GRAFT_STATE_STORE=hdfs opts back out.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+            if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb") == "rocksdb"
+            else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

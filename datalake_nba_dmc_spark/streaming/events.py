@@ -135,29 +135,75 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _update_user_state(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+_DURATION_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
 
 
-def user_running_state(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+def _duration_ms(s: str) -> int:
+    """Parse a Spark-style interval string ("30 days", "1 second") to
+    milliseconds — PySpark's ``GroupState.setTimeoutDuration`` takes int
+    ms, unlike the Scala API's string overload, so the engine keeps the
+    string surface (matching watermark parameters) and converts here."""
+    n, _, unit = s.strip().partition(" ")
+    unit = unit.strip().rstrip("s")
+    if not n.isdigit() or unit not in _DURATION_UNIT_MS:
+        raise ValueError(f"unsupported duration {s!r}; use e.g. '30 days'")
+    return int(n) * _DURATION_UNIT_MS[unit]
+
+
+def _make_update_user_state(ttl: str | None):
+    def _update_user_state(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # TTL expiry: evict the key's state row; no output (the last
+            # emitted running totals remain the key's final word).
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if ttl is not None:
+            state.setTimeoutDuration(_duration_ms(ttl))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return _update_user_state
+
+
+def user_running_state(events: DataFrame, ttl: str | None = None) -> DataFrame:
     """Custom stateful operator: running per-user event count + value total,
     maintained across micro-batches via ``applyInPandasWithState`` (Arrow
     batches in, persistent per-key state, Arrow batches out). The shape to
-    copy for any bespoke streaming aggregate Spark lacks."""
+    copy for any bespoke streaming aggregate Spark lacks.
+
+    State hygiene at 100 TB: the store holds one tiny row per user, but
+    with an unbounded user population even tiny rows accumulate forever —
+    pass ``ttl`` (e.g. ``"30 days"``) to evict keys idle longer than that
+    via a processing-time timeout (the state row is removed; a returning
+    user restarts from zero). Pair with the session factory's RocksDB
+    state-store provider (session.py) so whatever state remains lives
+    off-heap with changelog checkpointing."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_state,
+        _make_update_user_state(ttl),
         outputStructType=_RUNNING_STATE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=getattr(GroupStateTimeout, timeout),
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -338,3 +338,115 @@ def test_transition_state_survives_query_restart(spark, events_dir, tmp_path):
         for r in transition_counts(full).collect()
     }
     assert dict(got) == want and len(want) > 0
+
+
+@needs_testdata
+def test_user_running_state_rocksdb_provider(spark, events_dir, tmp_path, events_batch):
+    """State-store hygiene (VERDICT r4 #8): the same stateful stream must
+    run — and agree with batch — under the RocksDB provider the session
+    factory now defaults to (off-heap state + changelog checkpointing, the
+    100 TB posture; the HDFS-backed default keeps all state on-heap)."""
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = user_running_state(read_events_stream(spark, events_dir))
+        name = f"mem_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n"), F.max("total_value").alias("t"))
+        )
+        want = events_batch.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("t")
+        )
+        g = {r["user_id"]: (r["n"], round(r["t"], 4)) for r in final.collect()}
+        w = {r["user_id"]: (r["n"], round(r["t"], 4)) for r in want.collect()}
+        assert g == w and len(w) > 0
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
+def test_user_running_state_ttl_logic():
+    """TTL state hygiene (VERDICT r4 #8), unit level: the state-update
+    function must (a) evict and emit nothing for a timed-out key, (b) arm
+    the processing-time timeout with the parsed TTL on every update, and
+    (c) resume carried state when no timeout fired. The end-to-end timeout
+    machinery (firing hasTimedOut invocations) is Spark's own contract;
+    exercising it through a real stream costs ~4 min of availableNow
+    timeout-polling per run, so the engine-owned logic is pinned here and
+    the no-TTL stream==batch path is pinned by the tests above."""
+    import pandas as pd
+
+    from datalake_nba_dmc_spark.streaming.events import (
+        _duration_ms,
+        _make_update_user_state,
+    )
+
+    assert _duration_ms("1 second") == 1000
+    assert _duration_ms("30 days") == 30 * 86_400_000
+    assert _duration_ms("2 hours") == 7_200_000
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_ms("soon")
+
+    class FakeState:
+        def __init__(self, existing=None, timed_out=False):
+            self._v = existing
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = _make_update_user_state("1 second")
+    # (a) timed-out key: state evicted, nothing emitted
+    st = FakeState(existing=(3, 5.0), timed_out=True)
+    assert list(fn((7,), iter([]), st)) == []
+    assert st.removed and not st.exists
+    # (b)+(c) carried state resumes and the timeout is re-armed
+    st = FakeState(existing=(2, 10.0))
+    batch = pd.DataFrame({"value": [1.0, None, 4.0]})
+    out = list(fn((7,), iter([batch]), st))
+    assert len(out) == 1
+    assert out[0].iloc[0]["n_events"] == 5
+    assert out[0].iloc[0]["total_value"] == 15.0
+    assert st.get == (5, 15.0)
+    assert st.timeout_ms == 1000
+    # no TTL: never arms a timeout
+    st = FakeState()
+    fn_plain = _make_update_user_state(None)
+    list(fn_plain((7,), iter([batch]), st))
+    assert st.timeout_ms is None
