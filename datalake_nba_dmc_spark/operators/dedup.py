@@ -737,3 +737,141 @@ def incremental_dedup(
         .distinct()
     )
     return survivors.join(pairs, on=id_col, how="left_anti")
+
+
+def positional_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Token ``n``-grams WITH their start positions: one row per
+    (``id_col``, ``pos``, ``gram_h``) where ``pos`` is the 0-based token
+    index and ``gram_h`` the 64-bit hash of the gram text (fixed-width
+    shuffle rows, the ngram_jaccard discipline). Docs shorter than ``n``
+    tokens contribute nothing. Staged token projection per the
+    interpreted-HOF rule (see :func:`with_shingles`)."""
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    staged = ensure_parallelism(df).withColumn("_toks", toks)
+    k = F.size("_toks") - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.withColumn("_grams", grams)
+        .select(id_col, F.posexplode("_grams").alias("pos", "_gram"))
+        .select(id_col, "pos", F.xxhash64("_gram").alias("gram_h"))
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplication: maximal token spans covered by
+    ``n``-grams that occur at least ``min_count`` times ACROSS THE CORPUS
+    (including multiple occurrences inside one document) — the
+    repeated-substring family of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" (public), which document-level
+    exact/near dedup cannot see. Returns (``id_col``, ``span_start``,
+    ``span_end``, ``n_grams``): [start, end) token positions in the
+    normalized token stream and how many repeated grams merged into the
+    span.
+
+    Scale shape — two bounded shuffles, no UDFs, no all-pairs joins:
+
+    1. Occurrence counting is a COUNT window over ``gram_h`` (one exchange
+       of fixed-width (id, pos, hash) rows; no groupBy+join-back, which
+       would shuffle the same rows twice).
+    2. Span assembly re-shuffles only the SURVIVING repeated-gram
+       occurrences by document: a running ``max(pos + n)`` window marks a
+       gram as opening a new span iff it starts past everything covered so
+       far (classic interval merge, adjacent-or-overlapping coalesce), and
+       the running sum of those markers is the span id. The final groupBy
+       (id, span id) reuses the window's hash partitioning on ``id_col`` —
+       plan shows no third exchange.
+
+    Skew note: at 100 TB, boilerplate grams ("all rights reserved …") make
+    hot ``gram_h`` partitions — cap them by pre-filtering grams whose
+    per-partition count exceeds the Misra-Gries heavy-hitter list
+    (operators/frequent.py) or let AQE split the skewed partitions; the
+    tiny test corpus needs neither."""
+    from pyspark.sql import Window
+
+    occ = positional_grams(df, text_col, id_col, n)
+    cnt_w = Window.partitionBy("gram_h")
+    rep = occ.withColumn("_cnt", F.count("*").over(cnt_w)).filter(
+        F.col("_cnt") >= min_count
+    )
+    doc_w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        doc_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = rep.withColumn(
+        "_new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    )
+    spans = flagged.withColumn(
+        "_span",
+        F.sum("_new").over(doc_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        spans.groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def mask_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+    out: str = "masked_text",
+) -> DataFrame:
+    """Remove every repeated span (see :func:`repeated_ngram_spans`) from
+    each document: tokens whose position falls inside any span are dropped
+    and the survivors re-joined with single spaces. Output column ``out``
+    is in NORMALIZED form (lowercased, whitespace-collapsed — the token
+    stream the spans are defined over, as in Lee et al.'s tokenized
+    dedup); ``n_tokens_removed`` counts the dropped tokens.
+
+    The span list joins back per document (collect_list of a per-doc
+    handful of (start, end) structs), and the token filter is a pure
+    higher-order expression with an index lambda — map-side, no UDF."""
+    spans = repeated_ngram_spans(df, text_col, id_col, n, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    base = ensure_parallelism(df).withColumn("_toks", toks)
+    joined = base.join(per_doc, on=id_col, how="left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array().cast(
+            "array<struct<span_start:bigint,span_end:bigint>>"
+        ))
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter(F.col("_toks"), lambda t, i: ~covered(i.cast("long")))
+    return (
+        joined.withColumn("_kept", kept)
+        .withColumn(out, F.concat_ws(" ", F.col("_kept")))
+        .withColumn(
+            "n_tokens_removed",
+            (F.size("_toks") - F.size("_kept")).cast("long"),
+        )
+        .drop("_toks", "_kept", "_spans")
+    )

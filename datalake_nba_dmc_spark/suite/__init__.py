@@ -124,6 +124,9 @@ _CHECK_PRIORITY: list[str] = [
     "text_stats",
     "k1_write_roundtrip",
     # ------------------------- window edge (first 50 above) -------------
+    # -- new in r5 (the one deliberate exception to the registry freeze:
+    #    VERDICT r4 stretch #7, repeated-substring dedup): leads the r6 cut
+    "dedup_repeated_spans",
     # -- remaining r1-only queries (11): lead the r6 cut
     "agg_conditional",
     "grouped_minmax_norm",

@@ -504,3 +504,57 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_shared_grams"))
     )
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i : i + 7], ' ') AS gram
+      FROM toks_t, LATERAL unnest(range(1, len(toks) - 6)) AS t(i)
+      WHERE len(toks) >= 8
+    ), occ AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt
+            FROM grams)
+      WHERE cnt >= 2
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM occ
+    ), sp AS (
+      SELECT doc_id, pos,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 8 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM sp GROUP BY doc_id, span_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication map (operators/dedup.
+    repeated_ngram_spans): maximal token spans covered by 8-grams occurring
+    ≥2 times corpus-wide — Lee et al. 2022's repeated-substring family,
+    invisible to document-level dedup (a boilerplate footer shared by
+    thousands of otherwise-unique pages). Two bounded shuffles: a COUNT
+    window over the 64-bit gram hash, then an interval-merge window over
+    the surviving occurrences per document (the final per-span groupBy
+    reuses the doc partitioning — no third exchange). Feed the spans to
+    mask_repeated_spans to actually strip the text."""
+    from datalake_nba_dmc_spark.operators.dedup import repeated_ngram_spans
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return repeated_ngram_spans(docs, n=8, min_count=2)

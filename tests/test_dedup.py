@@ -308,3 +308,67 @@ def test_incremental_cap_recounts_pairs_exactly(spark):
     got_uncapped = sorted(r["doc_id"] for r in uncapped.collect())
     assert got_capped == got_uncapped  # cap must not change decisions here
     assert 100 in got_capped and 101 not in got_capped  # exact dup dropped
+
+
+def test_repeated_ngram_spans_crafted(spark):
+    """Lee-et-al-style repeated-substring spans on crafted repeats: a
+    6-token phrase shared by docs 0/1 (at different offsets), with n=3 —
+    every one of its four 3-grams repeats, so each doc gets ONE merged
+    span exactly covering the phrase; unique text never enters a span;
+    a doc shorter than n yields nothing."""
+    from datalake_nba_dmc_spark.operators.dedup import repeated_ngram_spans
+
+    phrase = "the quick brown fox jumps high"
+    df = spark.createDataFrame(
+        [
+            (0, f"{phrase} unique tail zero alpha beta"),
+            (1, f"leading words here then {phrase}"),
+            (2, "completely different text with no overlap at all"),
+            (3, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+        for r in repeated_ngram_spans(df, n=3, min_count=2).collect()
+    }
+    # doc 0: phrase at tokens [0, 6); doc 1: at [4, 10); 4 grams each
+    assert got == {0: (0, 6, 4), 1: (4, 10, 4)}
+
+
+def test_repeated_ngram_spans_within_doc_and_adjacent_merge(spark):
+    """min_count counts occurrences, not documents: a phrase repeated
+    twice INSIDE one doc is a repeat; back-to-back repeats merge into one
+    contiguous span (adjacent intervals coalesce)."""
+    from datalake_nba_dmc_spark.operators.dedup import repeated_ngram_spans
+
+    df = spark.createDataFrame(
+        [(0, "spam ham eggs spam ham eggs tail word")],
+        ["doc_id", "text"],
+    )
+    # 3-grams: "spam ham eggs" occurs at pos 0 and 3 -> spans [0,3) U [3,6)
+    # merge to [0,6); the bridging grams at pos 1,2 ("ham eggs spam",
+    # "eggs spam ham") occur once and are NOT part of the repeat set.
+    rows = repeated_ngram_spans(df, n=3, min_count=2).collect()
+    assert [(r["span_start"], r["span_end"]) for r in rows] == [(0, 6)]
+
+
+def test_mask_repeated_spans_strips_only_spans(spark):
+    from datalake_nba_dmc_spark.operators.dedup import mask_repeated_spans
+
+    phrase = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (0, f"{phrase} keep me please today"),
+            (1, f"{phrase} other unique ending words"),
+            (2, "untouched document stays whole forever"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["masked_text"], r["n_tokens_removed"])
+        for r in mask_repeated_spans(df, n=3, min_count=2).collect()
+    }
+    assert got[0] == ("keep me please today", 6)
+    assert got[1] == ("other unique ending words", 6)
+    assert got[2] == ("untouched document stays whole forever", 0)
