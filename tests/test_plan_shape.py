@@ -377,3 +377,21 @@ def test_basket_pairs_equi_join_on_basket(spark):
     # be a second one. Count the tree form — formatted explain repeats
     # each node bare in the details section.
     assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+
+
+@needs_testdata
+def test_repeated_spans_two_exchanges_no_udf(spark):
+    """Repeated-substring spans: exactly the two data shuffles the design
+    promises — one on the gram hash for occurrence counting, one on the
+    doc id for interval merge — plus ensure_parallelism's round-robin fan
+    out; the final per-span groupBy must REUSE the doc partitioning (no
+    exchange between the Window and the HashAggregates), and the whole
+    pipeline stays expression-only (no Python workers)."""
+    plan = plan_of(spark, "dedup_repeated_spans")
+    assert plan.count("Exchange (") == 3, plan  # round-robin + gram_h + doc
+    assert "hashpartitioning(gram_h" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # groupBy after the doc window adds aggregates but no new exchange:
+    # 2 HashAggregates (partial+final) over the same doc_id partitioning
+    assert plan.count("HashAggregate") >= 2
