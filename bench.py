@@ -82,6 +82,7 @@ EXTENDED = [
     "events_last_touch_attribution",
     "agg_incremental_maintenance",
     "stat_psi_price_drift",
+    "dedup_repeated_spans",
 ]
 
 

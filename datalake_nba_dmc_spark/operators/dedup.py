@@ -868,10 +868,19 @@ def mask_repeated_spans(
     kept = F.filter(F.col("_toks"), lambda t, i: ~covered(i.cast("long")))
     return (
         joined.withColumn("_kept", kept)
-        .withColumn(out, F.concat_ws(" ", F.col("_kept")))
+        # NULL text stays NULL (concat_ws would silently yield "")
+        .withColumn(
+            out,
+            F.when(
+                F.col(text_col).isNotNull(), F.concat_ws(" ", F.col("_kept"))
+            ),
+        )
         .withColumn(
             "n_tokens_removed",
-            (F.size("_toks") - F.size("_kept")).cast("long"),
+            F.when(
+                F.col(text_col).isNotNull(),
+                (F.size("_toks") - F.size("_kept")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
         )
         .drop("_toks", "_kept", "_spans")
     )

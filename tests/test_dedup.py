@@ -372,3 +372,26 @@ def test_mask_repeated_spans_strips_only_spans(spark):
     assert got[0] == ("keep me please today", 6)
     assert got[1] == ("other unique ending words", 6)
     assert got[2] == ("untouched document stays whole forever", 0)
+
+
+def test_mask_repeated_spans_null_text_passthrough(spark):
+    """NULL text must stay NULL (not become an empty string) and count
+    zero removed tokens; NULL rows contribute no grams to the repeat
+    statistics."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datalake_nba_dmc_spark.operators.dedup import mask_repeated_spans
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, None), (2, "alpha beta gamma delta")],
+        schema,
+    )
+    got = {
+        r["doc_id"]: (r["masked_text"], r["n_tokens_removed"])
+        for r in mask_repeated_spans(df, n=3, min_count=2).collect()
+    }
+    assert got[1] == (None, 0)
+    assert got[0] == ("", 4) and got[2] == ("", 4)  # fully-duplicated docs

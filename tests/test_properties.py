@@ -477,3 +477,51 @@ def test_nearest_value_join_law(spark, lvals, rvals):
         else:
             want = f
         assert got[i] == want, (v, got[i], want)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repeated_spans_match_python_reference(spark, docs):
+    """repeated_ngram_spans vs a direct Python reference on random tiny
+    corpora: same (doc, start, end, n_grams) span sets for n=2,
+    min_count=2 — pinning the window-count + interval-merge pipeline
+    against an implementation with no shared code."""
+    from collections import Counter
+
+    from datalake_nba_dmc_spark.operators.dedup import repeated_ngram_spans
+
+    n = 2
+    toks = [[t for t in d] for d in docs]
+    counts = Counter(
+        tuple(ts[i : i + n]) for ts in toks for i in range(len(ts) - n + 1)
+    )
+    expect = set()
+    for doc_id, ts in enumerate(toks):
+        occ = [
+            i
+            for i in range(len(ts) - n + 1)
+            if counts[tuple(ts[i : i + n])] >= 2
+        ]
+        spans = []
+        for i in occ:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + n)
+                spans[-1][2] += 1
+            else:
+                spans.append([i, i + n, 1])
+        expect.update((doc_id, s, e, g) for s, e, g in spans)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in enumerate(toks)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in repeated_ngram_spans(df, n=n, min_count=2).collect()
+    }
+    assert got == expect
