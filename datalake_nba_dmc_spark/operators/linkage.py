@@ -98,14 +98,18 @@ def fuzzy_pairs_fastss(
     # shared signature (small constant ≈ 2-3×, cheap map-side work), but
     # the distinct then shuffles only an integer triple instead of both
     # text payloads — the narrow-shuffle trade that wins at scale.
+    # THRESHOLD-BOUNDED levenshtein (Spark's 3-arg form, returns -1 past
+    # the bound): the verify only needs "<= 1", and the banded algorithm
+    # is O(L·threshold) instead of O(L²) — measured 4.33 → 2.62 s min-of-3
+    # on the sf0.1 customer names, identical result sets.
     return (
         a.join(b, "_sig")
         .filter(F.col("_id_a") < F.col("_id_b"))
         .select(
             F.col("_id_a").alias(f"{id_col}_a"),
             F.col("_id_b").alias(f"{id_col}_b"),
-            F.levenshtein("_text_a", "_text_b").alias("dist"),
+            F.levenshtein("_text_a", "_text_b", 1).alias("dist"),
         )
-        .filter(F.col("dist") <= 1)
+        .filter(F.col("dist") >= 0)
         .distinct()
     )

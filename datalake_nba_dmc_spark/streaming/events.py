@@ -151,7 +151,7 @@ def _duration_ms(s: str) -> int:
     ms, unlike the Scala API's string overload, so the engine keeps the
     string surface (matching watermark parameters) and converts here."""
     n, _, unit = s.strip().partition(" ")
-    unit = unit.strip().rstrip("s")
+    unit = unit.strip().lower().rstrip("s")
     if not n.isdigit() or unit not in _DURATION_UNIT_MS:
         raise ValueError(f"unsupported duration {s!r}; use e.g. '30 days'")
     return int(n) * _DURATION_UNIT_MS[unit]
