@@ -661,10 +661,20 @@ def incremental_dedup(
     corpus = corpus.filter(F.col(text_col).isNotNull())
     fp = fingerprint(text_col)
     b_fp = batch.withColumn("_fp", fp)
-    c_fp = corpus.select(fp.alias("_fp")).distinct()
     # exact: drop batch rows whose fingerprint exists in the corpus, then
-    # keep the min-id representative per batch fingerprint
-    fresh = b_fp.join(F.broadcast(c_fp).hint("broadcast"), on="_fp", how="left_anti")
+    # keep the min-id representative per batch fingerprint. Direction
+    # matters at 100 TB (fixed r5): broadcasting the CORPUS fingerprint
+    # set — the original formulation — is unbounded; instead the tiny
+    # batch fingerprint set broadcasts onto the corpus (map-side semi
+    # filter, corpus never shuffled) and only the MATCHED fingerprints
+    # (≤ |batch| values) come back to anti-join the batch.
+    bfps = b_fp.select("_fp").distinct()
+    hit_fps = (
+        corpus.select(fp.alias("_fp"))
+        .join(F.broadcast(bfps), on="_fp", how="left_semi")
+        .distinct()
+    )
+    fresh = b_fp.join(F.broadcast(hit_fps), on="_fp", how="left_anti")
     winners = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     fresh = fresh.join(winners, on=id_col, how="left_semi").drop("_fp")
 
