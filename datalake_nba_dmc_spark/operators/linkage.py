@@ -41,6 +41,7 @@ def _deletion_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     (sig, id, text). Signature 0 is the string itself; signature j>0 is
     the string with character j removed. Emitted via a JVM-side transform
     over ``sequence(0, L)`` — no Python in the fan-out."""
+    c = f"`{text_col}`"  # backtick-quoted: survives 3p/+//fg%-style names
     sigs = df.select(
         F.col(id_col),
         F.col(text_col),
@@ -51,10 +52,10 @@ def _deletion_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(0, length({text_col})), "
-                    f"j -> CASE WHEN j = 0 THEN {text_col} "
-                    f"     ELSE concat(substring({text_col}, 1, j - 1), "
-                    f"                 substring({text_col}, j + 1, length({text_col}))) END)"
+                    f"transform(sequence(0, length({c})), "
+                    f"j -> CASE WHEN j = 0 THEN {c} "
+                    f"     ELSE concat(substring({c}, 1, j - 1), "
+                    f"                 substring({c}, j + 1, length({c}))) END)"
                 )
             )
         ).alias("_variant"),

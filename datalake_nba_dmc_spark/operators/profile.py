@@ -141,7 +141,7 @@ def robust_outlier_profile(
     engines mirror the same guard so the convention is oracle-checked.
     """
     med = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        F.expr(f"percentile(`{value_col}`, 0.5)").alias("med"),
         F.count("*").alias("n_rows"),
     )
     dev = (
@@ -190,8 +190,8 @@ def winsorize(
     swap to ``approx_percentile`` beyond that). Returns the input plus
     ``out_col`` and the group bounds ``_lo``/``_hi``."""
     bounds = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, {lo_q})").alias("_lo"),
-        F.expr(f"percentile({value_col}, {hi_q})").alias("_hi"),
+        F.expr(f"percentile(`{value_col}`, {lo_q})").alias("_lo"),
+        F.expr(f"percentile(`{value_col}`, {hi_q})").alias("_hi"),
     )
     # NULL guard: greatest/least SKIP null arguments, so an unguarded
     # clamp would fabricate the group's _lo for every NULL measurement —

@@ -79,3 +79,19 @@ def test_null_texts_are_dropped_not_blocked(spark):
         (r["id_a"], r["id_b"]) for r in fuzzy_pairs_fastss(df, "id", "name").collect()
     }
     assert got == {(1, 2)}  # NULL rows pair with nothing, including each other
+
+
+def test_fuzzy_pairs_exotic_column_name(spark):
+    """Reference schemas carry names like `3p`/`fg%` before conform renames
+    them; the deletion-signature SQL must survive such identifiers (they
+    are backtick-quoted into the transform expression)."""
+    from datalake_nba_dmc_spark.operators.linkage import fuzzy_pairs_fastss
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "abxd"), (3, "zzzz")], ["id", "fg%"]
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs_fastss(df, "id", "fg%").collect()
+    }
+    assert got == {(1, 2, 1)}
