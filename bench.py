@@ -112,6 +112,17 @@ def main() -> None:
     specs = load_all()
     dfs = {name: specs[name].builder(spark, sf_dir) for name in HEADLINE}
 
+    # Queries whose BUILDER performs the heavy work eagerly (versioned-
+    # snapshot writes, eager localCheckpoint materialization of admission
+    # intermediates): timing only the noop write of the pre-built frame
+    # would measure the cheap tail. These rebuild inside the timed region
+    # every pass so the number stays the honest end-to-end cost.
+    REBUILD_EACH_PASS = {
+        "dedup_incremental",
+        "lakehouse_version_diff",
+        "agg_incremental_maintenance",
+    }
+
     def run_set(names: list[str], passes: int) -> dict[str, float]:
         # Per-query min ACROSS full passes: back-to-back repeats of one
         # query share any transient slowdown (host noise, GC pause), so
@@ -122,7 +133,12 @@ def main() -> None:
         for _ in range(passes):
             for n in names:
                 start = time.perf_counter()
-                dfs[n].write.format("noop").mode("overwrite").save()
+                df = (
+                    specs[n].builder(spark, sf_dir)
+                    if n in REBUILD_EACH_PASS
+                    else dfs[n]
+                )
+                df.write.format("noop").mode("overwrite").save()
                 t[n] = min(t[n], time.perf_counter() - start)
         return {n: round(v, 3) for n, v in t.items()}
 

@@ -676,7 +676,20 @@ def incremental_dedup(
     )
     fresh = b_fp.join(F.broadcast(hit_fps), on="_fp", how="left_anti")
     winners = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
-    fresh = fresh.join(winners, on=id_col, how="left_semi").drop("_fp")
+    # Eager materialization of the batch-bounded intermediates (r5): the
+    # admission pipeline consumes `fresh`/`survivors`/`bb` from multiple
+    # downstream branches; left lazy, every branch RE-DERIVES them —
+    # re-scanning the corpus each time (measured: 96 FileScan nodes in
+    # the final plan, corpus fp/gram scans ×4-8). All three frames are
+    # bounded by the BATCH size, so `localCheckpoint(eager)` pins each to
+    # one computation — the corpus is genuinely scanned once per check
+    # (once for fingerprints, once for grams), matching the contract.
+    # Same precedent as connected_components' per-round checkpoint.
+    fresh = (
+        fresh.join(winners, on=id_col, how="left_semi")
+        .drop("_fp")
+        .localCheckpoint(eager=True)
+    )
 
     from datalake_nba_dmc_spark.plans.curation import sized_gram_rows
 
@@ -703,10 +716,14 @@ def incremental_dedup(
         .select(id_col)
         .distinct()
     )
-    survivors = fresh.join(near_corpus, on=id_col, how="left_anti")
+    survivors = fresh.join(near_corpus, on=id_col, how="left_anti").localCheckpoint(
+        eager=True
+    )
     # batch-internal near-dups: reuse the fresh gram rows filtered down to
     # survivors (semi-join by id) instead of re-shingling the texts
-    bb = bg.join(survivors.select(id_col), on=id_col, how="left_semi")
+    bb = bg.join(
+        survivors.select(id_col), on=id_col, how="left_semi"
+    ).localCheckpoint(eager=True)
     left = bb.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sa"), "gram")
     if gram_fanout_cap is not None:
         from pyspark.sql import Window
