@@ -395,3 +395,17 @@ def test_repeated_spans_two_exchanges_no_udf(spark):
     # groupBy after the doc window adds aggregates but no new exchange:
     # 2 HashAggregates (partial+final) over the same doc_id partitioning
     assert plan.count("HashAggregate") >= 2
+
+
+@needs_testdata
+def test_incremental_dedup_final_plan_reads_checkpoints_only(spark):
+    """incremental_dedup materializes its batch-bounded intermediates
+    (fresh/survivors/bb) with eager local checkpoints — the corpus is
+    scanned exactly once per check INSIDE those jobs, so the returned
+    frame's own plan must contain no parquet scan at all (everything
+    downstream flows from the checkpointed RDDs). A regression back to
+    lazy re-derivation reintroduces 4-8 corpus scans and shows up here as
+    a Scan node."""
+    plan = plan_of(spark, "dedup_incremental")
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
