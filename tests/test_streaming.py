@@ -282,12 +282,25 @@ def test_transition_steps_stream_matches_batch(spark, events_dir, tmp_path):
 
 
 @needs_testdata
-def test_transition_state_survives_query_restart(spark, events_dir, tmp_path):
+@pytest.mark.parametrize(
+    "provider",
+    [
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        # the session factory's default: state recovery must also hold
+        # under RocksDB + changelog checkpointing (VERDICT r4 #8)
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs", "rocksdb"],
+)
+def test_transition_state_survives_query_restart(spark, events_dir, tmp_path, provider):
     """Checkpoint recovery: a SECOND streaming run over the same
     checkpoint must resume the per-user state (last event type) written
     by the first run — the cross-restart guarantee that makes the
     stateful operator production-usable, strictly stronger than
-    cross-micro-batch stitching inside one run."""
+    cross-micro-batch stitching inside one run. Runs under BOTH state
+    store providers (the checkpoint format differs between them)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     import pandas as pd
     from collections import Counter
 
@@ -337,6 +350,10 @@ def test_transition_state_survives_query_restart(spark, events_dir, tmp_path):
         (r["from_type"], r["to_type"]): r["n_steps"]
         for r in transition_counts(full).collect()
     }
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert dict(got) == want and len(want) > 0
 
 
