@@ -115,7 +115,12 @@ _CHECK_PRIORITY: list[str] = [
     "agg_percentiles",
     "agg_rollup",
     "agg_grouping_sets",
-    "agg_cube",
+    # -- new in r5 (the one deliberate exception to the registry freeze:
+    #    VERDICT r4 stretch #7, repeated-substring dedup) takes the last
+    #    backlog slot so it is driver-checked in ITS OWN round; agg_cube
+    #    (r1-stale, family siblings rollup/grouping_sets ARE in the
+    #    window) moves just past the edge — r6 backlog size is unchanged
+    "dedup_repeated_spans",
     # -- 3. sentinels: one green representative per core family, so a
     #    regression stays visible to the driver every round
     "flagship_customer_resume",
@@ -124,10 +129,8 @@ _CHECK_PRIORITY: list[str] = [
     "text_stats",
     "k1_write_roundtrip",
     # ------------------------- window edge (first 50 above) -------------
-    # -- new in r5 (the one deliberate exception to the registry freeze:
-    #    VERDICT r4 stretch #7, repeated-substring dedup): leads the r6 cut
-    "dedup_repeated_spans",
-    # -- remaining r1-only queries (11): lead the r6 cut
+    # -- remaining r1-only queries (12): lead the r6 cut
+    "agg_cube",
     "agg_conditional",
     "grouped_minmax_norm",
     "join_inner",
