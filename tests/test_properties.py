@@ -525,3 +525,45 @@ def test_repeated_spans_match_python_reference(spark, docs):
         for r in repeated_ngram_spans(df, n=n, min_count=2).collect()
     }
     assert got == expect
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 6)),  # (basket, item)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_basket_pairs_match_python_reference(spark, rows):
+    """basket_pairs (r5 single-subtree rework) vs a direct Python
+    reference on random basket/item multisets: identical (pair, n_ab,
+    lift) sets — pins the sorted-array pair-combination expression,
+    support counting, and lift math, including duplicate (basket, item)
+    rows collapsing to one."""
+    from collections import Counter
+    from itertools import combinations
+
+    from datalake_nba_dmc_spark.operators.aggregates import basket_pairs
+
+    items = sorted(set(rows))
+    baskets = {}
+    for b, i in items:
+        baskets.setdefault(b, set()).add(i)
+    nb = len(baskets)
+    support = Counter(i for its in baskets.values() for i in its)
+    pair_counts = Counter(
+        p for its in baskets.values() for p in combinations(sorted(its), 2)
+    )
+    expect = {
+        (a, b, n, round(n * nb / (support[a] * support[b]), 6))
+        for (a, b), n in pair_counts.items()
+        if n >= 2
+    }
+
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_a"], r["item_b"], r["n_ab"], r["lift"])
+        for r in basket_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    assert got == expect
