@@ -808,3 +808,90 @@ def pq_adc_rerank_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "cosine_sim", F.col("rn").alias("rank"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public): cluster the
+    embedding space with KMeans, then WITHIN each cluster drop all but one
+    of every group of semantically near-identical items (pairwise cosine
+    ≥ ``threshold``). Returns (``id_col``, ``component``, ``centroid_sim``,
+    ``keep``): every input row with its duplicate-group id (min member id;
+    singletons form their own group), its cosine to the cluster centroid,
+    and keep=1 for the member that survives. Following the paper, the
+    kept representative is the member with the LOWEST similarity to its
+    cluster centroid (keeping "atypical" examples preserves diversity);
+    ties break on min id.
+
+    Scale shape — the clustering bounds the quadratic term:
+
+    1. :func:`ivf_index` assigns every vector to a centroid (distributed
+       KMeans + one transform scan).
+    2. Candidate pairs come from a self-equi-join ON ``centroid_id`` —
+       the blow-up is Σ |cluster|², never |corpus|²; ``n_clusters`` is
+       the knob (the paper uses k ≈ 10⁴-10⁵ at web scale so clusters
+       stay small; a hot cluster is handled by raising k or pre-splitting
+       on a secondary LSH bucket).
+    3. Duplicate groups are connected components over the ≥ threshold
+       edges (operators/dedup.connected_components — checkpointed
+       min-label propagation), so transitive chains collapse into ONE
+       group instead of pairwise-greedy order-dependent results.
+    4. The keep rule is a single ``min_by`` per group over
+       (centroid_sim, id) — no per-group sort.
+    """
+    from datalake_nba_dmc_spark.operators.dedup import connected_components
+
+    assigned, centers = ivf_index(corpus, n_clusters, vec_col, seed)
+    centers_df = F.broadcast(
+        assigned.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            f"centroid_id int, _center array<double>",
+        )
+    )
+    with_sim = assigned.join(centers_df, on="centroid_id").select(
+        "centroid_id",
+        F.col(id_col),
+        F.col(vec_col),
+        cosine(F.col(vec_col).cast("array<double>"), F.col("_center")).alias(
+            "centroid_sim"
+        ),
+    )
+    a = with_sim.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = with_sim.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    edges = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges).select(
+        F.col("id").alias(id_col), F.col("comp").alias("component")
+    )  # only ids that appear in a duplicate pair
+    labeled = (
+        with_sim.select(id_col, "centroid_sim")
+        .join(comp, on=id_col, how="left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    keepers = labeled.groupBy("component").agg(
+        F.min_by(id_col, F.struct("centroid_sim", id_col)).alias("_keep_id")
+    )
+    return (
+        labeled.join(keepers, on="component")
+        .select(
+            id_col,
+            "component",
+            "centroid_sim",
+            (F.col(id_col) == F.col("_keep_id")).cast("int").alias("keep"),
+        )
+    )

@@ -448,3 +448,48 @@ def test_pq_adc_rerank_recovers_exact_topk(spark):
     ref = (cv @ cv[0]) / (np.linalg.norm(cv, axis=1) * np.linalg.norm(cv[0]))
     for vid, s in sims.items():
         assert s == pytest.approx(float(ref[vid]), abs=1e-6)
+
+
+def test_semantic_dedup_groups_and_keep_rule(spark):
+    """SemDeDup composition: near-identical vectors land in one duplicate
+    group (transitively, via connected components) and exactly ONE member
+    per group survives — the one LEAST similar to its cluster centroid
+    (ties → min id); distinct vectors stay singleton keepers."""
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, 8)
+    rows = []
+    # ids 0,1,2: tiny perturbations of base[0] → one duplicate group
+    for i, eps in enumerate((0.0, 1e-3, 2e-3)):
+        rows.append((i, [float(x) for x in base[0] + eps]))
+    # ids 10, 11: perturbations of base[1] → second group
+    rows.append((10, [float(x) for x in base[1]]))
+    rows.append((11, [float(x) for x in base[1] + 1e-3]))
+    # ids 20, 21: distinct singletons
+    rows.append((20, [float(x) for x in base[2]]))
+    rows.append((21, [float(x) for x in base[3]]))
+    df = _vecs(spark, [(i, v) for i, v in rows])
+
+    out = S.semantic_dedup(df, n_clusters=2, threshold=0.999)
+    got = {r["vec_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    assert len(got) == 7
+    # groups: {0,1,2} share component 0; {10,11} share component 10
+    assert got[0][0] == got[1][0] == got[2][0] == 0
+    assert got[10][0] == got[11][0] == 10
+    assert got[20][0] == 20 and got[21][0] == 21
+    # exactly one keeper per component
+    from collections import Counter
+
+    keep_per_comp = Counter(c for c, k in got.values() if k == 1)
+    comps = {c for c, _ in got.values()}
+    assert keep_per_comp == {c: 1 for c in comps}
+    # singletons always keep
+    assert got[20][1] == 1 and got[21][1] == 1
+    # the paper's keep rule: survivor has the LOWEST centroid_sim in group
+    sims = {r["vec_id"]: r["centroid_sim"] for r in out.collect()}
+    for comp, members in ((0, [0, 1, 2]), (10, [10, 11])):
+        kept = [m for m in members if got[m][1] == 1]
+        assert len(kept) == 1
+        expect = min(members, key=lambda m: (sims[m], m))
+        assert kept[0] == expect
