@@ -681,3 +681,57 @@ def sentence_boilerplate_stats(
             ).alias("boiler_share"),
         )
     )
+
+
+def vocab_logit_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_col: str = "word",
+    weight_col: str = "weight",
+    bias: float = 0.0,
+) -> DataFrame:
+    """Model-based quality scoring with a linear bag-of-words classifier —
+    the FineWeb-Edu / DCLM-style filter shape (public): a trained
+    (word → weight) table scores each document as
+    ``logit = bias + Σ_w weight(w) · count(w) / n_tokens``; downstream
+    curation thresholds on the logit (the sigmoid is monotone, so
+    thresholding the logit IS thresholding the probability — no
+    transcendental in the hot path, no cross-engine exp() drift).
+
+    Scale shape mirrors :func:`unigram_logprob`: one explode → hash-agg
+    to per-(doc, word) counts (shuffled rows O(distinct (doc, word)),
+    never O(token instances)), then a broadcast join against the weight
+    table (a trained vocabulary is ~10⁵-10⁶ rows — broadcast-sized) and
+    one per-doc sum. Determinism: weights quantize to 1e-6-scaled longs,
+    so every partial product/sum is an exact int64 (associative,
+    partitioning-free); ONE final double division, rounded to 6 dp.
+    Out-of-vocabulary words contribute 0 (inner join semantics on the
+    count rows, n_tokens still counts them)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    dw = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(toks).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count("*").alias("_n"))
+    )
+    wq = weights.select(
+        F.col(word_col).alias("_w"),
+        F.round(F.col(weight_col).cast("double") * 1e6).cast("long").alias("_wt"),
+    )
+    per_doc = (
+        dw.join(F.broadcast(wq), on="_w", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("_n") * F.coalesce("_wt", F.lit(0))).alias("_s"),
+            F.sum("_n").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.lit(float(bias)) + (F.col("_s") / 1e6) / F.col("n_tokens"), 6
+        ).alias("logit"),
+    )

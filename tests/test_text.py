@@ -329,3 +329,29 @@ def test_sentence_boilerplate_stats(spark):
     for i in range(5):
         assert got[i] == (2, 1, 0.5)  # the cookie banner is boilerplate
     assert got[99] == (1, 0, 0.0)
+
+
+def test_vocab_logit_score_matches_hand_computation(spark):
+    """Linear BoW classifier scoring: logit = bias + sum(w(token)*count)
+    / n_tokens, OOV words contribute 0 but still count toward n_tokens;
+    exact under the 1e-6 scaled-long convention."""
+    from datalake_nba_dmc_spark.operators.text import vocab_logit_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good good bad unknown"),
+            (1, "bad bad bad"),
+            (2, "unknown words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    weights = spark.createDataFrame(
+        [("good", 2.5), ("bad", -1.0)], ["word", "weight"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit"])
+        for r in vocab_logit_score(docs, weights, bias=0.5).collect()
+    }
+    assert got[0] == (4, round(0.5 + (2 * 2.5 - 1.0) / 4, 6))
+    assert got[1] == (3, round(0.5 + (3 * -1.0) / 3, 6))
+    assert got[2] == (3, 0.5)
