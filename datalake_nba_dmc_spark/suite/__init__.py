@@ -129,7 +129,13 @@ _CHECK_PRIORITY: list[str] = [
     "text_stats",
     "k1_write_roundtrip",
     # ------------------------- window edge (first 50 above) -------------
-    # -- remaining r1-only queries (12): lead the r6 cut
+    # -- registered late in r5 (SemDeDup + classifier-filter families,
+    #    oracle/certificate-green in verify_local at both gate scales):
+    #    lead the r6 cut so they get driver rows next round
+    "sim_semantic_dedup_certificate",
+    "sim_semantic_dedup",
+    "text_quality_classifier",
+    # -- remaining r1-only queries (12): next in the r6 cut
     "agg_cube",
     "agg_conditional",
     "grouped_minmax_norm",

@@ -461,3 +461,60 @@ def emb_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = TableRegistry(spark, sf_dir).embeddings
     proj = S.pca_project(e.select("vec_id", "embedding"), k=8, whiten=True)
     return proj.select("vec_id", F.posexplode("pca").alias("pos", "value"))
+
+
+@query("sim_semantic_dedup", oracle=None)  # KMeans clustering; no SQL twin
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup): KMeans-cluster the
+    embedding space, drop all but one of every within-cluster group of
+    near-identical vectors (cosine ≥ threshold), keeping the member LEAST
+    similar to its centroid (Abbas et al. 2023's diversity-preserving
+    rule). Pairwise work is bounded by cluster sizes, transitive chains
+    collapse via connected components. Rows-only (MLlib KMeans has no SQL
+    twin); sim_semantic_dedup_certificate below carries the oracle-checked
+    proof of the grouping + keep semantics."""
+    emb = TableRegistry(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    return S.semantic_dedup(emb, n_clusters=8, threshold=0.95)
+
+
+@query(
+    "sim_semantic_dedup_certificate",
+    oracle="SELECT vec_id, 1 AS pair_ok FROM embeddings WHERE vec_id < 50",
+)
+def sim_semantic_dedup_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked certificate for SemDeDup: inject an exact duplicate
+    of the first 50 vectors (re-id'd +100000) into the corpus, run
+    semantic_dedup, and require for every injected pair that (a) original
+    and copy land in the SAME duplicate group — identical vectors get
+    identical KMeans assignments and cosine exactly 1 — and (b) exactly
+    ONE of the two survives, (c) the survivor is the min-id original
+    (equal centroid similarity → id tie-break). A broken cluster join,
+    edge threshold, component labeling, or keep rule flips pair_ok to 0
+    and the value-hash catches it. The random test vectors' max pairwise
+    cosine ≈ 0.47, so no non-injected pair can contaminate a group at
+    threshold 0.9999."""
+    emb = TableRegistry(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    res = S.semantic_dedup(
+        emb.unionByName(dup), n_clusters=8, threshold=0.9999
+    )
+    orig = res.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.col("component").alias("_ca"),
+        F.col("keep").alias("_ka"),
+    )
+    copy = res.filter(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - 100000).alias("vec_id"),
+        F.col("component").alias("_cb"),
+        F.col("keep").alias("_kb"),
+    )
+    return orig.join(copy, on="vec_id").select(
+        "vec_id",
+        (
+            (F.col("_ca") == F.col("_cb"))
+            & (F.col("_ka") == 1)
+            & (F.col("_kb") == 0)
+        ).cast("int").alias("pair_ok"),
+    )

@@ -824,3 +824,70 @@ def text_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("len_at_decile")
         )
     )
+
+
+@query(
+    "text_quality_classifier",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), dw AS (
+      SELECT doc_id, w, COUNT(*) AS n_dw
+      FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+    ), vocab AS (
+      SELECT w, CAST(SUM(n_dw) AS BIGINT) AS c_w,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM dw GROUP BY w
+    ), top20 AS (
+      SELECT w, 1000000 AS wt FROM vocab
+      ORDER BY c_w DESC, w ASC LIMIT 20
+    ), weights AS (
+      SELECT w, wt FROM top20
+      UNION ALL
+      SELECT v.w, -500000 AS wt FROM vocab v
+      WHERE v.df = 1 AND v.w NOT IN (SELECT w FROM top20)
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(dw.n_dw) AS BIGINT) AS n_tokens,
+           round((CAST(SUM(dw.n_dw * coalesce(weights.wt, 0)) AS BIGINT) / 1e6)
+                 / CAST(SUM(dw.n_dw) AS BIGINT), 6) AS logit
+    FROM dw LEFT JOIN weights USING (w)
+    GROUP BY dw.doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/text.vocab_logit_score —
+    the FineWeb-Edu/DCLM linear-classifier shape): every document scored
+    by a (word → weight) table via one count shuffle + a broadcast
+    vocabulary join; weights quantize to 1e-6 longs so partial sums are
+    exact int64 and the logit hash-matches across engines. The weight
+    table here is derived deterministically from the corpus itself so the
+    whole chain is oracle-checkable: the 20 highest-total-count words
+    score +1.0 (ties broken on word asc) and single-document words score
+    −0.5 (noise proxy) — a stand-in for trained weights, exercising the
+    identical plan a trained table would."""
+    docs = TableRegistry(spark, sf_dir).documents
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    dw = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n_dw"))
+    )
+    vocab = dw.groupBy("w").agg(
+        F.sum("n_dw").alias("c_w"), F.count("*").alias("df")
+    )
+    top20 = (
+        vocab.orderBy(F.col("c_w").desc(), F.col("w").asc())
+        .limit(20)
+        .select("w", F.lit(1.0).alias("weight"))
+    )
+    rare = (
+        vocab.filter(F.col("df") == 1)
+        .join(top20.select("w"), on="w", how="left_anti")
+        .select("w", F.lit(-0.5).alias("weight"))
+    )
+    weights = top20.unionByName(rare).withColumnRenamed("w", "word")
+    return T.vocab_logit_score(docs, weights)
