@@ -83,6 +83,8 @@ EXTENDED = [
     "agg_incremental_maintenance",
     "stat_psi_price_drift",
     "dedup_repeated_spans",
+    "sim_semantic_dedup",
+    "text_quality_classifier",
 ]
 
 

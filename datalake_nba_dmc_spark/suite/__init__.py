@@ -64,11 +64,13 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-5 cut (23 never-checked + 22 stalest-r1 + 5 sentinels = the
-    #    50-slot window). Registry growth is FROZEN this round (verdict r4
-    #    "What's wrong" #1) so the backlog clears: after this window the
-    #    only queries without a driver row in r3+ are 11 deferred r1 names
-    #    and the 43 r2-checked names — both fit in the r6 window.
+    # -- round-5 cut (24 never-checked + 21 stalest-r1 + 5 sentinels = the
+    #    50-slot window; the 24th never-checked is r5's own
+    #    dedup_repeated_spans, slotted below with the aggs). Registry
+    #    growth is otherwise FROZEN this round (verdict r4 "What's wrong"
+    #    #1) so the backlog clears: after this window the un-rechecked
+    #    backlog is 3 late-r5 queries + 12 r1-only + 43 r2-only names —
+    #    the r6 window covers all but ~8.
     # -- 1. queries that have NEVER had a driver row (added late in r4)
     "k6_versioned_roundtrip",
     "profile_winsorize",
