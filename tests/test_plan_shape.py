@@ -409,3 +409,18 @@ def test_incremental_dedup_final_plan_reads_checkpoints_only(spark):
     plan = plan_of(spark, "dedup_incremental")
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+@needs_testdata
+def test_semantic_dedup_pairs_are_cluster_equi_join(spark):
+    """SemDeDup's pairwise stage must be an equi-join on centroid_id —
+    the cluster bound is the whole point; a regression to a cartesian /
+    BroadcastNestedLoopJoin over the corpus is the O(n²) failure the
+    operator exists to avoid. (The certificate query wraps this same
+    plan, so one assertion covers both.)"""
+    plan = plan_of(spark, "sim_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the ≥-threshold filter applies to cluster-mate pairs, joined on
+    # the centroid assignment
+    assert "centroid_id" in plan
