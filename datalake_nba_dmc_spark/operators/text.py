@@ -708,7 +708,10 @@ def vocab_logit_score(
     so every partial product/sum is an exact int64 (associative,
     partitioning-free); ONE final double division, rounded to 6 dp.
     Out-of-vocabulary words contribute 0 (inner join semantics on the
-    count rows, n_tokens still counts them)."""
+    count rows, n_tokens still counts them). A word listed more than once
+    in ``weights`` contributes the SUM of its coefficients (linear-model
+    semantics for duplicate features) — collapsed before the join so the
+    count rows never fan out."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     dw = (
         ensure_parallelism(df)
@@ -716,9 +719,15 @@ def vocab_logit_score(
         .groupBy(id_col, "_w")
         .agg(F.count("*").alias("_n"))
     )
-    wq = weights.select(
-        F.col(word_col).alias("_w"),
-        F.round(F.col(weight_col).cast("double") * 1e6).cast("long").alias("_wt"),
+    wq = (
+        weights.select(
+            F.col(word_col).alias("_w"),
+            F.round(F.col(weight_col).cast("double") * 1e6)
+            .cast("long")
+            .alias("_wt"),
+        )
+        .groupBy("_w")
+        .agg(F.sum("_wt").alias("_wt"))
     )
     per_doc = (
         dw.join(F.broadcast(wq), on="_w", how="left")

@@ -355,3 +355,18 @@ def test_vocab_logit_score_matches_hand_computation(spark):
     assert got[0] == (4, round(0.5 + (2 * 2.5 - 1.0) / 4, 6))
     assert got[1] == (3, round(0.5 + (3 * -1.0) / 3, 6))
     assert got[2] == (3, 0.5)
+
+
+def test_vocab_logit_score_duplicate_weight_rows_sum(spark):
+    """Duplicate rows for one word in the weight table must SUM (linear
+    model over duplicate features), never fan out the per-doc count rows
+    into double-counted joins."""
+    from datalake_nba_dmc_spark.operators.text import vocab_logit_score
+
+    docs = spark.createDataFrame([(0, "good good")], ["doc_id", "text"])
+    weights = spark.createDataFrame(
+        [("good", 1.0), ("good", 0.25)], ["word", "weight"]
+    )
+    row = vocab_logit_score(docs, weights).first()
+    assert row["n_tokens"] == 2
+    assert row["logit"] == round(2 * 1.25 / 2, 6)
