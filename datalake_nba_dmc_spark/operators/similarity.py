@@ -313,41 +313,67 @@ def embedding_near_dups(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate STAR edges via LSH bucketing.
+    """Embedding-cosine near-duplicate STAR edges via multi-table LSH.
 
     Pair generation links every bucket member to the bucket's MIN id — the
     same star-edge shape as ``dedup.minhash_lsh_candidates`` — so the work
-    is O(rows), never O(bucket²): with 2^n_planes buckets a 100 TB corpus
-    puts billions of rows in each bucket, and a within-bucket self-join
-    explodes quadratically while star edges stay one groupBy + one join.
-    Exact cosine then verifies each edge against ``threshold``.
+    is O(rows × tables), never O(bucket²): with 2^n_planes buckets a
+    100 TB corpus puts billions of rows in each bucket, and a
+    within-bucket self-join explodes quadratically while star edges stay
+    one groupBy + one join. Exact cosine then verifies each edge against
+    ``threshold``.
 
-    Returned edges are a subset of the all-pairs result; duplicate GROUPS
-    are recovered by ``dedup.connected_components`` /
+    Why MULTIPLE independent plane tables (r5 — found by the dup-injection
+    certificate, not by inspection): a star edge survives verification
+    only if the member is near the bucket MIN, so with one coarse table a
+    true near-dup pair that shares its bucket with a smaller-id dissimilar
+    vector is silently missed — both its edges point at the dissimilar min
+    and fail the cosine check. MinHash/SimHash banding never had this hole
+    because a band match IS a similarity proxy and bands repeat; the
+    hyperplane path gets the same guarantee from ``n_tables`` independent
+    tables of FINE buckets (``n_planes`` high → near-dups are usually
+    alone together, so one of them is the min and the direct edge
+    verifies): a pair is missed only if EVERY table buckets it behind a
+    dissimilar smaller id — probability decays exponentially in
+    ``n_tables``. Standard multi-table LSH (Indyk–Motwani / E2LSH).
+
+    Returned edges are a (deduplicated) subset of the all-pairs result;
+    duplicate GROUPS are recovered by ``dedup.connected_components`` /
     ``dedup.dedup_clusters`` over these edges (transitivity — the same
     contract the MinHash candidate path has). ``dim`` is required: the
     embedding width is pipeline metadata, not something to probe with a
     driver-side action.
 
-    The bucketed plan is computed ONCE: the representative agg carries the
-    min id's vector via ``min_by``, so edge verification needs no joins
-    back to the bucketing stage — one corpus scan, one bucket shuffle, one
-    equi-join on bucket.
+    The bucketed plan is computed ONCE: buckets for all tables come from
+    one projection (posexplode of a table→bucket array), and the
+    representative agg carries the min id's vector via ``min_by``, so
+    edge verification needs no joins back to the bucketing stage — one
+    corpus scan, one (table, bucket) shuffle, one equi-join.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
-    b = ensure_parallelism(df).select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
+    tables = [
+        random_hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+    ]
+    buckets = F.array(
+        *[hyperplane_bucket(F.col(vec_col), planes) for planes in tables]
     )
-    rep = b.groupBy("bucket").agg(
+    b = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.col(vec_col), buckets.alias("_bs"))
+        .select(
+            F.col(id_col), F.col(vec_col), F.posexplode("_bs").alias("table", "bucket")
+        )
+    )
+    rep = b.groupBy("table", "bucket").agg(
         F.min(id_col).alias("id_a"), F.min_by(vec_col, F.col(id_col)).alias("v_a")
     )
     return (
-        b.join(rep, on="bucket")
+        b.join(rep, on=["table", "bucket"])
         .filter(F.col(id_col) > F.col("id_a"))
         .select(
             "id_a",
@@ -355,6 +381,7 @@ def embedding_near_dups(
             cosine(F.col("v_a"), F.col(vec_col)).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
     )
 
 

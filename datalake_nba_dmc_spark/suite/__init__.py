@@ -137,6 +137,7 @@ _CHECK_PRIORITY: list[str] = [
     "sim_semantic_dedup_certificate",
     "sim_semantic_dedup",
     "text_quality_classifier",
+    "sim_embedding_near_dups_certificate",
     # -- remaining r1-only queries (12): next in the r6 cut
     "agg_cube",
     "agg_conditional",

@@ -185,13 +185,16 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_embedding_near_dups", oracle=None)
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate STAR edges (bucket-min → member,
-    O(rows) even on hot buckets) generated only within LSH buckets — the
-    embedding-dedup shape for training corpora; duplicate groups come from
-    connected components over these edges. Threshold 0.3 because the
-    synthetic embeddings contain no true near-dups (max pairwise cosine
-    ≈ 0.47 at sf0.001); production would use ~0.9."""
+    O(rows × tables) even on hot buckets) generated only within LSH
+    buckets — the embedding-dedup shape for training corpora; duplicate
+    groups come from connected components over these edges. r5: multiple
+    independent fine-bucket plane tables (see operators/similarity.
+    embedding_near_dups — the single-coarse-table recall hole found by
+    the dup-injection certificate below). Coarser planes here (8) so the
+    rows-only row is non-empty at threshold 0.3 on the no-true-dup
+    synthetic corpus (max pairwise cosine ≈ 0.47; production ~0.9)."""
     emb = TableRegistry(spark, sf_dir).embeddings
-    return S.embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=6)
+    return S.embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=8)
 
 
 @query(
@@ -517,4 +520,52 @@ def sim_semantic_dedup_certificate(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.col("_ka") == 1)
             & (F.col("_kb") == 0)
         ).cast("int").alias("pair_ok"),
+    )
+
+
+@query(
+    "sim_embedding_near_dups_certificate",
+    oracle="SELECT vec_id, 1 AS pair_ok FROM embeddings WHERE vec_id < 50",
+)
+def sim_embedding_near_dups_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked certificate for the embedding near-dup STAR-edge
+    path (the last rows-only family without one): inject an exact
+    duplicate of the first 50 vectors (+100000 ids), generate near-dup
+    edges, and require every injected pair to land in the SAME connected
+    component. Identical vectors get identical hyperplane buckets by
+    construction and cosine exactly 1; the star-edge contract only
+    guarantees TRANSITIVE connectivity (both members link to the bucket
+    min, not necessarily to each other), so the certificate checks
+    component membership — exactly the contract downstream dedup relies
+    on. A broken bucketing expression, representative agg, edge
+    threshold, or component labeling flips pair_ok to 0. Threshold 0.999
+    keeps random pairs (max cosine ≈ 0.5 at test scales) out of the
+    graph."""
+    from datalake_nba_dmc_spark.operators.dedup import connected_components
+
+    emb = TableRegistry(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    edges = S.embedding_near_dups(emb.unionByName(dup), dim=64, threshold=0.999)
+    comp = connected_components(edges)
+    orig = comp.filter(F.col("id") < 50).select(
+        F.col("id").alias("vec_id"), F.col("comp").alias("_ca")
+    )
+    copy = comp.filter(F.col("id") >= 100000).select(
+        (F.col("id") - 100000).alias("vec_id"), F.col("comp").alias("_cb")
+    )
+    # a pair missing from the component map entirely (no edge generated)
+    # must also fail → start from the full injected id range
+    ids = emb.filter(F.col("vec_id") < 50).select("vec_id")
+    return (
+        ids.join(orig, on="vec_id", how="left")
+        .join(copy, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            (
+                F.col("_ca").isNotNull()
+                & (F.col("_ca") == F.col("_cb"))
+            ).cast("int").alias("pair_ok"),
+        )
     )
