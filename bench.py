@@ -85,6 +85,7 @@ EXTENDED = [
     "dedup_repeated_spans",
     "sim_semantic_dedup",
     "text_quality_classifier",
+    "sim_embedding_near_dups",
 ]
 
 
