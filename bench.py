@@ -151,11 +151,13 @@ def main() -> None:
 
     # Extended set: two passes (regression visibility, not the headline
     # metric — min-of-2 is enough to catch a plan regression, which shows
-    # up as 2×+, not ±10%). Kept out of "value" for comparability. Queries
-    # whose builders perform side-effecting writes at build time
-    # (lakehouse/versioned families) are built fresh here, once.
+    # up as 2×+, not ±10%). Kept out of "value" for comparability.
+    # REBUILD_EACH_PASS queries are NOT pre-built: their builders do the
+    # heavy work eagerly (localCheckpoints, versioned-snapshot writes), so
+    # a pre-build here would pay a full un-timed build whose frame run_set
+    # never uses (it rebuilds them inside the timed region).
     for n in EXTENDED:
-        if n not in dfs:
+        if n not in dfs and n not in REBUILD_EACH_PASS:
             dfs[n] = specs[n].builder(spark, sf_dir)
     ext_timings = run_set(EXTENDED, passes=2)
     ext_total = round(sum(ext_timings.values()), 3)

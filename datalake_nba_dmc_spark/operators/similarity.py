@@ -63,15 +63,23 @@ MAX_QUERY_ROWS = 100_000
 
 def _require_bounded_queries(
     queries: DataFrame, op: str, max_rows: int | None = None
-) -> None:
-    """Enforce the bounded-query-set contract. Cheap by construction: a
-    count over ``LIMIT max_rows+1`` early-exits the scan as soon as the cap
-    is exceeded, instead of counting the full (possibly huge) query set.
+) -> DataFrame:
+    """Enforce the bounded-query-set contract and return the query frame
+    MATERIALIZED (``limit(max_rows+1).localCheckpoint(eager=True)``) for the
+    caller to use in place of the original.
+
+    This makes the guard an EAGER action (one Spark job at call time) — but
+    exactly one: the guard's count and the real query both read the
+    checkpointed blocks, so the queries frame's (possibly expensive)
+    upstream lineage is evaluated once, not once for the count and again
+    inside the top-k plan. The checkpoint is ≤ max_rows+1 rows by
+    construction — bounded executor-local state, never the corpus side.
     ``max_rows`` defaults to the module-level ``MAX_QUERY_ROWS`` resolved
     at CALL time, so deployments (and tests) can tune the cap."""
     if max_rows is None:
         max_rows = MAX_QUERY_ROWS
-    if queries.limit(max_rows + 1).count() > max_rows:
+    bounded = queries.limit(max_rows + 1).localCheckpoint(eager=True)
+    if bounded.count() > max_rows:
         raise ValueError(
             f"{op}: query set exceeds the bounded-broadcast contract "
             f"({max_rows:,} rows). The query side of this operator becomes "
@@ -79,6 +87,7 @@ def _require_bounded_queries(
             "sets use a join-based operator (embedding_near_dups or the "
             "LSH near-dup family) instead."
         )
+    return bounded
 
 
 def brute_force_topk(
@@ -95,7 +104,7 @@ def brute_force_topk(
     scanned once, no shuffle until the final per-query top-k window (keyed
     by query_id, tiny cardinality). Ties break on corpus id ascending.
     """
-    _require_bounded_queries(queries, "brute_force_topk")
+    queries = _require_bounded_queries(queries, "brute_force_topk")
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec")
     )
@@ -160,7 +169,7 @@ def lsh_bucketed_topk(
     metadata the caller always has) — inferring it would cost a driver-side
     ``.first()`` action before the plan even builds.
     """
-    _require_bounded_queries(queries, "lsh_bucketed_topk")
+    queries = _require_bounded_queries(queries, "lsh_bucketed_topk")
     planes = random_hyperplanes(dim, n_planes, seed)
     c = ensure_parallelism(corpus).withColumn(
         "bucket", hyperplane_bucket(F.col(vec_col), planes)
@@ -258,7 +267,7 @@ def ivf_topk(
     centroids ⇒ exact). The probe join is an equi-join on ``centroid_id``
     against the (bucketed, at scale) assigned corpus — the cross-join of
     brute force shrinks by ~``n_probe / n_centroids``."""
-    _require_bounded_queries(queries, "ivf_topk")
+    queries = _require_bounded_queries(queries, "ivf_topk")
     assigned, centers = ivf_index(corpus, n_centroids, vec_col, seed)
     q = queries.select(
         F.col(query_id_col),
@@ -497,7 +506,17 @@ def pca_project(
     if not mean_rows:
         raise ValueError("pca_project: empty input (no vectors to fit)")
     d = len(mean_rows)
-    n = mean_rows[0]["n"]
+    # n must be identical across dimensions: collect() row order is
+    # nondeterministic, and NULL/ragged vectors would give differing
+    # per-dimension counts — silently skewing the mean/covariance
+    # normalization if we blindly took an arbitrary row's count.
+    counts = {r["n"] for r in mean_rows}
+    if len(counts) != 1:
+        raise ValueError(
+            f"pca_project: ragged or NULL vectors (per-dimension counts "
+            f"{sorted(counts)}) — clean the embedding column first"
+        )
+    n = counts.pop()
     m = np.zeros(d)
     for r in mean_rows:
         m[r["i"]] = (r["m"] / scale) / n
@@ -592,7 +611,7 @@ def lsh_multiprobe_topk(
     (single-bit flips of one base), so no candidate dedup is needed —
     each corpus row still joins at most once per query.
     """
-    _require_bounded_queries(queries, "lsh_multiprobe_topk")
+    queries = _require_bounded_queries(queries, "lsh_multiprobe_topk")
     planes = random_hyperplanes(dim, n_planes, seed)
     c = ensure_parallelism(corpus).withColumn(
         "bucket", hyperplane_bucket(F.col(vec_col), planes)
@@ -844,6 +863,8 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     seed: int = 42,
+    max_cluster_rows: int = 10_000,
+    n_split_tables: int = 3,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication" — public): cluster the
@@ -861,11 +882,28 @@ def semantic_dedup(
 
     1. :func:`ivf_index` assigns every vector to a centroid (distributed
        KMeans + one transform scan).
-    2. Candidate pairs come from a self-equi-join ON ``centroid_id`` —
-       the blow-up is Σ |cluster|², never |corpus|²; ``n_clusters`` is
-       the knob (the paper uses k ≈ 10⁴-10⁵ at web scale so clusters
-       stay small; a hot cluster is handled by raising k or pre-splitting
-       on a secondary LSH bucket).
+    2. Candidate pairs come from a self-equi-join ON
+       ``(centroid_id, split)`` — the blow-up is Σ |sub-cluster|², never
+       |corpus|²; ``n_clusters`` is the primary knob (the paper uses
+       k ≈ 10⁴-10⁵ at web scale so clusters stay small), and
+       ``max_cluster_rows`` is the ENFORCED guardrail: a cluster larger
+       than the cap is pre-split on the low ``ceil(log2(size/cap))``
+       bits of a secondary hyperplane sign-pattern (a bit-MASK, not a
+       mod-fold, so near vectors — which share sign bits with
+       probability (1-θ/π) per plane — stay co-bucketed). Splitting can
+       miss a cross-sub-bucket edge, so oversized clusters are probed
+       with ``n_split_tables`` INDEPENDENT plane sets (Indyk–Motwani,
+       same fix as ``embedding_near_dups``): the per-pair miss
+       probability decays exponentially in tables while cost grows
+       linearly, and only for the oversized clusters (table 0 covers
+       everything; extra tables scan only capped-cluster rows).
+       Residual pathology: a cluster of EXACTLY identical vectors shares
+       every sign bit and cannot be split — but identical content is
+       precisely what upstream exact/near dedup removes first, and
+       identical vectors are all mutual duplicates anyway (one group,
+       found by table 0 at full recall; only the quadratic cost
+       remains — bounded by running exact dedup before SemDeDup, the
+       pipeline order both papers prescribe).
     3. Duplicate groups are connected components over the ≥ threshold
        edges (operators/dedup.connected_components — checkpointed
        min-label propagation), so transitive chains collapse into ONE
@@ -890,17 +928,15 @@ def semantic_dedup(
             "centroid_sim"
         ),
     )
-    a = with_sim.select(
-        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
-    )
-    b = with_sim.select(
-        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
-    )
-    edges = (
-        a.join(b, on="centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
-        .select("id_a", "id_b")
+    edges = _semantic_edges(
+        with_sim,
+        dim=len(centers[0]),
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_cluster_rows=max_cluster_rows,
+        n_split_tables=n_split_tables,
+        seed=seed,
     )
     comp = connected_components(edges).select(
         F.col("id").alias(id_col), F.col("comp").alias("component")
@@ -922,3 +958,77 @@ def semantic_dedup(
             (F.col(id_col) == F.col("_keep_id")).cast("int").alias("keep"),
         )
     )
+
+
+def _semantic_edges(
+    with_sim: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_cluster_rows: int,
+    n_split_tables: int,
+    seed: int,
+) -> DataFrame:
+    """SemDeDup's pairwise stage with the enforced hot-cluster cap
+    (exposed as its own function so the plan-shape tests can assert on
+    the pairwise join BEFORE connected components checkpoints it away).
+
+    Per-cluster sizes are an n_clusters-row agg (broadcast back); rows in
+    clusters over ``max_cluster_rows`` get a secondary split key before
+    the self-join, so Σ|sub-cluster|² is bounded BY CONSTRUCTION, not by
+    a docstring knob. Splits use the low ``ceil(log2(size/cap))`` bits of
+    an independent hyperplane sign-pattern per table (bit-mask — near
+    vectors share low bits with probability (1-θ/π)^bits); edges can
+    repeat across tables, so the big-cluster edge set is distinct-ed
+    before the union, while small-cluster edges (unique already) skip
+    that shuffle."""
+    sizes = with_sim.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_csize")
+    )
+    ws = with_sim.join(F.broadcast(sizes), on="centroid_id")
+    small = ws.filter(F.col("_csize") <= max_cluster_rows)
+    big = ws.filter(F.col("_csize") > max_cluster_rows)
+
+    def pair_edges(keyed: DataFrame, keys: list[str]) -> DataFrame:
+        ka = keyed.select(
+            *keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        )
+        kb = keyed.select(
+            *keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        )
+        return (
+            ka.join(kb, on=keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+            .select("id_a", "id_b")
+        )
+
+    edges = pair_edges(
+        small.select("centroid_id", id_col, vec_col), ["centroid_id"]
+    )
+    n_splits = F.greatest(
+        F.ceil(F.col("_csize") / float(max_cluster_rows)), F.lit(1)
+    ).cast("long")
+    # shiftleft() needs a literal bit count, so the power-of-two bucket
+    # count is pow(2, ceil(log2(n_splits))) — exact for the <2^40 range
+    # any real size/cap ratio occupies
+    n_buckets = F.pow(
+        F.lit(2.0), F.ceil(F.log2(n_splits.cast("double"))).cast("double")
+    ).cast("long")
+    big_parts = []
+    for t in range(max(n_split_tables, 1)):
+        planes = random_hyperplanes(dim, 16, seed + 1000 + t)
+        keyed = big.select(
+            "centroid_id",
+            F.pmod(
+                hyperplane_bucket(F.col(vec_col), planes), n_buckets
+            ).alias("_split"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        big_parts.append(pair_edges(keyed, ["centroid_id", "_split"]))
+    big_edges = big_parts[0]
+    for part in big_parts[1:]:
+        big_edges = big_edges.unionByName(part)
+    return edges.unionByName(big_edges.distinct())

@@ -419,6 +419,12 @@ def char_entropy(
             n = int(counts.sum())
             s = int(np.round(counts * np.log(counts) * 1e6).astype(np.int64).sum())
             e = float(np.round(np.log(n) - (s / 1e6) / n, 6))
+            # Clamp to the information-theoretic bound [0, ln(distinct)]
+            # AFTER quantization (identically in the DuckDB twin), so
+            # 0 <= H <= ln(d) + 5e-7 is a theorem, not a tolerance: the
+            # micro-nat rounding can otherwise push H past ln(d) by up to
+            # ~d/(2e6·n) + 5e-7 (Hypothesis example 'aa  \n\nbb').
+            e = min(max(e, 0.0), float(np.round(np.log(len(counts)), 6)))
             out.append((n, len(counts), e))
         return pd.DataFrame(out, columns=["n_chars", "n_distinct_chars", "char_entropy_nats"])
 

@@ -64,81 +64,28 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-5 cut (24 never-checked + 21 stalest-r1 + 5 sentinels = the
-    #    50-slot window; the 24th never-checked is r5's own
-    #    dedup_repeated_spans, slotted below with the aggs). Registry
-    #    growth is otherwise FROZEN this round (verdict r4 "What's wrong"
-    #    #1) so the backlog clears: after this window the un-rechecked
-    #    backlog is 3 late-r5 queries + 12 r1-only + 43 r2-only names —
-    #    the r6 window covers all but ~8.
-    # -- 1. queries that have NEVER had a driver row (added late in r4)
-    "k6_versioned_roundtrip",
-    "profile_winsorize",
-    "conform_union_evolved",
-    "agg_incremental_maintenance",
-    "emb_cluster_assign_ok",
-    "join_nearest_tier",
-    "text_sentence_boilerplate",
-    "stat_psi_price_drift",
-    "events_user_idle_report",
-    "k7_jsonl_landing_roundtrip",
-    "mart_basket_pairs",
-    "func_try_arithmetic",
-    "events_user_running_totals",
-    "events_time_to_convert",
-    "lakehouse_version_diff",
-    "events_dau_wau",
-    "mart_supplier_pareto",
-    "emb_pca_whitened",
-    "events_heatmap_hour_dow",
-    "text_source_lang_diversity",
-    "stat_gini_order_value",
-    "func_date_arithmetic",
-    "text_length_deciles",
-    # -- 2. stalest backlog: only driver row is from r1, three rounds old
-    "j3_left_join_derived_key",
-    "j4_join_using",
-    "join_anti",
-    "join_semi",
-    "w2_rank_in_group",
-    "a4_team_style_agg",
-    "stat_corr_qty_price",
-    "p2_bulk_rename",
-    "f2_null_guarded_parse",
-    "p1_project_prune",
-    "x1x2x3_date_roundtrip",
-    "w3_lag",
-    "w5_ntile_quartiles",
-    "w6_moving_avg",
-    "w7_first_last_order",
-    "w8_percent_rank",
-    "w1_latest_order_maxby",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_grouping_sets",
-    # -- new in r5 (the one deliberate exception to the registry freeze:
-    #    VERDICT r4 stretch #7, repeated-substring dedup) takes the last
-    #    backlog slot so it is driver-checked in ITS OWN round; agg_cube
-    #    (r1-stale, family siblings rollup/grouping_sets ARE in the
-    #    window) moves just past the edge — r6 backlog size is unchanged
-    "dedup_repeated_spans",
-    # -- 3. sentinels: one green representative per core family, so a
-    #    regression stays visible to the driver every round
-    "flagship_customer_resume",
-    "tpch_q1_pricing_summary",
-    "dedup_exact",
-    "text_stats",
-    "k1_write_roundtrip",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- registered late in r5 (SemDeDup + classifier-filter families,
-    #    oracle/certificate-green in verify_local at both gate scales):
-    #    lead the r6 cut so they get driver rows next round
+    # -- round-6 cut. Backlog entering r6: 4 never-checked (registered
+    #    late r5) + 12 r1-only + 43 r2-only = 59 > 50, so 11 r2-only
+    #    names are deliberately deferred past the edge — chosen for
+    #    maximum coverage redundancy (each has an in-window sibling that
+    #    exercises the same code path, see the deferred block below).
+    #    NO sentinel slots this round: all five r5 sentinels were green
+    #    in r5 itself, and the 32 in-window r2-only re-checks span every
+    #    sentinel family (TPC-H, dedup, text, sinks); flagship is still
+    #    smoke-run every round via the driver's entry() check.
+    # -- 1. never-checked: registered late in r5 (SemDeDup + classifier-
+    #    filter families; certificate/oracle-green in verify_local at
+    #    sf0.01 and sf0.1) — lead the cut so they get driver rows
     "sim_semantic_dedup_certificate",
     "sim_semantic_dedup",
     "text_quality_classifier",
     "sim_embedding_near_dups_certificate",
-    # -- remaining r1-only queries (12): next in the r6 cut
+    # -- 2. never-checked: registered THIS round (VERDICT r5 stretch #8,
+    #    crawl-pipeline URL dedup + per-domain quotas) — in their own
+    #    round's window, not queued as debt for r7
+    "dedup_url_canonical",
+    "text_domain_quota",
+    # -- 3. stalest backlog: only driver row is from r1, four rounds old
     "agg_cube",
     "agg_conditional",
     "grouped_minmax_norm",
@@ -151,7 +98,7 @@ _CHECK_PRIORITY: list[str] = [
     "sample_hash_mod",
     "x4_split_mmss",
     "conform_safe_downcast",
-    # -- r2-only queries (43): fill the rest of the r6 cut
+    # -- 4. r2-only backlog (32 of 43; the other 11 deferred, below)
     "agg_approx_percentiles",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -161,22 +108,17 @@ _CHECK_PRIORITY: list[str] = [
     "events_followup_within_hour",
     "events_json_extract",
     "events_sessionization",
-    "events_sliding_agg",
     "events_tumbling_agg",
     "func_array_scalars",
-    "func_date_parts",
     "func_null_semantics",
     "func_string_surface",
     "k2_partition_overwrite_roundtrip",
-    "media_frame_sample",
     "media_metadata",
     "merge_upsert_orders",
     "sim_bruteforce_topk",
     "sim_embedding_near_dups",
     "sim_ivf_recall",
-    "sim_ivf_topk",
     "sim_lsh_recall",
-    "sim_lsh_topk",
     "skew_salted_agg",
     "text_bpe_token_count",
     "text_fingerprint",
@@ -185,16 +127,30 @@ _CHECK_PRIORITY: list[str] = [
     "text_token_histogram",
     "text_winnow_fingerprints",
     "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "y3_zorder_roundtrip",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r2-only (11): each has an in-window sibling covering
+    #    the same code path — 6 TPC-H (q5/q6/q10/q18 are in-window;
+    #    pure declarative SQL twins, least drift-prone), sliding agg
+    #    (tumbling in-window), date_parts (func_date_arithmetic green
+    #    r5), frame_sample (media_metadata in-window), and the two
+    #    rows-only ANN topk variants (their oracle-checked RECALL
+    #    certificates are in-window — the stronger evidence). These
+    #    lead the r7 cut.
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "events_sliding_agg",
+    "func_date_parts",
+    "media_frame_sample",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
 ]
 
 
@@ -218,6 +174,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         text,
         tpch_wide,
+        web,
     )
 
     ordered = {n: QUERIES[n] for n in _CHECK_PRIORITY if n in QUERIES}

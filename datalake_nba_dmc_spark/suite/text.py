@@ -395,7 +395,9 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnt GROUP BY 1
     )
     SELECT doc_id, n_chars, n_distinct_chars,
-           round(ln(n_chars) - (CAST(s AS DOUBLE) / 1000000.0) / n_chars, 6)
+           least(greatest(
+             round(ln(n_chars) - (CAST(s AS DOUBLE) / 1000000.0) / n_chars, 6),
+             0.0), round(ln(n_distinct_chars), 6))
              AS char_entropy_nats
     FROM agg
     """,

@@ -258,9 +258,10 @@ def test_char_entropy_permutation_invariant_and_bounded(spark, texts):
     assert a == b
     d = {r.doc_id: r.n_distinct_chars for r in char_entropy(df).collect()}
     for i, h in a.items():
-        # entropy is rounded to 6 decimals, which can cross the exact
-        # bound by up to half the rounding step
-        assert -5e-7 <= h <= math.log(max(d[i], 1)) + 5e-7
+        # operator clamps to [0, round(ln(d), 6)]: the lower bound is
+        # exact, the upper can exceed ln(d) only by the final 6-dp
+        # rounding of ln(d) itself (half a step)
+        assert 0.0 <= h <= math.log(max(d[i], 1)) + 5e-7
 
 
 @SLOW

@@ -493,3 +493,59 @@ def test_semantic_dedup_groups_and_keep_rule(spark):
         assert len(kept) == 1
         expect = min(members, key=lambda m: (sims[m], m))
         assert kept[0] == expect
+
+
+def test_semantic_dedup_hot_cluster_cap_splits_and_keeps_recall(spark):
+    """The enforced hot-cluster cap (VERDICT r5 #4): with one cluster far
+    over ``max_cluster_rows``, the pairwise stage pre-splits it on a
+    secondary sign-pattern, the plan stays an equi-join (never cartesian),
+    the split key actually appears in the join, and the injected
+    near-duplicate pairs are still found (multi-table splits recover
+    cross-bucket recall; identical/near-identical vectors share sign bits
+    so table 0 alone already co-buckets most of them)."""
+    import datalake_nba_dmc_spark.operators.similarity as S
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 60 well-spread singleton vectors ...
+    spread = rng.randn(60, 8) * 10.0
+    for i, v in enumerate(spread):
+        rows.append((i, [float(x) for x in v]))
+    # ... plus 3 injected near-dup pairs (ids 100x and 100x+1)
+    for j in range(3):
+        base = rng.randn(8)
+        rows.append((1000 + 2 * j, [float(x) for x in base]))
+        rows.append((1001 + 2 * j, [float(x) for x in base + 1e-4]))
+    df = _vecs(spark, rows)
+
+    # two KMeans clusters over 66 rows => both far over the cap of 8,
+    # forcing multi-way splitting of every cluster
+    out = S.semantic_dedup(
+        df, n_clusters=2, threshold=0.999, max_cluster_rows=8
+    )
+    # the pairwise stage is checkpointed away inside connected components,
+    # so assert its plan via the exposed edge builder on an equivalent
+    # pre-assigned frame
+    edges = S._semantic_edges(
+        df.withColumn("centroid_id", (F.col("vec_id") % 2).cast("int")),
+        dim=8,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.999,
+        max_cluster_rows=8,
+        n_split_tables=3,
+        seed=42,
+    )
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_split" in plan, "hot-cluster split key missing from the plan"
+
+    got = {r["vec_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    assert len(got) == 66
+    for j in range(3):
+        a, b = 1000 + 2 * j, 1001 + 2 * j
+        assert got[a][0] == got[b][0] == a, (a, got[a], got[b])
+        assert got[a][1] + got[b][1] == 1
+    # spread vectors stay singleton keepers
+    assert all(got[i] == (i, 1) for i in range(60))

@@ -467,3 +467,73 @@ def test_user_running_state_ttl_logic():
     fn_plain = _make_update_user_state(None)
     list(fn_plain((7,), iter([batch]), st))
     assert st.timeout_ms is None
+
+
+def test_user_running_state_ttl_evicts_idle_key_end_to_end(spark, tmp_path):
+    """TTL eviction through Spark's REAL timeout machinery (VERDICT r5
+    stretch #9 — the unit test above pins the engine-owned logic; this
+    pins the firing): a key's state written in micro-batch 1 must be
+    GONE when the same key returns after the TTL, so its running totals
+    restart from zero instead of resuming.
+
+    Bounded construction: file source with maxFilesPerTrigger=1 and a
+    500 ms processing-time trigger (a stateful query with armed timeouts
+    runs empty micro-batches on the trigger cadence, which is what fires
+    hasTimedOut between the two files), 1 s TTL, one eviction gap sleep.
+    Total runtime is seconds, not the ~4 min availableNow polling loop
+    PERF.md measured.
+    """
+    import time
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    chk = str(tmp_path / "ttl_chk")
+    schema = "user_id long, value double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    write_file("f1", [(7, 1.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    name = f"mem_ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_state(stream, ttl="1 second")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def wait_rows(n, timeout=90.0):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                rows = spark.table(name).collect()
+                if len(rows) >= n:
+                    return rows
+                time.sleep(0.5)
+            raise AssertionError(
+                f"timed out waiting for {n} emissions; got {rows}"
+            )
+
+        first = wait_rows(1)
+        assert (first[0]["n_events"], first[0]["total_value"]) == (1, 1.0)
+        # idle past the TTL: empty trigger cycles fire the timeout and
+        # evict user 7's state row
+        time.sleep(5.0)
+        write_file("f2", [(7, 5.0)])
+        rows = wait_rows(2)
+        second = [r for r in rows if r["total_value"] == 5.0]
+        assert second, f"no restarted emission in {rows}"
+        # state restarted from zero — NOT the resumed (2, 6.0)
+        assert second[0]["n_events"] == 1
+        assert all(r["total_value"] != 6.0 for r in rows)
+    finally:
+        q.stop()

@@ -50,16 +50,20 @@ def test_entry_smoke(spark):
 def test_driver_window_priority():
     """The driver checks only the first ~50 registry entries per round
     (observed cap: exactly 50 in every CORRECTNESS_r0N). Data-driven
-    invariants so the test survives per-round rotation:
+    invariants that hold BOTH before and after the driver deposits the
+    current round's CORRECTNESS file (the r5 version of this test was
+    self-invalidating: the window under test is precisely what the newest
+    file records, so its entries flip to "freshly checked" the moment the
+    artifact lands — VERDICT r5 "What's wrong" #1):
 
-    1. every registered query with NO driver row in any recorded
-       CORRECTNESS file sits inside the 50-slot window (nothing ships
-       unchecked longer than one round);
-    2. the remaining slots go to the STALEST queries: nothing in the
-       window was last checked more recently than round 2, except the
-       explicitly-listed always-checked family sentinels;
-    3. queries just past the edge are the next-stalest (they lead the
-       next round's cut).
+    1. every registered query with NO driver row sits inside the 50-slot
+       window (nothing ships unchecked longer than one round — the
+       registry freeze, enforced strictly this time);
+    2. the remaining slots go to the STALEST queries: a window entry was
+       last checked no later than latest_round - 2, OR exactly in
+       latest_round (meaning this very window produced that row);
+    3. backlog entries that didn't fit sit contiguously just past the
+       edge (they lead the next round's cut).
     """
     import glob
     import json
@@ -76,28 +80,25 @@ def test_driver_window_priority():
     latest_round = max(last.values())
 
     never_checked = [n for n in names if n not in last]
-    # allowance: queries ADDED in the current round may queue just past
-    # the edge (the freeze exception) — they must still lead the next cut
     overflow = [n for n in never_checked if n not in window]
-    assert overflow == [] or all(
-        n in names[50:60] for n in overflow
-    ), f"never-checked queries buried deep past the window: {overflow}"
+    assert overflow == [], (
+        f"never-checked queries outside the window: {overflow} — new "
+        "registrations belong inside their own round's window"
+    )
 
-    sentinels = {
-        "flagship_customer_resume",
-        "tpch_q1_pricing_summary",
-        "dedup_exact",
-        "text_stats",
-        "k1_write_roundtrip",
-    }
-    assert sentinels <= set(window)
     for n in window:
-        if n in sentinels or n not in last:
+        if n not in last or last[n] == latest_round:
             continue
         assert last[n] <= latest_round - 2, (
             f"{n} was checked in r{last[n]} — window slots belong to the "
             f"never-checked and the stalest (r{latest_round - 2} or older)"
         )
-    # just past the edge: next-stalest queries queue for the next cut
-    edge_tail = [n for n in names[50:100] if n in last]
-    assert all(last[n] <= latest_round - 2 for n in edge_tail), edge_tail
+    # just past the edge: the OLDEST cohort present in the tail (the
+    # deliberately-deferred backlog) queues contiguously, leading the
+    # next round's cut — nothing fresher interleaves ahead of it
+    tail_last = [last[n] for n in names[50:] if n in last]
+    min_last = min(tail_last)
+    tail_oldest = [n for n in names[50:] if last.get(n) == min_last]
+    assert tail_oldest == names[50 : 50 + len(tail_oldest)], (
+        "deferred-backlog entries must sit contiguously at the window edge"
+    )

@@ -1,0 +1,109 @@
+"""Web-curation operators: URL canonicalization table-driven cases,
+registrable-domain extraction, and exactness of the two-phase salted
+per-domain quota against the naive single-window form."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators import web as W
+
+
+def test_canonicalize_url_cases(spark):
+    cases = [
+        # case-folding of scheme+host, not path
+        ("HTTPS://Example.COM/A/B", "https://example.com/A/B"),
+        # www strip + default https port + trailing slash
+        ("https://www.Example.com:443/x/", "https://example.com/x"),
+        # http default port kept distinct from https
+        ("http://example.com:80/x", "http://example.com/x"),
+        # NON-default port survives
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        # tracking params dropped, rest sorted, fragment dropped
+        (
+            "https://example.com/p?utm_source=x&b=2&a=1&gclid=9#frag",
+            "https://example.com/p?a=1&b=2",
+        ),
+        # all params tracking -> no '?' at all
+        ("https://example.com/p?utm_campaign=y&fbclid=1", "https://example.com/p"),
+        # bare root: path '/' strips to empty
+        ("https://example.com/", "https://example.com"),
+        # ref is tracking; href is NOT (prefix must anchor whole param name)
+        ("https://example.com/p?ref=a&href=b", "https://example.com/p?href=b"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", W.canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_registrable_domain_cases(spark):
+    cases = [
+        ("example.com", "example.com"),
+        ("a.b.example.com", "example.com"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("ac.uk", "ac.uk"),  # 2 labels: never go deeper than the host
+        ("localhost", "localhost"),
+        # 'co' second-level only under 2-char ccTLDs: x.co.com -> co.com
+        ("x.co.com", "co.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, host string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", W.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, f"{h!r}: {got[i]!r} != {want!r}"
+
+
+def test_domain_quota_two_phase_exact_on_hot_domain(spark):
+    """One domain holds 90% of rows (the link-farm pathology). The salted
+    two-phase top-N must equal the naive single-window top-N exactly —
+    same kept ids, same ranks."""
+    rows = [(i, "farm.com", float((i * 37) % 101)) for i in range(900)]
+    rows += [(1000 + i, f"site{i % 7}.org", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, quality double")
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+
+    got = {
+        (r["domain"], r["doc_id"]): r["quota_rank"]
+        for r in W.domain_topn_quota(
+            df, n_per_domain=5, order_cols=order, salt_buckets=8
+        ).collect()
+    }
+    w = Window.partitionBy("domain").orderBy(*order)
+    want = {
+        (r["domain"], r["doc_id"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for (d, _) in got if d == "farm.com") == 5
+
+
+def test_url_exact_dedup_groups(spark):
+    urls = [
+        (1, "https://www.Site.com/a?utm_source=x"),
+        (2, "https://site.com:443/a/"),
+        (3, "https://site.com/a"),
+        (4, "https://site.com/b"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r["canonical_url"]: (r["keeper_id"], r["n_dups"])
+        for r in W.url_exact_dedup(df).collect()
+    }
+    assert got == {
+        "https://site.com/a": (1, 3),
+        "https://site.com/b": (4, 1),
+    }
