@@ -113,34 +113,29 @@ def domain_topn_quota(
     domain_col: str = "domain",
     order_cols: list[Column] | None = None,
     id_col: str = "doc_id",
-    salt_buckets: int = 16,
 ) -> DataFrame:
     """Keep at most ``n_per_domain`` documents per registrable domain,
     best-first (CCNet/RefinedWeb per-domain quota — the guard against one
     link farm dominating a training batch).
 
-    EXACT two-phase top-N so a hot domain never funnels through a single
-    reducer: phase 1 ranks within (domain, salt) — ``salt_buckets``-way
-    fan-out of the hot key — and keeps ``n`` per salt; any global top-n
-    row is necessarily in its salt bucket's top-n, so phase 2's re-rank
-    over the ≤ ``salt_buckets·n`` survivors per domain is exact. Phase-2
-    input is bounded per domain BY CONSTRUCTION, independent of how many
-    billions of pages the hottest domain has.
+    Deliberately ONE ranking window, not a hand-salted two-phase: Spark's
+    rank-limit pushdown (``WindowGroupLimit``, SPARK-37099, on by
+    default) splits this into a PARTIAL limit before the exchange and a
+    FINAL limit after it, so a hot domain contributes at most ``n`` rows
+    per upstream partition to the shuffle — the single-reducer link-farm
+    funnel is already bounded by Catalyst, and a manual salted phase
+    would only add a second exchange + sort for the same guarantee
+    (verified: the manual two-phase plan carried 2 Exchanges vs this
+    plan's 1, both with Partial/Final WindowGroupLimit). The pushdown's
+    presence is plan-asserted in test_plan_shape.
 
     ``order_cols`` defaults to ``id_col`` ascending; callers pass e.g.
-    ``[F.col("quality").desc(), F.col("doc_id")]``. The final ordering
-    must be total per domain (include a unique tiebreaker) for the result
-    to be deterministic."""
+    ``[F.col("quality").desc(), F.col("doc_id")]``. The ordering must be
+    total per domain (include a unique tiebreaker) for the result to be
+    deterministic."""
     order = order_cols or [F.col(id_col).asc()]
-    salt = F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
-    local_w = Window.partitionBy(F.col(domain_col), salt).orderBy(*order)
-    survivors = (
-        df.withColumn("_lrn", F.row_number().over(local_w))
-        .filter(F.col("_lrn") <= n_per_domain)
-        .drop("_lrn")
-    )
-    final_w = Window.partitionBy(domain_col).orderBy(*order)
+    w = Window.partitionBy(domain_col).orderBy(*order)
     return (
-        survivors.withColumn("quota_rank", F.row_number().over(final_w))
+        df.withColumn("quota_rank", F.row_number().over(w))
         .filter(F.col("quota_rank") <= n_per_domain)
     )

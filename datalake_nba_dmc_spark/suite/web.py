@@ -161,11 +161,9 @@ def text_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota (CCNet/RefinedWeb anti-link-farm guard): derive a
     host per document, extract the registrable domain (public-suffix
     heuristic incl. co.uk + subdomain stripping), keep the best 8 docs
-    per domain by (n_chars DESC, doc_id). The Spark side runs the EXACT
-    two-phase salted top-N (operators/web.domain_topn_quota) so a hot
-    domain never funnels one reducer; the oracle is the naive one-window
-    SQL — equality of the two IS the exactness proof for the two-phase
-    plan."""
+    per domain by (n_chars DESC, doc_id). One ranking window whose limit
+    Catalyst pushes below the exchange (WindowGroupLimit Partial — the
+    hot-domain bound; see operators/web.domain_topn_quota)."""
     docs = TableRegistry(spark, sf_dir).documents
     with_domain = docs.select(
         "doc_id",

@@ -424,3 +424,33 @@ def test_semantic_dedup_pairs_are_cluster_equi_join(spark):
     # the ≥-threshold filter applies to cluster-mate pairs, joined on
     # the centroid assignment
     assert "centroid_id" in plan
+
+
+@needs_testdata
+def test_url_dedup_is_single_exchange_hash_agg(spark):
+    """Canonical-URL dedup must cost exactly ONE shuffle (the groupBy on
+    the canonical key) with a map-side partial aggregate; canonicalization
+    itself is pure projection. A second Exchange or a Python worker here
+    means the map-only canonicalizer regressed."""
+    plan = plan_of(spark, "dedup_url_canonical")
+    assert plan.count("Exchange (") == 1, plan
+    assert "HashAggregate" in plan
+    assert "partial_min" in plan, plan
+    for udf_marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert udf_marker not in plan
+
+
+@needs_testdata
+def test_domain_quota_single_exchange_with_limit_pushdown(spark):
+    """The per-domain quota is ONE ranking window whose limit Catalyst
+    pushes below the exchange: Partial WindowGroupLimit (caps a hot
+    domain's shuffle contribution at n rows per upstream partition) →
+    single Exchange on domain → Final WindowGroupLimit. Losing the
+    pushdown (or growing a second exchange) reintroduces the link-farm
+    single-reducer funnel / doubles the shuffle."""
+    plan = plan_of(spark, "text_domain_quota")
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan and "Final" in plan, plan
+    for udf_marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert udf_marker not in plan

@@ -65,20 +65,23 @@ def test_registrable_domain_cases(spark):
         assert got[i] == want, f"{h!r}: {got[i]!r} != {want!r}"
 
 
-def test_domain_quota_two_phase_exact_on_hot_domain(spark):
-    """One domain holds 90% of rows (the link-farm pathology). The salted
-    two-phase top-N must equal the naive single-window top-N exactly —
-    same kept ids, same ranks."""
+def test_domain_quota_exact_on_hot_domain_with_limit_pushdown(spark):
+    """One domain holds 90% of rows (the link-farm pathology). The quota
+    must keep exactly the true top-5 per domain, and the plan must carry
+    Spark's rank-limit pushdown (WindowGroupLimit Partial BEFORE the
+    exchange) — the property that bounds a hot domain's contribution to
+    the shuffle at 100 TB."""
     rows = [(i, "farm.com", float((i * 37) % 101)) for i in range(900)]
     rows += [(1000 + i, f"site{i % 7}.org", float(i)) for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, domain string, quality double")
     order = [F.col("quality").desc(), F.col("doc_id").asc()]
 
+    quota = W.domain_topn_quota(df, n_per_domain=5, order_cols=order)
+    plan = quota._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
     got = {
-        (r["domain"], r["doc_id"]): r["quota_rank"]
-        for r in W.domain_topn_quota(
-            df, n_per_domain=5, order_cols=order, salt_buckets=8
-        ).collect()
+        (r["domain"], r["doc_id"]): r["quota_rank"] for r in quota.collect()
     }
     w = Window.partitionBy("domain").orderBy(*order)
     want = {
