@@ -568,3 +568,71 @@ def test_basket_pairs_match_python_reference(spark, rows):
         for r in basket_pairs(df, "basket", "item", min_support=2).collect()
     }
     assert got == expect
+
+
+@SLOW
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda scheme, www, host, port, path, slash, params, frag: (
+                scheme
+                + "://"
+                + ("WWW." if www else "")
+                + host
+                + port
+                + "/"
+                + path
+                + ("/" if slash else "")
+                + ("?" + "&".join(params) if params else "")
+                + ("#x" if frag else "")
+            ),
+            scheme=st.sampled_from(["http", "HTTPS", "https", "HTTP"]),
+            www=st.booleans(),
+            host=st.sampled_from(
+                ["Example.com", "a.B.co.uk", "x.org:8443", "site.NET"]
+            ),
+            port=st.sampled_from(["", ":443", ":80"]),
+            path=st.sampled_from(["a", "a/B", "p/1", ""]),
+            slash=st.booleans(),
+            params=st.lists(
+                st.sampled_from(
+                    ["a=1", "b=2", "utm_source=x", "gclid=9", "ref=z", "href=q"]
+                ),
+                max_size=4,
+            ),
+            frag=st.booleans(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_canonicalize_url_idempotent_and_variation_free(spark, urls):
+    """Canonicalization is a projection onto its own fixed points:
+    canonical(canonical(u)) == canonical(u), and the canonical form never
+    retains a fragment, a www. prefix, a default port, a trailing slash,
+    or a tracking parameter."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    out = df.select(
+        "i",
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+        c = r["c1"]
+        assert "#" not in c
+        assert "://www." not in c
+        assert not c.split("?", 1)[0].endswith("/")
+        assert "utm_" not in c and "gclid" not in c and "ref=" not in c.replace("href=", "")
+        scheme = c.split("://", 1)[0]
+        hostpart = c.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
+        if scheme == "https":
+            assert not hostpart.endswith(":443")
+        if scheme == "http":
+            assert not hostpart.endswith(":80")

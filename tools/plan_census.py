@@ -1,0 +1,126 @@
+"""Full-registry physical-plan census — the per-round self-audit tool.
+
+For every registered query, build the frame at sf0.001 and count plan
+features that matter at 100 TB. Each round audits a dimension (r5:
+FileScan duplication + broadcast direction; r6: window rank-limit
+pushdown + cartesian / Python-marker / exchange-count screen). Usage:
+
+    python tools/plan_census.py            # summary + flagged queries
+    python tools/plan_census.py --all      # per-query table
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datalake_nba_dmc_spark.session import get_spark
+from datalake_nba_dmc_spark.suite import load_all
+
+SF = "/root/testdata/sf0.001"
+
+#: Queries allowed to show a ranking Window WITHOUT WindowGroupLimit:
+#: their window result is NOT filtered by a rank bound (full ranking is
+#: the deliverable), so there is nothing to push down.
+UNFILTERED_RANK_OK = {
+    "w2_rank_in_group",      # full per-group ranking is the output
+    "w5_ntile_quartiles",    # ntile has no limit semantics
+    "w8_percent_rank",       # full distribution is the output
+    "mart_rfm_segments",     # quintile labels for every row
+    "mart_supplier_pareto",  # cumulative shares for every supplier
+    "text_length_deciles",   # decile labels for every doc
+}
+
+#: Audited BroadcastNestedLoopJoin sites (r6 census): every one is a
+#: crossJoin against a side that is BOUNDED BY CONSTRUCTION — a one-row
+#: global aggregate (corpus totals / scalar avg), a <=10-row Range of
+#: quantile bounds, or the MAX_QUERY_ROWS-guarded broadcast query set of
+#: the topk/recall family. A BNLJ in any query NOT on this list is a new
+#: unbounded nested loop and must be triaged.
+BNLJ_AUDITED = {
+    "corpus_resample_balanced",   # one-row per-source totals broadcast
+    "events_user_idle_report",    # one-row stream-horizon aggregate
+    "mart_basket_pairs",          # one-row basket-count total
+    "mart_supplier_pareto",       # one-row revenue grand total
+    "sim_bruteforce_topk",        # guarded (MAX_QUERY_ROWS) query set
+    "sim_hard_negatives",         # guarded query set
+    "sim_ivf_recall",             # guarded query set (brute baseline)
+    "sim_lsh_multiprobe_recall",  # guarded query set
+    "sim_lsh_recall",             # guarded query set
+    "sim_pq_adc_recall",          # guarded query set
+    "sketch_theta_overlap",       # one-row sketch blobs
+    "stat_psi_price_drift",       # one-row pre/post totals
+    "text_collocations",          # one-row token grand total
+    "text_length_deciles",        # Range(10) decile bounds
+    "text_tfidf",                 # one-row doc-count total
+    "text_unigram_logprob",       # one-row token grand total
+    "text_vocab_coverage",        # one-row token grand total
+    "tpch_q11_important_stock",   # one-row global-value threshold
+    "tpch_q22_dormant_customers", # one-row avg(acctbal) scalar
+}
+
+
+def main() -> int:
+    show_all = "--all" in sys.argv
+    spark = get_spark("plan_census")
+    flagged: list[str] = []
+    rows = []
+    for name, spec in load_all().items():
+        try:
+            df = spec.builder(spark, SF)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as e:  # noqa: BLE001
+            rows.append((name, f"BUILD-ERROR {type(e).__name__}"))
+            flagged.append(name)
+            continue
+        n_exchange = len(re.findall(r"\bExchange \(", plan))
+        n_window = len(re.findall(r"\bWindow \(", plan))
+        n_wgl = plan.count("WindowGroupLimit")
+        cartesian = "CartesianProduct" in plan
+        bnlj = "BroadcastNestedLoopJoin" in plan
+        py = [
+            m
+            for m in ("BatchEvalPython",)
+            if m in plan
+        ]
+        # a ranking window feeding a rank filter should carry the
+        # pushdown; detect "row_number()... Filter (rank <= k)" shape by
+        # Window present + a Filter on the rank alias right above it
+        rank_filtered = bool(
+            re.search(r"Condition : .*(rn|rank|_rn|quota_rank)\S* <= \d", plan)
+        )
+        problems = []
+        if cartesian:
+            problems.append("CARTESIAN")
+        if bnlj and name not in BNLJ_AUDITED:
+            problems.append("NEW-BNLJ")
+        if py:
+            problems.append("ROW-PYTHON")
+        if rank_filtered and n_wgl == 0 and name not in UNFILTERED_RANK_OK:
+            problems.append("RANK-FILTER-NO-PUSHDOWN")
+        line = (
+            f"exch={n_exchange} win={n_window} wgl={n_wgl}"
+            + (" " + ",".join(problems) if problems else "")
+        )
+        rows.append((name, line))
+        if problems:
+            flagged.append(name)
+    if show_all:
+        for n, line in rows:
+            print(f"{n:45s} {line}")
+    print(f"\n{len(rows)} queries; flagged: {len(flagged)}")
+    for n in flagged:
+        print(" ", n, dict(rows)[n])
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    main()
