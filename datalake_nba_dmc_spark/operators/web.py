@@ -37,6 +37,13 @@ def canonicalize_url(url: Column) -> Column:
     - drop tracking query params (:data:`TRACKING_PARAM_RE`), sort the
       surviving params byte-wise so param order never splits a dup group
 
+    A string with no ``scheme://`` prefix canonicalizes to NULL, NOT to a
+    shared junk value: every component regexp extracts ``''`` on a
+    malformed URL, so without the guard ALL malformed URLs in a dirty
+    crawl would collapse into one canonical group and be deduped away —
+    silent data loss (:func:`url_exact_dedup` keys such rows by their raw
+    string instead).
+
     Map-only: canonicalization adds zero shuffles regardless of scale.
     """
     nofrag = F.regexp_replace(url, r"#.*", "")
@@ -62,12 +69,17 @@ def canonicalize_url(url: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    return F.when(
+        url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+                F.lit("")
+            ),
+        ),
     )
 
 
@@ -96,9 +108,16 @@ def url_exact_dedup(
     surviving id (min — first-crawled under monotonic ids) and the group
     size. ONE balanced hash-shuffle on the canonical-URL key — the same
     scale shape as content dedup_exact (dedup.py), keyed by URL instead
-    of text hash."""
+    of text hash.
+
+    Malformed URLs (NULL canonical) fall back to their RAW string as the
+    group key, so distinct junk rows stay distinct singletons instead of
+    collapsing into one NULL group and being deduped away."""
     return (
-        df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+        df.withColumn(
+            "canonical_url",
+            F.coalesce(canonicalize_url(F.col(url_col)), F.col(url_col)),
+        )
         .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("keeper_id"),

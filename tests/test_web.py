@@ -1,6 +1,6 @@
-"""Web-curation operators: URL canonicalization table-driven cases,
-registrable-domain extraction, and exactness of the two-phase salted
-per-domain quota against the naive single-window form."""
+"""Web-curation operators: URL canonicalization table-driven cases +
+malformed-input guard, registrable-domain extraction, and the per-domain
+quota's exactness + rank-limit-pushdown plan shape on a hot domain."""
 
 from __future__ import annotations
 
@@ -109,4 +109,41 @@ def test_url_exact_dedup_groups(spark):
     assert got == {
         "https://site.com/a": (1, 3),
         "https://site.com/b": (4, 1),
+    }
+
+
+def test_malformed_urls_do_not_collapse_into_one_group(spark):
+    """Latent-defect guard (found by probing the first cut): every
+    component regexp extracts '' on a scheme-less string, so without the
+    NULL guard ALL malformed URLs canonicalized to the same junk value
+    ('://') — one dup group, all but one row silently dropped. Malformed
+    rows must stay DISTINCT singletons keyed by their raw string, and
+    canonicalize_url must return NULL for them."""
+    rows = [
+        (1, "example.com/a"),          # no scheme
+        (2, "not a url at all"),
+        (3, "ftp-data"),
+        (4, "https://ok.com/x"),
+        (5, "https://ok.com/x/"),      # dup of 4 after canonicalization
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", W.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert canon[1] is None and canon[2] is None and canon[3] is None
+    assert canon[4] == canon[5] == "https://ok.com/x"
+
+    got = {
+        r["canonical_url"]: (r["keeper_id"], r["n_dups"])
+        for r in W.url_exact_dedup(df).collect()
+    }
+    assert got == {
+        "example.com/a": (1, 1),
+        "not a url at all": (2, 1),
+        "ftp-data": (3, 1),
+        "https://ok.com/x": (4, 2),
     }
