@@ -1007,6 +1007,10 @@ def _semantic_edges(
     edges = pair_edges(
         small.select("centroid_id", id_col, vec_col), ["centroid_id"]
     )
+    # Split-factor ceiling: 16 planes give at most 2^16 sub-buckets per
+    # table, so the cap handles clusters up to ~65536 x max_cluster_rows
+    # (~650 M rows at the default cap); a cluster hotter than that means
+    # n_clusters is badly undersized for the corpus — raise k.
     n_splits = F.greatest(
         F.ceil(F.col("_csize") / float(max_cluster_rows)), F.lit(1)
     ).cast("long")

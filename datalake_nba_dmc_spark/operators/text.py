@@ -750,3 +750,85 @@ def vocab_logit_score(
             F.lit(float(bias)) + (F.col("_s") / 1e6) / F.col("n_tokens"), 6
         ).alias("logit"),
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): score every raw
+    document by how much more likely its tokens are under the TARGET
+    corpus's unigram LM than under the raw corpus's own LM —
+    ``log p_T(doc) − log p_R(doc)``. Selecting the top-weighted documents
+    shifts the training mix toward the target domain; this is the
+    standard domain-targeted data-selection recipe (the paper hashes
+    features to fit one machine — distributed, the vocabulary join
+    needs no hashing).
+
+    Estimation spec (pinned so the DuckDB twin is bit-identical):
+    vocabulary = the RAW corpus's words; both LMs are Laplace(+1)
+    smoothed over that vocabulary, ``p(w) = (c(w)+1) / (N + V)`` with
+    ``N`` the corpus's token total restricted to the vocab and ``V`` the
+    vocab size. Target-only words cannot appear in raw documents and are
+    ignored. Each per-word log term is quantized to integer micro-nats
+    BEFORE the per-doc sum (order-free, exact — the unigram_logprob
+    pattern).
+
+    Scale shape: explode → per-(doc, word) hash-agg (shuffled rows are
+    O(distinct (doc, word)), never token instances); target word counts
+    are a second independent agg; the two one-row totals ride in as a
+    broadcast literal; the scoring join is a plain equi-join on ``word``.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    dw = (
+        ensure_parallelism(raw)
+        .select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("n_dw"))
+    )
+    vocab_r = dw.groupBy("w").agg(F.sum("n_dw").alias("c_r"))
+    tcounts = (
+        ensure_parallelism(target)
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_t0"))
+    )
+    vocab = vocab_r.join(tcounts, on="w", how="left").select(
+        "w", "c_r", F.coalesce("c_t0", F.lit(0)).alias("c_t")
+    )
+    totals = vocab.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    qlog_t = F.round(
+        F.log(
+            (F.col("c_t") + 1).cast("double")
+            / (F.col("n_t") + F.col("v")).cast("double")
+        )
+        * 1e6
+    ).cast("long")
+    qlog_r = F.round(
+        F.log(
+            (F.col("c_r") + 1).cast("double")
+            / (F.col("n_r") + F.col("v")).cast("double")
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        dw.join(vocab, on="w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("n_dw") * (qlog_t - qlog_r)).alias("_s"),
+            F.sum("n_dw").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("_s") / 1e6, 6).alias("dsir_logratio"),
+        )
+    )

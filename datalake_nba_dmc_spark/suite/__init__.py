@@ -65,9 +65,11 @@ def query(name: str, oracle: str | None = None):
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
     # -- round-6 cut. Backlog entering r6: 4 never-checked (registered
-    #    late r5) + 12 r1-only + 43 r2-only = 59 > 50, so 11 r2-only
-    #    names are deliberately deferred past the edge — chosen for
-    #    maximum coverage redundancy (each has an in-window sibling that
+    #    late r5) + 12 r1-only + 43 r2-only = 59, plus 4 queries
+    #    registered THIS round taking window slots so they are driver-
+    #    checked in their own round — so 13 r2-only names are
+    #    deliberately deferred past the edge, chosen for maximum
+    #    coverage redundancy (each has an in-window sibling that
     #    exercises the same code path, see the deferred block below).
     #    NO sentinel slots this round: all five r5 sentinels were green
     #    in r5 itself, and the 32 in-window r2-only re-checks span every
@@ -80,11 +82,14 @@ _CHECK_PRIORITY: list[str] = [
     "sim_semantic_dedup",
     "text_quality_classifier",
     "sim_embedding_near_dups_certificate",
-    # -- 2. never-checked: registered THIS round (VERDICT r5 stretch #8,
-    #    crawl-pipeline URL dedup + per-domain quotas) — in their own
-    #    round's window, not queued as debt for r7
+    # -- 2. never-checked: registered THIS round — in their own round's
+    #    window, not queued as debt for r7 (VERDICT r5 stretch #8
+    #    crawl-pipeline URL dedup + per-domain quotas, plus the DSIR
+    #    selection and BPE tokenizer-prep families)
     "dedup_url_canonical",
     "text_domain_quota",
+    "text_dsir_selection",
+    "text_bpe_pair_counts",
     # -- 3. stalest backlog: only driver row is from r1, four rounds old
     "agg_cube",
     "agg_conditional",
@@ -98,7 +103,7 @@ _CHECK_PRIORITY: list[str] = [
     "sample_hash_mod",
     "x4_split_mmss",
     "conform_safe_downcast",
-    # -- 4. r2-only backlog (32 of 43; the other 11 deferred, below)
+    # -- 4. r2-only backlog (30 of 43; the other 13 deferred, below)
     "agg_approx_percentiles",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -126,20 +131,21 @@ _CHECK_PRIORITY: list[str] = [
     "text_tfidf",
     "text_token_histogram",
     "text_winnow_fingerprints",
-    "tpch_q10_returned_items",
     "tpch_q18_large_volume_customers",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    "y3_zorder_roundtrip",
     # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r2-only (11): each has an in-window sibling covering
-    #    the same code path — 6 TPC-H (q5/q6/q10/q18 are in-window;
+    # -- deferred r2-only (13): each has an in-window sibling covering
+    #    the same code path — 7 TPC-H (q5/q6/q18 stay in-window;
     #    pure declarative SQL twins, least drift-prone), sliding agg
     #    (tumbling in-window), date_parts (func_date_arithmetic green
     #    r5), frame_sample (media_metadata in-window), and the two
     #    rows-only ANN topk variants (their oracle-checked RECALL
-    #    certificates are in-window — the stronger evidence). These
-    #    lead the r7 cut.
+    #    certificates are in-window — the stronger evidence), and the
+    #    z-order roundtrip (k2's partitioned-write path stays in-window;
+    #    y2 range-sorted checked r3). These lead the r7 cut.
+    "tpch_q10_returned_items",
+    "y3_zorder_roundtrip",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",

@@ -893,3 +893,104 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weights = top20.unionByName(rare).withColumnRenamed("w", "word")
     return T.vocab_logit_score(docs, weights)
+
+
+@query(
+    "text_dsir_selection",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), dw AS (
+      SELECT doc_id, w, COUNT(*) AS n_dw
+      FROM (SELECT doc_id, unnest(toks) AS w FROM tok) GROUP BY 1, 2
+    ), vr AS (
+      SELECT w, CAST(SUM(n_dw) AS BIGINT) AS c_r FROM dw GROUP BY w
+    ), tt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_t0
+      FROM (SELECT unnest(toks) AS w FROM tok WHERE lang = 'en')
+      GROUP BY w
+    ), vocab AS (
+      SELECT vr.w, vr.c_r, COALESCE(tt.c_t0, 0) AS c_t
+      FROM vr LEFT JOIN tt USING (w)
+    ), tot AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+             CAST(SUM(c_t) AS BIGINT) AS n_t,
+             COUNT(*) AS v
+      FROM vocab
+    ), scored AS (
+      SELECT dw.doc_id,
+             CAST(SUM(dw.n_dw) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(dw.n_dw * (
+                 CAST(round(ln(CAST(vocab.c_t + 1 AS DOUBLE)
+                              / CAST(tot.n_t + tot.v AS DOUBLE)) * 1e6)
+                      AS BIGINT)
+               - CAST(round(ln(CAST(vocab.c_r + 1 AS DOUBLE)
+                              / CAST(tot.n_r + tot.v AS DOUBLE)) * 1e6)
+                      AS BIGINT)
+             )) AS BIGINT) / 1e6, 6) AS dsir_logratio
+      FROM dw JOIN vocab USING (w) CROSS JOIN tot
+      GROUP BY dw.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_logratio FROM scored
+    ORDER BY dsir_logratio DESC, doc_id ASC LIMIT 100
+    """,
+)
+def text_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain-targeted selection (Xie et al. 2023; operators/
+    text.dsir_importance): English docs as the target distribution, the
+    whole corpus as raw; keep the 100 docs whose unigram log-ratio
+    ``log p_T − log p_R`` is highest (ties → doc_id). Micro-nat integer
+    terms make the doc sums order-free; ORDER BY + LIMIT compiles to
+    TakeOrdered (no global sort)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    scored = T.dsir_importance(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("text"),
+    )
+    return scored.orderBy(
+        F.col("dsir_logratio").desc(), F.col("doc_id").asc()
+    ).limit(100)
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=r"""
+    WITH wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '')) AS w
+            FROM documents)
+      GROUP BY 1
+    ), syms AS (
+      SELECT freq,
+             list_concat(
+               string_split(word, '')[1:length(word)-1],
+               [word[-1] || '</w>']) AS cs
+      FROM wf
+    ), pairs AS (
+      SELECT freq,
+             unnest(list_transform(range(1, len(cs)),
+                                   i -> cs[i] || ' ' || cs[i+1])) AS pair
+      FROM syms
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 40
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-prep statistic (Sennrich et al. 2016; operators/
+    bpe.pair_counts): the 40 heaviest adjacent symbol pairs over the
+    corpus's word-frequency table — the quantity a BPE merge step
+    maximizes. Corpus collapses to O(|vocab|) rows in one explode +
+    hash-agg; pair generation is a codegen'd transform over each word's
+    own symbol array (length-bounded, no join)."""
+    from datalake_nba_dmc_spark.operators import bpe as B
+
+    docs = TableRegistry(spark, sf_dir).documents
+    pc = B.pair_counts(B.word_freq_table(docs))
+    return pc.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(40)

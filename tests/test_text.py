@@ -370,3 +370,44 @@ def test_vocab_logit_score_duplicate_weight_rows_sum(spark):
     row = vocab_logit_score(docs, weights).first()
     assert row["n_tokens"] == 2
     assert row["logit"] == round(2 * 1.25 / 2, 6)
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """DSIR log-ratio weights equal an independent Python computation with
+    the pinned estimation spec (raw-vocab Laplace smoothing, micro-nat
+    quantization), and target-domain docs outrank off-domain docs."""
+    import collections
+    import math
+
+    from datalake_nba_dmc_spark.operators.text import dsir_importance
+
+    raw = [
+        (0, "spark spark shuffle join"),
+        (1, "cat dog cat fish"),
+        (2, "spark join broadcast spark"),
+        (3, "dog dog fish bird"),
+    ]
+    target = [(10, "spark join spark shuffle"), (11, "broadcast join spark")]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in dsir_importance(rdf, tdf).collect()
+    }
+
+    cr = collections.Counter(w for _, t in raw for w in t.lower().split())
+    ct_all = collections.Counter(w for _, t in target for w in t.lower().split())
+    vocab = set(cr)
+    ct = {w: ct_all.get(w, 0) for w in vocab}
+    nr, nt, v = sum(cr.values()), sum(ct.values()), len(vocab)
+    q = lambda p: round(math.log(p) * 1e6)
+    term = {
+        w: q((ct[w] + 1) / (nt + v)) - q((cr[w] + 1) / (nr + v)) for w in vocab
+    }
+    for doc_id, text in raw:
+        toks = text.lower().split()
+        want = round(sum(term[w] for w in toks) / 1e6, 6)
+        assert got[doc_id] == (len(toks), want), doc_id
+    # spark-domain docs (0, 2) outrank animal docs (1, 3)
+    assert min(got[0][1], got[2][1]) > max(got[1][1], got[3][1])
