@@ -61,6 +61,11 @@ HEADLINE = [
 #: headline list above stays untouched for cross-round comparability; this
 #: section's total is reported under "extended_total" and never mixed into
 #: the headline "value".
+#: NOTE (r7): the four r6-registered queries (dedup_url_canonical,
+#: text_domain_quota, text_dsir_selection, text_bpe_pair_counts) should
+#: join this list at the NEXT round's first bench so extended_total keeps
+#: a like-for-like r5↔r6 comparison this round; record the definition
+#: change in PERF.md when they land.
 EXTENDED = [
     "er_fuzzy_name_pairs",
     "text_gopher_quality",

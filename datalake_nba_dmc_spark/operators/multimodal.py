@@ -330,3 +330,77 @@ def phash_near_dups(
     return banded_hash_edges(
         sig, "media_id", "phash", bits=64, band_bits=16, max_hamming=max_hamming
     )
+
+
+def parse_wav_header(
+    payload: bytes | None,
+) -> tuple[str, int | None, int | None, int | None, float | None]:
+    """REAL (non-stub) RIFF/WAVE header parsing by struct-walking the
+    chunk list — the audio twin of :func:`parse_image_header`. Needs no
+    audio library, so this metadata path runs as-is in production; only
+    sample DECODE (handled separately by ``audio_waveform_stats``) is
+    environment-dependent. Returns (format, channels, sample_rate,
+    bits_per_sample, duration_s), with ("unknown", None, ...) for
+    non-WAV payloads and ("wav", parsed-fmt..., None) when the data
+    chunk is missing/truncated.
+
+    Walks chunks properly (fmt may follow LIST/JUNK chunks; chunk sizes
+    are word-aligned) instead of assuming the canonical 44-byte layout —
+    real encoder output frequently is not canonical.
+    """
+    import struct
+
+    if not payload or len(payload) < 12:
+        return ("unknown", None, None, None, None)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return ("unknown", None, None, None, None)
+    n = len(payload)
+    i = 12
+    channels = rate = bits = None
+    data_bytes = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            _fmt, channels, rate = struct.unpack("<HHI", payload[body : body + 8])
+            (bits,) = struct.unpack("<H", payload[body + 14 : body + 16])
+        elif cid == b"data":
+            data_bytes = min(size, n - body)
+        i = body + size + (size & 1)  # chunks are 2-byte aligned
+    duration = None
+    if data_bytes is not None and channels and rate and bits:
+        bytes_per_s = rate * channels * (bits // 8)
+        if bytes_per_s > 0:
+            duration = round(data_bytes / bytes_per_s, 6)
+    return ("wav", channels, rate, bits, duration)
+
+
+def extract_audio_headers(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Map-only Arrow pass applying :func:`parse_wav_header` per payload —
+    the pre-decode audio metadata harvest (quarantine wrong-rate/corrupt
+    clips on header bytes alone, before any expensive resample/decode)."""
+    import pandas as pd
+
+    def part(batches):
+        for pdf in batches:
+            parsed = [parse_wav_header(p) for p in pdf[payload_col]]
+            out = pdf.drop(columns=[payload_col])
+            out["format"] = [p[0] for p in parsed]
+            out["channels"] = pd.array([p[1] for p in parsed], dtype="Int32")
+            out["sample_rate"] = pd.array([p[2] for p in parsed], dtype="Int32")
+            out["bits_per_sample"] = pd.array([p[3] for p in parsed], dtype="Int32")
+            out["duration_s"] = pd.array([p[4] for p in parsed], dtype="Float64")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name != payload_col
+    )
+    return df.mapInPandas(
+        part,
+        schema
+        + ", format string, channels int, sample_rate int,"
+        " bits_per_sample int, duration_s double",
+    )

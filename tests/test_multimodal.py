@@ -183,3 +183,66 @@ def test_perceptual_hash_and_near_dups(spark):
         (r.id_a, r.id_b): r.hamming for r in phash_near_dups(df).collect()
     }
     assert edges == {(1, 2): 1, (1, 4): 0}  # star edges to min id; 3 is alone
+
+
+def test_parse_wav_header_crafted_files(spark):
+    """Real RIFF walking on crafted byte-exact WAV files: canonical
+    44-byte layout, a non-canonical layout with a JUNK chunk before fmt,
+    an odd-sized (word-aligned) chunk, a truncated data chunk, and
+    non-WAV payloads."""
+    import struct
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        extract_audio_headers,
+        parse_wav_header,
+    )
+
+    def wav(chunks):
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) % 2 else b""
+        )
+
+    fmt16k_mono = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    data = b"\x00\x01" * 16000  # 1 s of 16-bit mono @16 kHz
+    canonical = wav([chunk(b"fmt ", fmt16k_mono), chunk(b"data", data)])
+    assert parse_wav_header(canonical) == ("wav", 1, 16000, 16, 1.0)
+
+    # JUNK chunk (odd size → alignment padding) before fmt
+    junky = wav(
+        [chunk(b"JUNK", b"\x00" * 7), chunk(b"fmt ", fmt16k_mono), chunk(b"data", data)]
+    )
+    assert parse_wav_header(junky) == ("wav", 1, 16000, 16, 1.0)
+
+    # stereo 8-bit 8kHz, half-second
+    fmt8k_st = struct.pack("<HHIIHH", 1, 2, 8000, 16000, 2, 8)
+    st = wav([chunk(b"fmt ", fmt8k_st), chunk(b"data", b"\x80" * 8000)])
+    assert parse_wav_header(st) == ("wav", 2, 8000, 8, 0.5)
+
+    # data chunk header claims more bytes than present → duration from
+    # the bytes actually there
+    trunc = canonical[: len(canonical) - 16000]
+    fmt_, ch, rate, bits, dur = parse_wav_header(trunc)
+    assert (fmt_, ch, rate, bits) == ("wav", 1, 16000, 16)
+    assert dur is not None and 0.4 < dur < 0.6
+
+    assert parse_wav_header(b"\x89PNG\r\n\x1a\nxxxx") == (
+        "unknown", None, None, None, None,
+    )
+    assert parse_wav_header(None) == ("unknown", None, None, None, None)
+    assert parse_wav_header(b"RIFFxxxx") == ("unknown", None, None, None, None)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(canonical)), (2, bytearray(b"not audio"))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: (r["format"], r["channels"], r["sample_rate"],
+                        r["bits_per_sample"], r["duration_s"])
+        for r in extract_audio_headers(df).collect()
+    }
+    assert got[1] == ("wav", 1, 16000, 16, 1.0)
+    assert got[2] == ("unknown", None, None, None, None)
