@@ -55,15 +55,19 @@ def _messy_url() -> F.Column:
     )
 
 
-@query(
-    "dedup_url_canonical",
-    oracle=f"""
-    WITH u AS (
-      SELECT doc_id, {_URL_SQL} AS url FROM documents
-    ), parts AS (
-      SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u
+def duck_canonicalize_ctes(source: str) -> str:
+    """DuckDB CTE chain ``parts → fields → canon`` canonicalizing the
+    ``url`` column of ``source`` (a relation exposing doc_id, url) into
+    ``canon(doc_id, canonical_url)``. Kept as a reusable fragment so the
+    cross-engine differential property test (test_web) can aim the SAME
+    independent SQL implementation at arbitrary generated URLs, not just
+    this oracle's derived ones. Scheme-less strings canonicalize to NULL
+    (mirrors operators/web.canonicalize_url's malformed-input guard)."""
+    return f"""parts AS (
+      SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag
+      FROM {source}
     ), fields AS (
-      SELECT doc_id,
+      SELECT doc_id, url,
              lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
                AS scheme,
              regexp_replace(
@@ -80,7 +84,9 @@ def _messy_url() -> F.Column:
       FROM parts
     ), canon AS (
       SELECT doc_id,
-             scheme || '://'
+             CASE WHEN NOT regexp_matches(url,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN NULL
+             ELSE scheme || '://'
              || CASE WHEN scheme = 'https' AND host0 LIKE '%:443'
                        THEN regexp_replace(host0, ':443$', '')
                      WHEN scheme = 'http' AND host0 LIKE '%:80'
@@ -88,9 +94,17 @@ def _messy_url() -> F.Column:
                      ELSE host0 END
              || path
              || CASE WHEN params <> '' THEN '?' || params ELSE '' END
-               AS canonical_url
+             END AS canonical_url
       FROM fields
-    )
+    )"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ), {duck_canonicalize_ctes("u")}
     SELECT canonical_url,
            MIN(doc_id) AS keeper_id,
            CAST(COUNT(*) AS BIGINT) AS n_dups

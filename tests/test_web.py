@@ -147,3 +147,67 @@ def test_malformed_urls_do_not_collapse_into_one_group(spark):
         "ftp-data": (3, 1),
         "https://ok.com/x": (4, 2),
     }
+
+
+def test_canonicalizer_twins_agree_on_generated_urls(spark):
+    """Cross-engine differential: the Catalyst canonicalizer and the
+    INDEPENDENT DuckDB regexp/list-SQL implementation (the suite oracle's
+    own CTE chain) must agree on arbitrary messy URLs — not just the
+    derived set the driver compares. Exhaustive grid over the variation
+    axes (scheme case, www, port, path, trailing slash, param subsets ×
+    order, fragment) plus malformed strings."""
+    import itertools
+
+    import duckdb
+
+    from datalake_nba_dmc_spark.suite.web import duck_canonicalize_ctes
+
+    urls = []
+    params_opts = [
+        [], ["a=1"], ["utm_source=x"], ["b=2", "a=1"],
+        ["a=1", "ref=z", "b=2"], ["gclid=9", "utm_campaign=c"],
+        ["href=q", "ref=z"],
+    ]
+    for scheme, www, host, port, path, slash, params, frag in itertools.product(
+        ["https", "HTTP"],
+        ["", "WWW."],
+        ["Example.com", "a.B.co.uk"],
+        ["", ":443", ":80", ":8443"],
+        ["", "p/One"],
+        ["", "/"],
+        params_opts,
+        ["", "#frag"],
+    ):
+        u = (
+            scheme + "://" + www + host + port + "/" + path + slash
+            + ("?" + "&".join(params) if params else "") + frag
+        )
+        urls.append(u)
+    urls += ["example.com/a", "no scheme here", "://", "https:/half", ""]
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    got_spark = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", W.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("urls_t", df.toPandas())
+    got_duck = {
+        int(r[0]): r[1]
+        for r in con.execute(
+            f"WITH {duck_canonicalize_ctes('urls_t')} "
+            "SELECT doc_id, canonical_url FROM canon"
+        ).fetchall()
+    }
+    assert len(got_spark) == len(got_duck) == len(urls)
+    diffs = {
+        i: (got_spark[i], got_duck[i], urls[i])
+        for i in got_spark
+        if got_spark[i] != got_duck[i]
+    }
+    assert not diffs, f"{len(diffs)} disagreements, e.g. {list(diffs.items())[:5]}"
