@@ -144,6 +144,21 @@ def _messy_host() -> F.Column:
     )
 
 
+#: Independent DuckDB implementation of registrable-domain extraction
+#: (mirrors operators/web.registrable_domain); a reusable fragment so the
+#: cross-engine grid test in test_web can aim it at arbitrary hosts.
+#: Expects a relation exposing a ``host`` column and label list ``labels``.
+DUCK_REGISTRABLE_DOMAIN = """
+             CASE WHEN len(labels) <= 1 THEN host
+                  WHEN len(labels) >= 3
+                       AND labels[-2] IN
+                         ('co','com','net','org','gov','ac','edu')
+                       AND length(labels[-1]) = 2
+                    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  ELSE labels[-2] || '.' || labels[-1] END
+"""
+
+
 @query(
     "text_domain_quota",
     oracle=f"""
@@ -152,14 +167,7 @@ def _messy_host() -> F.Column:
     ), lab AS (
       SELECT doc_id, n_chars, host, string_split(host, '.') AS labels FROM h
     ), dom AS (
-      SELECT doc_id, n_chars,
-             CASE WHEN len(labels) <= 1 THEN host
-                  WHEN len(labels) >= 3
-                       AND labels[-2] IN
-                         ('co','com','net','org','gov','ac','edu')
-                       AND length(labels[-1]) = 2
-                    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-                  ELSE labels[-2] || '.' || labels[-1] END AS domain
+      SELECT doc_id, n_chars, {DUCK_REGISTRABLE_DOMAIN} AS domain
       FROM lab
     ), r AS (
       SELECT domain, doc_id,

@@ -454,3 +454,29 @@ def test_domain_quota_single_exchange_with_limit_pushdown(spark):
     assert "Partial" in plan and "Final" in plan, plan
     for udf_marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert udf_marker not in plan
+
+
+@needs_testdata
+def test_dsir_selection_is_take_ordered(spark):
+    """DSIR's top-100 selection must compile to TakeOrderedAndProject
+    (distributed partial top-k), never a global Sort; the LM-totals side
+    stays a broadcast of a one-row aggregate (no cartesian)."""
+    plan = plan_of(spark, "text_dsir_selection")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+@needs_testdata
+def test_bpe_pair_counts_single_agg_chain(spark):
+    """BPE pair counts: corpus → vocab agg → pair explode/agg →
+    TakeOrdered. Two aggregation exchanges (word, pair) and the top-40,
+    zero joins, zero Python."""
+    plan = plan_of(spark, "text_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan, plan
+    # ensure_parallelism's input repartition + the (word) and (pair) agg
+    # exchanges — nothing else
+    assert plan.count("Exchange (") == 3, plan
+    assert plan.count("HashAggregate") >= 4  # both aggs map-side combined
+    for marker in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker

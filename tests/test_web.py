@@ -211,3 +211,50 @@ def test_canonicalizer_twins_agree_on_generated_urls(spark):
         if got_spark[i] != got_duck[i]
     }
     assert not diffs, f"{len(diffs)} disagreements, e.g. {list(diffs.items())[:5]}"
+
+
+def test_registrable_domain_twins_agree_on_generated_hosts(spark):
+    """Cross-engine differential for registrable-domain extraction: the
+    Catalyst expression and the oracle's independent DuckDB CASE must
+    agree over a grid of label shapes (1-4 labels, public-suffix second
+    levels, 2/3-char TLDs, deep subdomains)."""
+    import itertools
+
+    import duckdb
+
+    from datalake_nba_dmc_spark.suite.web import DUCK_REGISTRABLE_DOMAIN
+
+    hosts = ["localhost", "x", "ab.cd"]
+    for sub, name, second, tld in itertools.product(
+        ["", "www.", "a.b."],
+        ["example", "x1"],
+        ["", "co.", "com.", "ac.", "zz."],
+        ["uk", "com", "org", "io"],
+    ):
+        hosts.append(f"{sub}{name}.{second}{tld}")
+    hosts = sorted(set(hosts))
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, host string"
+    )
+    got_spark = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", W.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("hosts_t", df.toPandas())
+    got_duck = {
+        int(r[0]): r[1]
+        for r in con.execute(
+            "WITH lab AS (SELECT i, host, string_split(host, '.') AS labels"
+            f" FROM hosts_t) SELECT i, {DUCK_REGISTRABLE_DOMAIN} AS d FROM lab"
+        ).fetchall()
+    }
+    diffs = {
+        i: (hosts[i], got_spark[i], got_duck[i])
+        for i in got_spark
+        if got_spark[i] != got_duck[i]
+    }
+    assert not diffs, f"{len(diffs)} disagreements: {list(diffs.items())[:5]}"
