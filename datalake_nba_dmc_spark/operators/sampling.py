@@ -157,3 +157,33 @@ def sample_weighted_topk(
         .limit(k)
         .drop("_es")
     )
+
+
+def sample_gumbel_topk(
+    df: DataFrame, key_col: str, logweight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement when weights
+    live in LOG space (the Gumbel-top-k trick: ``argtop-k(log w + G)``
+    with standard Gumbel noise ``G = −ln(−ln u)`` samples ∝ exp(log w)
+    without replacement — provably the same draw as Efraimidis–Spirakis
+    on ``w = exp(log w)``, see test_sampling, but immune to the overflow/
+    underflow of exponentiating scores like DSIR log-ratios that span
+    hundreds of nats).
+
+    Same determinism contract as :func:`sample_weighted_topk`: ``u``
+    comes from the row-key hash, so the draw is stable across runs,
+    partitionings, and engines; same scale shape (TakeOrderedAndProject —
+    per-partition top-k, only k rows reach the driver-side merge).
+    Composes directly with ``text.dsir_importance``: pass
+    ``dsir_logratio`` as the log-weight for the paper's actual
+    importance-RESAMPLING step instead of deterministic top-k selection.
+    """
+    h = _key_hash(F.col(key_col), _MOD)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    gumbel_key = F.col(logweight_col).cast("double") - F.log(-F.log(u))
+    return (
+        df.withColumn("_gk", gumbel_key)
+        .orderBy(F.col("_gk").desc())
+        .limit(k)
+        .drop("_gk")
+    )

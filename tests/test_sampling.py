@@ -90,3 +90,36 @@ def test_sample_weighted_topk(spark):
     assert sample_weighted_topk(df, "k", "w", k=1000).count() == 500
     # schema untouched (helper column dropped)
     assert sample_weighted_topk(df, "k", "w", k=5).columns == ["k", "w"]
+
+
+def test_gumbel_topk_equals_efraimidis_spirakis_on_exp_weights(spark):
+    """Gumbel-top-k over log-weights must select (and rank) EXACTLY the
+    rows Efraimidis–Spirakis selects over w = exp(logw): both reduce to
+    the same ordering given the same per-key uniform
+    (ln(u)/w desc ⟺ logw − ln(−ln u) desc). Also pins determinism
+    across partitionings."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.sampling import (
+        sample_gumbel_topk,
+        sample_weighted_topk,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, w double").withColumn(
+        "logw", F.log("w")
+    )
+    got_es = [r["k"] for r in sample_weighted_topk(df, "k", "w", 20).collect()]
+    got_gu = [r["k"] for r in sample_gumbel_topk(df, "k", "logw", 20).collect()]
+    assert sorted(got_es) == sorted(got_gu)
+
+    repart = [
+        r["k"] for r in sample_gumbel_topk(df.repartition(7), "k", "logw", 20).collect()
+    ]
+    assert sorted(repart) == sorted(got_gu)
+
+    # log-space robustness: shifting all log-weights by a huge constant
+    # (where exp() would overflow) cannot change the selection
+    shifted = df.withColumn("logw", F.col("logw") + F.lit(700.0))
+    got_shift = [r["k"] for r in sample_gumbel_topk(shifted, "k", "logw", 20).collect()]
+    assert sorted(got_shift) == sorted(got_gu)
