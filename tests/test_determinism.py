@@ -44,6 +44,8 @@ SAMPLE = [
     "agg_percentiles",
     "dedup_url_canonical",
     "text_domain_quota",
+    "text_dsir_selection",
+    "text_bpe_pair_counts",
 ]
 
 
