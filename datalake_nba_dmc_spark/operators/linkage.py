@@ -82,35 +82,40 @@ def fuzzy_pairs_fastss(
     dropped up front: they all hash to the same NULL signature, which
     would form one quadratic hot block the verify step then discards
     pair-by-pair (and NULL has no meaningful edit distance anyway)."""
-    sigs = _deletion_signatures(
-        df.filter(F.col(text_col).isNotNull()), id_col, text_col
-    )
-    a = sigs.select(
-        F.col("_sig"),
-        F.col(id_col).alias("_id_a"),
-        F.col(text_col).alias("_text_a"),
-    )
-    b = sigs.select(
-        F.col("_sig"),
-        F.col(id_col).alias("_id_b"),
-        F.col(text_col).alias("_text_b"),
-    )
-    # Verify BEFORE the pair-dedup: levenshtein is re-evaluated once per
-    # shared signature (small constant ≈ 2-3×, cheap map-side work), but
-    # the distinct then shuffles only an integer triple instead of both
-    # text payloads — the narrow-shuffle trade that wins at scale.
-    # THRESHOLD-BOUNDED levenshtein (Spark's 3-arg form, returns -1 past
-    # the bound): the verify only needs "<= 1", and the banded algorithm
-    # is O(L·threshold) instead of O(L²) — measured 4.33 → 2.62 s min-of-3
-    # on the sf0.1 customer names, identical result sets.
-    return (
+    clean = df.filter(F.col(text_col).isNotNull())
+    sigs = _deletion_signatures(clean, id_col, text_col)
+    # FULLY NARROW pipeline (r6 rework, measured 2.77 → 1.65 s min-of-3 at
+    # sf0.1, identical 262,500-row result): the signature self-join and
+    # the candidate-pair distinct carry ONLY (sig, id) / (id_a, id_b)
+    # integers — the r5 form shuffled each text L+1 times through the
+    # signature join (O(L²) characters per string) and re-ran the
+    # levenshtein verify once per shared signature (≈2-3×). Texts now
+    # re-enter via two plain equi-joins on the id (each text shuffled
+    # ONCE), and the THRESHOLD-BOUNDED levenshtein (3-arg form, O(L·t)
+    # banded, r5: 4.33 → 2.62 s) runs exactly once per distinct candidate
+    # pair. Two extra narrow exchanges, strictly less data moved and less
+    # compute — the trade that wins harder the longer the strings get.
+    a = sigs.select("_sig", F.col(id_col).alias("_id_a"))
+    b = sigs.select("_sig", F.col(id_col).alias("_id_b"))
+    cand = (
         a.join(b, "_sig")
         .filter(F.col("_id_a") < F.col("_id_b"))
+        .select("_id_a", "_id_b")
+        .distinct()
+    )
+    ta = clean.select(
+        F.col(id_col).alias("_id_a"), F.col(text_col).alias("_text_a")
+    )
+    tb = clean.select(
+        F.col(id_col).alias("_id_b"), F.col(text_col).alias("_text_b")
+    )
+    return (
+        cand.join(ta, "_id_a")
+        .join(tb, "_id_b")
         .select(
             F.col("_id_a").alias(f"{id_col}_a"),
             F.col("_id_b").alias(f"{id_col}_b"),
             F.levenshtein("_text_a", "_text_b", 1).alias("dist"),
         )
         .filter(F.col("dist") >= 0)
-        .distinct()
     )

@@ -323,15 +323,24 @@ def test_transition_matrix_single_window_exchange(spark):
 
 
 @needs_testdata
-def test_fuzzy_pairs_distinct_shuffles_integers_only(spark):
-    """The pair-dedup exchange must carry the integer ids + dist, not the
-    text payloads (narrow-shuffle trade in operators/linkage.py)."""
+def test_fuzzy_pairs_sig_join_and_dedup_shuffle_integers_only(spark):
+    """The r6 fully-narrow pipeline: the signature self-join and the
+    candidate-pair distinct must shuffle ONLY integers — text payloads
+    re-enter via the two id equi-joins (each text moved once), never
+    through the L+1-fanned signature rows. Any exchange partitioned on
+    _sig or the candidate ids that carries a text column is the O(L²)
+    regression this plan removed."""
     plan = plan_of(spark, "er_fuzzy_name_pairs")
-    ex_lines = [
-        ln for ln in plan.splitlines() if "hashpartitioning(c_custkey_a" in ln
+    sig_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(_sig" in ln or "hashpartitioning(_id_a" in ln
     ]
-    assert ex_lines, plan
-    assert all("_text" not in ln and "c_name" not in ln for ln in ex_lines), ex_lines
+    assert sig_ex, plan
+    assert all(
+        "_text" not in ln and "c_name" not in ln for ln in sig_ex
+    ), sig_ex
+    assert "CartesianProduct" not in plan
 
 
 @needs_testdata
