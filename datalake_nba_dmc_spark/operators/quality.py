@@ -92,9 +92,14 @@ def expectation_report(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
 
     preds = [r for r in rules if r.kind == "predicate"]
     if preds:
+        # coalesce: SUM over zero rows is NULL — an expectation over an
+        # empty table must pass vacuously (violations=0, passed=true),
+        # not report NULL (robustness_audit `empty` finding)
         row = df.agg(
             *[
-                F.sum(F.when(r.violation, 1).otherwise(0)).alias(r.name)
+                F.coalesce(
+                    F.sum(F.when(r.violation, 1).otherwise(0)), F.lit(0)
+                ).alias(r.name)
                 for r in preds
             ],
             F.count(F.lit(1)).alias("_total"),
@@ -123,8 +128,10 @@ def expectation_report(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             )
             parts.append(
                 g.agg(
-                    (F.sum("_c") - F.count(F.lit(1))).alias("violations"),
-                    F.sum("_c").alias("total"),
+                    F.coalesce(F.sum("_c") - F.count(F.lit(1)), F.lit(0)).alias(
+                        "violations"
+                    ),
+                    F.coalesce(F.sum("_c"), F.lit(0)).alias("total"),
                 ).select(F.lit(r.name).alias("rule"), "violations", "total")
             )
         elif r.kind == "referential":
@@ -136,9 +143,10 @@ def expectation_report(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             joined = base.join(ref_keys, base["_k"] == F.col("_r"), "left")
             parts.append(
                 joined.agg(
-                    F.sum(F.when(F.col("_r").isNull(), 1).otherwise(0)).alias(
-                        "violations"
-                    ),
+                    F.coalesce(
+                        F.sum(F.when(F.col("_r").isNull(), 1).otherwise(0)),
+                        F.lit(0),
+                    ).alias("violations"),
                     F.count(F.lit(1)).alias("total"),
                 ).select(F.lit(r.name).alias("rule"), "violations", "total")
             )

@@ -219,6 +219,13 @@ def ivf_index(
 
     feats = array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     train = corpus.sample(sample_fraction, seed=seed) if sample_fraction else corpus
+    if train.isEmpty():
+        # fail fast with a diagnosable message instead of MLlib's opaque
+        # Py4JJavaError — an index build over nothing means the upstream
+        # corpus (or the sample) is broken, and silently returning an
+        # empty index would mask that (same policy as pca_project;
+        # robustness_audit `empty` finding)
+        raise ValueError("ivf_index: empty input (no vectors to fit)")
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, predictionCol="centroid_id"
     ).fit(train.select(feats))
@@ -672,6 +679,9 @@ def pq_train(
         )
     if sample_fraction:
         corpus = corpus.sample(sample_fraction, seed=seed)
+    if corpus.isEmpty():
+        # one guard before the m fits — same fail-fast policy as ivf_index
+        raise ValueError("pq_train: empty input (no vectors to fit)")
     sub = dim // m
     books = []
     for j in range(m):

@@ -25,6 +25,50 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_SCHEMA_SIDECAR = "_SCHEMA.json"
+
+
+def _write_schema_sidecar(df: DataFrame, path: str) -> None:
+    """Persist ``df``'s full schema (incl. partition columns) as an
+    underscore-prefixed sidecar Spark's file index ignores. A
+    hive-PARTITIONED write of an EMPTY DataFrame emits no partition
+    directories and no data files — only ``_SUCCESS`` — so the table
+    becomes unreadable (``UNABLE_TO_INFER_SCHEMA``) until the next
+    non-empty write. That is a real operational hazard: re-landing an
+    empty corrected daily batch with ``mode("overwrite")`` bricks the
+    table for every downstream reader. Table formats solve this with a
+    metadata layer; absent those jars, the sidecar + the
+    :func:`read_table` fallback keep the empty table readable with its
+    exact schema. Found by ``tools/robustness_audit.py empty``."""
+    spark = df.sparkSession
+    p = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _SCHEMA_SIDECAR)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(df.schema.json().encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_schema_sidecar(spark: SparkSession, path: str):
+    from pyspark.sql.types import StructType
+
+    p = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _SCHEMA_SIDECAR)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    import json
+
+    return StructType.fromJson(json.loads(data))
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -33,15 +77,34 @@ def write_table(
     partition_by: Sequence[str] | None = None,
 ) -> None:
     """K1/K2 — overwrite a table directory. Format is pluggable ("parquet"
-    default; "delta"/"iceberg" drop in unchanged where those jars exist)."""
+    default; "delta"/"iceberg" drop in unchanged where those jars exist).
+
+    Empty-input safety: an unpartitioned write of zero rows emits one
+    schema-bearing (footer-only) file, so the table stays readable; a
+    PARTITIONED write of zero rows emits nothing, so a schema sidecar is
+    written for :func:`read_table` to fall back on. The emptiness probe
+    is a ``limit(1)`` job — noise next to the write itself."""
     w = df.write.mode(mode).format(fmt)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+    if partition_by and df.isEmpty():
+        _write_schema_sidecar(df, path)
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    return spark.read.format(fmt).load(path)
+    """Read a table directory; when the directory has no data files to
+    infer a schema from (an empty partitioned write), fall back to the
+    schema sidecar so downstream plans keep their exact column types."""
+    try:
+        return spark.read.format(fmt).load(path)
+    except Exception as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        schema = _read_schema_sidecar(spark, path)
+        if schema is None:
+            raise
+        return spark.createDataFrame([], schema)
 
 
 def overwrite_partitions(
@@ -71,6 +134,11 @@ def overwrite_partitions(
         .partitionBy(*partition_by)
         .save(path)
     )
+    # an empty batch replaces no partitions (correct no-op on an existing
+    # table), but against a brand-new path it leaves a file-less directory;
+    # the sidecar keeps that readable (see _write_schema_sidecar)
+    if df.isEmpty():
+        _write_schema_sidecar(df, path)
 
 
 def write_bucketed(

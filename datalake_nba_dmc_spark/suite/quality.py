@@ -29,28 +29,29 @@ from datalake_nba_dmc_spark.suite import query
     "dq_orders_expectations",
     oracle="""
     SELECT 'not_null_o_custkey' AS rule,
-           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS violations,
+           CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS violations,
            COUNT(*) AS total,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+           COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+             AS passed
     FROM orders
     UNION ALL
     SELECT 'accepted_values_o_orderstatus',
-           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
                           AND o_orderstatus NOT IN ('F','O','P')
-                         THEN 1 ELSE 0 END) AS BIGINT),
+                         THEN 1 ELSE 0 END), 0) AS BIGINT),
            COUNT(*),
-           SUM(CASE WHEN o_orderstatus IS NOT NULL
+           COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
                      AND o_orderstatus NOT IN ('F','O','P')
-                    THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'in_range_o_totalprice',
-           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 250000
-                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 250000
+                         THEN 1 ELSE 0 END), 0) AS BIGINT),
            COUNT(*),
-           SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 250000
-                    THEN 1 ELSE 0 END) = 0
+           COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 250000
+                    THEN 1 ELSE 0 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'unique_o_orderkey',
@@ -63,9 +64,10 @@ from datalake_nba_dmc_spark.suite import query
     FROM orders
     UNION ALL
     SELECT 'referential_o_custkey',
-           CAST(SUM(CASE WHEN c._r IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN c._r IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT),
            COUNT(*),
-           SUM(CASE WHEN c._r IS NULL THEN 1 ELSE 0 END) = 0
+           COALESCE(SUM(CASE WHEN c._r IS NULL THEN 1 ELSE 0 END), 0) = 0
     FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
     LEFT JOIN (SELECT DISTINCT c_custkey AS _r FROM customer) c
       ON o.o_custkey = c._r
