@@ -70,10 +70,13 @@ def array_scalar_features(arr: Column) -> dict[str, Column]:
     """Array ops reduced to scalars (scalars hash identically across
     engines; raw array columns don't — string forms differ)."""
     sorted_arr = F.array_sort(arr)
+    # try_element_at: an EMPTY array (tokenizing "" or whitespace) must
+    # yield NULL first/last like every engine's list indexing, not an
+    # ANSI out-of-bounds error (robustness_audit `nulls` finding)
     return {
         "n_items": F.size(arr),
-        "first_sorted": F.element_at(sorted_arr, 1),
-        "last_sorted": F.element_at(sorted_arr, -1),
+        "first_sorted": F.try_element_at(sorted_arr, F.lit(1)),
+        "last_sorted": F.try_element_at(sorted_arr, F.lit(-1)),
         "has_the": F.array_contains(arr, "the"),
         "n_distinct_items": F.size(F.array_distinct(arr)),
     }

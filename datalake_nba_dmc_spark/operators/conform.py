@@ -91,10 +91,17 @@ def parse_date_null_guarded(col: str | Column, fmt: str) -> Column:
 
 def split_mmss(col: str | Column) -> tuple[Column, Column]:
     """X4 — split a ``"MM:SS"`` string into (minutes, seconds) ints
-    (reference ``...landing-to-bronze.py:50-51``)."""
+    (reference ``...landing-to-bronze.py:50-51``). ``try_element_at``, not
+    ``getItem``: a malformed value with no colon yields (min, NULL) instead
+    of killing the job under Spark 4's ANSI out-of-bounds error — the same
+    tolerance every SQL engine's list indexing gives (robustness_audit
+    `nulls` finding)."""
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, ":")
-    return parts.getItem(0).cast("int"), parts.getItem(1).cast("int")
+    return (
+        F.try_element_at(parts, F.lit(1)).cast("int"),
+        F.try_element_at(parts, F.lit(2)).cast("int"),
+    )
 
 
 def union_evolved(old: DataFrame, new: DataFrame) -> DataFrame:

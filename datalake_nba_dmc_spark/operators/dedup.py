@@ -452,9 +452,14 @@ def simhash_arrow(bits: int = 64):
         out = np.empty(n, dtype=np.uint64)
         zero = np.zeros(1, dtype=np.int64)
         # empty docs are padded with one zero hash: its votes are all -1,
-        # so the fingerprint is 0 — identical to the unpadded per-row math
+        # so the fingerprint is 0 — identical to the unpadded per-row math.
+        # NULL token arrays (NULL text) get the same pad: the expression
+        # path's NULL vote falls through otherwise(0) to fingerprint 0,
+        # and the two paths are pinned bit-identical (robustness_audit
+        # `nulls` finding — this was a worker TypeError on None)
         arrs = [
-            np.asarray(h, dtype=np.int64) if len(h) else zero for h in hash_arrays
+            np.asarray(h, dtype=np.int64) if h is not None and len(h) else zero
+            for h in hash_arrays
         ]
         lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
         for s in range(0, n, chunk_rows):

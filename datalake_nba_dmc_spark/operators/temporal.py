@@ -45,9 +45,17 @@ def asof_join(
 
     ``right`` must be unique per (key, right_ts); pre-aggregate if not
     (duplicate timestamps would make "the" as-of row ambiguous).
+
+    NULL timestamps: ``right_ts <= left_ts`` is undefined against NULL, so
+    NULL-ts right rows can never govern anyone and are dropped up front —
+    left unfiltered, they sort NULLS FIRST into the partition head and get
+    carried onto NULL-ts left rows, fabricating matches no comparison
+    semantics justifies (robustness_audit `nulls` finding). NULL-ts left
+    rows then naturally carry NULL (they sort before every real right row).
     """
     from pyspark.sql.types import StructField, StructType
 
+    right = right.filter(F.col(right_ts).isNotNull())
     lcols = left.columns
     rstruct_type = StructType(
         [StructField(c, right.schema[c].dataType) for c in right_cols]

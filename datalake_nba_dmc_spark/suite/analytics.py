@@ -25,7 +25,7 @@ from datalake_nba_dmc_spark.suite import query
     oracle="""
     SELECT c_custkey, c_mktsegment,
            NTILE(4) OVER (PARTITION BY c_mktsegment
-                          ORDER BY c_acctbal, c_custkey) AS bucket
+                          ORDER BY c_acctbal NULLS FIRST, c_custkey) AS bucket
     FROM customer
     """,
 )
@@ -49,7 +49,8 @@ def w5_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
             / 100.0) / COUNT(*) OVER w AS o_totalprice_mavg
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -74,7 +75,8 @@ def w6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(o_totalprice) OVER w AS first_price,
            LAST_VALUE(o_totalprice)  OVER w AS last_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -100,7 +102,8 @@ def w7_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST()    OVER w AS cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
 )
 def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,7 +68,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+           CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS BIGINT)
+             AS prop_k
     FROM events
     """,
 )
@@ -126,7 +128,7 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders) WHERE rn = 1
     )
     SELECT e.event_id, e.user_id, e.ts,
-           o.o_orderkey AS asof_o_orderkey
+           CASE WHEN e.ts IS NOT NULL THEN o.o_orderkey END AS asof_o_orderkey
     FROM events e
     ASOF LEFT JOIN o1 o ON e.user_id = o.k AND e.ts >= o.ot
     """,
@@ -649,12 +651,16 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_variant_agg",
     oracle="""
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL
+    )
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS sum_k,
-           CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-                                >= 50 THEN 1 END) AS BIGINT) AS n_high
-    FROM events WHERE props IS NOT NULL
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
+    FROM parsed
     GROUP BY event_type
     """,
 )
@@ -668,7 +674,10 @@ def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     legacy path). The parse is staged as a real column so the two
     ``variant_get`` reads share one decode (the with_shingles rule)."""
     e = TableRegistry(spark, sf_dir).events.filter(F.col("props").isNotNull())
-    v = e.select("event_type", F.parse_json("props").alias("v"))
+    # try_parse_json: malformed props become a NULL variant (reads give
+    # NULL) instead of failing the job — schema-on-read data WILL contain
+    # junk rows at 100 TB (robustness_audit `nulls` finding)
+    v = e.select("event_type", F.try_parse_json("props").alias("v"))
     k = F.variant_get(F.col("v"), "$.k", "bigint")
     return v.groupBy("event_type").agg(
         F.sum(k).cast("long").alias("sum_k"),

@@ -120,12 +120,20 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
     )
     SELECT user_id, day,
-           LAST_VALUE(day_value IGNORE NULLS) OVER w AS day_value,
-           LAST_VALUE(n_events IGNORE NULLS) OVER w AS n_events,
-           is_observed
-    FROM joined
-    WINDOW w AS (PARTITION BY user_id ORDER BY day ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           carried.v AS day_value, carried.n AS n_events, is_observed
+    FROM (
+      SELECT user_id, day, is_observed,
+             -- carry the last OBSERVED ROW as a struct (row-granularity
+             -- LOCF, matching gap_fill's last(_obs struct)): an observed
+             -- day whose only value is NULL stays NULL instead of being
+             -- back-filled field-by-field
+             LAST_VALUE(CASE WHEN is_observed = 1
+                             THEN struct_pack(v := day_value, n := n_events)
+                        END IGNORE NULLS) OVER w AS carried
+      FROM joined
+      WINDOW w AS (PARTITION BY user_id ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
     """,
 )
 def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -545,9 +545,9 @@ def w1_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(o_orderkey,
                    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                    * 1099511627776 + o_orderkey) AS o_orderkey,
-           arg_max(o_orderpriority,
+           arg_max([o_orderpriority],
                    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-                   * 1099511627776 + o_orderkey) AS o_orderpriority
+                   * 1099511627776 + o_orderkey)[1] AS o_orderpriority
     FROM orders GROUP BY o_custkey
     """,
 )
@@ -593,7 +593,8 @@ def w2_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate ASC, o_orderkey ASC)
+                                      ORDER BY o_orderdate ASC NULLS FIRST,
+                                               o_orderkey ASC NULLS FIRST)
              AS prev_totalprice
     FROM orders
     """,
@@ -616,8 +617,10 @@ def w3_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
                 OVER (PARTITION BY l_orderkey
-                      ORDER BY l_linenumber ASC, l_quantity ASC,
-                               l_partkey ASC, l_suppkey ASC
+                      ORDER BY l_linenumber ASC NULLS FIRST,
+                               l_quantity ASC NULLS FIRST,
+                               l_partkey ASC NULLS FIRST,
+                               l_suppkey ASC NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) / 10000.0 AS qty_running
     FROM lineitem

@@ -143,7 +143,9 @@ def test_simhash_star_clusters_match_allpairs(spark, docs):
 def test_simhash_arrow_matches_expression(spark):
     from datalake_nba_dmc_spark.operators.dedup import with_simhash
 
-    texts = [(i, t) for i, t in enumerate([DOC, NEAR, OTHER, "", "one", DOC * 3])]
+    # None included: a NULL text must give the same fingerprint (0) on
+    # both paths — the Arrow reducer used to TypeError on it
+    texts = [(i, t) for i, t in enumerate([DOC, NEAR, OTHER, "", "one", DOC * 3, None])]
     df = spark.createDataFrame(texts, ["doc_id", "text"])
     arrow = {
         r["doc_id"]: r["sh"]
