@@ -58,7 +58,18 @@ def _grams_from_tokens(toks: Column, n: int) -> Column:
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+    # Token-less docs (NULL or empty/whitespace text) yield NULL grams and
+    # thus form NO near-dup candidates: concat_ws silently maps both cases
+    # to '', which merged every missing/empty doc into one giant
+    # empty-gram bucket and fabricated O(n²) "near-dup" pairs between
+    # documents that have no content to compare (robustness_audit `nulls`
+    # finding). Identical empty docs are exact duplicates — exact_dedup's
+    # fingerprint join owns that case. Short docs (1..n-1 tokens) keep
+    # their single whole-text gram.
+    short = F.when(
+        toks.isNotNull() & (F.size(toks) > 0), F.array(F.concat_ws(" ", toks))
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(short))
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:

@@ -318,8 +318,19 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("distinct_est") - F.col("exact_orders"))
         <= F.lit(0.10) * F.col("exact_orders")
     )
-    return exact.join(est, "l_returnflag").select(
-        "l_returnflag", "exact_orders", within.cast("int").alias("sketch_ok")
+    # eqNullSafe: a plain equi-join silently drops the NULL-returnflag
+    # group (NULL keys never match), losing a row the oracle keeps
+    return (
+        exact.alias("e")
+        .join(
+            est.alias("s"),
+            F.col("e.l_returnflag").eqNullSafe(F.col("s.l_returnflag")),
+        )
+        .select(
+            F.col("e.l_returnflag").alias("l_returnflag"),
+            "exact_orders",
+            within.cast("int").alias("sketch_ok"),
+        )
     )
 
 
@@ -357,7 +368,7 @@ def w9_time_range_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH counts AS (
       SELECT l_returnflag, l_quantity AS v, COUNT(*) AS c
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
     ), cum AS (
       SELECT l_returnflag, v,
              SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_c,
@@ -407,8 +418,12 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantiles=[0.5, 0.9],
     )
 
-    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
-        F.count("*").alias("c")
+    # quantiles are defined over the NON-NULL values (matching the KLL
+    # sketch, which ignores null inputs, and the oracle's filtered CTE)
+    counts = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy("l_returnflag", F.col("l_quantity").alias("v"))
+        .agg(F.count("*").alias("c"))
     )
     from pyspark.sql import Window
 
@@ -442,8 +457,20 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = (F.abs(F.col("q50") - F.col("exact_med")) <= 2.0) & (
         F.abs(F.col("q90") - F.col("exact_p90")) <= 2.0
     )
-    return exact.join(sk, "l_returnflag").select(
-        "l_returnflag", "exact_med", "exact_p90", "n_rows", ok.cast("int").alias("kll_ok")
+    # eqNullSafe: keep the NULL-returnflag group (see sketch_distinct_rollup)
+    return (
+        exact.alias("e")
+        .join(
+            sk.alias("s"),
+            F.col("e.l_returnflag").eqNullSafe(F.col("s.l_returnflag")),
+        )
+        .select(
+            F.col("e.l_returnflag").alias("l_returnflag"),
+            "exact_med",
+            "exact_p90",
+            "n_rows",
+            ok.cast("int").alias("kll_ok"),
+        )
     )
 
 

@@ -23,7 +23,7 @@ from datalake_nba_dmc_spark.suite import query
            COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
              AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -44,7 +44,7 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL '10 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), numbered AS (
       SELECT user_id, ts,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -159,10 +159,10 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH starts AS (
       SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
-             event_type, value FROM events
+             event_type, value FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
-             event_type, value FROM events
+             event_type, value FROM events WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type,
            COUNT(*) AS n_events,
@@ -471,7 +471,8 @@ def events_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH steps AS (
       SELECT LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS from_type,
+                                   ORDER BY ts NULLS FIRST, event_id)
+             AS from_type,
              event_type AS to_type
       FROM events WHERE event_type IS NOT NULL
     )
@@ -500,9 +501,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(event_type, 1) OVER w AS t2,
              event_type AS t3
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     )
-    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+    SELECT array_to_string(list_filter([t1, t2, t3], x -> x IS NOT NULL), '>')
+             AS path,
            CAST(COUNT(*) AS BIGINT) AS n_paths
     FROM steps WHERE t1 IS NOT NULL
     GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20

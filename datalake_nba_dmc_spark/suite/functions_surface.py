@@ -52,7 +52,9 @@ def func_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(c_name, 10, 6) AS sub,
            lpad(c_name, 24, '.') AS lpadded,
            regexp_replace(c_name, '0+', '0', 'g') AS replaced,
-           COALESCE(regexp_extract(c_name, '(\\d+)', 1), '') AS digits,
+           CASE WHEN c_name IS NOT NULL
+                THEN COALESCE(regexp_extract(c_name, '(\\d+)', 1), '')
+           END AS digits,
            reverse(c_name) AS rev,
            strpos(c_name, '0') AS pos_zero,
            levenshtein(c_name, 'Customer') AS lev,

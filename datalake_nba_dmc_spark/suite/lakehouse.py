@@ -82,7 +82,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(ts) OVER w AS valid_to,
            CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC)
     """,
 )
 def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,13 +26,19 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags across the whole fact table → each key is 1/3 of all rows). The
     salt spreads each key over 8 reducers in phase 1; phase 2 merges
     partials. Value-hash must equal the plain GROUP BY oracle."""
-    li = TableRegistry(spark, sf_dir).lineitem.withColumn(
-        "qty_scaled", F.round(F.col("l_quantity") * 10000).cast("long")
+    li = (
+        TableRegistry(spark, sf_dir)
+        .lineitem.withColumn(
+            "qty_scaled", F.round(F.col("l_quantity") * 10000).cast("long")
+        )
+        # counted column must be non-null: count(qty_scaled) would skip
+        # NULL-quantity rows where the oracle's COUNT(*) counts them
+        .withColumn("_one", F.lit(1))
     )
     out = salted_agg(
         li,
         ["l_returnflag"],
-        [("qty_scaled", "sum", "qty_scaled_sum"), ("qty_scaled", "count", "n_rows")],
+        [("qty_scaled", "sum", "qty_scaled_sum"), ("_one", "count", "n_rows")],
         salt_factor=8,
     )
     return out.select(
