@@ -135,8 +135,12 @@ def psi_binned(
         F.greatest(F.floor((F.col(value_col) - float(lo)) / F.lit(w)), F.lit(0)),
         F.lit(nbins - 1),
     ).cast("int")
+    # rows where the split predicate is NULL (e.g. a NULL date) belong to
+    # NEITHER cohort and are excluded EXPLICITLY: left in, they form
+    # bucket rows whose conditional sums are NULL-skipped — an unknown
+    # period cannot vote on drift (robustness_audit `nulls` finding)
     counts = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & split_col.isNotNull())
         .select(bucket.alias("bucket"), split_col.cast("int").alias("_is_a"))
         .groupBy("bucket")
         .agg(

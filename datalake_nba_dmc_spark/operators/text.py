@@ -291,8 +291,11 @@ def repetition_signals(
         run_step,
         lambda acc: acc["best"],
     )
-    n_words = F.size(tok_col).cast("long")
-    n_distinct = F.size(F.array_distinct(tok_col)).cast("long")
+    # coalesce: a NULL text has ZERO words (0-filled stats like the empty
+    # doc), not NULL stats — keeps the report columns non-null and matches
+    # the oracle twin's convention (robustness_audit `nulls` finding)
+    n_words = F.coalesce(F.size(tok_col), F.lit(0)).cast("long")
+    n_distinct = F.coalesce(F.size(F.array_distinct(tok_col)), F.lit(0)).cast("long")
     return (
         ensure_parallelism(df)
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))

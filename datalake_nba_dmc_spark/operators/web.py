@@ -98,7 +98,13 @@ def registrable_domain(host: Column) -> Column:
     last3 = F.concat_ws(
         ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
     )
-    return F.when(n <= 1, host).when(deeper, last3).otherwise(last2)
+    # outer guard: a NULL host must give a NULL domain — without it the
+    # otherwise-branch's concat_ws maps NULL labels to '' and every
+    # hostless row lands in one shared ''-domain quota group
+    # (robustness_audit `nulls` finding)
+    return F.when(
+        host.isNotNull(), F.when(n <= 1, host).when(deeper, last3).otherwise(last2)
+    )
 
 
 def url_exact_dedup(

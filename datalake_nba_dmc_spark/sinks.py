@@ -83,7 +83,13 @@ def write_table(
     schema-bearing (footer-only) file, so the table stays readable; a
     PARTITIONED write of zero rows emits nothing, so a schema sidecar is
     written for :func:`read_table` to fall back on. The emptiness probe
-    is a ``limit(1)`` job — noise next to the write itself."""
+    is a ``limit(1)`` job — noise next to the write itself.
+
+    Partition on canonical, NON-EMPTY keys only: hive partition-value
+    encoding is lossy for degenerate strings — NULL and ``''`` both
+    serialize to ``__HIVE_DEFAULT_PARTITION__`` and read back as NULL, so
+    partitioning on a free-text column silently corrupts empty-string
+    values (``tools/robustness_audit.py nulls`` demonstrates the loss)."""
     w = df.write.mode(mode).format(fmt)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -627,7 +627,7 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 60000.0) AS INT),
                             0), 9) AS bucket,
              CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS a
-      FROM orders WHERE o_totalprice IS NOT NULL
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
     ), g AS (
       SELECT bucket,
              CAST(SUM(a) AS BIGINT) AS n_a,

@@ -709,7 +709,8 @@ _TIER_VALUES_SQL = ", ".join(
              c.tier AS nearest_tier,
              ROW_NUMBER() OVER (PARTITION BY e.event_id
                                 ORDER BY abs(e.value - c.center), c.center) AS rn
-      FROM events e JOIN centers c USING (event_type))
+      FROM events e LEFT JOIN centers c
+        ON e.event_type = c.event_type AND e.value IS NOT NULL)
     WHERE rn = 1
     """,
 )

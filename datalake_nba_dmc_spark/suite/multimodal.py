@@ -49,26 +49,33 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "media_audio_stats",
     oracle="""
-    WITH chars AS (
-      SELECT doc_id, unicode(substr(text, CAST(i AS INTEGER), 1)) AS b
-      FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
-      WHERE length(text) > 0
+    WITH bytes AS (
+      -- the payload is the text's UTF-8 BYTES, so the twin must walk
+      -- bytes (hex pairs of the encoded blob), not code points — the two
+      -- only coincide on pure-ASCII corpora
+      SELECT doc_id,
+             CAST('0x' || substr(hex(encode(text)),
+                                 2 * CAST(i AS INTEGER) - 1, 2) AS INTEGER) AS b
+      FROM documents,
+           UNNEST(range(1, octet_length(encode(text)) + 1)) AS t(i)
+      WHERE octet_length(encode(text)) > 0
     )
     SELECT doc_id AS media_id,
            COUNT(*) AS n_samples,
            COUNT(*) / 16000.0 AS duration_s,
            sqrt(AVG(CAST(b AS DOUBLE) * b)) AS rms,
            CAST(MAX(b) AS INTEGER) AS peak
-    FROM chars GROUP BY doc_id
+    FROM bytes GROUP BY doc_id
     """,
 )
 def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature-extraction plumbing: per-clip sample count, duration,
     RMS, and peak computed by numpy inside mapInPandas over Arrow blob
-    batches. The stub waveform is the payload's unsigned bytes (the test
-    corpus is pure ASCII, so the oracle reproduces it from code points) —
-    every value the Python path emits is hash-checked, certifying the
-    whole Arrow decode loop, not just its schema."""
+    batches. The stub waveform is the payload's unsigned bytes; the
+    oracle walks the SAME UTF-8 bytes (hex pairs of the encoded blob),
+    so parity holds on non-ASCII text too — every value the Python path
+    emits is hash-checked, certifying the whole Arrow decode loop, not
+    just its schema."""
     docs = TableRegistry(spark, sf_dir).documents
     media = M.documents_as_media(docs).withColumn(
         "media_type", F.lit("audio")

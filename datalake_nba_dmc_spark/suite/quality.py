@@ -207,9 +207,9 @@ def profile_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_clip_lo,
            CAST(SUM(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clip_hi,
-           CAST(SUM(CAST(round(
+           CAST(SUM(CASE WHEN l.l_extendedprice IS NOT NULL THEN CAST(round(
              least(greatest(l.l_extendedprice, b.lo), b.hi) * 100
-           ) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_winsorized
+           ) AS BIGINT) END) AS DOUBLE) / 100.0 AS sum_winsorized
     FROM lineitem l JOIN b USING (l_returnflag)
     GROUP BY l.l_returnflag
     """,

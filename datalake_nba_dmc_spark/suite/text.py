@@ -54,8 +54,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_lang_hits(markers: list[str]) -> str:
+    # COALESCE: NULL text must score 0 hits (-> 'und'), not fall through
+    # every CASE arm to the last language
     lst = ",".join(f"'{m}'" for m in markers)
-    return f"len(list_filter({_DUCK_TOKS}, x -> lower(x) IN ({lst})))"
+    return f"COALESCE(len(list_filter({_DUCK_TOKS}, x -> lower(x) IN ({lst}))), 0)"
 
 
 @query(

@@ -76,6 +76,26 @@ KNOWN_EMPTY: dict[str, str] = {
     "events_time_rollup": "diverges",
 }
 
+# Expected outcomes on NULL/edge-mutated input, each triaged and verified
+# (PERF.md round-6 robustness-audit notes). Everything NOT listed here
+# must hash-match its oracle on the mutated tables.
+# - k1/k2/k5: hive partition-value encoding is LOSSY for degenerate
+#   strings — both NULL and '' serialize to __HIVE_DEFAULT_PARTITION__
+#   and read back as NULL, so a round-trip through a layout partitioned
+#   on a column containing empty strings cannot equal the source (the
+#   operational rule is "partition on canonical, non-empty keys";
+#   write_table's docstring carries the warning).
+# - func_string_surface: DuckDB's levenshtein counts UTF-8 BYTES where
+#   Spark counts characters — they disagree on any non-ASCII input
+#   (e.g. 'café — 𝕊' vs 'Customer': 8 chars vs 14 bytes). Engine
+#   semantics; ours is Spark's character distance.
+KNOWN_NULLS: dict[str, str] = {
+    "k1_write_roundtrip": "hive-partition-value encoding lossy for ''/NULL",
+    "k2_partition_overwrite_roundtrip": "hive-partition-value encoding lossy for ''/NULL",
+    "k5_file_manifest": "hive-partition-value encoding lossy for ''/NULL",
+    "func_string_surface": "levenshtein unicode units: bytes (DuckDB) vs chars (Spark)",
+}
+
 
 def build_mutated(mode: str) -> str:
     out = f"/tmp/robustness_{mode}"
@@ -154,7 +174,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
         )
 
-    known = KNOWN_EMPTY if mode == "empty" else {}
+    known = KNOWN_EMPTY if mode == "empty" else KNOWN_NULLS
     n_pass = n_fail = n_rows_only = n_crash = n_known = 0
     failures: list[str] = []
     for name, spec in sorted(specs.items()):
@@ -176,8 +196,12 @@ def main() -> int:
             n_crash += 1
             failures.append(name)
             continue
-        if known.get(name) == "diverges":
-            print(f"KNOWN {name}: engine divergence on empty grouping sets")
+        kn = known.get(name)
+        if kn and kn != "raises":
+            reason = (
+                "engine divergence on empty grouping sets" if kn == "diverges" else kn
+            )
+            print(f"KNOWN {name}: {reason}")
             n_known += 1
             continue
         if spec.oracle is None:
