@@ -91,16 +91,17 @@ def parse_date_null_guarded(col: str | Column, fmt: str) -> Column:
 
 def split_mmss(col: str | Column) -> tuple[Column, Column]:
     """X4 — split a ``"MM:SS"`` string into (minutes, seconds) ints
-    (reference ``...landing-to-bronze.py:50-51``). ``try_element_at``, not
-    ``getItem``: a malformed value with no colon yields (min, NULL) instead
-    of killing the job under Spark 4's ANSI out-of-bounds error — the same
-    tolerance every SQL engine's list indexing gives (robustness_audit
-    `nulls` finding)."""
+    (reference ``...landing-to-bronze.py:50-51``). ``try_element_at`` +
+    ``try_cast``, not ``getItem`` + ``cast``: a malformed value — no colon,
+    or non-numeric segments — yields NULLs instead of killing the job
+    under Spark 4's ANSI out-of-bounds / CAST_INVALID_INPUT errors, the
+    tolerance the reference's non-ANSI pipeline had implicitly
+    (robustness_audit `nulls` finding + test_robustness_nulls)."""
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, ":")
     return (
-        F.try_element_at(parts, F.lit(1)).cast("int"),
-        F.try_element_at(parts, F.lit(2)).cast("int"),
+        F.try_element_at(parts, F.lit(1)).try_cast("int"),
+        F.try_element_at(parts, F.lit(2)).try_cast("int"),
     )
 
 
