@@ -157,6 +157,13 @@ def minhash_lsh_candidates(
     sig = minhash_signature(F.col("_sh"), num_hashes, seed)
     banded = (
         with_shingles(df.select(id_col, text_col), text_col, shingle_n, out="_sh")
+        # token-less docs carry a NULL shingle array (see _grams_from_tokens)
+        # and must form NO candidates: a NULL array would flow through to a
+        # NULL band_sig, and xxhash64 silently SKIPS NULL arguments, so every
+        # content-less doc would collide into one per-band bucket and
+        # fabricate O(n²) candidate links between docs with nothing to
+        # compare. Drop them before the signature is even computed.
+        .filter(F.col("_sh").isNotNull())
         .select(F.col(id_col), sig.alias("sig"))
         .select(
             id_col,
@@ -258,8 +265,14 @@ def minhash_dedup(
     scale play: at 100 TB this intermediate would be a checkpointed table,
     with banding and verification both reading it.
     """
-    sh_df = with_shingles(df.select(id_col, text_col), text_col, shingle_n).select(
-        id_col, "sh"
+    sh_df = (
+        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+        # NULL shingle arrays (token-less docs) form no candidates and would
+        # otherwise collide into one per-band bucket (xxhash64 skips NULL
+        # args) — and the Arrow signature path would crash on a None array.
+        # Same guard as minhash_lsh_candidates; exact_dedup owns empty docs.
+        .filter(F.col("sh").isNotNull())
+        .select(id_col, "sh")
     )
     sh_df.persist()
     rows_per_band = num_hashes // bands
@@ -496,6 +509,7 @@ def with_simhash(
     out: str = "sh",
     bits: int = 64,
     use_arrow: bool = True,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """Staged SimHash: normalize+tokenize+hash runs once per row in its own
     projection; the vote reduction then reads a column attribute instead of
@@ -510,11 +524,24 @@ def with_simhash(
     column materializes once. (MinHash went the OTHER way: its full
     pipeline is faster pure-expression; each family's default is its
     measured full-pipeline winner.) ``use_arrow=False`` keeps the plan
-    Python-free."""
+    Python-free.
+
+    ``drop_empty=True`` removes content-less docs (NULL / empty /
+    whitespace-only text) BEFORE the vote reduction: their fingerprint is
+    identically 0, so any banded consumer would report every such doc as a
+    mutual hamming-0 near-dup — fabricated edges between documents with no
+    content to compare (the same class the nulls audit removed from the
+    minhash family; this flag aligns the two dedup families' policy).
+    Defaults to False so plain fingerprint queries still emit one row per
+    input doc."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
     staged = ensure_parallelism(df).withColumn(
         "_tok_hashes", F.transform(toks, lambda t: F.xxhash64(t))
     )
+    if drop_empty:
+        staged = staged.filter(
+            F.col("_tok_hashes").isNotNull() & (F.size("_tok_hashes") > 0)
+        )
     if use_arrow:
         reduced = staged.withColumn(out, simhash_arrow(bits)(F.col("_tok_hashes")))
     else:
@@ -549,10 +576,16 @@ def simhash_near_dups(
     banding explode and the bucket-representative agg carries the min id's
     fingerprint via ``min_by``, so edge verification needs no join back to
     the (expensive, full-scan) signature stage — one corpus scan, one
-    bucket shuffle, one broadcast-or-shuffle equi-join on band_key."""
-    sh = with_simhash(df.select(id_col, text_col), text_col, "sh", bits).select(
-        id_col, "sh"
-    )
+    bucket shuffle, one broadcast-or-shuffle equi-join on band_key.
+
+    Content-less docs (NULL/empty/whitespace text) are excluded up front
+    (``drop_empty``): they all reduce to fingerprint 0 and — unlike the
+    minhash family, which has a content-level Jaccard verify — this
+    family's hamming verify would confirm them at distance 0, emitting
+    fabricated near-dup edges in the FINAL edge set."""
+    sh = with_simhash(
+        df.select(id_col, text_col), text_col, "sh", bits, drop_empty=True
+    ).select(id_col, "sh")
     return banded_hash_edges(sh, id_col, "sh", bits, band_bits, max_hamming)
 
 
@@ -571,9 +604,15 @@ def banded_hash_edges(
     within ``max_hamming``), link members to the bucket-min representative
     (O(bucket) even on hot buckets), verify with full Hamming distance.
     The signature stage is evaluated once — the representative agg carries
-    the min id's fingerprint via ``min_by``."""
+    the min id's fingerprint via ``min_by``.
+
+    Rows with a NULL fingerprint are dropped: a NULL sig has no content to
+    compare, and xxhash64 SKIPS NULL arguments, so NULL-sig rows would all
+    collide into one bucket per band (fabricated edges — same class as the
+    minhash NULL-signature guard)."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
+    sig = sig.filter(F.col(sig_col).isNotNull())
     banded = sig.select(
         id_col,
         sig_col,

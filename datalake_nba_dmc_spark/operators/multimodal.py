@@ -393,14 +393,17 @@ def extract_audio_headers(df: DataFrame, payload_col: str = "payload") -> DataFr
             out["duration_s"] = pd.array([p[4] for p in parsed], dtype="Float64")
             yield out
 
-    schema = ", ".join(
+    # build the field list as a LIST and join once: a payload-only input
+    # would otherwise produce a schema string with a leading comma
+    fields = [
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema
         if f.name != payload_col
-    )
-    return df.mapInPandas(
-        part,
-        schema
-        + ", format string, channels int, sample_rate int,"
-        " bits_per_sample int, duration_s double",
-    )
+    ] + [
+        "format string",
+        "channels int",
+        "sample_rate int",
+        "bits_per_sample int",
+        "duration_s double",
+    ]
+    return df.mapInPandas(part, ", ".join(fields))

@@ -61,25 +61,50 @@ def cosine(a: Column, b: Column) -> Column:
 MAX_QUERY_ROWS = 100_000
 
 
+#: Query frames materialized by :func:`_require_bounded_queries`, so
+#: long-running sessions can free the accumulated executor cache blocks
+#: via :func:`release_bounded_query_caches` (repeated topk/recall calls
+#: would otherwise pin ≤(max_rows+1)-row blocks for the session lifetime).
+_BOUNDED_QUERY_CACHES: list[DataFrame] = []
+
+
+def release_bounded_query_caches() -> int:
+    """Unpersist every query-frame cache accumulated by the bounded-query
+    guard; returns how many frames were released. Safe to call at any time
+    — already-consumed results are unaffected, and a still-referenced
+    frame simply recomputes from lineage on next use."""
+    n = 0
+    while _BOUNDED_QUERY_CACHES:
+        _BOUNDED_QUERY_CACHES.pop().unpersist()
+        n += 1
+    return n
+
+
 def _require_bounded_queries(
     queries: DataFrame, op: str, max_rows: int | None = None
 ) -> DataFrame:
     """Enforce the bounded-query-set contract and return the query frame
-    MATERIALIZED (``limit(max_rows+1).localCheckpoint(eager=True)``) for the
-    caller to use in place of the original.
+    MATERIALIZED (``limit(max_rows+1).persist()`` + count) for the caller
+    to use in place of the original.
 
     This makes the guard an EAGER action (one Spark job at call time) — but
-    exactly one: the guard's count and the real query both read the
-    checkpointed blocks, so the queries frame's (possibly expensive)
+    exactly one: the guard's count populates the cache and the real query
+    reads the cached blocks, so the queries frame's (possibly expensive)
     upstream lineage is evaluated once, not once for the count and again
-    inside the top-k plan. The checkpoint is ≤ max_rows+1 rows by
-    construction — bounded executor-local state, never the corpus side.
+    inside the top-k plan. The cache is ≤ max_rows+1 rows by construction
+    — bounded executor state, never the corpus side — and is REGISTERED
+    for explicit cleanup (:func:`release_bounded_query_caches`), so
+    repeated calls in one session don't pin block-manager storage forever.
+    ``persist`` (not ``localCheckpoint``) deliberately: lineage is
+    retained, so a lost executor recomputes the blocks instead of failing
+    the job — checkpointed blocks are unrecoverable on executor loss.
     ``max_rows`` defaults to the module-level ``MAX_QUERY_ROWS`` resolved
     at CALL time, so deployments (and tests) can tune the cap."""
     if max_rows is None:
         max_rows = MAX_QUERY_ROWS
-    bounded = queries.limit(max_rows + 1).localCheckpoint(eager=True)
+    bounded = queries.limit(max_rows + 1).persist()
     if bounded.count() > max_rows:
+        bounded.unpersist()
         raise ValueError(
             f"{op}: query set exceeds the bounded-broadcast contract "
             f"({max_rows:,} rows). The query side of this operator becomes "
@@ -87,6 +112,7 @@ def _require_bounded_queries(
             "sets use a join-based operator (embedding_near_dups or the "
             "LSH near-dup family) instead."
         )
+    _BOUNDED_QUERY_CACHES.append(bounded)
     return bounded
 
 

@@ -118,11 +118,19 @@ def url_exact_dedup(
 
     Malformed URLs (NULL canonical) fall back to their RAW string as the
     group key, so distinct junk rows stay distinct singletons instead of
-    collapsing into one NULL group and being deduped away."""
+    collapsing into one NULL group and being deduped away. Rows with a
+    NULL raw url get a per-row synthetic key (``__nourl__:<id>``) for the
+    same reason: groupBy treats NULLs as equal, so without it every
+    missing-URL doc would silently collapse into ONE keeper — exactly the
+    data-loss mode the raw-string fallback exists to prevent."""
     return (
         df.withColumn(
             "canonical_url",
-            F.coalesce(canonicalize_url(F.col(url_col)), F.col(url_col)),
+            F.coalesce(
+                canonicalize_url(F.col(url_col)),
+                F.col(url_col),
+                F.concat(F.lit("__nourl__:"), F.col(id_col).cast("string")),
+            ),
         )
         .groupBy("canonical_url")
         .agg(

@@ -83,7 +83,7 @@ def duck_canonicalize_ctes(source: str) -> str:
                '&') AS params
       FROM parts
     ), canon AS (
-      SELECT doc_id,
+      SELECT doc_id, url,
              CASE WHEN NOT regexp_matches(url,
                     '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN NULL
              ELSE scheme || '://'
@@ -105,7 +105,8 @@ def duck_canonicalize_ctes(source: str) -> str:
     WITH u AS (
       SELECT doc_id, {_URL_SQL} AS url FROM documents
     ), {duck_canonicalize_ctes("u")}
-    SELECT canonical_url,
+    SELECT COALESCE(canonical_url, url,
+                    '__nourl__:' || CAST(doc_id AS VARCHAR)) AS canonical_url,
            MIN(doc_id) AS keeper_id,
            CAST(COUNT(*) AS BIGINT) AS n_dups
     FROM canon GROUP BY 1
