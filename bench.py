@@ -61,11 +61,12 @@ HEADLINE = [
 #: headline list above stays untouched for cross-round comparability; this
 #: section's total is reported under "extended_total" and never mixed into
 #: the headline "value".
-#: NOTE (r7): the four r6-registered queries (dedup_url_canonical,
-#: text_domain_quota, text_dsir_selection, text_bpe_pair_counts) should
-#: join this list at the NEXT round's first bench so extended_total keeps
-#: a like-for-like r5↔r6 comparison this round; record the definition
-#: change in PERF.md when they land.
+#: DEFINITION CHANGE (r7, as promised in the r6 note here): the four
+#: r6-registered queries (dedup_url_canonical, text_domain_quota,
+#: text_dsir_selection, text_bpe_pair_counts) plus r7's text_bpe_segment
+#: joined the list — see _EXTENDED_R6_DEF below; "extended_total_r6def"
+#: reports the old 24-query subtotal once more for round-over-round
+#: continuity (recorded in PERF.md).
 EXTENDED = [
     "er_fuzzy_name_pairs",
     "text_gopher_quality",
@@ -91,7 +92,52 @@ EXTENDED = [
     "sim_semantic_dedup",
     "text_quality_classifier",
     "sim_embedding_near_dups",
+    # -- r7 additions (definition change; see note above)
+    "dedup_url_canonical",
+    "text_domain_quota",
+    "text_dsir_selection",
+    "text_bpe_pair_counts",
+    "text_bpe_segment",
 ]
+
+#: The r6-era extended membership (first 24 names) — used only to emit the
+#: like-for-like "extended_total_r6def" continuity subtotal.
+_EXTENDED_R6_DEF = EXTENDED[:24]
+
+
+#: Variance controls (r7, VERDICT r6 ask #2): the official reading swung
+#: ±14% round-over-round on identical code (tpch_q4/q5 ±40%) because the
+#: harness sampled whatever machine state it landed on. Two mechanisms:
+#: an idle gate that refuses to start timing while the host is busy, and
+#: adaptive re-sampling that grants extra interleaved passes to queries
+#: whose min/max spread stays above _SPREAD_TOL after the base passes.
+_IDLE_MAX_WAIT_S = 120.0
+_IDLE_LOAD_PER_CORE = 0.25
+_SPREAD_TOL = 0.20
+_EXTRA_PASS_LIMIT = 3
+
+
+def _idle_gate() -> float:
+    """Block until the 1-minute load average drops below
+    ``_IDLE_LOAD_PER_CORE × cores`` (or the wait cap expires), so the
+    timed region doesn't start while a previous heavy job (pytest, a
+    concurrent build) is still draining. Returns seconds waited —
+    reported in the output JSON so a gated run is visible."""
+    target = (os.cpu_count() or 1) * _IDLE_LOAD_PER_CORE
+    waited = 0.0
+    while waited < _IDLE_MAX_WAIT_S and os.getloadavg()[0] > target:
+        time.sleep(5.0)
+        waited += 5.0
+    return waited
+
+
+def _spread(samples: list[float]) -> float:
+    """Convergence measure for a min-of-N estimator: the relative gap
+    between the two SMALLEST samples. (max-min would never settle — one
+    early slow sample pins it high no matter how many clean samples
+    arrive.) When the two best agree, the min is a trustworthy floor."""
+    lo, lo2 = sorted(samples)[:2]
+    return (lo2 - lo) / lo if lo > 0 else 0.0
 
 
 def main() -> None:
@@ -131,13 +177,14 @@ def main() -> None:
         "agg_incremental_maintenance",
     }
 
-    def run_set(names: list[str], passes: int) -> dict[str, float]:
+    samples: dict[str, list[float]] = {}
+
+    def run_passes(names: list[str], passes: int) -> None:
         # Per-query min ACROSS full passes: back-to-back repeats of one
         # query share any transient slowdown (host noise, GC pause), so
         # each query's samples are separated by full suite passes instead.
         # Round-over-round comparisons at this scale are dominated by host
         # noise with only two samples (observed ±30% suite-total swings).
-        t: dict[str, float] = {n: float("inf") for n in names}
         for _ in range(passes):
             for n in names:
                 start = time.perf_counter()
@@ -147,11 +194,28 @@ def main() -> None:
                     else dfs[n]
                 )
                 df.write.format("noop").mode("overwrite").save()
-                t[n] = min(t[n], time.perf_counter() - start)
-        return {n: round(v, 3) for n, v in t.items()}
+                samples.setdefault(n, []).append(time.perf_counter() - start)
 
-    # Three passes for the headline set (the graded, cross-round number).
-    timings = run_set(HEADLINE, passes=3)
+    def run_set(names: list[str], passes: int) -> dict[str, float]:
+        run_passes(names, passes)
+        return {n: round(min(samples[n]), 3) for n in names}
+
+    idle_wait = _idle_gate()
+
+    # Three passes for the headline set (the graded, cross-round number),
+    # then adaptive re-sampling: queries whose min/max spread is still
+    # above _SPREAD_TOL get extra interleaved passes (as a group, so the
+    # full-pass separation argument above still holds) until they settle
+    # or the pass budget runs out. min-of-N converges onto the true cost
+    # as N grows — this spends the extra N exactly where the noise is.
+    run_set(HEADLINE, passes=3)
+    for _ in range(_EXTRA_PASS_LIMIT):
+        unstable = [n for n in HEADLINE if _spread(samples[n]) > _SPREAD_TOL]
+        if not unstable:
+            break
+        run_passes(unstable, 1)
+    still_unstable = [n for n in HEADLINE if _spread(samples[n]) > _SPREAD_TOL]
+    timings = {n: round(min(samples[n]), 3) for n in HEADLINE}
     total = round(sum(timings.values()), 3)
 
     # Extended set: two passes (regression visibility, not the headline
@@ -166,6 +230,7 @@ def main() -> None:
             dfs[n] = specs[n].builder(spark, sf_dir)
     ext_timings = run_set(EXTENDED, passes=2)
     ext_total = round(sum(ext_timings.values()), 3)
+    ext_total_r6def = round(sum(ext_timings[n] for n in _EXTENDED_R6_DEF), 3)
 
     print(
         json.dumps(
@@ -176,7 +241,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extended_total": ext_total,
+                # like-for-like continuity subtotal under the r6 membership
+                # (see _EXTENDED_R6_DEF / PERF.md definition-change note)
+                "extended_total_r6def": ext_total_r6def,
                 "extended": ext_timings,
+                # variance-control telemetry (r7): seconds spent in the
+                # pre-run idle gate, and any queries whose two best
+                # samples still disagreed >20% after the extra passes
+                "idle_wait_s": idle_wait,
+                "unstable": still_unstable,
             }
         )
     )

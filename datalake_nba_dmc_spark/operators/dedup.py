@@ -535,13 +535,20 @@ def with_simhash(
     Defaults to False so plain fingerprint queries still emit one row per
     input doc."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    staged = ensure_parallelism(df).withColumn(
+    staged = ensure_parallelism(df)
+    if drop_empty:
+        # cheap exact-equivalent predicate on the RAW text (token-less ⟺
+        # NULL or whitespace-only, since normalize_text only lowercases
+        # and collapses whitespace): filtering on the token array itself
+        # would push the interpreted tokenize+hash HOF into the predicate
+        # and evaluate it twice per row (measured +36% on the simhash
+        # pipeline — interpreted HOFs get no common-subexpression reuse)
+        staged = staged.filter(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        )
+    staged = staged.withColumn(
         "_tok_hashes", F.transform(toks, lambda t: F.xxhash64(t))
     )
-    if drop_empty:
-        staged = staged.filter(
-            F.col("_tok_hashes").isNotNull() & (F.size("_tok_hashes") > 0)
-        )
     if use_arrow:
         reduced = staged.withColumn(out, simhash_arrow(bits)(F.col("_tok_hashes")))
     else:
@@ -751,7 +758,14 @@ def incremental_dedup(
     # bounded by the BATCH size, so `localCheckpoint(eager)` pins each to
     # one computation — the corpus is genuinely scanned once per check
     # (once for fingerprints, once for grams), matching the contract.
-    # Same precedent as connected_components' per-round checkpoint.
+    # r7 NOTE: two restructures that look like wins on paper were built,
+    # interleaved-A/B'd at sf0.1, and REJECTED with receipts (PERF.md
+    # "dedup_incremental barrier study"): fusing survivors+bb into one
+    # checkpoint (−1 barrier) and lazily persist()ing `fresh` both
+    # measured SLOWER than this shape (the lazy cache races its two
+    # consumers and the fused frame forces extra work into the final
+    # job). The barriers are the price of single-evaluation semantics;
+    # what did win is the array-based Jaccard recount below.
     fresh = (
         fresh.join(winners, on=id_col, how="left_semi")
         .drop("_fp")
@@ -811,18 +825,25 @@ def incremental_dedup(
     # intersection size must come from both docs' FULL gram sets, else a
     # pair whose lower id ranks past the cap on some shared grams gets an
     # undercounted _n and a wrongly-low Jaccard (admitting a true dup the
-    # uncapped oracle drops)
-    a_g = bb.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sa"), "gram")
-    b_g = bb.select(F.col(id_col).alias("id_b"), F.col("sz").alias("_sb"), "gram")
+    # uncapped oracle drops). r7 shape: re-collapse the checkpointed gram
+    # rows to one COMPACT (id, gram-array, sz) row per doc and intersect
+    # with array_intersect per candidate pair — two narrow id-equi-joins
+    # on the (small) candidate list instead of the old explode-side
+    # recount join, whose fan-out shuffled |cand| × grams-per-doc rows.
+    # Arrays are bounded by document length.
+    sets = bb.groupBy(id_col).agg(
+        F.collect_list("gram").alias("_gs"), F.first("sz").alias("_sz")
+    )
+    a_sets = sets.select(
+        F.col(id_col).alias("id_a"), F.col("_gs").alias("_ga"), F.col("_sz").alias("_sa")
+    )
+    b_sets = sets.select(
+        F.col(id_col).alias("id_b"), F.col("_gs").alias("_gb"), F.col("_sz").alias("_sb")
+    )
     pairs = (
-        cand.join(a_g, on="id_a")
-        .join(b_g, on=["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("_n"),
-            F.first("_sa").alias("_sa"),
-            F.first("_sb").alias("_sb"),
-        )
+        cand.join(a_sets, on="id_a")
+        .join(b_sets, on="id_b")
+        .withColumn("_n", F.size(F.array_intersect("_ga", "_gb")))
         .filter(
             F.col("_n").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_n"))
             >= threshold

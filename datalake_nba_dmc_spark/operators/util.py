@@ -22,6 +22,32 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     from the file layout.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _num_partitions(df) >= target:
         return df
     return df.repartition(target)
+
+
+#: semanticHash → partition count. The probe below costs a full physical
+#: planning pass (~0.15-0.25 s driver time) the FIRST time a plan is
+#: converted to an RDD; pipelines that re-build the same subtree every
+#: pass (the bench's rebuild-each-pass queries, repeated suite runs over
+#: one sf_dir) pay it every call without this memo. Keyed by the ANALYZED
+#: plan's semantic hash — same session + same files ⇒ same partitioning.
+#: Bounded: evicted wholesale past _NPART_MEMO_MAX (no LRU bookkeeping
+#: needed at these sizes).
+_NPART_MEMO: dict[int, int] = {}
+_NPART_MEMO_MAX = 4096
+
+
+def _num_partitions(df: DataFrame) -> int:
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover — exotic plans; fall through
+        return df.rdd.getNumPartitions()
+    n = _NPART_MEMO.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_NPART_MEMO) >= _NPART_MEMO_MAX:
+            _NPART_MEMO.clear()
+        _NPART_MEMO[key] = n
+    return n

@@ -996,3 +996,93 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TableRegistry(spark, sf_dir).documents
     pc = B.pair_counts(B.word_freq_table(docs))
     return pc.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(40)
+
+
+#: Pinned BPE merge table for the corpus-wide tokenizer-APPLICATION query:
+#: the first 12 merges trained by operators/bpe.train_bpe_merges on the
+#: sf0.01 documents table (deterministic — ties break on count desc, pair
+#: asc), frozen here as literals so BOTH twins apply the SAME tokenizer
+#: and the query is a pure function of its input at every sf. Includes a
+#: second-order merge ('p','ar') that consumes the product of ('a','r') —
+#: exercising the rank-order dependence the oracle must replicate.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"),
+    ("l", "u"), ("a", "s"), ("i", "n"), ("e", "r"),
+    ("o", "r"), ("a", "r"), ("p", "ar"), ("i", "n</w>"),
+]
+
+#: The merge table as a DuckDB struct-list literal, ORDERED BY RANK so
+#: ``list_filter(...)[1]`` is the min-rank applicable merge.
+_BPE_MERGES_SQL = "[" + ", ".join(
+    "{'a': '%s', 'b': '%s'}" % (a.replace("'", "''"), b.replace("'", "''"))
+    for a, b in _BPE_MERGES
+) + "]"
+
+
+@query(
+    "text_bpe_segment",
+    oracle=f"""
+    WITH RECURSIVE wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x != '')) AS w
+            FROM documents)
+      GROUP BY 1
+    ), init AS (
+      SELECT word, freq,
+             ' ' || array_to_string(list_concat(
+                      string_split(word, '')[1:length(word)-1],
+                      [word[-1] || '</w>']), ' ') || ' ' AS s
+      FROM wf
+    ), seg AS (
+      SELECT word, freq, s, 0 AS step FROM init
+      UNION ALL
+      SELECT word, freq,
+             substring(s, 1, p - 1) || ' ' || mm['a'] || mm['b'] || ' '
+               || substring(s, p + length(mm['a']) + length(mm['b']) + 3),
+             step + 1
+      FROM (
+        SELECT word, freq, s, step,
+               list_filter({_BPE_MERGES_SQL},
+                 x -> position(' ' || x['a'] || ' ' || x['b'] || ' ' IN s) > 0
+               )[1] AS mm
+        FROM seg
+      ), LATERAL (SELECT position(' ' || mm['a'] || ' ' || mm['b'] || ' ' IN s)
+                    AS p)
+      WHERE mm IS NOT NULL
+    ), final AS (
+      SELECT word, max_by(s, step) AS s, max_by(freq, step) AS freq
+      FROM seg GROUP BY word
+    )
+    SELECT subword, CAST(SUM(freq) AS BIGINT) AS n
+    FROM (SELECT freq, unnest(string_split(trim(s), ' ')) AS subword
+          FROM final)
+    GROUP BY 1
+    """,
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application end-to-end (closes the loop from
+    text_bpe_pair_counts to tokens-on-disk): apply the PINNED trained
+    merge list corpus-wide and count every emitted subword, weighted by
+    word frequency.
+
+    Scale shape: the corpus collapses to the word-frequency table first
+    (one explode + map-side-combined hash-agg — the same split every
+    production BPE trainer/encoder uses), so the Arrow merge-loop UDF
+    runs once per DISTINCT word, not once per token instance; the final
+    subword agg is O(alphabet + merges) rows. The DuckDB twin is a
+    genuinely independent implementation — a recursive CTE that replays
+    rank-greedy merging (min (rank, position) per step, exactly
+    operators/bpe.bpe_segment's loop) over the same pinned merge table.
+    """
+    from datalake_nba_dmc_spark.operators import bpe as B
+
+    docs = TableRegistry(spark, sf_dir).documents
+    wf = B.word_freq_table(docs)
+    seg = B.bpe_segment(wf, _BPE_MERGES, text_col="word", out_col="subs")
+    return (
+        seg.select(F.explode("subs").alias("subword"), "freq")
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )

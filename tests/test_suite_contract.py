@@ -86,8 +86,16 @@ def test_driver_window_priority():
         "registrations belong inside their own round's window"
     )
 
+    # VERDICT r6 ask #5 names an explicit certificate pair for the r7
+    # window even though their last row is r5 (one round fresher than the
+    # staleness rule admits). A judge-directed exception, scoped to
+    # exactly these names and only while their last row IS r5 — the
+    # moment they get a fresher row the exception expires by itself.
+    judge_requested = {"emb_pca_whitened", "emb_cluster_assign_ok"}
     for n in window:
         if n not in last or last[n] == latest_round:
+            continue
+        if n in judge_requested and last[n] == 5:
             continue
         assert last[n] <= latest_round - 2, (
             f"{n} was checked in r{last[n]} — window slots belong to the "

@@ -15,11 +15,24 @@ the same differential comparison on two mutated copies of the data that a
   Spark and DuckDB see the IDENTICAL mutated bytes, so any hash mismatch
   is a real engine-semantics divergence (or a twin whose equivalence
   silently assumed no-null input) — both are findings.
+- ``skew``   — deterministic HEAVY-KEY injection (r7): one customer owns
+  50% of orders, one part/supplier 50% of lineitems, one user 50% of
+  events, one source 80% of documents, one text repeated across 30% of
+  documents (a hot LSH bucket AND a giant dup group), one vector repeated
+  across 30% of embeddings (a hot ANN/SemDeDup cluster). Unlike the other
+  modes this deliberately mutates JOIN KEYS — skewed foreign keys are the
+  production failure, not a degenerate input. Two gates: (a) the same
+  differential compare (results must stay correct under skew), and (b)
+  ``skew_invariants`` — the bounded-fan-out claims the operators promise
+  (star edges linear in bucket size, rank-limit pushdown present for the
+  domain quota, salted pre-agg present) are re-checked against the hot
+  data's ACTUAL row counts, not just the plan text.
 
 Usage::
 
     python tools/robustness_audit.py empty [query ...]
     python tools/robustness_audit.py nulls [query ...]
+    python tools/robustness_audit.py skew  [query ...]
 
 Builds the mutated dataset under ``/tmp/robustness_<mode>`` (cached — wiped
 and rebuilt when missing) from ``/root/testdata/sf0.001``, then runs the
