@@ -749,8 +749,13 @@ def text_sentence_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.source,
            CAST(MAX(t.tot) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_langs,
+           -- + 0.0 canonicalizes IEEE negative zero: a single-language
+           -- source has SUM(p·ln p) = 0 and -SUM = -0.0 in DuckDB where
+           -- Spark emits +0.0 — the value-hash distinguishes them
+           -- (found by the r7 skew audit's monolingual hot source)
            round(-SUM((CAST(c.n AS DOUBLE) / t.tot)
-                      * ln(CAST(c.n AS DOUBLE) / t.tot)), 6) AS lang_entropy
+                      * ln(CAST(c.n AS DOUBLE) / t.tot)) + 0.0, 6)
+             AS lang_entropy
     FROM c JOIN t USING (source)
     GROUP BY c.source
     """,

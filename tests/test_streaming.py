@@ -537,3 +537,58 @@ def test_user_running_state_ttl_evicts_idle_key_end_to_end(spark, tmp_path):
         assert all(r["total_value"] != 6.0 for r in rows)
     finally:
         q.stop()
+
+
+@needs_testdata
+def test_max_files_per_trigger_bounds_each_microbatch(spark, tmp_path):
+    """Rate/backpressure surface (VERDICT r6 stretch #10): with
+    ``maxFilesPerTrigger=1`` an availableNow file-stream ingest must
+    process EXACTLY one source file per micro-batch — per-batch row
+    accounting proves the admission rate is bounded by the knob (the
+    cluster-side lever that keeps a backlogged landing zone from
+    swamping state stores), and the batch totals must reconcile with the
+    batch read of the same directory (no loss, no double-ingest across
+    trigger boundaries)."""
+    from pyspark.sql import functions as F
+
+    # split events into 4 single-file parquet "landing drops"
+    src = tmp_path / "drops"
+    ev = _read_events_batch(spark, os.path.join(SF0001, "events.parquet"))
+    total = ev.count()
+    parts = ev.withColumn("_b", F.pmod(F.xxhash64("event_id"), F.lit(4)))
+    file_rows = {}
+    for b in range(4):
+        d = src / f"drop{b}"
+        part = parts.filter(F.col("_b") == b).drop("_b")
+        part.coalesce(1).write.mode("overwrite").parquet(str(d))
+        file_rows[b] = part.count()
+        # flatten: move the part file up as a single landing file
+        import glob as _g
+
+        f = _g.glob(str(d / "part-*.parquet"))[0]
+        shutil.move(f, str(src / f"drop_{b}.parquet"))
+        shutil.rmtree(d)
+    assert sum(file_rows.values()) == total
+
+    batches: list[tuple[int, int]] = []
+
+    def account(df, batch_id):
+        batches.append((batch_id, df.count()))
+
+    q = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(account)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # one micro-batch per file, every batch bounded by the largest file,
+    # totals reconcile exactly
+    counts = [n for _, n in batches if n > 0]
+    assert len(counts) == 4, batches
+    assert sorted(counts) == sorted(file_rows.values()), (batches, file_rows)
+    assert sum(counts) == total

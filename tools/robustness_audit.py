@@ -109,6 +109,105 @@ KNOWN_NULLS: dict[str, str] = {
     "func_string_surface": "levenshtein unicode units: bytes (DuckDB) vs chars (Spark)",
 }
 
+# Expected outcomes on SKEWED input (each triaged in PERF.md round-7
+# skew-audit notes). Divergences must be justified per entry, exactly
+# like the empty/nulls lists.
+# - sim_semantic_dedup_certificate: the certificate's stated PRECONDITION
+#   is "no natural pair reaches cosine 0.9999" (clean corpus max ≈ 0.47),
+#   so every injected (original, copy) pair expects pair_ok=1. The skew
+#   mutation makes 30% of vectors IDENTICAL on purpose — those vectors
+#   legitimately form one duplicate component, and an injected copy of a
+#   hot vector correctly loses to the component's global min id, so
+#   pair_ok=0 IS the correct answer on this data. The operator's
+#   behavior under the hot cluster is instead pinned by the
+#   skew_invariants semdedup check (every vector classified exactly
+#   once) and pytest's cap/recall assertions.
+KNOWN_SKEW: dict[str, str] = {
+    "sim_semantic_dedup_certificate": (
+        "certificate precondition (no natural cosine≥0.9999 pairs) is "
+        "deliberately violated by the 30%-identical hot cluster; "
+        "pair_ok=0 for hot vectors is correct dedup behavior"
+    ),
+}
+
+
+def skew_invariants(spark, sf_dir: str, specs) -> list[str]:
+    """Re-check the bounded-fan-out PROMISES against the hot data's actual
+    row counts (VERDICT r6 ask #6) — plan-text assertions prove the shape,
+    these prove the shape holds its bound when one key dominates:
+
+    - MinHash/SimHash banding emit STAR edges: candidate/edge counts must
+      stay ≤ rows × bands even though 30% of docs share one text (an
+      all-pairs regression would be ~(0.3n)²/2, two orders of magnitude
+      over the bound).
+    - The per-domain quota must emit ≤ n rows per domain AND keep the
+      rank-limit pushdown (WindowGroupLimit) in its plan, so a hot domain
+      is bounded BEFORE the shuffle.
+    - SemDeDup's capped clustering must survive a 30%-identical-embedding
+      hot cluster without going quadratic: its pairwise output stays
+      bounded by Σ|sub-cluster|² with |sub-cluster| ≤ its row cap.
+    """
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+
+    problems: list[str] = []
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    hot = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("text").count().agg(F.max("count")).collect()[0][0]
+    )
+    quad = hot * (hot - 1) // 2
+
+    cand = minhash_lsh_candidates(docs).count()
+    bound = n_docs * 8  # bands
+    print(f"INVAR minhash_star: {cand} candidate edges, bound {bound} "
+          f"(hot dup group {hot}, all-pairs would be ≥{quad})")
+    if cand > bound:
+        problems.append(f"minhash star bound violated: {cand} > {bound}")
+
+    edges = simhash_near_dups(docs).count()
+    bound = n_docs * 4  # 64-bit sig / 16-bit bands
+    print(f"INVAR simhash_star: {edges} verified edges, bound {bound}")
+    if edges > bound:
+        problems.append(f"simhash star bound violated: {edges} > {bound}")
+
+    q = specs["text_domain_quota"].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    if "WindowGroupLimit" not in plan:
+        problems.append("domain quota lost its WindowGroupLimit pushdown")
+    over = q.groupBy("domain").count().filter(F.col("count") > 8).count()
+    print(f"INVAR domain_quota: WindowGroupLimit "
+          f"{'present' if 'WindowGroupLimit' in plan else 'MISSING'}, "
+          f"{over} domains over quota")
+    if over:
+        problems.append(f"domain quota exceeded for {over} domains")
+
+    # SemDeDup under a 30%-identical hot cluster: the capped clustering
+    # must still classify EVERY vector exactly once (its pairwise stage
+    # is plan-asserted equi-join-on-centroid in pytest; here the check is
+    # that the hot cluster neither crashes the cap-split nor loses/dupes
+    # rows when one sub-cluster saturates)
+    sem = specs["sim_semantic_dedup"].builder(spark, sf_dir)
+    n_emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    out_rows = sem.count()
+    print(f"INVAR semdedup_cap: {out_rows} decision rows for {n_emb} vectors")
+    if out_rows != n_emb:
+        problems.append(
+            f"semantic-dedup classified {out_rows} of {n_emb} vectors"
+        )
+    return problems
+
 
 def build_mutated(mode: str) -> str:
     out = f"/tmp/robustness_{mode}"
@@ -124,11 +223,50 @@ def build_mutated(mode: str) -> str:
             t = t.schema.empty_table()
         elif mode == "nulls":
             t = _inject(t, seed_text=f)
+        elif mode == "skew":
+            t = _skew(t, f)
         else:
             raise SystemExit(f"unknown mode {mode!r}")
         pq.write_table(t, os.path.join(out, f))
     open(marker, "w").close()
     return out
+
+
+#: (fraction-of-rows, columns) heavy-key injections per table — see the
+#: module docstring's ``skew`` section. Values are replaced with the
+#: column's FIRST row value (an existing key, so referential integrity
+#: holds — a hot customer must exist in `customer`).
+_SKEW_RULES: dict[str, list[tuple[float, list[str]]]] = {
+    "orders.parquet": [(0.5, ["o_custkey"])],
+    "lineitem.parquet": [(0.5, ["l_partkey", "l_suppkey"])],
+    "events.parquet": [(0.5, ["user_id"])],
+    "documents.parquet": [(0.8, ["source"]), (0.3, ["text"])],
+    "embeddings.parquet": [(0.3, ["embedding"])],
+    "customer.parquet": [(0.6, ["c_nationkey"])],
+    "supplier.parquet": [(0.6, ["s_nationkey"])],
+}
+
+
+def _skew(t: pa.Table, fname: str) -> pa.Table:
+    """Deterministically point ``frac`` of each listed column's rows at
+    the column's first value — one dominant key per column, rows chosen
+    by a seeded rng so every engine sees identical bytes."""
+    rules = _SKEW_RULES.get(fname)
+    if not rules or t.num_rows == 0:
+        return t
+    n = t.num_rows
+    cols = {f.name: t.column(f.name) for f in t.schema}
+    for frac, names in rules:
+        rng = np.random.default_rng(abs(hash((fname, tuple(names)))) % 2**32)
+        mask = rng.random(n) < frac
+        for name in names:
+            vals = cols[name].to_pylist()
+            hot = vals[0]
+            for i in range(n):
+                if mask[i]:
+                    vals[i] = hot
+            cols[name] = pa.array(vals, type=t.schema.field(name).type)
+    return pa.table(cols)
 
 
 def _inject(t: pa.Table, seed_text: str) -> pa.Table:
@@ -187,7 +325,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
         )
 
-    known = KNOWN_EMPTY if mode == "empty" else KNOWN_NULLS
+    known = {"empty": KNOWN_EMPTY, "nulls": KNOWN_NULLS, "skew": KNOWN_SKEW}[mode]
     n_pass = n_fail = n_rows_only = n_crash = n_known = 0
     failures: list[str] = []
     for name, spec in sorted(specs.items()):
@@ -244,13 +382,19 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(spdf)} rows)")
             n_pass += 1
+    invariant_problems: list[str] = []
+    if mode == "skew" and not only:
+        invariant_problems = skew_invariants(spark, sf_dir, specs)
+        for p in invariant_problems:
+            print(f"FAIL invariant: {p}")
     print(
         f"\n[{mode}] {n_pass} pass, {n_fail} mismatch, {n_crash} crash, "
         f"{n_rows_only} rows-only, {n_known} known"
+        + (f", {len(invariant_problems)} invariant failures" if mode == "skew" else "")
     )
     if failures:
         print("failures:", " ".join(sorted(failures)))
-    return 1 if (n_fail or n_crash) else 0
+    return 1 if (n_fail or n_crash or invariant_problems) else 0
 
 
 if __name__ == "__main__":
