@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datalake_nba_dmc_spark.operators.text import fingerprint
+from datalake_nba_dmc_spark.operators.text import fingerprint, tokens
 from datalake_nba_dmc_spark.operators.util import ensure_parallelism
 
 # Large prime < 2^31 for minhash permutations (a*h + b mod P).
@@ -998,4 +998,82 @@ def mask_repeated_spans(
             ).otherwise(F.lit(0).cast("long")),
         )
         .drop("_toks", "_kept", "_spans")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_tokens: int = 3,
+    para_sep: str = " ",
+) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction (the CCNet
+    stage-1 shape, Wenzek et al. 2020: hash every paragraph corpus-wide,
+    drop repeated paragraphs, keep documents stitched back together from
+    their surviving paragraphs).
+
+    The synthetic documents table is single-line, so "paragraphs" are
+    derived deterministically: consecutive ``para_tokens``-token chunks of
+    the whitespace tokenization (the segmentation is a parameter — a real
+    corpus would split on blank lines instead; everything downstream is
+    segmentation-agnostic).
+
+    Scale design — the corpus text crosses a shuffle exactly ONCE:
+
+    - decisions travel as narrow (id, para_idx, xxhash64) triples; the
+      CCNet rule "keep the first occurrence" is ``min(struct(id, idx))``
+      per hash — a map-side-combinable agg, so a paragraph repeated in
+      30% of the corpus (the skew-audit case) partially aggregates
+      per-partition instead of piling one window partition;
+    - the per-doc list of surviving paragraph indices (ints) joins back
+      to the documents table by id — the only shuffle the text column
+      ever rides — and reconstruction filters the in-place paragraph
+      array by index membership (pure codegen, no second explode).
+
+    Returns (id_col, clean_text, n_paras, n_kept); documents whose every
+    paragraph lost (or with NULL/empty text) come back with
+    ``clean_text = ''``.
+    """
+    toks = F.col("_toks")
+    n_par = F.floor((F.size(toks) + F.lit(para_tokens - 1)) / F.lit(para_tokens)).cast(
+        "int"
+    )
+    paras = F.when(
+        n_par > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_par - 1),
+            lambda i: F.concat_ws(
+                para_sep, F.slice(toks, i * para_tokens + 1, para_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        ensure_parallelism(df)
+        .withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("_paras", paras)
+    )
+    decisions = base.select(
+        F.col(id_col), F.posexplode("_paras").alias("para_idx", "_para")
+    ).select(id_col, "para_idx", F.xxhash64("_para").alias("_h"))
+    firsts = decisions.groupBy("_h").agg(
+        F.min(F.struct(id_col, "para_idx")).alias("_first")
+    )
+    kept_idx = (
+        firsts.select(F.col(f"_first.{id_col}").alias(id_col), F.col("_first.para_idx"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("para_idx")).alias("_keep_idx"))
+    )
+    keep = F.col("_keep_idx")
+    return base.join(kept_idx, on=id_col, how="left").select(
+        id_col,
+        F.concat_ws(
+            para_sep,
+            F.filter("_paras", lambda p, i: F.array_contains(keep, i)),
+        ).alias("clean_text"),
+        F.size("_paras").cast("long").alias("n_paras"),
+        F.when(keep.isNull(), F.lit(0))
+        .otherwise(F.size(keep))
+        .cast("long")
+        .alias("n_kept"),
     )

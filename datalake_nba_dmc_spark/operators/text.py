@@ -835,3 +835,89 @@ def dsir_importance(
             F.round(F.col("_s") / 1e6, 6).alias("dsir_logratio"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for ONE query (Robertson et al., TREC-3;
+    idf in the Lucene "+1" form ``ln(1 + (N - df + 0.5)/(df + 0.5))`` so
+    scores stay positive for terms in more than half the corpus).
+
+    The retrieval primitive of curation pipelines — eval-set contamination
+    lookup, kNN data selection, report-style corpus search — expressed as
+    pure DataFrame algebra:
+
+    - tokenize once, keep per-doc length ``dl`` BEFORE the query-term
+      filter (dl is a whole-document property);
+    - ``term IN (query)`` prunes the exploded stream immediately — the
+      only rows that ever reach a shuffle are (doc, query-term) hits, so
+      corpus-scale cost is O(matching postings), not O(tokens);
+    - per-term document frequencies are a ≤|query|-row aggregate joined
+      back by broadcast; corpus stats (N, avgdl) are a one-row broadcast
+      (bounded by construction — plan-census allowlisted);
+    - one final hash agg by doc sums the ≤|query| per-term contributions.
+
+    Returns (id_col, bm25) for every document with ≥1 matching term,
+    ``bm25`` rounded to 6 dp (identical IEEE doubles in both engines —
+    the tfidf rounding rule).
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+        F.col(text_col).isNotNull().alias("_has_text"),
+    )
+    stats = base.agg(
+        F.countDistinct(id_col).cast("double").alias("n_docs"),
+        F.avg(F.when(F.col("_has_text"), F.size("_toks"))).alias("avgdl"),
+    )
+    hits = (
+        base.select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .filter(F.col("term").isin(query_terms))
+    )
+    tf = hits.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    topk: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 retrieval: scores from :func:`bm25_scores`, ordered by
+    (bm25 DESC, id ASC — deterministic tiebreak on the 6-dp-rounded
+    score), cut with ``limit`` so Catalyst compiles the selection to
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    scores = bm25_scores(df, query_terms, **kwargs)
+    return scores.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(topk)

@@ -75,9 +75,18 @@ _CHECK_PRIORITY: list[str] = [
     #    an 11-name r3 tail (backlog ≤ 5 was arithmetically unreachable;
     #    actual: 11). The deferred 11 are chosen for coverage
     #    redundancy, as in r6 (see the deferred block below).
-    # -- 1. never-checked: registered THIS round (tokenizer application
-    #    e2e — VERDICT r6 stretch #9), in its own round's window
+    # -- 1. never-checked: registered THIS round, in their own round's
+    #    window (text_bpe_segment = VERDICT r6 stretch #9; text_bm25_topk
+    #    BM25 retrieval + dedup_paragraphs CCNet paragraph dedup = the two
+    #    late-r7 curation additions). Each displaces one r3 slot —
+    #    events_funnel_3step and profile_price_histogram move to the
+    #    deferred tail (r3 remainder: 13), chosen for in-window family
+    #    redundancy: the events surface keeps cohort_retention,
+    #    interval_overlap and time_rollup in-window; profiling keeps
+    #    profile_orders_columns.
     "text_bpe_segment",
+    "text_bm25_topk",
+    "dedup_paragraphs",
     # -- 2. the full r2-only backlog (13) — VERDICT r6 ask #1: these led
     #    the deferred block last round and lead the cut now; r2-backlog
     #    after r7 = 0
@@ -118,13 +127,11 @@ _CHECK_PRIORITY: list[str] = [
     "dq_orders_expectations",
     "emb_second_moments",
     "events_cohort_retention",
-    "events_funnel_3step",
     "events_interval_overlap",
     "events_time_rollup",
     "gapfill_user_daily",
     "media_audio_stats",
     "profile_orders_columns",
-    "profile_price_histogram",
     "sample_stratified_segments",
     "scd2_user_event_history",
     "sim_label_centroids",
@@ -140,13 +147,18 @@ _CHECK_PRIORITY: list[str] = [
     "text_vocab_coverage",
     "tpch_q4_order_priority",
     # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r3-only (11): each has an in-window sibling covering
+    # -- deferred r3-only (13): each has an in-window sibling covering
     #    the same code path — 9 TPC-H (q4 stays in-window as a bench
     #    mover; the 7 freshly-checked r2 TPC-H plus q4 span the same
     #    pure-declarative scan/join/agg surface, least drift-prone),
     #    y2 range-sorted layout (y3 z-order + k-family partitioned
-    #    writes in-window), and w9 time-range window (events_sliding_agg
-    #    + events_time_rollup in-window). These lead the r8 cut.
+    #    writes in-window), w9 time-range window (events_sliding_agg
+    #    + events_time_rollup in-window), events_funnel_3step (events
+    #    window/sequence family triple-covered in-window), and
+    #    profile_price_histogram (profile_orders_columns in-window).
+    #    These lead the r8 cut.
+    "events_funnel_3step",
+    "profile_price_histogram",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

@@ -558,3 +558,50 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return repeated_ngram_spans(docs, n=8, min_count=2)
+
+
+@query(
+    "dedup_paragraphs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), paras AS (
+      SELECT doc_id,
+             unnest(range((len(t) + 2) // 3)) AS para_idx,
+             unnest([array_to_string(t[i*3+1 : i*3+3], ' ')
+                     FOR i IN range((len(t) + 2) // 3)]) AS para
+      FROM base
+    ), keep AS (
+      SELECT doc_id, para_idx, para FROM (
+        SELECT paras.*, row_number() OVER (
+          PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+        FROM paras
+      ) WHERE rn = 1
+    ), agg AS (
+      SELECT doc_id,
+             string_agg(para, ' ' ORDER BY para_idx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keep GROUP BY 1
+    )
+    SELECT b.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE((len(b.t) + 2) // 3, 0) AS BIGINT) AS n_paras,
+           COALESCE(a.n_kept, 0) AS n_kept
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction (CCNet
+    stage 1, Wenzek et al. 2020): derive deterministic 3-token
+    "paragraphs", keep each paragraph's first (doc_id, para_idx)
+    occurrence corpus-wide via a map-side-combinable min(struct) agg on
+    narrow (id, idx, hash) triples, and stitch surviving paragraphs back
+    into documents — the text column crosses a shuffle exactly once (the
+    per-doc keep-index join). The DuckDB twin dedups on the paragraph
+    STRING where Spark groups by xxhash64 — a genuine independent
+    implementation (equal modulo 64-bit collisions).
+    See operators/dedup.paragraph_dedup."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return D.paragraph_dedup(docs, para_tokens=3)

@@ -1091,3 +1091,55 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("subword")
         .agg(F.sum("freq").cast("long").alias("n"))
     )
+
+
+#: The fixed retrieval query for the BM25 surface (corpus-vocabulary words;
+#: both twins share this literal list).
+_BM25_QUERY = ["spark", "join", "window", "customer", "stream"]
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '') AS t,
+             text IS NOT NULL AS has_text
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+             AVG(CASE WHEN has_text THEN len(t) END) AS avgdl
+      FROM base
+    ), hits AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM hits
+      WHERE term IN ({", ".join(f"'{w}'" for w in _BM25_QUERY)})
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           round(SUM(
+             ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY 1
+    ORDER BY bm25 DESC, tf.doc_id ASC
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson et al.; Lucene '+1' idf,
+    k1=1.2, b=0.75) for a fixed 5-term query — the contamination-lookup /
+    corpus-search primitive. The exploded token stream is pruned by
+    ``term IN (query)`` BEFORE any shuffle, per-term document frequencies
+    and the one-row (N, avgdl) corpus stats ride broadcasts, and the
+    top-20 cut compiles to TakeOrderedAndProject (per-partition heaps —
+    no global sort). See operators/text.bm25_scores."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.bm25_topk(docs, _BM25_QUERY, topk=20)

@@ -397,3 +397,45 @@ def test_mask_repeated_spans_null_text_passthrough(spark):
     }
     assert got[1] == (None, 0)
     assert got[0] == ("", 4) and got[2] == ("", 4)  # fully-duplicated docs
+
+
+def test_paragraph_dedup_crafted(spark):
+    """CCNet paragraph dedup: shared 3-token paragraphs keep only their
+    first (doc_id, para_idx) occurrence; documents are reconstructed from
+    surviving paragraphs in original order; NULL text → empty clean doc."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datalake_nba_dmc_spark.operators.dedup import paragraph_dedup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # paras: "a b c", "d e f" — both first
+            (2, "a b c x y z"),  # "a b c" repeated → keeps only "x y z"
+            (3, "d e f"),  # wholly duplicated → clean_text ''
+            (4, "p q r s"),  # remainder para "s" (1 token)
+            (5, None),
+        ],
+        schema,
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(df, para_tokens=3).collect()
+    }
+    assert got[1] == ("a b c d e f", 2, 2)
+    assert got[2] == ("x y z", 2, 1)
+    assert got[3] == ("", 1, 0)
+    assert got[4] == ("p q r s", 2, 2)
+    assert got[5] == ("", 0, 0)
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    """A paragraph repeated WITHIN one document keeps only its first
+    occurrence (min para_idx)."""
+    from datalake_nba_dmc_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame([(7, "a b c a b c d e f")], ["doc_id", "text"])
+    row = paragraph_dedup(df, para_tokens=3).collect()[0]
+    assert (row["clean_text"], row["n_paras"], row["n_kept"]) == ("a b c d e f", 3, 2)

@@ -411,3 +411,45 @@ def test_dsir_importance_matches_python_reference(spark):
         assert got[doc_id] == (len(toks), want), doc_id
     # spark-domain docs (0, 2) outrank animal docs (1, 3)
     assert min(got[0][1], got[2][1]) > max(got[1][1], got[3][1])
+
+
+def test_bm25_scores_hand_computed(spark):
+    """BM25 matches a hand-computed reference (Lucene '+1' idf, k1=1.2,
+    b=0.75); docs with no query term are absent; NULL text neither
+    crashes nor skews avgdl (excluded by the _has_text guard)."""
+    import math
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datalake_nba_dmc_spark.operators.text import bm25_scores
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    corpus = {1: "spark spark join", 2: "spark window", 3: "nothing here at all"}
+    df = spark.createDataFrame(list(corpus.items()) + [(4, None)], schema)
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark", "join"]).collect()}
+
+    n_docs, avgdl = 4.0, (3 + 2 + 4) / 3  # N counts all ids; avgdl non-null only
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl, df_t):
+        idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(got) == {1, 2}
+    assert got[1] == round(score(2, 3, 2) + score(1, 3, 1), 6)
+    assert got[2] == round(score(1, 2, 2), 6)
+
+
+def test_bm25_topk_order_and_cut(spark):
+    """bm25_topk orders by (bm25 DESC, doc_id ASC) and cuts to k."""
+    from datalake_nba_dmc_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(5)] + [(9, "alpha alpha alpha")],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, ["alpha"], topk=3).collect()
+    assert rows[0]["doc_id"] == 9  # highest tf first
+    assert [r["doc_id"] for r in rows[1:]] == [0, 1]  # tie → id ASC
