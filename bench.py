@@ -63,10 +63,11 @@ HEADLINE = [
 #: the headline "value".
 #: DEFINITION CHANGE (r7, as promised in the r6 note here): the four
 #: r6-registered queries (dedup_url_canonical, text_domain_quota,
-#: text_dsir_selection, text_bpe_pair_counts) plus r7's text_bpe_segment
-#: joined the list — see _EXTENDED_R6_DEF below; "extended_total_r6def"
-#: reports the old 24-query subtotal once more for round-over-round
-#: continuity (recorded in PERF.md).
+#: text_dsir_selection, text_bpe_pair_counts) plus r7's three registrations
+#: (text_bpe_segment, text_bm25_topk, dedup_paragraphs) joined the list —
+#: see _EXTENDED_R6_DEF below; "extended_total_r6def" reports the old
+#: 24-query subtotal once more for round-over-round continuity (recorded
+#: in PERF.md).
 EXTENDED = [
     "er_fuzzy_name_pairs",
     "text_gopher_quality",
@@ -98,6 +99,8 @@ EXTENDED = [
     "text_dsir_selection",
     "text_bpe_pair_counts",
     "text_bpe_segment",
+    "text_bm25_topk",
+    "dedup_paragraphs",
 ]
 
 #: The r6-era extended membership (first 24 names) — used only to emit the

@@ -616,21 +616,28 @@ def banded_hash_edges(
     Rows with a NULL fingerprint are dropped: a NULL sig has no content to
     compare, and xxhash64 SKIPS NULL arguments, so NULL-sig rows would all
     collide into one bucket per band (fabricated edges — same class as the
-    minhash NULL-signature guard)."""
+    minhash NULL-signature guard). The guard is FOLDED INTO the banding
+    array (``when(sig IS NOT NULL, bands)`` — posexplode emits no rows for
+    a NULL array) instead of a ``.filter()`` node: when the fingerprint
+    comes from an Arrow UDF, a FilterExec referencing the UDF output
+    splits the plan into TWO ArrowEvalPython evaluations and measured +40%
+    on the simhash pipeline at sf0.1 (1.81 → 1.25 s after the fold,
+    identical edges)."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sig = sig.filter(F.col(sig_col).isNotNull())
+    bands_arr = F.when(
+        F.col(sig_col).isNotNull(),
+        F.array(
+            *[
+                F.shiftrightunsigned(sig_col, i * band_bits).bitwiseAND(F.lit(mask))
+                for i in range(n_bands)
+            ]
+        ),
+    )
     banded = sig.select(
         id_col,
         sig_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(sig_col, i * band_bits).bitwiseAND(F.lit(mask))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+        F.posexplode(bands_arr).alias("band_idx", "band_val"),
     ).withColumn("band_key", F.xxhash64("band_idx", "band_val")).select(
         id_col, sig_col, "band_key"
     )
@@ -1076,4 +1083,120 @@ def paragraph_dedup(
         .otherwise(F.size(keep))
         .cast("long")
         .alias("n_kept"),
+    )
+
+
+def prefix_filter_ssjoin(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering
+    (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) —
+    guaranteed-complete pairs with ``jaccard >= threshold``, without LSH's
+    probabilistic recall AND without the full-gram equi-join's hot-token
+    blowup.
+
+    Why this exists next to the plain gram join (``near_dup_pairs_exact``):
+    that join keys on EVERY shared gram, so a stop-word shingle shared by
+    1% of a 100 TB corpus creates a quadratic candidate bucket. Prefix
+    filtering bounds candidates by a theorem instead of a hash: order every
+    doc's gram set by ONE corpus-wide total order (ascending frequency —
+    rarest first), keep only the first ``p = sz - ceil(t*sz) + 1`` grams as
+    the doc's prefix, and join prefixes. Any pair with ``J >= t`` MUST
+    share a prefix gram (pigeonhole on the common order), so the join loses
+    nothing — while frequent grams sit at the END of the order and almost
+    never enter a prefix, inverting the skew instead of salting it.
+
+    Plan shape (all built-in expressions, no UDFs):
+
+    1. gram frequencies: one map-side-combinable agg over exploded 64-bit
+       gram hashes;
+    2. order join: gram rows pick up their (freq, gram) sort key — narrow
+       long pairs only; per-doc sorted gram array rebuilt with ONE
+       ``sort_array(collect_list(struct))`` agg;
+    3. prefix explode + self-equi-join on gram, with the length filter
+       ``t*sz_a <= sz_b <= sz_a/t`` applied inside the join;
+    4. verify: candidates re-join the per-doc sorted hash arrays by id and
+       pairs pass ``size(array_intersect)/union >= t`` — exact, so the
+       output equals the naive all-pairs answer (modulo 64-bit gram-hash
+       collisions, ~2^-64).
+
+    Returns distinct (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    t = float(threshold)
+    grams = (
+        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+        .filter(F.col("sh").isNotNull())
+        .select(id_col, F.explode(F.transform("sh", F.xxhash64)).alias("gram"))
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("_freq"))
+    # one total order for the whole corpus: (freq ASC, gram ASC); encoded as
+    # a sortable struct so no global rank window (a single-partition
+    # bottleneck at scale) is ever needed
+    ordered = (
+        grams.join(freq, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_freq", "gram"))),
+                lambda s: s["gram"],
+            ).alias("_gs")
+        )
+        .select(
+            id_col,
+            "_gs",
+            F.size("_gs").alias("sz"),
+            (F.size("_gs") - F.ceil(F.size("_gs") * F.lit(t)) + 1)
+            .cast("int")
+            .alias("_p"),
+        )
+    )
+    prefix = ordered.select(
+        id_col, "sz", F.explode(F.slice("_gs", 1, F.col("_p"))).alias("gram")
+    )
+    cands = (
+        prefix.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "gram")
+        .join(
+            prefix.select(
+                F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "gram"
+            ),
+            on="gram",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") * F.lit(1.0) >= F.col("sz_a") * F.lit(t))
+            & (F.col("sz_a") * F.lit(1.0) >= F.col("sz_b") * F.lit(t))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = ordered.select(id_col, "_gs", "sz")
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        cands.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_gs").alias("_ga"),
+                F.col("sz").alias("sz_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_gs").alias("_gb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
     )

@@ -187,3 +187,57 @@ def sample_gumbel_topk(
         .limit(k)
         .drop("_gk")
     )
+
+
+def split_boundaries(
+    fractions: Mapping[str, float], buckets: int = 10_000
+) -> list[tuple[str, int, int]]:
+    """Deterministic (name, lo, hi) bucket ranges for a named split, in
+    sorted-name order, covering [0, buckets) exactly (the last range
+    absorbs rounding residue). Shared by the Spark expression and the
+    DuckDB oracle so both engines cut on literally the same integers."""
+    names = sorted(fractions)
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, cum = [], 0
+    for i, name in enumerate(names):
+        hi = buckets if i == len(names) - 1 else cum + round(fractions[name] * buckets)
+        out.append((name, cum, hi))
+        cum = hi
+    return out
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str = "doc_id",
+    fractions: Mapping[str, float] | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Leakage-free train/val/test split: the split is decided per GROUP
+    (a dedup cluster, a domain, an exact-text fingerprint), never per row,
+    so duplicates and near-duplicates can never straddle the eval boundary
+    — the contamination mode row-level random splits are famous for.
+
+    Every group is represented by its minimum ``key_col`` (portable
+    integer), hashed with the engine-portable :func:`_key_hash` into
+    ``buckets`` and cut on :func:`split_boundaries`' ranges — fully
+    deterministic across runs, partitionings, and scale factors. Rows with
+    a NULL group key form ONE group (they are mutually indistinguishable
+    to the grouping; pre-coalesce a per-row key to opt out).
+
+    Plan: one map-side-combinable min-agg shuffled on the group key plus
+    an equi-join back on that same key (co-partitioned — AQE reuses the
+    exchange), then a pure-codegen CASE. The corpus never shuffles twice.
+
+    Returns ``df`` + (group_rep, split).
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    reps = df.groupBy(group_col).agg(F.min(key_col).alias("group_rep"))
+    bucket = _key_hash(F.col("group_rep"), buckets)
+    expr = None
+    for name, lo, hi in split_boundaries(fractions, buckets):
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.join(reps, on=group_col).withColumn("split", expr)

@@ -77,16 +77,23 @@ _CHECK_PRIORITY: list[str] = [
     #    redundancy, as in r6 (see the deferred block below).
     # -- 1. never-checked: registered THIS round, in their own round's
     #    window (text_bpe_segment = VERDICT r6 stretch #9; text_bm25_topk
-    #    BM25 retrieval + dedup_paragraphs CCNet paragraph dedup = the two
-    #    late-r7 curation additions). Each displaces one r3 slot —
-    #    events_funnel_3step and profile_price_histogram move to the
-    #    deferred tail (r3 remainder: 13), chosen for in-window family
-    #    redundancy: the events surface keeps cohort_retention,
-    #    interval_overlap and time_rollup in-window; profiling keeps
-    #    profile_orders_columns.
+    #    BM25 retrieval, dedup_paragraphs CCNet paragraph dedup,
+    #    dedup_prefix_ssjoin exact AllPairs/PPJoin, sample_group_split
+    #    leakage-free group split = the r7 curation additions). Each
+    #    displaces one r3 slot — events_funnel_3step,
+    #    profile_price_histogram, text_chunking and
+    #    corpus_resample_balanced move to the deferred tail (r3
+    #    remainder: 15), chosen for in-window family redundancy: the
+    #    events surface keeps cohort_retention, interval_overlap and
+    #    time_rollup in-window; profiling keeps profile_orders_columns;
+    #    packing keeps text_pack_bins; sampling keeps
+    #    sample_stratified_segments + corpus_mix_report (and gains
+    #    sample_group_split).
     "text_bpe_segment",
     "text_bm25_topk",
     "dedup_paragraphs",
+    "dedup_prefix_ssjoin",
+    "sample_group_split",
     # -- 2. the full r2-only backlog (13) — VERDICT r6 ask #1: these led
     #    the deferred block last round and lead the cut now; r2-backlog
     #    after r7 = 0
@@ -120,7 +127,6 @@ _CHECK_PRIORITY: list[str] = [
     "a3_multi_measure_agg",
     "cdc_snapshot_diff",
     "corpus_mix_report",
-    "corpus_resample_balanced",
     "curation_pipeline",
     "dedup_clusters_assign",
     "dedup_incremental",
@@ -137,7 +143,6 @@ _CHECK_PRIORITY: list[str] = [
     "sim_label_centroids",
     "sketch_distinct_rollup",
     "text_char_entropy",
-    "text_chunking",
     "text_collocations",
     "text_decontaminate",
     "text_lang_confusion",
@@ -154,11 +159,16 @@ _CHECK_PRIORITY: list[str] = [
     #    y2 range-sorted layout (y3 z-order + k-family partitioned
     #    writes in-window), w9 time-range window (events_sliding_agg
     #    + events_time_rollup in-window), events_funnel_3step (events
-    #    window/sequence family triple-covered in-window), and
-    #    profile_price_histogram (profile_orders_columns in-window).
+    #    window/sequence family triple-covered in-window),
+    #    profile_price_histogram (profile_orders_columns in-window),
+    #    text_chunking (text_pack_bins in-window — same packing family),
+    #    and corpus_resample_balanced (sample_stratified_segments,
+    #    corpus_mix_report and the new sample_group_split in-window).
     #    These lead the r8 cut.
     "events_funnel_3step",
     "profile_price_histogram",
+    "text_chunking",
+    "corpus_resample_balanced",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

@@ -605,3 +605,88 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/dedup.paragraph_dedup."""
     docs = TableRegistry(spark, sf_dir).documents
     return D.paragraph_dedup(docs, para_tokens=3)
+
+
+@query(
+    "dedup_prefix_ssjoin",
+    oracle=f"""
+    WITH toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS sz FROM sh
+    ), exploded AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.6
+    """,
+)
+def dedup_prefix_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin,
+    Bayardo 2007 / Xiao 2008) at Jaccard >= 0.6. The Spark plan joins only
+    on each document's rarest-first PREFIX grams (``p = sz - ceil(t*sz) +
+    1``), so frequent grams never become join keys — the theorem-bounded
+    scale path where the full-gram join (``dedup_ngram_jaccard``) hits
+    quadratic hot-token buckets at 100 TB. The DuckDB twin is the NAIVE
+    every-shared-gram join with a final threshold filter — a genuinely
+    independent algorithm, so hash equality proves the prefix filter
+    loses no pair. See operators/dedup.prefix_filter_ssjoin."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return D.prefix_filter_ssjoin(docs, threshold=0.6)
+
+
+def _group_split_oracle() -> str:
+    from datalake_nba_dmc_spark.operators.sampling import (
+        duck_key_hash,
+        split_boundaries,
+    )
+
+    case = " ".join(
+        f"WHEN _b >= {lo} AND _b < {hi} THEN '{name}'"
+        for name, lo, hi in split_boundaries(
+            {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+    )
+    return f"""
+    WITH reps AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY {_NORM}) AS group_rep
+      FROM documents
+    ), b AS (
+      SELECT doc_id, group_rep,
+             {duck_key_hash("group_rep", 10_000)} AS _b
+      FROM reps
+    )
+    SELECT doc_id, group_rep, CASE {case} END AS split FROM b
+    """
+
+
+@query("sample_group_split", oracle=_group_split_oracle())
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: train/val/test membership decided per exact-dup
+    GROUP (normalized-text fingerprint), so duplicate documents can never
+    straddle the eval boundary — the group representative (min doc_id) is
+    hashed with the engine-portable key hash and cut on shared integer
+    boundaries. The DuckDB twin groups by the normalized STRING where
+    Spark groups by its xxhash64 fingerprint (independent modulo 64-bit
+    collisions). One min-agg shuffle + a co-partitioned equi-join; the
+    corpus never shuffles twice. See operators/sampling.split_by_group."""
+    from datalake_nba_dmc_spark.operators.sampling import split_by_group
+
+    docs = TableRegistry(spark, sf_dir).documents
+    with_fp = docs.withColumn("_fp", F.xxhash64(D.normalize_text("text")))
+    return split_by_group(with_fp, group_col="_fp", key_col="doc_id").select(
+        "doc_id", "group_rep", "split"
+    )

@@ -439,3 +439,48 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     df = spark.createDataFrame([(7, "a b c a b c d e f")], ["doc_id", "text"])
     row = paragraph_dedup(df, para_tokens=3).collect()[0]
     assert (row["clean_text"], row["n_paras"], row["n_kept"]) == ("a b c d e f", 3, 2)
+
+
+def test_prefix_filter_ssjoin_equals_naive(spark):
+    """Prefix filtering must lose NO pair: compare against a brute-force
+    all-pairs Jaccard join on a corpus crafted with near-dups, exact dups,
+    disjoint docs, short docs, and NULL/empty texts."""
+    from itertools import combinations
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datalake_nba_dmc_spark.operators.dedup import prefix_filter_ssjoin, shingles
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    corpus = [
+        (1, DOC),
+        (2, DOC),  # exact dup of 1
+        (3, NEAR),  # one-token change
+        (4, OTHER),
+        (5, "the quick brown fox jumps over the lazy dog near the river"),
+        (6, "a b"),  # short doc (single whole-text gram)
+        (7, "a b"),  # its exact dup
+        (8, None),
+        (9, ""),
+    ]
+    df = spark.createDataFrame(corpus, schema)
+    for t in (0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_ssjoin(df, threshold=t).collect()
+        }
+        # brute force on the same shingle definition
+        sets = {
+            r["doc_id"]: set(r["sh"] or [])
+            for r in df.select("doc_id", shingles("text").alias("sh")).collect()
+        }
+        want = {}
+        for a, b in combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if sa and sb:
+                j = len(sa & sb) / len(sa | sb)
+                if j >= t:
+                    want[(a, b)] = j
+        assert got == want, f"threshold {t}: {got} != {want}"

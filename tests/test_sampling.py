@@ -123,3 +123,42 @@ def test_gumbel_topk_equals_efraimidis_spirakis_on_exp_weights(spark):
     shifted = df.withColumn("logw", F.col("logw") + F.lit(700.0))
     got_shift = [r["k"] for r in sample_gumbel_topk(shifted, "k", "logw", 20).collect()]
     assert sorted(got_shift) == sorted(got_gu)
+
+
+def test_split_by_group_no_straddle_and_fractions(spark):
+    """split_by_group: every group lands in exactly one split, boundaries
+    cover [0, buckets) exactly, and observed fractions are in the right
+    ballpark on 3000 keyed groups."""
+    from collections import Counter
+
+    from datalake_nba_dmc_spark.operators.sampling import (
+        split_boundaries,
+        split_by_group,
+    )
+
+    bounds = split_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert bounds[0][1] == 0 and bounds[-1][2] == 10_000
+    assert [b[0] for b in bounds] == ["test", "train", "val"]
+    assert all(lo < hi for _, lo, hi in bounds)
+
+    rows = [(i, f"g{i % 1000}") for i in range(3000)]  # 1000 groups of 3
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = split_by_group(df, group_col="grp", key_col="doc_id").collect()
+    assert len(out) == 3000
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r["grp"], set()).add(r["split"])
+        assert r["group_rep"] == int(r["grp"][1:])  # min doc_id of the group
+    assert all(len(s) == 1 for s in per_group.values())  # no straddling
+    counts = Counter(next(iter(s)) for s in per_group.values())
+    assert 0.85 < counts["train"] / 1000 < 0.95
+    assert counts["val"] + counts["test"] < 200
+
+
+def test_split_by_group_bad_fractions_raise(spark):
+    import pytest as _pytest
+
+    from datalake_nba_dmc_spark.operators.sampling import split_boundaries
+
+    with _pytest.raises(ValueError):
+        split_boundaries({"train": 0.5, "val": 0.1})
