@@ -1130,7 +1130,10 @@ def prefix_filter_ssjoin(
     grams = (
         with_shingles(df.select(id_col, text_col), text_col, shingle_n)
         .filter(F.col("sh").isNotNull())
-        .select(id_col, F.explode(F.transform("sh", F.xxhash64)).alias("gram"))
+        .select(
+            id_col,
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("gram"),
+        )
     )
     freq = grams.groupBy("gram").agg(F.count("*").alias("_freq"))
     # one total order for the whole corpus: (freq ASC, gram ASC); encoded as
