@@ -1124,6 +1124,17 @@ def prefix_filter_ssjoin(
        output equals the naive all-pairs answer (modulo 64-bit gram-hash
        collisions, ~2^-64).
 
+    Measured crossover (PERF.md r7): on the synthetic corpus — NO hot
+    grams, max prefix bucket 10 — the naive full-gram join is ~5× faster
+    at sf0.1/t=0.5 (1.31 s vs 6.5 s; 310 k candidates for 256 final
+    pairs, the array verify dominates; outputs differentially identical).
+    The prefix path's value is its BOUND, not its constant: one stop-word
+    shingle shared by 1% of a 100 TB corpus makes the naive join's
+    candidate set quadratic in that bucket, while here frequent grams sit
+    at the end of the order and never become join keys. Use the naive
+    join (``near_dup_pairs_exact``) for clean corpora at toy scale; use
+    this when token frequencies are Zipf-hot and the threshold is high.
+
     Returns distinct (id_a, id_b, jaccard) with id_a < id_b.
     """
     t = float(threshold)

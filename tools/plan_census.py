@@ -56,6 +56,7 @@ BNLJ_AUDITED = {
     "sketch_theta_overlap",       # one-row sketch blobs
     "stat_psi_price_drift",       # one-row pre/post totals
     "text_collocations",          # one-row token grand total
+    "text_bm25_topk",             # one-row (N, avgdl) corpus-stats broadcast
     "text_dsir_selection",        # one-row LM-totals broadcast
     "text_length_deciles",        # Range(10) decile bounds
     "text_tfidf",                 # one-row doc-count total
