@@ -241,3 +241,48 @@ def split_by_group(
         cond = (bucket >= lo) & (bucket < hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.join(reps, on=group_col).withColumn("split", expr)
+
+
+def sample_temperature(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    tau: float = 0.5,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled mix rebalancing (the multilingual-LM sampling
+    rule of mBERT / XLM-R, Conneau et al. 2020: sample strata with
+    probability ∝ p_i^α): per-stratum deterministic keep-rate
+    ``(n_min / n_i)^tau``, so surviving mass ∝ p_i^(1-tau) — ``tau=0`` is
+    the natural mix, ``tau=1`` the equal-mass mix of
+    :func:`resample_balanced`, and ``tau=0.5`` the sqrt scaling (α=0.5)
+    most multilingual recipes use. Downsample-only (every rate ≤ 1, the
+    rarest stratum keeps everything) and decided by the portable key
+    hash, so membership is reproducible across runs, partitionings, and
+    scale factors.
+
+    Plan: one map-side-combinable count agg (k strata rows), a one-row
+    min broadcast onto it, a k-row broadcast join back to the corpus, and
+    a scan-level hash filter — the corpus is never shuffled.
+
+    Engine-exactness note: at ``tau=0.5`` the rate is
+    ``sqrt(n_min/n_i)`` — IEEE-754 sqrt is correctly rounded in both the
+    JVM and C, so oracle twins match bit-for-bit; other ``tau`` values go
+    through ``pow``, which carries a last-ulp cross-engine risk at
+    threshold boundaries (fine for the operator, avoid in oracles).
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_nmin"))
+    rate = (
+        F.sqrt(F.col("_nmin") / F.col("_n"))
+        if tau == 0.5
+        else F.pow(F.col("_nmin") / F.col("_n"), F.lit(float(tau)))
+    )
+    thresholds = counts.crossJoin(F.broadcast(min_n)).select(
+        stratum_col, F.floor(rate * buckets).cast("long").alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=stratum_col)
+        .filter(_key_hash(F.col(key_col), buckets) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -79,21 +79,30 @@ _CHECK_PRIORITY: list[str] = [
     #    window (text_bpe_segment = VERDICT r6 stretch #9; text_bm25_topk
     #    BM25 retrieval, dedup_paragraphs CCNet paragraph dedup,
     #    dedup_prefix_ssjoin exact AllPairs/PPJoin, sample_group_split
-    #    leakage-free group split = the r7 curation additions). Each
-    #    displaces one r3 slot — events_funnel_3step,
-    #    profile_price_histogram, text_chunking and
-    #    corpus_resample_balanced move to the deferred tail (r3
-    #    remainder: 15), chosen for in-window family redundancy: the
-    #    events surface keeps cohort_retention, interval_overlap and
-    #    time_rollup in-window; profiling keeps profile_orders_columns;
-    #    packing keeps text_pack_bins; sampling keeps
-    #    sample_stratified_segments + corpus_mix_report (and gains
-    #    sample_group_split).
+    #    leakage-free group split, corpus_temperature_mix XLM-R-style
+    #    tau-scaled rebalance, text_ccnet_buckets head/middle/tail = the
+    #    r7 curation additions). Each displaces one r3 slot —
+    #    events_funnel_3step, profile_price_histogram, text_chunking,
+    #    corpus_resample_balanced, dedup_clusters_assign and
+    #    text_lang_confusion move to the deferred tail (r3 remainder:
+    #    17), chosen for in-window family redundancy: the events surface
+    #    keeps cohort_retention, interval_overlap and time_rollup
+    #    in-window; profiling keeps profile_orders_columns; packing
+    #    keeps text_pack_bins; sampling keeps sample_stratified_segments
+    #    + corpus_mix_report (and gains sample_group_split +
+    #    corpus_temperature_mix); dedup grouping keeps dedup_paragraphs,
+    #    dedup_prefix_ssjoin and dedup_incremental (connected_components
+    #    is additionally pinned by pytest and exercised inside
+    #    sim_semantic_dedup in-window); language-ID keeps
+    #    text_ccnet_buckets' per-lang grouping plus r6-green
+    #    text_lang_id.
     "text_bpe_segment",
     "text_bm25_topk",
     "dedup_paragraphs",
     "dedup_prefix_ssjoin",
     "sample_group_split",
+    "corpus_temperature_mix",
+    "text_ccnet_buckets",
     # -- 2. the full r2-only backlog (13) — VERDICT r6 ask #1: these led
     #    the deferred block last round and lead the cut now; r2-backlog
     #    after r7 = 0
@@ -128,7 +137,6 @@ _CHECK_PRIORITY: list[str] = [
     "cdc_snapshot_diff",
     "corpus_mix_report",
     "curation_pipeline",
-    "dedup_clusters_assign",
     "dedup_incremental",
     "dq_orders_expectations",
     "emb_second_moments",
@@ -145,7 +153,6 @@ _CHECK_PRIORITY: list[str] = [
     "text_char_entropy",
     "text_collocations",
     "text_decontaminate",
-    "text_lang_confusion",
     "text_pack_bins",
     "text_pii_redaction",
     "text_repetition",
@@ -162,13 +169,17 @@ _CHECK_PRIORITY: list[str] = [
     #    window/sequence family triple-covered in-window),
     #    profile_price_histogram (profile_orders_columns in-window),
     #    text_chunking (text_pack_bins in-window — same packing family),
-    #    and corpus_resample_balanced (sample_stratified_segments,
-    #    corpus_mix_report and the new sample_group_split in-window).
-    #    These lead the r8 cut.
+    #    corpus_resample_balanced (sample_stratified_segments,
+    #    corpus_mix_report and the new sample_group_split +
+    #    corpus_temperature_mix in-window), dedup_clusters_assign and
+    #    text_lang_confusion (see the section-1 note). These lead the
+    #    r8 cut.
     "events_funnel_3step",
     "profile_price_histogram",
     "text_chunking",
     "corpus_resample_balanced",
+    "dedup_clusters_assign",
+    "text_lang_confusion",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

@@ -1143,3 +1143,101 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort). See operators/text.bm25_scores."""
     docs = TableRegistry(spark, sf_dir).documents
     return T.bm25_topk(docs, _BM25_QUERY, topk=20)
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS _n FROM documents GROUP BY 1
+    ), thr AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST((SELECT MIN(_n) FROM counts) AS DOUBLE)
+                             / _n) * 1000) AS BIGINT) AS _thr
+      FROM counts
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({{toks}})) AS BIGINT) AS n_tokens
+    FROM documents d JOIN thr USING (source)
+    WHERE {duck_key_hash("d.doc_id", 1000)} < thr._thr
+    GROUP BY 1
+    """.replace("{toks}", _DUCK_TOKS),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training mix (tau=0.5 ⇒ surviving mass ∝
+    sqrt(natural share) — the XLM-R-style multilingual rebalance): rates
+    come FROM the per-source doc counts (one k-row agg + broadcasts, the
+    corpus never shuffles) and membership from the portable key hash.
+    sqrt is IEEE-correctly-rounded in both engines, so the integer
+    thresholds match bit-for-bit. Reported as surviving docs + token
+    budget per source. See operators/sampling.sample_temperature."""
+    from datalake_nba_dmc_spark.operators.sampling import sample_temperature
+
+    docs = TableRegistry(spark, sf_dir).documents
+    mixed = sample_temperature(docs, key_col="doc_id", stratum_col="source", tau=0.5)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), dw AS (
+      SELECT doc_id, w, COUNT(*) AS n_dw
+      FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+    ), vocab AS (
+      SELECT w, CAST(SUM(n_dw) AS BIGINT) AS c_w FROM dw GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c_w) AS BIGINT) AS t_total FROM vocab
+    ), scored AS (
+      SELECT dw.doc_id,
+             round((CAST(SUM(dw.n_dw * CAST(round(
+                        ln(CAST(vocab.c_w AS DOUBLE) / CAST(tot.t_total AS DOUBLE))
+                        * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+                   / CAST(SUM(dw.n_dw) AS BIGINT), 6) AS avg_logprob
+      FROM dw JOIN vocab USING (w) CROSS JOIN tot
+      GROUP BY dw.doc_id
+    )
+    SELECT s.doc_id, d.lang,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_logprob DESC, s.doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored s JOIN documents d USING (doc_id)
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature curation stage (Wenzek et al. 2020): split each
+    language's documents into head/middle/tail TERCILES of LM quality
+    (here the oracle-exact unigram avg-logprob; higher = head). ntile(3)
+    over (score DESC, doc_id) per language — both engines implement ANSI
+    ntile, and the 6-dp micro-nat score plus the id tiebreak make the
+    order total, so buckets match bit-for-bit. Scale note: exact ntile
+    sorts within each language partition; at 100 TB the standard swap-in
+    is two approx-percentile thresholds + a broadcast CASE (no sort) —
+    exact terciles are kept here because they ARE the differential
+    contract. See operators/text.unigram_logprob."""
+    from pyspark.sql import Window
+
+    docs = TableRegistry(spark, sf_dir).documents
+    scored = T.unigram_logprob(docs).select("doc_id", "avg_logprob")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    n = F.ntile(3).over(w)
+    return (
+        scored.join(docs.select("doc_id", "lang"), on="doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(n == 1, "head").when(n == 2, "middle").otherwise("tail").alias("bucket"),
+        )
+    )

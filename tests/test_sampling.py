@@ -162,3 +162,40 @@ def test_split_by_group_bad_fractions_raise(spark):
 
     with _pytest.raises(ValueError):
         split_boundaries({"train": 0.5, "val": 0.1})
+
+
+def test_sample_temperature_rates_and_determinism(spark):
+    """tau=0.5 keep-rates follow sqrt(n_min/n_i): the rarest stratum keeps
+    everything, a 4x-bigger stratum keeps ~sqrt(1/4)=50%; membership is
+    deterministic and downsample-only."""
+    from datalake_nba_dmc_spark.operators.sampling import sample_temperature
+
+    rows = [(i, "big") for i in range(4000)] + [(10_000 + i, "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sample_temperature(df, key_col="doc_id", stratum_col="source", tau=0.5)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts["small"] == 1000  # rate 1.0 exactly
+    assert 0.40 * 4000 < counts["big"] < 0.60 * 4000  # rate floor(sqrt(1/4)*1000)=500
+    # deterministic across evaluations
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b
+
+
+def test_sample_temperature_tau_extremes(spark):
+    """tau=0 keeps the natural mix (all rows); tau=1 equalizes counts to
+    ~n_min per stratum."""
+    from datalake_nba_dmc_spark.operators.sampling import sample_temperature
+
+    rows = [(i, "big") for i in range(2000)] + [(10_000 + i, "small") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    assert sample_temperature(df, "doc_id", "source", tau=0.0).count() == 2500
+    eq = {
+        r["source"]: r["n"]
+        for r in sample_temperature(df, "doc_id", "source", tau=1.0)
+        .groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert eq["small"] == 500
+    assert 0.2 * 2000 < eq["big"] < 0.3 * 2000  # rate = 500/2000 = 25%
