@@ -489,3 +489,71 @@ def test_bpe_pair_counts_single_agg_chain(spark):
     assert plan.count("HashAggregate") >= 4  # both aggs map-side combined
     for marker in ("Join", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+@needs_testdata
+def test_bm25_topk_is_take_ordered_with_broadcasts(spark):
+    """BM25 top-k must compile the final cut to TakeOrderedAndProject (no
+    global sort of the score stream); per-term document frequencies and
+    the one-row (N, avgdl) corpus stats ride broadcast joins; no Python
+    workers anywhere — the whole scorer is codegen expressions."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+@needs_testdata
+def test_paragraph_dedup_text_crosses_one_shuffle(spark):
+    """Paragraph dedup's contract: dedup decisions travel as narrow
+    (id, idx, hash) triples through map-side-combinable aggs; the TEXT
+    column rides exactly one shuffle (the per-doc keep-index equi-join).
+    No shuffle other than that join may carry a string payload wider
+    than the id."""
+    plan = plan_of(spark, "dedup_paragraphs")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "partial_min" in plan, plan  # first-occurrence agg combines map-side
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan
+    # the decisions path must aggregate BEFORE joining back: hash aggs on
+    # the paragraph-hash and doc-id keys
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+@needs_testdata
+def test_prefix_ssjoin_joins_on_integers_only(spark):
+    """The prefix candidate join and the verify joins must never shuffle
+    the gram STRINGS — only 64-bit hashes, ids, and sizes; the gram
+    frequency agg is map-side combined; no global rank window (the total
+    order is struct-sort per doc, not a corpus-wide row_number)."""
+    plan = plan_of(spark, "dedup_prefix_ssjoin")
+    assert "Window" not in plan, plan  # no single-partition global rank
+    assert "partial_count" in plan, plan  # freq agg combines map-side
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan
+
+
+@needs_testdata
+def test_group_split_one_agg_one_join(spark):
+    """Leakage-free split: ONE min-agg shuffle on the group key plus the
+    equi-join back — the corpus must not shuffle twice; the split CASE is
+    pure codegen (no Python, no extra exchange)."""
+    plan = plan_of(spark, "sample_group_split")
+    assert "partial_min" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan
+
+
+@needs_testdata
+def test_temperature_mix_thresholds_broadcast_corpus_unshuffled(spark):
+    """Temperature mix: the k-row thresholds and the one-row min must
+    BROADCAST onto the corpus scan; the only aggregation exchanges belong
+    to the per-source count and the final report agg — the corpus itself
+    is never hash-repartitioned before the filter."""
+    plan = plan_of(spark, "corpus_temperature_mix")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan
