@@ -921,3 +921,71 @@ def bm25_topk(
     id_col = kwargs.get("id_col", "doc_id")
     scores = bm25_scores(df, query_terms, **kwargs)
     return scores.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(topk)
+
+
+def js_divergence(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Jensen–Shannon divergence between two sub-corpora's unigram
+    distributions — the text-distribution twin of the numeric PSI drift
+    check (and the standard "did my filter/generator shift the corpus"
+    QC in curation pipelines). Returns ONE row
+    (n_tokens_a, n_tokens_b, kl_a, kl_b, jsd) in nats, 6 dp.
+
+    Engine-exact by the micro-nat integer trick (same as
+    :func:`unigram_logprob`): each vocabulary term contributes
+    ``count * round(ln(p/m) * 1e6)`` — a bigint product — so the corpus
+    sums are order-free exact integers and only ONE final division
+    happens in floating point. The log ratios are computed with an
+    explicitly sequenced expression (``ln((2*(ca/ta)) / (ca/ta + cb/tb))``)
+    so both engines evaluate identical IEEE operations.
+
+    Plan: one token-level agg (map-side combined) pivots the two sources
+    into (c_a, c_b) per token, a one-row totals broadcast, and a final
+    one-row agg — shuffle cost O(|vocab|), corpus scanned once.
+    """
+    toks = ensure_parallelism(
+        df.filter(F.col(source_col).isin([source_a, source_b]))
+    ).select(
+        source_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("_w")
+    )
+    counts = toks.groupBy("_w").agg(
+        F.sum(F.when(F.col(source_col) == source_a, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col(source_col) == source_b, 1).otherwise(0)).alias("_cb"),
+    )
+    totals = counts.agg(
+        F.sum("_ca").cast("long").alias("_ta"), F.sum("_cb").cast("long").alias("_tb")
+    )
+    ca, cb = F.col("_ca").cast("double"), F.col("_cb").cast("double")
+    ta, tb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
+    # identical operation order in the DuckDB twin — do not refactor
+    log_a = F.log((F.lit(2.0) * (ca / ta)) / (ca / ta + cb / tb))
+    log_b = F.log((F.lit(2.0) * (cb / tb)) / (ca / ta + cb / tb))
+    term_a = F.when(
+        F.col("_ca") > 0, F.col("_ca") * F.round(log_a * 1e6).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    term_b = F.when(
+        F.col("_cb") > 0, F.col("_cb") * F.round(log_b * 1e6).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    kl_a = F.col("_sa").cast("double") / (F.col("_ta") * F.lit(1e6))
+    kl_b = F.col("_sb").cast("double") / (F.col("_tb") * F.lit(1e6))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("_ta").alias("_ta"),
+            F.first("_tb").alias("_tb"),
+            F.sum(term_a).cast("long").alias("_sa"),
+            F.sum(term_b).cast("long").alias("_sb"),
+        )
+        .select(
+            F.col("_ta").alias("n_tokens_a"),
+            F.col("_tb").alias("n_tokens_b"),
+            F.round(kl_a, 6).alias("kl_a"),
+            F.round(kl_b, 6).alias("kl_b"),
+            F.round((kl_a + kl_b) / F.lit(2.0), 6).alias("jsd"),
+        )
+    )

@@ -103,6 +103,10 @@ _CHECK_PRIORITY: list[str] = [
     "sample_group_split",
     "corpus_temperature_mix",
     "text_ccnet_buckets",
+    # (+ text_js_divergence, the eighth r7 registration — displaces
+    #  text_char_entropy, whose entropy bound is pytest-pinned and whose
+    #  text-stats family is quadruple-covered in-window)
+    "text_js_divergence",
     # -- 2. the full r2-only backlog (13) — VERDICT r6 ask #1: these led
     #    the deferred block last round and lead the cut now; r2-backlog
     #    after r7 = 0
@@ -150,7 +154,6 @@ _CHECK_PRIORITY: list[str] = [
     "scd2_user_event_history",
     "sim_label_centroids",
     "sketch_distinct_rollup",
-    "text_char_entropy",
     "text_collocations",
     "text_decontaminate",
     "text_pack_bins",
@@ -180,6 +183,7 @@ _CHECK_PRIORITY: list[str] = [
     "corpus_resample_balanced",
     "dedup_clusters_assign",
     "text_lang_confusion",
+    "text_char_entropy",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

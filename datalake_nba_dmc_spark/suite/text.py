@@ -1241,3 +1241,54 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n == 1, "head").when(n == 2, "middle").otherwise("tail").alias("bucket"),
         )
     )
+
+
+@query(
+    "text_js_divergence",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x != '')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), counts AS (
+      SELECT w,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+      FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
+      FROM counts
+    ), terms AS (
+      SELECT
+        CASE WHEN ca > 0 THEN CAST(ca AS BIGINT) * CAST(round(
+          ln((2.0 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)))
+             / (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) * 1e6)
+          AS BIGINT) ELSE 0 END AS term_a,
+        CASE WHEN cb > 0 THEN CAST(cb AS BIGINT) * CAST(round(
+          ln((2.0 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))
+             / (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) * 1e6)
+          AS BIGINT) ELSE 0 END AS term_b,
+        ta, tb
+      FROM counts CROSS JOIN tot
+    )
+    SELECT MIN(ta) AS n_tokens_a, MIN(tb) AS n_tokens_b,
+           round(CAST(SUM(term_a) AS DOUBLE) / (MIN(ta) * 1e6), 6) AS kl_a,
+           round(CAST(SUM(term_b) AS DOUBLE) / (MIN(tb) * 1e6), 6) AS kl_b,
+           round((CAST(SUM(term_a) AS DOUBLE) / (MIN(ta) * 1e6)
+                  + CAST(SUM(term_b) AS DOUBLE) / (MIN(tb) * 1e6)) / 2.0, 6)
+             AS jsd
+    FROM terms
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the src0 and src1 sub-corpora's
+    unigram distributions — corpus-drift QC (the text twin of
+    stat_psi_price_drift). Exact-integer micro-nat terms make the vocab
+    sums order-free, so both engines agree bit-for-bit; shuffle cost is
+    O(|vocab|) and the corpus is scanned once. See
+    operators/text.js_divergence."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return T.js_divergence(docs, "src0", "src1")

@@ -453,3 +453,55 @@ def test_bm25_topk_order_and_cut(spark):
     rows = bm25_topk(df, ["alpha"], topk=3).collect()
     assert rows[0]["doc_id"] == 9  # highest tf first
     assert [r["doc_id"] for r in rows[1:]] == [0, 1]  # tie → id ASC
+
+
+def test_js_divergence_hand_computed(spark):
+    """JSD matches a hand-computed reference on a tiny two-source corpus
+    (micro-nat integer terms, identical-corpora → 0, disjoint → ln 2)."""
+    import math
+
+    from datalake_nba_dmc_spark.operators.text import js_divergence
+
+    def r_half_up(x):  # Spark/DuckDB round: half away from zero, not banker's
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def r6(x):
+        return r_half_up(x * 1e6) / 1e6
+
+    def ref_jsd(ca, cb):
+        ta, tb = sum(ca.values()), sum(cb.values())
+        sa = sum(
+            c * r_half_up(math.log((2 * (c / ta)) / (c / ta + cb.get(w, 0) / tb)) * 1e6)
+            for w, c in ca.items()
+        )
+        sb = sum(
+            c * r_half_up(math.log((2 * (c / tb)) / (ca.get(w, 0) / ta + c / tb)) * 1e6)
+            for w, c in cb.items()
+        )
+        ka, kb = sa / (ta * 1e6), sb / (tb * 1e6)
+        return r6(ka), r6(kb), r6((ka + kb) / 2)
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x x y z"),
+            (2, "a", "y y"),
+            (3, "b", "x z z w"),
+            (4, "b", None),
+            (5, "c", "ignored entirely"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    row = js_divergence(df, "a", "b").collect()[0]
+    ka, kb, jsd = ref_jsd({"x": 2, "y": 3, "z": 1}, {"x": 1, "z": 2, "w": 1})
+    assert (row["n_tokens_a"], row["n_tokens_b"]) == (6, 4)
+    assert (row["kl_a"], row["kl_b"], row["jsd"]) == (ka, kb, jsd)
+
+    # identical corpora → exactly 0; fully disjoint → exactly ln 2
+    same = spark.createDataFrame(
+        [(1, "a", "p q r"), (2, "b", "p q r")], ["doc_id", "source", "text"]
+    )
+    assert js_divergence(same, "a", "b").collect()[0]["jsd"] == 0.0
+    disj = spark.createDataFrame(
+        [(1, "a", "p p"), (2, "b", "q q")], ["doc_id", "source", "text"]
+    )
+    assert js_divergence(disj, "a", "b").collect()[0]["jsd"] == r6(math.log(2))

@@ -58,6 +58,7 @@ BNLJ_AUDITED = {
     "text_collocations",          # one-row token grand total
     "text_bm25_topk",             # one-row (N, avgdl) corpus-stats broadcast
     "text_dsir_selection",        # one-row LM-totals broadcast
+    "text_js_divergence",         # one-row token-totals broadcast
     "text_length_deciles",        # Range(10) decile bounds
     "text_tfidf",                 # one-row doc-count total
     "text_unigram_logprob",       # one-row token grand total
