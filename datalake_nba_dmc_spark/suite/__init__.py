@@ -105,8 +105,13 @@ _CHECK_PRIORITY: list[str] = [
     "text_ccnet_buckets",
     # (+ text_js_divergence, the eighth r7 registration — displaces
     #  text_char_entropy, whose entropy bound is pytest-pinned and whose
-    #  text-stats family is quadruple-covered in-window)
+    #  text-stats family is quadruple-covered in-window; +
+    #  media_png_roundtrip_stats, the ninth — the REAL PNG pixel decode
+    #  proven corpus-wide; displaces media_audio_stats, whose byte-stat
+    #  shape the new query supersets and whose WAV-header twin
+    #  media_metadata was r6-green)
     "text_js_divergence",
+    "media_png_roundtrip_stats",
     # -- 2. the full r2-only backlog (13) — VERDICT r6 ask #1: these led
     #    the deferred block last round and lead the cut now; r2-backlog
     #    after r7 = 0
@@ -148,7 +153,6 @@ _CHECK_PRIORITY: list[str] = [
     "events_interval_overlap",
     "events_time_rollup",
     "gapfill_user_daily",
-    "media_audio_stats",
     "profile_orders_columns",
     "sample_stratified_segments",
     "scd2_user_event_history",
@@ -184,6 +188,7 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_clusters_assign",
     "text_lang_confusion",
     "text_char_entropy",
+    "media_audio_stats",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

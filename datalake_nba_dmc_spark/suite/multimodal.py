@@ -94,3 +94,47 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned on crafted block patterns (test_multimodal)."""
     docs = TableRegistry(spark, sf_dir).documents
     return M.phash_near_dups(M.documents_as_media(docs), max_hamming=3)
+
+
+@query(
+    "media_png_roundtrip_stats",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS media_id, text,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), s AS (
+      SELECT media_id, n,
+             CAST(list_sum(list_transform(range(1, CAST(n AS INTEGER) + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS s1,
+             CAST(list_sum(list_transform(range(1, CAST(n AS INTEGER) + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1))
+                       * ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS s2
+      FROM b
+    )
+    SELECT media_id,
+           1 AS width, CAST(n AS INTEGER) AS height, 1 AS channels,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_px,
+           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                               0.0) + 0.0), 6) AS std_px,
+           TRUE AS roundtrip_ok
+    FROM s
+    """,
+)
+def media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel path, oracle-asserted corpus-wide: every document's bytes
+    become a grayscale PNG (stdlib-zlib encoder, cycling None/Up/Paeth
+    filters), are decoded back by the in-repo REAL decoder
+    (operators/multimodal.decode_png — inflate + scanline unfiltering),
+    and verified byte-exact; pixel stats use exact integer sums with a
+    mirrored double epilogue. The DuckDB twin recomputes the stats from
+    the characters directly (corpus is pure ASCII, so code point = byte)
+    and pins roundtrip_ok = TRUE — a failing decode on ANY document fails
+    the hash. Closes the pixel-decode gap for PNG; JPEG stays env-blocked
+    (needs a DCT codec). One Arrow stage, payloads never leave executors."""
+    docs = TableRegistry(spark, sf_dir).documents
+    media = M.documents_as_media(
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+    return M.png_roundtrip_stats(media)
