@@ -600,8 +600,8 @@ ROUNDTRIP_SCHEMA = StructType(
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("channels", IntegerType(), True),
-        StructField("mean_px", DoubleType(), True),
-        StructField("std_px", DoubleType(), True),
+        StructField("mean_px_micro", LongType(), True),
+        StructField("var_px_micro", LongType(), True),
         StructField("roundtrip_ok", BooleanType(), True),
     ]
 )
@@ -612,12 +612,18 @@ def png_roundtrip_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
     become an (n,1) grayscale image, PNG-encoded with a cycling filter
     schedule (None/Up/Paeth — real inflate + real unfiltering on decode),
     decoded back with :func:`decode_png`, and verified byte-exact
-    (``roundtrip_ok``). Pixel stats use exact integer sums (Σx, Σx²) with
-    an explicitly sequenced double epilogue (``s2/n − (s1/n)²``) so a SQL
-    twin over the same bytes matches bit-for-bit — the differential
-    oracle therefore ASSERTS the decoder's correctness on every document.
-    Payloads never leave the executors; one Arrow stage, no shuffle."""
-    import math
+    (``roundtrip_ok``).
+
+    Pixel stats are emitted as EXACT INTEGER micro-units so a SQL twin
+    matches bit-for-bit with no floating-point rounding in the contract
+    at all: mean and variance are exact rationals of the integer sums
+    (Σx, Σx²), half-up-rounded by pure integer arithmetic
+    (``(2·num·10⁶ + den) // (2·den)``). An earlier float contract died on
+    a real boundary: doc 760 at sf0.1 has mean exactly 92 + 117/128,
+    where Python's banker's round and SQL's half-away round disagree in
+    the 6th decimal. The differential oracle therefore ASSERTS the
+    decoder's correctness on every document. Payloads never leave the
+    executors; one Arrow stage, no shuffle."""
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -630,16 +636,15 @@ def png_roundtrip_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
                 n = arr.size
                 s1 = int(arr.sum(dtype=np.int64))
                 s2 = int((arr.astype(np.int64) ** 2).sum())
-                mean = s1 / n
-                var = max(s2 / n - mean * mean, 0.0) + 0.0
-                recs.append(
-                    (int(mid), 1, n, 1, round(mean, 6), round(math.sqrt(var), 6), ok)
-                )
+                mean_micro = (2 * s1 * 1_000_000 + n) // (2 * n)
+                var_num = n * s2 - s1 * s1  # n² × variance, exact, ≥ 0
+                var_micro = (2 * var_num * 1_000_000 + n * n) // (2 * n * n)
+                recs.append((int(mid), 1, n, 1, mean_micro, var_micro, ok))
             yield pd.DataFrame(
                 recs,
                 columns=[
                     "media_id", "width", "height", "channels",
-                    "mean_px", "std_px", "roundtrip_ok",
+                    "mean_px_micro", "var_px_micro", "roundtrip_ok",
                 ],
             ).astype({"width": "Int32", "height": "Int32", "channels": "Int32"})
 

@@ -114,10 +114,9 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_id,
            1 AS width, CAST(n AS INTEGER) AS height, 1 AS channels,
-           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_px,
-           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
-                               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-                               0.0) + 0.0), 6) AS std_px,
+           (2 * s1 * 1000000 + n) // (2 * n) AS mean_px_micro,
+           (2 * (n * s2 - s1 * s1) * 1000000 + n * n) // (2 * n * n)
+             AS var_px_micro,
            TRUE AS roundtrip_ok
     FROM s
     """,
@@ -127,12 +126,14 @@ def media_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     become a grayscale PNG (stdlib-zlib encoder, cycling None/Up/Paeth
     filters), are decoded back by the in-repo REAL decoder
     (operators/multimodal.decode_png — inflate + scanline unfiltering),
-    and verified byte-exact; pixel stats use exact integer sums with a
-    mirrored double epilogue. The DuckDB twin recomputes the stats from
-    the characters directly (corpus is pure ASCII, so code point = byte)
-    and pins roundtrip_ok = TRUE — a failing decode on ANY document fails
-    the hash. Closes the pixel-decode gap for PNG; JPEG stays env-blocked
-    (needs a DCT codec). One Arrow stage, payloads never leave executors."""
+    and verified byte-exact; pixel mean/variance are exact-integer
+    micro-units (pure integer half-up division — no floating rounding in
+    the contract; a float contract died on a real .5 boundary at sf0.1).
+    The DuckDB twin recomputes the stats from the characters directly
+    (corpus is pure ASCII, so code point = byte) and pins roundtrip_ok =
+    TRUE — a failing decode on ANY document fails the hash. Closes the
+    pixel-decode gap for PNG; JPEG stays env-blocked (needs a DCT codec).
+    One Arrow stage, payloads never leave executors."""
     docs = TableRegistry(spark, sf_dir).documents
     media = M.documents_as_media(
         docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
