@@ -44,6 +44,7 @@ UNFILTERED_RANK_OK = {
 #: unbounded nested loop and must be triaged.
 BNLJ_AUDITED = {
     "corpus_resample_balanced",   # one-row per-source totals broadcast
+    "corpus_temperature_mix",     # one-row min-count broadcast onto k strata rows
     "events_user_idle_report",    # one-row stream-horizon aggregate
     "mart_basket_pairs",          # one-row basket-count total
     "mart_supplier_pareto",       # one-row revenue grand total
@@ -57,6 +58,7 @@ BNLJ_AUDITED = {
     "stat_psi_price_drift",       # one-row pre/post totals
     "text_collocations",          # one-row token grand total
     "text_bm25_topk",             # one-row (N, avgdl) corpus-stats broadcast
+    "text_ccnet_buckets",         # one-row token grand total (via unigram_logprob)
     "text_dsir_selection",        # one-row LM-totals broadcast
     "text_js_divergence",         # one-row token-totals broadcast
     "text_length_deciles",        # Range(10) decile bounds
