@@ -101,6 +101,15 @@ EXTENDED = [
     "text_bpe_segment",
     "text_bm25_topk",
     "dedup_paragraphs",
+    "sample_group_split",
+    "corpus_temperature_mix",
+    "text_ccnet_buckets",
+    "text_js_divergence",
+    "media_png_roundtrip_stats",
+    # dedup_prefix_ssjoin deliberately NOT benched: it is the documented
+    # slower-at-toy-scale skew-insurance path (PERF.md crossover receipt);
+    # timing it would bill the suite for an operator whose contract is a
+    # worst-case bound, not a clean-corpus constant.
 ]
 
 #: The r6-era extended membership (first 24 names) — used only to emit the
