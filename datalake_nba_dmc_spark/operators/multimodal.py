@@ -6,9 +6,14 @@ metadata is a typed struct, and all decode / feature-extraction runs as
 Arrow-batched Pandas UDFs via ``mapInPandas`` so bytes never cross the
 Python boundary row-at-a-time.
 
-The decode step itself is STUBBED (image/audio libs are not in this
-container — clearly marked below); the Spark-side plumbing (schema,
-batching, partition sizing, UDF signatures) is real and tested.
+Decode status: PNG (:func:`decode_png` — stdlib zlib inflate + full
+scanline unfiltering) and uncompressed BMP (:func:`decode_bmp`) are REAL
+pixel decoders, bit-exact-tested against the in-repo encoders and (PNG)
+oracle-asserted corpus-wide; container/WAV header parsing is real struct
+walking. Only formats that require codecs absent from this container
+(JPEG DCT, video) remain stubbed — each stub is clearly marked below,
+and the Spark-side plumbing (schema, Arrow batching, partition sizing,
+UDF signatures) is real and tested for all of them.
 """
 
 from __future__ import annotations
@@ -649,3 +654,80 @@ def png_roundtrip_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
             ).astype({"width": "Int32", "height": "Int32", "channels": "Int32"})
 
     return ensure_parallelism(df).mapInPandas(part, schema=ROUNDTRIP_SCHEMA)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """REAL (non-stub) BMP pixel decode for uncompressed 8-bit-grayscale
+    and 24-bit-BGR bitmaps (BITMAPINFOHEADER, BI_RGB): struct-parse the
+    file + info headers, honor 4-byte row padding and the bottom-up /
+    top-down row order flag, and map 8-bit palettes through their color
+    table (emitted as grayscale when the palette is gray, else expanded
+    to RGB). Raises ``ValueError`` on non-BMP bytes and on compressed /
+    16-bit / 32-bit variants — explicit narrow support, same contract
+    style as :func:`decode_png`.
+
+    Returns (height, width, channels) uint8, channels ∈ {1, 3}, RGB order.
+    """
+    import struct
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp, compression = struct.unpack("<HHI", payload[26:34])
+    if hdr_size < 40 or planes != 1 or compression != 0 or bpp not in (8, 24):
+        raise ValueError(
+            f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, compression={compression}); "
+            "supported: uncompressed 8-bit palette / 24-bit BGR"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * (bpp // 8) + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_bytes, offset=data_offset
+    ).reshape(height, row_bytes)
+    if not top_down:
+        raw = raw[::-1]
+    if bpp == 24:
+        px = raw[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR→RGB
+        return np.ascontiguousarray(px)
+    # 8-bit: palette sits between the info header and the pixel data
+    n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+    pal = np.frombuffer(
+        payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+    ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA rows → RGB
+    idx = raw[:, :width]
+    if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+        return pal[idx][:, :, :1]  # gray palette → single channel
+    return pal[idx]
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Minimal BMP encoder (BI_RGB, bottom-up) for 8-bit grayscale and
+    24-bit RGB arrays — the round-trip twin of :func:`decode_bmp` for
+    tests in this imageless container."""
+    import struct
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    height, width, ch = pixels.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_bmp supports 1 or 3 channels")
+    bpp = 8 if ch == 1 else 24
+    row_bytes = (width * (bpp // 8) + 3) & ~3
+    pal = b""
+    if ch == 1:
+        pal = b"".join(bytes([g, g, g, 0]) for g in range(256))
+    data_offset = 14 + 40 + len(pal)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        line = pixels[y][:, ::-1].tobytes() if ch == 3 else pixels[y].tobytes()
+        rows.append(line.ljust(row_bytes, b"\0"))
+    body = b"".join(rows)
+    file_hdr = b"BM" + struct.pack("<IHHI", data_offset + len(body), 0, 0, data_offset)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(body), 2835, 2835,
+        256 if ch == 1 else 0, 0,
+    )
+    return file_hdr + info_hdr + pal + body

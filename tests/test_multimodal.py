@@ -313,3 +313,55 @@ def test_png_pixel_stats_spark_path(spark):
     assert (got[2]["mean_px"], got[2]["std_px"]) == (7.0, 0.0)
     assert got[3]["width"] is None and got[3]["decode_error"]
     assert got[4]["decode_error"]
+
+
+def test_bmp_roundtrip_gray_and_rgb_exact():
+    """decode_bmp must invert encode_bmp bit-exactly: bottom-up row order,
+    4-byte row padding (odd widths), 8-bit gray palettes and 24-bit BGR.
+    Pure-Python test."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    for ch in (1, 3):
+        for w in (1, 3, 4, 7):  # odd widths exercise row padding
+            img = rng.randint(0, 256, size=(5, w, ch), dtype=np.uint8)
+            out = decode_bmp(encode_bmp(img))
+            assert out.shape == (5, w, ch), (ch, w, out.shape)
+            assert (out == img).all(), (ch, w)
+
+
+def test_bmp_decode_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PK\x03\x04 definitely not a bitmap padded to length....representative")
+    with _pytest.raises(ValueError):
+        decode_bmp(None)
+    # flip the compression field of a valid file → explicit rejection
+    good = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    good[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(good))
+
+
+def test_bmp_header_parse_agrees_with_pixel_decode():
+    """The r6 header sniffer and the new pixel decoder must report the
+    same dimensions on the same bytes."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        parse_image_header,
+    )
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    payload = encode_bmp(img)
+    fmt, w, h = parse_image_header(payload)
+    assert (fmt, w, h) == ("bmp", 4, 5)
+    assert decode_bmp(payload).shape == (5, 4, 3)
