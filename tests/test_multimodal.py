@@ -365,3 +365,33 @@ def test_bmp_header_parse_agrees_with_pixel_decode():
     fmt, w, h = parse_image_header(payload)
     assert (fmt, w, h) == ("bmp", 4, 5)
     assert decode_bmp(payload).shape == (5, 4, 3)
+
+
+def test_png_decode_multi_idat_chunks():
+    """Real-world encoders split IDAT across many chunks; the decoder must
+    concatenate them before inflating. Split a valid single-IDAT file
+    into 7-byte IDAT chunks and decode bit-exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    whole = encode_png(img, filter_types=[0, 1, 2, 4])
+    # locate the single IDAT chunk
+    pos = 8
+    while whole[pos + 4 : pos + 8] != b"IDAT":
+        pos += 12 + struct.unpack(">I", whole[pos : pos + 4])[0]
+    ln = struct.unpack(">I", whole[pos : pos + 4])[0]
+    body = whole[pos + 8 : pos + 8 + ln]
+    head, tail = whole[:pos], whole[pos + 12 + ln :]
+
+    def chunk(ctype, b):
+        return struct.pack(">I", len(b)) + ctype + b + struct.pack(
+            ">I", zlib.crc32(ctype + b) & 0xFFFFFFFF
+        )
+
+    split = b"".join(chunk(b"IDAT", body[i : i + 7]) for i in range(0, len(body), 7))
+    assert (decode_png(head + split + tail) == img).all()
