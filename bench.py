@@ -187,6 +187,9 @@ def main() -> None:
         "dedup_incremental",
         "lakehouse_version_diff",
         "agg_incremental_maintenance",
+        # r7: gram rows now eagerly checkpointed before the self-join —
+        # rebuild so the materialization is billed every pass
+        "dedup_ngram_jaccard",
     }
 
     samples: dict[str, list[float]] = {}
