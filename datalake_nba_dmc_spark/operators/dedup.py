@@ -542,9 +542,15 @@ def with_simhash(
         # and collapses whitespace): filtering on the token array itself
         # would push the interpreted tokenize+hash HOF into the predicate
         # and evaluate it twice per row (measured +36% on the simhash
-        # pipeline — interpreted HOFs get no common-subexpression reuse)
+        # pipeline — interpreted HOFs get no common-subexpression reuse).
+        # NOT F.trim: Spark trim strips only 0x20, so a '\t'- or '\n'-only
+        # doc would slip through, fingerprint to 0, and re-create exactly
+        # the fabricated hamming-0 edge class this flag exists to remove
+        # (r7 ADVICE). regexp_replace(\s+, '') matches the tokenizer's own
+        # whitespace class, so the predicate is equivalent to size(toks)>0.
         staged = staged.filter(
-            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+            F.col(text_col).isNotNull()
+            & (F.regexp_replace(F.col(text_col), r"\s+", "") != "")
         )
     staged = staged.withColumn(
         "_tok_hashes", F.transform(toks, lambda t: F.xxhash64(t))

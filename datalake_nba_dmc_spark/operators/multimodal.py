@@ -634,6 +634,13 @@ def png_roundtrip_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                # corrupt blobs must never kill a scan (same contract as
+                # png_pixel_stats, r7 ADVICE): NULL/empty payloads emit a
+                # NULL-stats row instead of TypeError/ZeroDivisionError
+                # killing the whole Arrow task
+                if payload is None or len(payload) == 0:
+                    recs.append((int(mid), None, None, None, None, None, None))
+                    continue
                 raw = bytes(payload)
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 1, 1)
                 decoded = decode_png(encode_png(arr, filter_types=[0, 2, 4]))
@@ -651,7 +658,16 @@ def png_roundtrip_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
                     "media_id", "width", "height", "channels",
                     "mean_px_micro", "var_px_micro", "roundtrip_ok",
                 ],
-            ).astype({"width": "Int32", "height": "Int32", "channels": "Int32"})
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "channels": "Int32",
+                    # nullable Int64: NULL-payload rows carry None here
+                    "mean_px_micro": "Int64",
+                    "var_px_micro": "Int64",
+                }
+            )
 
     return ensure_parallelism(df).mapInPandas(part, schema=ROUNDTRIP_SCHEMA)
 

@@ -234,13 +234,26 @@ def split_by_group(
     Returns ``df`` + (group_rep, split).
     """
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    reps = df.groupBy(group_col).agg(F.min(key_col).alias("group_rep"))
+    reps = (
+        df.groupBy(group_col)
+        .agg(F.min(key_col).alias("group_rep"))
+        .withColumnRenamed(group_col, "_grp_key")
+    )
     bucket = _key_hash(F.col("group_rep"), buckets)
     expr = None
     for name, lo, hi in split_boundaries(fractions, buckets):
         cond = (bucket >= lo) & (bucket < hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return df.join(reps, on=group_col).withColumn("split", expr)
+    # Null-safe equi-join (<=>): groupBy keeps NULL as its own group, but a
+    # plain equi-join back would never match it and silently DROP every
+    # NULL-group row from the split output (r7 ADVICE — data loss in a
+    # train/val/test splitter). <=> is still a hash-joinable key, so the
+    # plan shape (one shuffle, exchange reuse) is unchanged.
+    return (
+        df.join(reps, F.col(group_col).eqNullSafe(F.col("_grp_key")))
+        .drop("_grp_key")
+        .withColumn("split", expr)
+    )
 
 
 def sample_temperature(

@@ -39,6 +39,16 @@ _NPART_MEMO: dict[int, int] = {}
 _NPART_MEMO_MAX = 4096
 
 
+def invalidate_partition_memo() -> None:
+    """Drop every memoized partition count. Called by the sink layer after
+    any path write: overwriting a path in-session can change its file
+    count, and a stale memo entry would make :func:`ensure_parallelism`
+    skip (or spuriously add) a fan-out repartition on the next read of
+    that path (r7 ADVICE — perf-only staleness, but cheap to remove:
+    writes are rare and the memo rebuilds in one planning pass each)."""
+    _NPART_MEMO.clear()
+
+
 def _num_partitions(df: DataFrame) -> int:
     try:
         key = df.semanticHash()

@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datalake_nba_dmc_spark.operators.util import invalidate_partition_memo
+
 
 _SCHEMA_SIDECAR = "_SCHEMA.json"
 
@@ -94,6 +96,7 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+    invalidate_partition_memo()
     if partition_by and df.isEmpty():
         _write_schema_sidecar(df, path)
 
@@ -140,6 +143,7 @@ def overwrite_partitions(
         .partitionBy(*partition_by)
         .save(path)
     )
+    invalidate_partition_memo()
     # an empty batch replaces no partitions (correct no-op on an existing
     # table), but against a brand-new path it leaves a file-less directory;
     # the sidecar keeps that readable (see _write_schema_sidecar)
@@ -170,6 +174,7 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+    invalidate_partition_memo()
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
@@ -196,6 +201,7 @@ def overwrite_self_referencing(
     fs.delete(dst, True)
     if not fs.rename(src, dst):
         raise OSError(f"overwrite_self_referencing: rename {staging} -> {path} failed")
+    invalidate_partition_memo()
 
 
 def upsert_table(
@@ -214,6 +220,7 @@ def upsert_table(
     foreachBatch replays converge."""
     if not table_exists(spark, path):
         batch.write.mode("overwrite").format(fmt).save(path)
+        invalidate_partition_memo()
         return
     from datalake_nba_dmc_spark.operators.merge import merge_upsert
 
@@ -249,6 +256,7 @@ def write_range_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).format(fmt).save(path)
+    invalidate_partition_memo()
 
 
 def write_zordered(
@@ -314,6 +322,7 @@ def write_zordered(
         .format(fmt)
         .save(path)
     )
+    invalidate_partition_memo()
 
 
 def compact(
@@ -424,6 +433,7 @@ def versioned_write(
             n += 1
             continue
         if fs.rename(hpath(staging), dst):
+            invalidate_partition_memo()
             return n
         # rename failed with a free destination: a real FS error (perms,
         # staging vanished) — surface it instead of spinning forever

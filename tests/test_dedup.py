@@ -484,3 +484,16 @@ def test_prefix_filter_ssjoin_equals_naive(spark):
                 if j >= t:
                     want[(a, b)] = j
         assert got == want, f"threshold {t}: {got} != {want}"
+
+
+def test_simhash_near_dups_whitespace_only_docs_emit_no_edges(spark):
+    """r7 ADVICE: Spark trim strips only 0x20, so '\\t'- and '\\n'-only docs
+    used to slip past drop_empty, fingerprint to 0, and fabricate a
+    hamming-0 edge between two documents with no content to compare. The
+    regexp-based token-less predicate must exclude every whitespace class."""
+    df = spark.createDataFrame(
+        [(1, "\t"), (2, "\n"), (3, " \t\n "), (4, DOC), (5, DOC)],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(df, max_hamming=0).collect()}
+    assert out == {(4, 5)}  # real dups only; no edges among docs 1-3

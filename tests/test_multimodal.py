@@ -395,3 +395,21 @@ def test_png_decode_multi_idat_chunks():
 
     split = b"".join(chunk(b"IDAT", body[i : i + 7]) for i in range(0, len(body), 7))
     assert (decode_png(head + split + tail) == img).all()
+
+
+def test_png_roundtrip_stats_null_and_empty_payloads_survive(spark):
+    """r7 ADVICE: NULL/empty payloads used to kill the whole Arrow task
+    (TypeError on bytes(None), ZeroDivisionError on n=0). They must emit
+    NULL-stats rows instead — corrupt blobs never kill a scan."""
+    from datalake_nba_dmc_spark.operators.multimodal import png_roundtrip_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world")), (2, None), (3, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in png_roundtrip_stats(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["roundtrip_ok"] is True and rows[1]["height"] == 11
+    for mid in (2, 3):
+        r = rows[mid]
+        assert r["mean_px_micro"] is None and r["roundtrip_ok"] is None

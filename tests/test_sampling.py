@@ -199,3 +199,19 @@ def test_sample_temperature_tau_extremes(spark):
     }
     assert eq["small"] == 500
     assert 0.2 * 2000 < eq["big"] < 0.3 * 2000  # rate = 500/2000 = 25%
+
+
+def test_split_by_group_null_group_rows_survive(spark):
+    """r7 ADVICE: a plain equi-join back on the group key silently dropped
+    every NULL-group row. The null-safe join must keep them, as ONE group
+    (per the docstring contract), represented by their min key."""
+    from datalake_nba_dmc_spark.operators.sampling import split_by_group
+
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = split_by_group(df, group_col="grp", key_col="doc_id").collect()
+    assert len(out) == 5  # nothing dropped
+    null_rows = [r for r in out if r["grp"] is None]
+    assert {r["doc_id"] for r in null_rows} == {3, 4}
+    assert all(r["group_rep"] == 3 for r in null_rows)  # one group, min key
+    assert len({r["split"] for r in null_rows}) == 1  # never straddles

@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 import sys
 import traceback
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -257,7 +258,12 @@ def _skew(t: pa.Table, fname: str) -> pa.Table:
     n = t.num_rows
     cols = {f.name: t.column(f.name) for f in t.schema}
     for frac, names in rules:
-        rng = np.random.default_rng(abs(hash((fname, tuple(names)))) % 2**32)
+        # stable seed (zlib.crc32), NOT Python hash(): str hash is
+        # randomized per process (PYTHONHASHSEED), so the skewed dataset
+        # would differ across runs/cache rebuilds (r7 ADVICE)
+        rng = np.random.default_rng(
+            zlib.crc32("|".join([fname, *names]).encode()) & 0xFFFFFFFF
+        )
         mask = rng.random(n) < frac
         for name in names:
             vals = cols[name].to_pylist()
@@ -271,7 +277,7 @@ def _skew(t: pa.Table, fname: str) -> pa.Table:
 
 def _inject(t: pa.Table, seed_text: str) -> pa.Table:
     n = t.num_rows
-    rng = np.random.default_rng(abs(hash(seed_text)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(seed_text.encode()) & 0xFFFFFFFF)
     cols = {}
     for field in t.schema:
         col = t.column(field.name)
