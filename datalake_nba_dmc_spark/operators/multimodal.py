@@ -420,19 +420,23 @@ def extract_audio_headers(df: DataFrame, payload_col: str = "payload") -> DataFr
 # REAL PNG pixel decode (stdlib zlib + numpy — no PIL/cv2 required)
 # ---------------------------------------------------------------------------
 
-#: color_type → samples per pixel for the supported 8-bit formats.
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: color_type → samples per pixel for the supported 8-bit formats
+#: (color_type 3 = palette: one index byte per pixel, expanded via PLTE).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(payload: bytes) -> "np.ndarray":
     """REAL (non-stub) PNG pixel decode for non-interlaced 8-bit images
-    (grayscale / RGB / gray+alpha / RGBA — the formats training corpora
-    normalize to), using only stdlib ``zlib`` and numpy: walk chunks,
-    inflate the IDAT stream, and invert the five scanline filters (None,
-    Sub, Up, Average, Paeth) per the PNG spec §9 (RFC 2083). Raises
-    ``ValueError`` on non-PNG bytes, palette/16-bit/interlaced images
-    (explicit narrow support, not a silent stub — JPEG stays env-blocked,
-    it needs a DCT codec).
+    (grayscale / RGB / gray+alpha / RGBA / palette — the formats training
+    corpora normalize to), using only stdlib ``zlib`` and numpy: walk
+    chunks, inflate the IDAT stream, and invert the five scanline filters
+    (None, Sub, Up, Average, Paeth) per the PNG spec §9 (RFC 2083).
+    Palette images (color_type 3, r8 — the most common real-crawl
+    rejection of the r7 decoder) map their index stream through the PLTE
+    chunk and come back as RGB. Raises ``ValueError`` on non-PNG bytes,
+    16-bit/interlaced images and palette-less color_type-3 (explicit
+    narrow support, not a silent stub; tRNS transparency is ignored —
+    indices decode to their opaque PLTE color).
 
     Returns an (height, width, channels) uint8 array.
     """
@@ -443,6 +447,7 @@ def decode_png(payload: bytes) -> "np.ndarray":
         raise ValueError("not a PNG")
     pos, width = 8, None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
@@ -453,9 +458,14 @@ def decode_png(payload: bytes) -> "np.ndarray":
             if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
-                    f"interlace={interlace}); supported: 8-bit gray/RGB/GA/RGBA, no interlace"
+                    f"interlace={interlace}); supported: 8-bit gray/RGB/GA/RGBA/palette, "
+                    "no interlace"
                 )
             ch = _PNG_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or length == 0:
+                raise ValueError("PNG PLTE length not a positive multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -463,6 +473,8 @@ def decode_png(payload: bytes) -> "np.ndarray":
         pos += 12 + length  # length + type + body + crc
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = width * ch
     if len(raw) != height * (stride + 1):
@@ -494,23 +506,40 @@ def decode_png(payload: bytes) -> "np.ndarray":
                 else:
                     raise ValueError(f"bad PNG filter {f}")
                 cur[x] = (line[x] + pred) & 0xFF
-    return out.astype(np.uint8).reshape(height, width, ch)
+    px = out.astype(np.uint8).reshape(height, width, ch)
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette PNG index out of PLTE range")
+        return plte[idx]  # (h, w) indices → (h, w, 3) RGB
+    return px
 
 
-def encode_png(pixels: "np.ndarray", filter_types: list[int] | None = None) -> bytes:
+def encode_png(
+    pixels: "np.ndarray",
+    filter_types: list[int] | None = None,
+    palette: "np.ndarray | None" = None,
+) -> bytes:
     """Minimal PNG encoder (stdlib zlib) for 8-bit gray/RGB/GA/RGBA arrays —
     the round-trip twin of :func:`decode_png` and the deterministic
     payload SOURCE for pixel-path tests and queries in this container
     (which has no image files and no PIL). ``filter_types`` optionally
     forces a per-row filter (0–4) so tests exercise every unfilter branch;
-    default is filter 0 everywhere."""
+    default is filter 0 everywhere. With ``palette`` (an (n≤256, 3) uint8
+    array), ``pixels`` is a single-channel INDEX image written as
+    color_type 3 with a PLTE chunk (r8 — the palette round-trip twin)."""
     import struct
     import zlib
 
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     height, width, ch = pixels.shape
-    color_type = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette encode takes a single-channel index image")
+        color_type = 3
+    else:
+        color_type = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
     px = pixels.astype(np.int32)
     stride = width * ch
     flat = px.reshape(height, stride)
@@ -545,9 +574,15 @@ def encode_png(pixels: "np.ndarray", filter_types: list[int] | None = None) -> b
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = (
+        chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(b"".join(rows)))
         + chunk(b"IEND", b"")
     )
@@ -664,6 +699,76 @@ def png_roundtrip_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
                     "height": "Int32",
                     "channels": "Int32",
                     # nullable Int64: NULL-payload rows carry None here
+                    "mean_px_micro": "Int64",
+                    "var_px_micro": "Int64",
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(part, schema=ROUNDTRIP_SCHEMA)
+
+
+#: Deterministic 256-entry RGB palette for the palette round-trip contract:
+#: index i → (i, (7i+13) mod 256, (31i+5) mod 256). Chosen so a SQL twin can
+#: recompute every channel from the index with integer arithmetic.
+def _roundtrip_palette() -> "np.ndarray":
+    i = np.arange(256, dtype=np.int64)
+    return np.stack([i, (7 * i + 13) % 256, (31 * i + 5) % 256], axis=1).astype(
+        np.uint8
+    )
+
+
+def png_palette_roundtrip_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Corpus-wide REAL palette-PNG (color_type 3) encode→decode round trip
+    — the r8 certificate for the palette decode path, same contract style
+    as :func:`png_roundtrip_stats`: each payload's bytes become the INDEX
+    plane of an (n,1) palette image over the deterministic
+    :func:`_roundtrip_palette`, PNG-encoded with a cycling None/Up/Paeth
+    filter schedule plus a PLTE chunk, decoded back with
+    :func:`decode_png` (which expands indices through PLTE to RGB), and
+    verified byte-exact against the palette expansion (``roundtrip_ok``).
+    Stats are exact integer micro-units over ALL 3n expanded RGB samples,
+    so the differential oracle recomputes every channel from the raw
+    bytes ((i, 7i+13 mod 256, 31i+5 mod 256)) and ASSERTS the palette
+    expansion on every document. NULL/empty payloads emit NULL-stats rows
+    (corrupt blobs never kill a scan). One Arrow stage, no shuffle."""
+    pal = _roundtrip_palette()
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None or len(payload) == 0:
+                    recs.append((int(mid), None, None, None, None, None, None))
+                    continue
+                idx = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(-1, 1)
+                decoded = decode_png(
+                    encode_png(idx, filter_types=[0, 2, 4], palette=pal)
+                )
+                expected = pal[idx[:, 0]].reshape(-1, 1, 3)
+                ok = decoded.shape == expected.shape and bool(
+                    (decoded == expected).all()
+                )
+                vals = expected.astype(np.int64)
+                n = vals.size  # 3n samples
+                s1 = int(vals.sum())
+                s2 = int((vals * vals).sum())
+                mean_micro = (2 * s1 * 1_000_000 + n) // (2 * n)
+                var_num = n * s2 - s1 * s1
+                var_micro = (2 * var_num * 1_000_000 + n * n) // (2 * n * n)
+                recs.append(
+                    (int(mid), 1, idx.shape[0], 3, mean_micro, var_micro, ok)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "mean_px_micro", "var_px_micro", "roundtrip_ok",
+                ],
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "channels": "Int32",
                     "mean_px_micro": "Int64",
                     "var_px_micro": "Int64",
                 }

@@ -413,3 +413,63 @@ def test_png_roundtrip_stats_null_and_empty_payloads_survive(spark):
     for mid in (2, 3):
         r = rows[mid]
         assert r["mean_px_micro"] is None and r["roundtrip_ok"] is None
+
+
+def test_png_palette_roundtrip_every_filter_exact():
+    """Palette (color_type 3) decode must expand indices through PLTE
+    bit-exactly under every scanline filter, for full and partial
+    palettes; out-of-range indices and a missing PLTE raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(19)
+    pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, size=(13, 9), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        out = decode_png(encode_png(idx, filter_types=filters, palette=pal))
+        assert out.shape == (13, 9, 3)
+        assert (out == pal[idx]).all(), filters
+    # partial palette
+    pal4 = pal[:4]
+    small = (idx % 4).astype(np.uint8)
+    assert (decode_png(encode_png(small, palette=pal4)) == pal4[small]).all()
+    # index beyond the palette must raise, not wrap or segfault
+    with _pytest.raises(ValueError):
+        decode_png(encode_png(np.full((2, 2), 9, dtype=np.uint8), palette=pal4))
+    # palette PNG with its PLTE chunk stripped must raise
+    blob = encode_png(small, palette=pal4)
+    plte_at = blob.index(b"PLTE") - 4
+    plte_len = 12 + 4 * 3
+    with _pytest.raises(ValueError):
+        decode_png(blob[:plte_at] + blob[plte_at + plte_len:])
+
+
+def test_png_palette_roundtrip_stats_spark_path(spark):
+    """The palette corpus query's operator: exact stats over the expanded
+    RGB samples, NULL/empty payloads emit NULL-stats rows."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        _roundtrip_palette,
+        png_palette_roundtrip_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None), (3, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in png_palette_roundtrip_stats(df).collect()}
+    assert rows[1]["roundtrip_ok"] is True
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (1, 3, 3)
+    pal = _roundtrip_palette()
+    vals = pal[np.frombuffer(b"abc", dtype=np.uint8)].astype(np.int64)
+    n, s1, s2 = vals.size, int(vals.sum()), int((vals * vals).sum())
+    assert rows[1]["mean_px_micro"] == (2 * s1 * 10**6 + n) // (2 * n)
+    assert rows[1]["var_px_micro"] == (
+        2 * (n * s2 - s1 * s1) * 10**6 + n * n
+    ) // (2 * n * n)
+    for mid in (2, 3):
+        assert rows[mid]["mean_px_micro"] is None
+        assert rows[mid]["roundtrip_ok"] is None
