@@ -923,6 +923,101 @@ def bm25_topk(
     return scores.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(topk)
 
 
+def bm25_multiquery(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 over a queries TABLE (VERDICT r7 ask #5) — the shape a
+    100 TB contamination/retrieval sweep actually runs: a retrieval
+    *workload* is thousands of queries, not one Python list, and scoring
+    them one `bm25_scores` call at a time would rescan the corpus per
+    query. This form scans and tokenizes the corpus ONCE for the whole
+    workload:
+
+    - query terms are tokenized and de-duplicated per query (set
+      semantics, matching :func:`bm25_scores`' ``isin``), and both the
+      per-query term table and its distinct-term projection are tiny
+      (≤ |queries|·|terms| rows) → broadcast;
+    - the exploded corpus stream is pruned by a broadcast LEFT SEMI join
+      on the distinct terms BEFORE any shuffle — only matching postings
+      ever move, O(matching postings) like the single-query path;
+    - per-(doc, term) tf and per-term df are computed once, SHARED across
+      every query that contains the term (the whole point of batching);
+    - fanning (doc, term, tf) out to (query, doc, term, tf) is a
+      broadcast join against the query-terms table; one final hash agg by
+      (query, doc) sums the contributions.
+
+    With ``topk``, per-query top-k is cut by a rank window over
+    (bm25 DESC, id ASC) that Catalyst compiles to WindowGroupLimit
+    (per-partition heaps per query — no global sort; plan-asserted for
+    the quota family in tests/test_plan_shape.py).
+
+    Returns (query_id, doc_id, bm25[, rank]) for every (query, doc) pair
+    with ≥1 matching term; bm25 rounded to 6 dp (the tfidf rule).
+    """
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(F.lower(F.col(query_text_col)))).alias("term"),
+        )
+        .distinct()
+    )
+    terms = qterms.select("term").distinct()
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+        F.col(text_col).isNotNull().alias("_has_text"),
+    )
+    stats = base.agg(
+        F.countDistinct(id_col).cast("double").alias("n_docs"),
+        F.avg(F.when(F.col("_has_text"), F.size("_toks"))).alias("avgdl"),
+    )
+    hits = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    ).join(F.broadcast(terms), on="term", how="left_semi")
+    tf = hits.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(qterms), on="term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    if topk is None:
+        return scores
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+
+
 def js_divergence(
     df: DataFrame,
     source_a: str,

@@ -1292,3 +1292,78 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.js_divergence."""
     docs = TableRegistry(spark, sf_dir).documents
     return T.js_divergence(docs, "src0", "src1")
+
+
+#: The fixed retrieval WORKLOAD for the multi-query BM25 surface: four
+#: queries with deliberately overlapping terms, so per-(doc,term) tf and
+#: per-term df sharing across queries is actually exercised. Both twins
+#: share these literals.
+_BM25_WORKLOAD = [
+    ("q_join", "spark join window"),
+    ("q_cust", "customer stream batch"),
+    ("q_sort", "hash merge sort table"),
+    ("q_scan", "slow query filter scan spark"),
+]
+
+
+@query(
+    "text_bm25_multiquery",
+    oracle=f"""
+    WITH workload(query_id, query_text) AS (VALUES
+      {", ".join(f"('{q}', '{t}')" for q, t in _BM25_WORKLOAD)}
+    ), qterms AS (
+      SELECT DISTINCT query_id, unnest(
+        list_filter(string_split_regex(lower(query_text), '\\s+'), x -> x != '')
+      ) AS term
+      FROM workload
+    ), base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '') AS t,
+             text IS NOT NULL AS has_text
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+             AVG(CASE WHEN has_text THEN len(t) END) AS avgdl
+      FROM base
+    ), hits AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM hits
+      WHERE term IN (SELECT term FROM qterms)
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scores AS (
+      SELECT qterms.query_id, tf.doc_id,
+             round(SUM(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+             ), 6) AS bm25
+      FROM tf JOIN dfreq USING (term)
+              JOIN qterms USING (term)
+              CROSS JOIN stats
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM scores
+    ) WHERE rank <= 10
+    """,
+)
+def text_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 retrieval (VERDICT r7 ask #5): a 4-query WORKLOAD
+    table scored in ONE corpus scan — query terms broadcast, the exploded
+    token stream pruned by a broadcast semi-join before any shuffle,
+    per-(doc,term) tf and per-term df computed once and SHARED across the
+    queries that contain the term, per-query top-10 cut by a rank window
+    (WindowGroupLimit — per-query heaps, no global sort). The DuckDB twin
+    recomputes the whole workload from a VALUES table.
+    See operators/text.bm25_multiquery."""
+    docs = TableRegistry(spark, sf_dir).documents
+    workload = spark.createDataFrame(_BM25_WORKLOAD, ["query_id", "query_text"])
+    return T.bm25_multiquery(docs, workload, topk=10)

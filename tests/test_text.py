@@ -505,3 +505,47 @@ def test_js_divergence_hand_computed(spark):
         [(1, "a", "p p"), (2, "b", "q q")], ["doc_id", "source", "text"]
     )
     assert js_divergence(disj, "a", "b").collect()[0]["jsd"] == r6(math.log(2))
+
+
+def test_bm25_multiquery_matches_single_query_scores(spark):
+    """bm25_multiquery must equal running bm25_scores per query: the
+    batched corpus-shared tf/df path is an optimization, not a semantics
+    change. Also pins set-semantics on duplicated query terms and the
+    per-query rank cut."""
+    from datalake_nba_dmc_spark.operators.text import bm25_multiquery, bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window join"),
+            (2, "customer stream batch stream stream"),
+            (3, "spark spark spark filter"),
+            (4, "window customer join"),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    workload = [
+        ("qa", "spark join"),
+        ("qb", "customer stream stream"),  # dup term → set semantics
+        ("qc", "absentterm"),
+    ]
+    qdf = spark.createDataFrame(workload, ["query_id", "query_text"])
+    multi = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_multiquery(docs, qdf).collect()
+    }
+    for qid, qtext in workload:
+        single = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores(docs, sorted(set(qtext.split()))).collect()
+        }
+        got = {d: s for (q, d), s in multi.items() if q == qid}
+        assert got == single, qid
+    assert not {q for q, _ in multi if q == "qc"}  # no-match query → no rows
+    # rank cut: top-1 per query, deterministic tiebreak
+    top1 = {
+        r["query_id"]: (r["doc_id"], r["rank"])
+        for r in bm25_multiquery(docs, qdf, topk=1).collect()
+    }
+    assert set(top1) == {"qa", "qb"} and all(v[1] == 1 for v in top1.values())
