@@ -106,6 +106,11 @@ EXTENDED = [
     "text_ccnet_buckets",
     "text_js_divergence",
     "media_png_roundtrip_stats",
+    # -- r8 additions (same definition-change protocol: the r6def
+    #    continuity subtotal below is unaffected)
+    "media_jpeg_decode_stats",
+    "media_png_palette_roundtrip",
+    "text_bm25_multiquery",
     # dedup_prefix_ssjoin deliberately NOT benched: it is the documented
     # slower-at-toy-scale skew-insurance path (PERF.md crossover receipt);
     # timing it would bill the suite for an operator whose contract is a

@@ -777,6 +777,70 @@ def png_palette_roundtrip_stats(df: DataFrame, payload_col: str = "payload") -> 
     return ensure_parallelism(df).mapInPandas(part, schema=ROUNDTRIP_SCHEMA)
 
 
+def jpeg_roundtrip_stats(
+    df: DataFrame, payload_col: str = "payload", cap: int = 48
+) -> DataFrame:
+    """Corpus-wide REAL baseline-JPEG encode→decode round trip — the r8
+    certificate that the in-repo JPEG codec (operators/jpeg: JFIF marker
+    parse, Huffman entropy decode, dequantize, batched IDCT) is exercised
+    and EXACT on every document. Each payload's first ``cap`` bytes become
+    one 8×8 CONSTANT block each (image (8n, 8), one byte per block): with
+    all-ones quantization a constant block's DCT is a single exact-integer
+    DC coefficient, so the full pipeline — FDCT, quantize, DPCM+Huffman
+    encode, marker framing, Huffman decode, dequantize, IDCT, level shift
+    — is EXACTLY lossless, and the stats of the decoded pixels equal the
+    stats of the raw bytes. That is what lets a SQL twin assert the decode
+    per-document, PNG-style, despite JPEG being a lossy format in general
+    (the lossy/AC/chroma paths are pytest-pinned instead — they cannot be
+    byte-exact by construction). ``cap`` bounds the per-doc Huffman work
+    (the entropy decode is sequential per block by nature; ~25 bits/block).
+    Stats are exact integer micro-units (the PNG round-trip contract);
+    NULL/empty payloads emit NULL-stats rows. One Arrow stage, no shuffle.
+    """
+    from datalake_nba_dmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None or len(payload) == 0:
+                    recs.append((int(mid), None, None, None, None, None, None))
+                    continue
+                vals = np.frombuffer(bytes(payload)[:cap], dtype=np.uint8)
+                img = np.repeat(np.repeat(vals.reshape(-1, 1), 8, 0), 8, 1)
+                decoded = decode_jpeg(encode_jpeg(img, quality=None))
+                ok = decoded.shape == (*img.shape, 1) and bool(
+                    (decoded[:, :, 0] == img).all()
+                )
+                px = decoded.astype(np.int64)
+                n = px.size
+                s1 = int(px.sum())
+                s2 = int((px * px).sum())
+                mean_micro = (2 * s1 * 1_000_000 + n) // (2 * n)
+                var_num = n * s2 - s1 * s1
+                var_micro = (2 * var_num * 1_000_000 + n * n) // (2 * n * n)
+                recs.append(
+                    (int(mid), 8, img.shape[0], 1, mean_micro, var_micro, ok)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "mean_px_micro", "var_px_micro", "roundtrip_ok",
+                ],
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "channels": "Int32",
+                    "mean_px_micro": "Int64",
+                    "var_px_micro": "Int64",
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(part, schema=ROUNDTRIP_SCHEMA)
+
+
 def decode_bmp(payload: bytes) -> "np.ndarray":
     """REAL (non-stub) BMP pixel decode for uncompressed 8-bit-grayscale
     and 24-bit-BGR bitmaps (BITMAPINFOHEADER, BI_RGB): struct-parse the

@@ -473,3 +473,174 @@ def test_png_palette_roundtrip_stats_spark_path(spark):
     for mid in (2, 3):
         assert rows[mid]["mean_px_micro"] is None
         assert rows[mid]["roundtrip_ok"] is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (operators/jpeg) — r8
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_entropy_layer_exact_on_arbitrary_coefficients():
+    """Huffman + DPCM + RLE/EOB/ZRL + byte stuffing must round-trip
+    ARBITRARY coefficient blocks exactly (the layer is lossless by spec;
+    only quantization is lossy). Exercises AC codes up to size 10, long
+    zero runs (ZRL), all-zero blocks, and negative values."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.jpeg import (
+        AC_LUMA,
+        DC_LUMA,
+        _BitWriter,
+        _cached_lut,
+        _canonical_codes,
+        _decode_entropy,
+        _encode_block,
+    )
+
+    rng = np.random.RandomState(23)
+    blocks = np.zeros((40, 64), dtype=np.int32)
+    for i in range(40):
+        if i % 7 == 0:
+            continue  # all-zero block → lone EOB
+        nz = rng.randint(1, 20)
+        pos = rng.choice(64, size=nz, replace=False)
+        blocks[i, pos] = rng.randint(-1023, 1024, size=nz)
+    blocks[3, 1:] = 0
+    blocks[3, 63] = 5  # 62-zero run → multiple ZRLs
+    dc, ac = _canonical_codes(*DC_LUMA), _canonical_codes(*AC_LUMA)
+    w = _BitWriter()
+    pred = 0
+    for b in blocks:
+        pred = _encode_block(w, b, pred, dc, ac)
+    w.flush()
+    huff = {(0, 0): _cached_lut(*DC_LUMA), (1, 0): _cached_lut(*AC_LUMA)}
+    comps = [{"h": 1, "v": 1, "td": 0, "ta": 0}]
+    # _decode_entropy takes UNSTUFFED segments (decode_jpeg's scan
+    # extractor strips the 0xFF00 stuffing before dispatch)
+    segment = bytes(w.out).replace(b"\xff\x00", b"\xff")
+    out = _decode_entropy([segment], comps, 40, 1, 0, huff)
+    assert (out[0] == blocks).all()
+
+
+def test_jpeg_idct_matches_naive_definition():
+    """The batched matrix IDCT must match the O(n^4) textbook DCT-III sum
+    to float tolerance, and known closed forms (constant block ↔ lone DC)."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.jpeg import _M
+
+    rng = np.random.RandomState(31)
+    C = rng.uniform(-500, 500, size=(8, 8))
+    fast = _M.T @ C @ _M
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4.0 * C[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            naive[x, y] = s
+    assert np.abs(fast - naive).max() < 1e-9
+    dc_only = np.zeros((8, 8))
+    dc_only[0, 0] = 8.0 * 42
+    assert np.abs(_M.T @ dc_only @ _M - 42.0).max() < 1e-9
+
+
+def test_jpeg_roundtrip_modes():
+    """End-to-end: constant-block gray is EXACT under all-ones quant;
+    arbitrary gray is within coefficient-rounding tolerance; color 4:4:4
+    within YCbCr-rounding tolerance; 4:2:0 decodes at full resolution;
+    restart markers change the framing, not the pixels; quality=10 is
+    lossy but bounded."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 256, size=21, dtype=np.uint8)
+    const = np.repeat(np.repeat(vals.reshape(-1, 1), 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(const, quality=None))
+    assert out.shape == (168, 8, 1) and (out[:, :, 0] == const).all()
+
+    img = rng.randint(0, 256, size=(19, 26), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=None))[:, :, 0]
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    rgb = rng.randint(0, 256, size=(17, 22, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, quality=None))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+
+    out = decode_jpeg(encode_jpeg(rgb, quality=None, subsample=True))
+    assert out.shape == rgb.shape  # 4:2:0 upsampled back to full res
+
+    with_rst = decode_jpeg(encode_jpeg(const, quality=None, restart_interval=3))
+    assert (with_rst[:, :, 0] == const).all()
+
+    # lossy sanity on content JPEG is FOR (smooth gradients, not noise):
+    # strong quantization must stay perceptually close, not explode
+    grad = np.add.outer(np.arange(32) * 4, np.arange(48) * 2).astype(np.uint8)
+    lossy = decode_jpeg(encode_jpeg(grad, quality=10))[:, :, 0]
+    assert np.abs(lossy.astype(int) - grad.astype(int)).mean() <= 12
+    crisp = decode_jpeg(encode_jpeg(grad, quality=95))[:, :, 0]
+    assert np.abs(crisp.astype(int) - grad.astype(int)).max() <= 6
+
+
+def test_jpeg_decode_rejects_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from datalake_nba_dmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"definitely not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg(None)
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    # flip SOF0 → SOF2 (progressive): must raise, not mis-decode
+    sof_at = good.index(b"\xff\xc0")
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:sof_at] + b"\xff\xc2" + good[sof_at + 2:])
+    # 12-bit precision
+    prec_at = sof_at + 4
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:prec_at] + bytes([12]) + good[prec_at + 1:])
+    # truncated entropy stream
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:-8] + b"\xff\xd9")
+
+
+def test_jpeg_roundtrip_stats_spark_path(spark):
+    """The corpus query's operator: exact byte stats via the constant-block
+    construction, 48-byte cap, NULL/empty payloads emit NULL-stats rows."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import jpeg_roundtrip_stats
+
+    long_text = bytes(range(32, 127)) + b"tail beyond the cap"
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None), (3, bytearray(b"")),
+         (4, bytearray(long_text))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in jpeg_roundtrip_stats(df, cap=48).collect()}
+    assert rows[1]["roundtrip_ok"] is True
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (8, 24, 1)
+    v = np.frombuffer(b"abc", dtype=np.uint8).astype(np.int64)
+    n, s1, s2 = 64 * 3, 64 * int(v.sum()), 64 * int((v * v).sum())
+    assert rows[1]["mean_px_micro"] == (2 * s1 * 10**6 + n) // (2 * n)
+    assert rows[1]["var_px_micro"] == (
+        2 * (n * s2 - s1 * s1) * 10**6 + n * n
+    ) // (2 * n * n)
+    assert rows[4]["height"] == 8 * 48 and rows[4]["roundtrip_ok"] is True
+    for mid in (2, 3):
+        assert rows[mid]["mean_px_micro"] is None
+        assert rows[mid]["roundtrip_ok"] is None
