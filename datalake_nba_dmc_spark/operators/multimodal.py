@@ -634,6 +634,60 @@ def png_pixel_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return ensure_parallelism(df).mapInPandas(part, schema=PIXEL_STATS_SCHEMA)
 
 
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Magic-byte dispatch over the in-repo REAL decoders: PNG
+    (:func:`decode_png`), BMP (:func:`decode_bmp`) or baseline JPEG
+    (operators/jpeg.decode_jpeg). A 100 TB crawl column is format-mixed;
+    callers should not pre-sort by extension (extensions lie). Raises
+    ``ValueError`` for unrecognized or malformed bytes."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("payload too short to sniff")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from datalake_nba_dmc_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unrecognized image format")
+
+
+def image_pixel_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Format-sniffing pixel statistics over a MIXED image payload column
+    (PNG/BMP/baseline-JPEG via :func:`decode_image`) — the
+    :func:`png_pixel_stats` contract generalized to the corpus a crawl
+    actually lands: per-image dimensions + mean/std of the decoded uint8
+    samples, and for every payload that fails to sniff or decode, a
+    NULL-stats row carrying the error in ``decode_error``. Corrupt or
+    adversarial blobs must never kill the scan (the malformed-bytes
+    robustness audit drives exactly this operator — see
+    tools/robustness_audit.py bytes). Payloads stay on the executors."""
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    px = decode_image(bytes(payload) if payload is not None else None)
+                    h, w, c = px.shape
+                    recs.append(
+                        (int(mid), w, h, c,
+                         round(float(px.mean()), 6), round(float(px.std()), 6), None)
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine, never crash
+                    recs.append((int(mid), None, None, None, None, None, str(e)[:80]))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "mean_px", "std_px", "decode_error",
+                ],
+            ).astype({"width": "Int32", "height": "Int32", "channels": "Int32"})
+
+    return ensure_parallelism(df).mapInPandas(part, schema=PIXEL_STATS_SCHEMA)
+
+
 ROUNDTRIP_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

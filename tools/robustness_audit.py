@@ -28,11 +28,21 @@ the same differential comparison on two mutated copies of the data that a
   domain quota, salted pre-agg present) are re-checked against the hot
   data's ACTUAL row counts, not just the plan text.
 
+- ``bytes``  — malformed-media robustness (r8): truncated IDAT, corrupt
+  CRCs, lying IHDR/SOF/BMP dimension and offset fields, invalid filter
+  and Huffman structures, RIFF size-field overflows, random/empty/NULL
+  payloads — driven through the DISTRIBUTED decode surface
+  (``image_pixel_stats`` + header extractors), pinning
+  quarantine-not-crash semantics per crafted case (no differential twin:
+  no second engine decodes images here; the gate is the per-case
+  expected-outcome table + the row-preservation invariant).
+
 Usage::
 
     python tools/robustness_audit.py empty [query ...]
     python tools/robustness_audit.py nulls [query ...]
     python tools/robustness_audit.py skew  [query ...]
+    python tools/robustness_audit.py bytes
 
 Builds the mutated dataset under ``/tmp/robustness_<mode>`` (cached — wiped
 and rebuilt when missing) from ``/root/testdata/sf0.001``, then runs the
@@ -210,6 +220,236 @@ def skew_invariants(spark, sf_dir: str, specs) -> list[str]:
     return problems
 
 
+# Expected outcomes for the malformed-bytes audit (r8, VERDICT r7 ask #7),
+# keyed by crafted case name. "ok" = decodes with correct dims; "error" =
+# must land in decode_error (quarantine-not-crash); anything else is a
+# justified KNOWN deviation.
+KNOWN_BYTES: dict[str, str] = {
+    "png_bad_crc": (
+        "decodes clean: decode_png intentionally does NOT verify chunk "
+        "CRCs (lenient-decoder stance — browsers/libpng-turbo accept "
+        "CRC-damaged-but-inflatable files; a strict mode would quarantine "
+        "data the rest of the web pipeline happily serves)"
+    ),
+    "jpeg_trailing_garbage": (
+        "decodes clean: bytes after EOI are ignored by design — real "
+        "crawls carry appended thumbnails/XMP past EOI"
+    ),
+}
+
+
+def _bytes_cases() -> list[tuple[str, str, bytes | None]]:
+    """Crafted malformed-media corpus: (case, expected 'ok'/'error',
+    payload). Built from the in-repo encoders so every case is a
+    deterministic byte-level mutation of a KNOWN-good file."""
+    import struct
+    import zlib as z
+
+    from datalake_nba_dmc_spark.operators.jpeg import encode_jpeg
+    from datalake_nba_dmc_spark.operators.multimodal import encode_bmp, encode_png
+
+    rng = np.random.RandomState(41)
+    gray = rng.randint(0, 256, size=(12, 9), dtype=np.uint8)
+    png = encode_png(gray, filter_types=[0, 2, 4])
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    png_pal = encode_png((gray % 16).astype(np.uint8), palette=pal)
+    bmp = encode_bmp(gray)
+    jpg = encode_jpeg(gray, quality=None)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # PNG with an out-of-spec filter byte (9) in the raw stream
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0)
+    png_bad_filter = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", z.compress(b"\x09" + bytes(4))) + chunk(b"IEND", b"")
+    )
+    # PNG claiming one extra pixel column in IHDR
+    ihdr_at = png.index(b"IHDR") - 4
+    lying = struct.pack(">I", 10) + png[ihdr_at + 8 : ihdr_at + 8 + 21 - 4]
+    png_lying = png[:ihdr_at + 4] + b"IHDR" + lying[:13] + png[ihdr_at + 4 + 4 + 13 :]
+    # corrupt IHDR CRC only (content intact)
+    crc_at = ihdr_at + 8 + 13
+    png_bad_crc = (
+        png[:crc_at] + bytes([png[crc_at] ^ 0xFF]) + png[crc_at + 1 :]
+    )
+    # IDAT body replaced with non-zlib garbage (lengths/CRC refreshed)
+    idat_at = png.index(b"IDAT") - 4
+    (idat_len,) = struct.unpack(">I", png[idat_at : idat_at + 4])
+    png_garbage = (
+        png[:idat_at] + chunk(b"IDAT", b"\x00" * idat_len) + chunk(b"IEND", b"")
+    )
+    # palette PNG with PLTE stripped
+    plte_at = png_pal.index(b"PLTE") - 4
+    png_no_plte = png_pal[:plte_at] + png_pal[plte_at + 12 + len(pal) * 3 :]
+    # palette PNG with an index past the 16-entry palette
+    png_pal_oob = encode_png(
+        np.full((2, 2), 99, dtype=np.uint8), palette=pal
+    )
+
+    # BMP mutations
+    bmp_lying_offset = bmp[:10] + struct.pack("<I", len(bmp) + 999) + bmp[14:]
+    bmp_absurd_width = bmp[:18] + struct.pack("<i", 1 << 30) + bmp[22:]
+    bmp_compressed = bmp[:30] + struct.pack("<I", 1) + bmp[34:]
+
+    # JPEG mutations
+    sof_at = jpg.index(b"\xff\xc0")
+    jpeg_progressive = jpg[:sof_at] + b"\xff\xc2" + jpg[sof_at + 2 :]
+    # SOF claims 4× the height → entropy stream runs dry
+    h_at = sof_at + 5
+    (true_h,) = struct.unpack(">H", jpg[h_at : h_at + 2])
+    jpeg_lying_sof = (
+        jpg[:h_at] + struct.pack(">H", true_h * 4) + jpg[h_at + 2 :]
+    )
+    # DHT BITS counts corrupted → canonical-code construction must fail
+    dht_at = jpg.index(b"\xff\xc4")
+    jpeg_bad_dht = (
+        jpg[: dht_at + 5] + b"\xff\xff" + jpg[dht_at + 7 :]
+    )
+    jpeg_trailing = jpg + b"GARBAGE TRAILING BYTES" * 3
+
+    # RIFF/WAVE: canonical file, then size-field attacks
+    def wav(data_len: int, riff_size: int | None = None, data_size: int | None = None) -> bytes:
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data" + struct.pack("<I", data_size if data_size is not None else data_len)
+            + bytes(data_len)
+        )
+        return b"RIFF" + struct.pack(
+            "<I", riff_size if riff_size is not None else len(body)
+        ) + body
+
+    return [
+        ("png_ok", "ok", png),
+        ("png_palette_ok", "ok", png_pal),
+        ("png_trunc_idat", "error", png[: idat_at + 20]),
+        ("png_bad_crc", "ok", png_bad_crc),  # KNOWN: CRCs unverified
+        ("png_lying_ihdr", "error", png_lying),
+        ("png_bad_filter", "error", png_bad_filter),
+        ("png_zlib_garbage", "error", png_garbage),
+        ("png_palette_no_plte", "error", png_no_plte),
+        ("png_palette_oob_index", "error", png_pal_oob),
+        ("bmp_ok", "ok", bmp),
+        ("bmp_trunc", "error", bmp[:30]),
+        ("bmp_lying_offset", "error", bmp_lying_offset),
+        ("bmp_absurd_width", "error", bmp_absurd_width),
+        ("bmp_compressed", "error", bmp_compressed),
+        ("jpeg_ok", "ok", jpg),
+        ("jpeg_trunc_scan", "error", jpg[:-10]),
+        ("jpeg_progressive", "error", jpeg_progressive),
+        ("jpeg_lying_sof", "error", jpeg_lying_sof),
+        ("jpeg_bad_dht", "error", jpeg_bad_dht),
+        ("jpeg_trailing_garbage", "ok", jpeg_trailing),  # KNOWN: post-EOI junk
+        ("wav_ok", "audio", wav(3200)),
+        ("wav_riff_size_overflow", "audio", wav(3200, riff_size=0xFFFFFFF0)),
+        ("wav_data_size_overflow", "audio", wav(3200, data_size=0xFFFFFFF0)),
+        ("wav_trunc_fmt", "audio", wav(3200)[:20]),
+        ("random_bytes", "error", bytes(rng.randint(0, 256, 500, dtype=np.uint8).tolist())),
+        ("empty_bytes", "error", b""),
+        ("null_payload", "error", None),
+    ]
+
+
+def bytes_audit() -> int:
+    """Malformed-bytes robustness (r8 audit dimension): drive the REAL
+    decoders through the distributed operator surface
+    (``image_pixel_stats`` — format-sniffing decode — and the
+    header extractors) with a crafted corpus of truncations, lying
+    size/dimension fields, corrupt CRCs, invalid filter/Huffman
+    structures, and size-field overflows. Invariants:
+
+    1. quarantine-not-crash: the Spark stage completes; EVERY input row
+       produces exactly one output row;
+    2. every 'error' case lands in ``decode_error`` (no silent wrong
+       pixels), every 'ok' case decodes with its true dimensions;
+    3. WAV size-field attacks never crash the header walk, and lying
+       sizes are clamped, not believed;
+    4. deviations are justified per-entry in KNOWN_BYTES.
+    """
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        extract_audio_headers,
+        extract_image_headers,
+        image_pixel_stats,
+    )
+    from datalake_nba_dmc_spark.session import get_spark
+
+    spark = get_spark("robustness_bytes")
+    cases = _bytes_cases()
+    rows = [
+        (i, name, bytearray(p) if p is not None else None)
+        for i, (name, _, p) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, case string, payload binary")
+    expected = {name: exp for name, exp, _ in cases}
+
+    problems: list[str] = []
+    n_pass = n_known = 0
+
+    stats = {r["media_id"]: r for r in image_pixel_stats(df).collect()}
+    if len(stats) != len(cases):
+        problems.append(f"image_pixel_stats rows {len(stats)} != {len(cases)}")
+    for i, (name, exp, _) in enumerate(cases):
+        r = stats.get(i)
+        if r is None:
+            problems.append(f"{name}: no output row")
+            continue
+        decoded_ok = r["decode_error"] is None
+        if name in KNOWN_BYTES:
+            print(f"KNOWN {name}: {KNOWN_BYTES[name]}")
+            n_known += 1
+            # known-ok cases must still decode cleanly with true dims
+            if exp == "ok" and not decoded_ok:
+                problems.append(f"{name}: KNOWN-ok case failed to decode")
+            continue
+        if exp == "ok" and not decoded_ok:
+            problems.append(f"{name}: expected decode, got error {r['decode_error']!r}")
+        elif exp == "error" and decoded_ok:
+            problems.append(f"{name}: malformed bytes decoded silently")
+        elif exp == "audio" and decoded_ok:
+            problems.append(f"{name}: WAV bytes decoded as an image")
+        else:
+            detail = r["decode_error"] or f"{r['width']}x{r['height']}x{r['channels']}"
+            print(f"PASS {name}: {detail}")
+            n_pass += 1
+
+    img_hdrs = {r["media_id"]: r for r in extract_image_headers(df).collect()}
+    if len(img_hdrs) != len(cases):
+        problems.append(f"extract_image_headers rows {len(img_hdrs)} != {len(cases)}")
+    aud_hdrs = {r["media_id"]: r for r in extract_audio_headers(df).collect()}
+    if len(aud_hdrs) != len(cases):
+        problems.append(f"extract_audio_headers rows {len(aud_hdrs)} != {len(cases)}")
+    for i, (name, exp, _) in enumerate(cases):
+        if exp != "audio" or i not in aud_hdrs:
+            continue
+        r = aud_hdrs[i]
+        if name == "wav_trunc_fmt":
+            continue  # header cut mid-fmt: any non-crash parse is fine
+        if r["format"] != "wav":
+            problems.append(f"{name}: WAV header not recognized")
+        elif name == "wav_data_size_overflow" and (
+            r["duration_s"] is None or r["duration_s"] > 1.0
+        ):
+            problems.append(
+                f"{name}: lying data-chunk size believed (duration {r['duration_s']})"
+            )
+        else:
+            print(f"PASS {name}: wav duration={r['duration_s']}")
+            n_pass += 1
+
+    for p in problems:
+        print(f"FAIL {p}")
+    print(
+        f"\n[bytes] {n_pass} pass, {len(problems)} fail, {n_known} known "
+        f"({len(cases)} crafted cases)"
+    )
+    return 1 if problems else 0
+
+
 def build_mutated(mode: str) -> str:
     out = f"/tmp/robustness_{mode}"
     marker = os.path.join(out, "_COMPLETE")
@@ -312,6 +552,8 @@ def _inject(t: pa.Table, seed_text: str) -> pa.Table:
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "empty"
+    if mode == "bytes":
+        return bytes_audit()
     only = set(sys.argv[2:])
     sf_dir = build_mutated(mode)
 
