@@ -1098,6 +1098,7 @@ def prefix_filter_ssjoin(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.6,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard set-similarity self-join via prefix filtering
     (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) —
@@ -1193,6 +1194,13 @@ def prefix_filter_ssjoin(
         .select("id_a", "id_b")
         .distinct()
     )
+    if return_candidates:
+        # audit/receipt hook (r8 Zipf-hot invariant): the pre-verify
+        # candidate set, whose cardinality is the whole point of the
+        # prefix filter — compared against the naive gram join's
+        # candidate count on hot-token corpora in
+        # tools/robustness_audit.py skew
+        return cands
     sets = ordered.select(id_col, "_gs", "sz")
     inter = F.size(F.array_intersect("_ga", "_gb"))
     union = F.col("sz_a") + F.col("sz_b") - inter

@@ -217,6 +217,150 @@ def skew_invariants(spark, sf_dir: str, specs) -> list[str]:
         problems.append(
             f"semantic-dedup classified {out_rows} of {n_emb} vectors"
         )
+    problems.extend(zipf_hot_ssjoin_invariant(spark))
+    return problems
+
+
+def zipf_hot_ssjoin_invariant(spark) -> list[str]:
+    """Zipf-hot set-similarity receipt (r8, VERDICT r7 ask #8): the prefix
+    path's reason to exist is hot-token corpora, but its crossover was
+    only ever measured ad hoc. Build a fixture where EVERY doc shares one
+    stop-phrase (so the naive gram equi-join's hot bucket is quadratic:
+    all N(N-1)/2 pairs become candidates) plus planted near-dup pairs
+    (so output equality is non-vacuous), then pin:
+
+    1. the naive join's pre-threshold candidate count IS quadratic
+       (≥ N(N-1)/2 — demonstrating the failure mode, not assuming it);
+    2. the prefix filter's candidate count stays ≤ 1% of that (hot grams
+       sort to the END of the frequency order and never enter a prefix);
+    3. both paths return the IDENTICAL final pair set (the filter is an
+       optimization, never a semantics change);
+    4. interleaved min-of-3 wall receipt: prefix beats naive on this
+       corpus (the inverse of PERF.md's clean-corpus crossover, where
+       naive wins 5×).
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import prefix_filter_ssjoin
+    from datalake_nba_dmc_spark.plans.curation import sized_gram_rows
+
+    problems: list[str] = []
+    rng = np.random.default_rng(zlib.crc32(b"zipf-hot-fixture"))
+    words = [f"w{i:04d}" for i in range(4000)]
+    rows = []
+    n_base = 3000
+    for i in range(n_base):
+        uniq = " ".join(rng.choice(words, size=12, replace=False))
+        # every doc carries the hot stop-phrase → every doc pair shares
+        # its shingles, but pairwise Jaccard stays far below threshold
+        rows.append((i, uniq + " the quick brown fox"))
+    for i in range(40):  # planted near-dups: one word changed
+        base = rows[i][1].split()
+        base[3] = "changed"
+        rows.append((n_base + i, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    n = len(rows)
+
+    # pre-materialized grams for the CANDIDATE-COUNT invariants only; the
+    # timed A/B below rebuilds grams inside each timed run so both paths
+    # are billed for their own tokenize/shingle work
+    sh = sized_gram_rows(docs, "text", "doc_id", 3).localCheckpoint(eager=True)
+
+    def naive_pairs(grams=None):
+        g = (
+            grams
+            if grams is not None
+            else sized_gram_rows(docs, "text", "doc_id", 3).localCheckpoint(eager=True)
+        )
+        inter = (
+            g.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "gram")
+            .join(
+                g.select(
+                    F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "gram"
+                ),
+                on="gram",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count("*").alias("n_inter"),
+                F.first("sz_a").alias("sz_a"),
+                F.first("sz_b").alias("sz_b"),
+            )
+        )
+        return inter.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= 0.6)
+
+    naive_cands = (
+        sh.select(F.col("doc_id").alias("id_a"), "gram")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "gram"), on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    quad = n * (n - 1) // 2
+    prefix_cands = prefix_filter_ssjoin(
+        docs, threshold=0.6, return_candidates=True
+    ).count()
+    print(
+        f"INVAR zipf_ssjoin: naive candidates {naive_cands} "
+        f"(quadratic bound {quad}), prefix candidates {prefix_cands}"
+    )
+    if naive_cands < quad:
+        problems.append(
+            f"zipf fixture failed to go quadratic: {naive_cands} < {quad}"
+        )
+    if prefix_cands > naive_cands // 100:
+        problems.append(
+            f"prefix filter did not bound the hot bucket: "
+            f"{prefix_cands} > {naive_cands}//100"
+        )
+
+    naive_out = {
+        (r["id_a"], r["id_b"]) for r in naive_pairs(sh).collect()
+    }
+    prefix_out = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_ssjoin(docs, threshold=0.6).collect()
+    }
+    print(
+        f"INVAR zipf_equal: naive {len(naive_out)} pairs, "
+        f"prefix {len(prefix_out)} pairs, planted 40"
+    )
+    if naive_out != prefix_out or len(naive_out) < 40:
+        problems.append(
+            f"prefix/naive outputs diverge on hot corpus: "
+            f"{len(naive_out)} vs {len(prefix_out)}"
+        )
+
+    times = {"naive": [], "prefix": []}
+    for _ in range(3):  # interleaved min-of-3
+        t0 = time.perf_counter()
+        naive_pairs().write.format("noop").mode("overwrite").save()
+        times["naive"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        prefix_filter_ssjoin(docs, threshold=0.6).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times["prefix"].append(time.perf_counter() - t0)
+    t_naive, t_prefix = min(times["naive"]), min(times["prefix"])
+    print(
+        f"INVAR zipf_ab: naive {t_naive:.2f}s vs prefix {t_prefix:.2f}s "
+        f"(interleaved min-of-3, {n} docs, every pair sharing a hot gram)"
+    )
+    if t_prefix >= t_naive:
+        problems.append(
+            f"prefix path lost its own home game: {t_prefix:.2f}s >= {t_naive:.2f}s"
+        )
     return problems
 
 
