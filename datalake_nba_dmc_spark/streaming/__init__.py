@@ -2,6 +2,10 @@
 batch-only — SURVEY.md §2.10 — but an analytics engine at 100 TB needs the
 streaming surface for continuous ingest)."""
 
+from datalake_nba_dmc_spark.streaming.curation import (  # noqa: F401
+    curated_ingest,
+    read_documents_stream,
+)
 from datalake_nba_dmc_spark.streaming.events import (  # noqa: F401
     EVENTS_SCHEMA,
     enrich_with_dimension,

@@ -592,3 +592,80 @@ def test_max_files_per_trigger_bounds_each_microbatch(spark, tmp_path):
     assert len(counts) == 4, batches
     assert sorted(counts) == sorted(file_rows.values()), (batches, file_rows)
     assert sum(counts) == total
+
+
+def test_curated_ingest_stream_matches_sequential_batch(spark, tmp_path):
+    """Streaming admission (r8): crawl dumps arrive as micro-batch files;
+    the curated table after draining the stream must equal folding
+    incremental_dedup over the same dumps in the same order — the
+    stream-vs-batch agreement contract for the curation loop. Also pins
+    replay idempotence: re-admitting an already-drained dump adds nothing
+    (every row is an exact duplicate of its admitted copy)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import incremental_dedup
+    from datalake_nba_dmc_spark.streaming.curation import (
+        admit_batch,
+        curated_ingest,
+        read_documents_stream,
+    )
+
+    base = [
+        (0, "web", "en", "alpha beta gamma delta epsilon zeta"),
+        (1, "web", "en", "one two three four five six seven"),
+        (2, "books", "en", "lorem ipsum dolor sit amet consectetur"),
+    ]
+    dumps = [
+        base,
+        [
+            (10, "web", "en", base[0][3]),          # exact dup of doc 0
+            (11, "web", "en", base[1][3] + " X"),   # near dup of doc 1
+            (12, "web", "en", "completely fresh text with new words"),
+            (13, "web", "en", "completely fresh text with new words"),  # in-batch dup
+        ],
+        [
+            (20, "web", "en", "completely fresh text with new words"),  # dup of 12
+            (21, "cc", "en", "another genuinely novel document body"),
+            (22, "cc", "en", None),                 # NULL text: dropped
+        ],
+    ]
+    src = tmp_path / "dumps"
+    src.mkdir()
+    schema = "doc_id long, source string, lang string, text string"
+    for i, rows in enumerate(dumps):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        import glob as _g
+        import shutil as _sh
+
+        _sh.copy(
+            _g.glob(str(tmp_path / f"stage{i}") + "/part-*.parquet")[0],
+            src / f"dump_{i}.parquet",
+        )
+
+    curated = str(tmp_path / "curated")
+    q = curated_ingest(
+        read_documents_stream(spark, str(src), max_files_per_trigger=1),
+        curated,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(curated).collect())
+
+    # batch twin: fold the same dumps through incremental_dedup sequentially
+    corpus = spark.createDataFrame([], schema)
+    for rows in dumps:
+        admitted = incremental_dedup(corpus, spark.createDataFrame(rows, schema))
+        corpus = corpus.unionByName(admitted).localCheckpoint(eager=True)
+    want = sorted(r["doc_id"] for r in corpus.collect())
+    assert got == want
+    assert got == [0, 1, 2, 12, 21]
+
+    # replay idempotence: re-admit dump 1 directly against the curated table
+    replay = spark.createDataFrame(dumps[1], schema)
+    admit_batch(curated)(replay, batch_id=99)
+    after = sorted(r["doc_id"] for r in spark.read.parquet(curated).collect())
+    assert after == got
