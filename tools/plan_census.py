@@ -58,6 +58,8 @@ BNLJ_AUDITED = {
     "stat_psi_price_drift",       # one-row pre/post totals
     "text_collocations",          # one-row token grand total
     "text_bm25_topk",             # one-row (N, avgdl) corpus-stats broadcast
+    "text_bm25_multiquery",       # same one-row (N, avgdl) broadcast, shared
+                                  # across the whole query workload (r8)
     "text_ccnet_buckets",         # one-row token grand total (via unigram_logprob)
     "text_dsir_selection",        # one-row LM-totals broadcast
     "text_js_divergence",         # one-row token-totals broadcast
