@@ -420,23 +420,91 @@ def extract_audio_headers(df: DataFrame, payload_col: str = "payload") -> DataFr
 # REAL PNG pixel decode (stdlib zlib + numpy — no PIL/cv2 required)
 # ---------------------------------------------------------------------------
 
-#: color_type → samples per pixel for the supported 8-bit formats
-#: (color_type 3 = palette: one index byte per pixel, expanded via PLTE).
+#: color_type → samples per pixel (color_type 3 = palette: one index per
+#: pixel, expanded via PLTE).
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_row_bytes(width: int, channels: int, depth: int) -> int:
+    return (width * channels * depth + 7) // 8
+
+
+def _unfilter_rows(raw: "np.ndarray", height: int, row_bytes: int, bpp: int) -> "np.ndarray":
+    """Invert the five PNG scanline filters over one (sub-)image's raw
+    stream: ``raw`` is (height, row_bytes+1) uint8 (filter byte + row
+    data); ``bpp`` is the filter byte-distance (max(1, bits_per_pixel/8)
+    per spec §9). Returns (height, row_bytes) uint8."""
+    filters, data = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, row_bytes), dtype=np.int32)
+    for y in range(height):
+        f, line = int(filters[y]), data[y].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(row_bytes, dtype=np.int32)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up — vectorizable whole-row
+            out[y] = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-row left neighbour: per-byte
+            cur = out[y]
+            for x in range(row_bytes):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                elif f == 4:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = (line[x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _samples_from_rows(
+    rows: "np.ndarray", width: int, ch: int, depth: int, scale_low_depth: bool
+) -> "np.ndarray":
+    """(height, row_bytes) unfiltered bytes → (height, width, ch) uint8
+    samples. depth 16 keeps the high byte (training pipelines normalize to
+    8-bit; high byte = round(v/257) within 1 LSB); depths 1/2/4 unpack
+    MSB-first and — for grayscale — rescale to full range (palette INDICES
+    stay raw)."""
+    height = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * ch].reshape(height, width, ch)
+    if depth == 16:
+        return rows[:, : width * ch * 2].reshape(height, width, ch, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(height, width, depth) * weights).sum(axis=2)
+    if scale_low_depth:
+        vals = vals * (255 // ((1 << depth) - 1))
+    return vals.astype(np.uint8)[:, :, None]
 
 
 def decode_png(payload: bytes) -> "np.ndarray":
-    """REAL (non-stub) PNG pixel decode for non-interlaced 8-bit images
-    (grayscale / RGB / gray+alpha / RGBA / palette — the formats training
-    corpora normalize to), using only stdlib ``zlib`` and numpy: walk
-    chunks, inflate the IDAT stream, and invert the five scanline filters
-    (None, Sub, Up, Average, Paeth) per the PNG spec §9 (RFC 2083).
-    Palette images (color_type 3, r8 — the most common real-crawl
-    rejection of the r7 decoder) map their index stream through the PLTE
-    chunk and come back as RGB. Raises ``ValueError`` on non-PNG bytes,
-    16-bit/interlaced images and palette-less color_type-3 (explicit
-    narrow support, not a silent stub; tRNS transparency is ignored —
-    indices decode to their opaque PLTE color).
+    """REAL (non-stub) PNG pixel decode using only stdlib ``zlib`` and
+    numpy: walk chunks, inflate the IDAT stream, invert the five scanline
+    filters (None/Sub/Up/Average/Paeth, PNG spec §9 / RFC 2083), and
+    reassemble Adam7 interlace passes when present. Supported (r8 —
+    every combination the spec allows except tRNS transparency, which is
+    ignored):
+
+    - color types: grayscale, RGB, gray+alpha, RGBA, palette (PLTE);
+    - bit depths: 1/2/4 (gray + palette), 8 (all), 16 (non-palette;
+      emitted as the high byte — training corpora normalize to 8-bit);
+    - interlace: none or Adam7 (per-pass unfiltering + scatter).
+
+    Raises ``ValueError`` on non-PNG bytes, spec-invalid depth/type
+    combinations, and palette-less color_type-3.
 
     Returns an (height, width, channels) uint8 array.
     """
@@ -455,11 +523,18 @@ def decode_png(payload: bytes) -> "np.ndarray":
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+            ok_depth = {
+                0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16),
+            }
+            if (
+                color_type not in _PNG_CHANNELS
+                or bit_depth not in ok_depth[color_type]
+                or interlace not in (0, 1)
+            ):
                 raise ValueError(
-                    f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
-                    f"interlace={interlace}); supported: 8-bit gray/RGB/GA/RGBA/palette, "
-                    "no interlace"
+                    f"invalid PNG (bit_depth={bit_depth}, color_type={color_type}, "
+                    f"interlace={interlace})"
                 )
             ch = _PNG_CHANNELS[color_type]
         elif ctype == b"PLTE":
@@ -476,37 +551,40 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    filters, data = raw[:, 0], raw[:, 1:].astype(np.int32)
-    out = np.zeros((height, stride), dtype=np.int32)
-    for y in range(height):
-        f, line = int(filters[y]), data[y].copy()
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
-        if f == 0:
-            out[y] = line
-        elif f == 2:  # Up — vectorizable whole-row
-            out[y] = (line + prev) & 0xFF
-        else:  # Sub/Average/Paeth need the in-row left neighbour: per-pixel
-            cur = out[y]
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = prev[x]
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) >> 1
-                elif f == 4:
-                    c = prev[x - ch] if x >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad PNG filter {f}")
-                cur[x] = (line[x] + pred) & 0xFF
-    px = out.astype(np.uint8).reshape(height, width, ch)
+    bpp = max(1, ch * bit_depth // 8)
+    scale_gray = color_type != 3
+
+    if interlace == 0:
+        row_bytes = _png_row_bytes(width, ch, bit_depth)
+        if len(raw) != height * (row_bytes + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        rows = _unfilter_rows(
+            np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes + 1),
+            height, row_bytes, bpp,
+        )
+        px = _samples_from_rows(rows, width, ch, bit_depth, scale_gray)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        px = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            row_bytes = _png_row_bytes(pw, ch, bit_depth)
+            need = ph * (row_bytes + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG IDAT length mismatch (interlaced)")
+            rows = _unfilter_rows(
+                np.frombuffer(raw, dtype=np.uint8, count=need, offset=off)
+                .reshape(ph, row_bytes + 1),
+                ph, row_bytes, bpp,
+            )
+            off += need
+            px[y0::dy, x0::dx] = _samples_from_rows(rows, pw, ch, bit_depth, scale_gray)
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch (interlaced)")
+
     if color_type == 3:
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
@@ -515,41 +593,20 @@ def decode_png(payload: bytes) -> "np.ndarray":
     return px
 
 
-def encode_png(
-    pixels: "np.ndarray",
-    filter_types: list[int] | None = None,
-    palette: "np.ndarray | None" = None,
+def _filter_rows(
+    flat: "np.ndarray", bpp: int, filter_types: list[int] | None
 ) -> bytes:
-    """Minimal PNG encoder (stdlib zlib) for 8-bit gray/RGB/GA/RGBA arrays —
-    the round-trip twin of :func:`decode_png` and the deterministic
-    payload SOURCE for pixel-path tests and queries in this container
-    (which has no image files and no PIL). ``filter_types`` optionally
-    forces a per-row filter (0–4) so tests exercise every unfilter branch;
-    default is filter 0 everywhere. With ``palette`` (an (n≤256, 3) uint8
-    array), ``pixels`` is a single-channel INDEX image written as
-    color_type 3 with a PLTE chunk (r8 — the palette round-trip twin)."""
-    import struct
-    import zlib
-
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    height, width, ch = pixels.shape
-    if palette is not None:
-        if ch != 1:
-            raise ValueError("palette encode takes a single-channel index image")
-        color_type = 3
-    else:
-        color_type = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
-    px = pixels.astype(np.int32)
-    stride = width * ch
-    flat = px.reshape(height, stride)
-    rows = []
+    """Apply the per-row PNG filter schedule to (height, row_bytes) byte
+    rows (the encoder twin of :func:`_unfilter_rows`); returns the raw
+    pre-compression stream (filter byte + filtered row, concatenated)."""
+    height, row_bytes = flat.shape
+    out = []
     for y in range(height):
         f = filter_types[y % len(filter_types)] if filter_types else 0
         line = flat[y]
-        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
-        left = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
-        ul = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+        prev = flat[y - 1] if y > 0 else np.zeros(row_bytes, dtype=np.int32)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
         if f == 0:
             enc = line
         elif f == 1:
@@ -563,7 +620,74 @@ def encode_png(
             pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
             pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
             enc = line - pred
-        rows.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        out.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def _rows_to_bytes(px: "np.ndarray", depth: int) -> "np.ndarray":
+    """(h, w, ch) samples → (h, row_bytes) int32 byte rows for ``depth``:
+    8 = passthrough, 16 = big-endian sample expansion (low byte = high —
+    the exact 257·v/ ... 0x0101 pattern, so the decoder's high-byte read
+    round-trips), 1/2/4 = MSB-first bit packing (single channel only)."""
+    h, w, ch = px.shape
+    if depth == 8:
+        return px.reshape(h, w * ch).astype(np.int32)
+    if depth == 16:
+        hi = px.astype(np.uint16) * 257  # v → v·257 = (v<<8)|v
+        be = np.stack([(hi >> 8) & 0xFF, hi & 0xFF], axis=-1)
+        return be.reshape(h, w * ch * 2).astype(np.int32)
+    if ch != 1:
+        raise ValueError("bit depths 1/2/4 are single-channel only")
+    weights = np.arange(depth - 1, -1, -1)
+    bits = ((px[:, :, 0, None] >> weights) & 1).reshape(h, w * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32)
+
+
+def encode_png(
+    pixels: "np.ndarray",
+    filter_types: list[int] | None = None,
+    palette: "np.ndarray | None" = None,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG encoder (stdlib zlib) — the round-trip twin of
+    :func:`decode_png` and the deterministic payload SOURCE for pixel-path
+    tests and queries in this container (which has no image files and no
+    PIL). Gray/RGB/GA/RGBA at depth 8; depth 16 (samples expanded as
+    v·257, so the decoder's high-byte normalization round-trips exactly);
+    depths 1/2/4 for single-channel gray (values must fit the depth) or
+    palette indices; ``palette`` (an (n≤256, 3) uint8 array) writes
+    color_type 3 + PLTE; ``interlace=True`` writes Adam7 (each pass
+    filtered independently). ``filter_types`` optionally forces a per-row
+    filter cycle (0-4) so tests exercise every unfilter branch."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    height, width, ch = pixels.shape
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette encode takes a single-channel index image")
+        color_type = 3
+    else:
+        color_type = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    px = pixels.astype(np.int64)
+    bpp = max(1, ch * bit_depth // 8)
+
+    if interlace:
+        raws = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raws.append(_filter_rows(_rows_to_bytes(sub, bit_depth), bpp, filter_types))
+        raw = b"".join(raws)
+    else:
+        raw = _filter_rows(_rows_to_bytes(px, bit_depth), bpp, filter_types)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -573,7 +697,9 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
     plte = (
         chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
         if palette is not None
@@ -583,9 +709,10 @@ def encode_png(
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + plte
-        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
 
 
 PIXEL_STATS_SCHEMA = StructType(

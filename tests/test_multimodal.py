@@ -644,3 +644,59 @@ def test_jpeg_roundtrip_stats_spark_path(spark):
     for mid in (2, 3):
         assert rows[mid]["mean_px_micro"] is None
         assert rows[mid]["roundtrip_ok"] is None
+
+
+def test_png_adam7_interlace_roundtrip_exact():
+    """Adam7: seven independently-filtered passes must scatter back
+    bit-exactly for every channel count, filter schedule, and for
+    dimensions that leave some passes EMPTY (w or h < pass origin)."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(47)
+    for ch in (1, 2, 3, 4):
+        for h, w in ((13, 9), (1, 1), (2, 3), (8, 8), (5, 17)):
+            img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            for filters in ([0], [4, 3, 2, 1, 0]):
+                out = decode_png(encode_png(img, filter_types=filters, interlace=True))
+                assert out.shape == (h, w, ch)
+                assert (out == img).all(), (ch, h, w, filters)
+
+
+def test_png_16bit_and_low_depth_roundtrips():
+    """Depth 16 decodes to the high byte (encoder expands v*257 so the
+    normalization round-trips exactly, incl. under Paeth filtering at the
+    2-byte filter distance); depths 1/2/4 unpack MSB-first and rescale
+    gray to full range while palette indices stay raw."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(53)
+    rgb = rng.randint(0, 256, size=(11, 6, 3), dtype=np.uint8)
+    out = decode_png(encode_png(rgb, filter_types=[4, 1, 3], bit_depth=16))
+    assert (out == rgb).all()
+    for d in (1, 2, 4):
+        g = rng.randint(0, 1 << d, size=(9, 13), dtype=np.uint8)
+        out = decode_png(encode_png(g, filter_types=[2, 0], bit_depth=d))
+        assert (out[:, :, 0] == g * (255 // ((1 << d) - 1))).all(), d
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(7, 9), dtype=np.uint8)
+    out = decode_png(encode_png(idx, palette=pal, bit_depth=4))
+    assert (out == pal[idx]).all()  # indices unscaled, PLTE-expanded
+    # spec-invalid combination must raise: 16-bit palette
+    import struct
+    import zlib as z
+
+    blob = encode_png(idx, palette=pal, bit_depth=4)
+    ihdr_at = blob.index(b"IHDR") - 4
+    bad_ihdr = struct.pack(">IIBBBBB", 9, 7, 16, 3, 0, 0, 0)
+    bad = (
+        blob[: ihdr_at + 4] + b"IHDR" + bad_ihdr
+        + struct.pack(">I", z.crc32(b"IHDR" + bad_ihdr) & 0xFFFFFFFF)
+        + blob[ihdr_at + 8 + 13 + 4 :]
+    )
+    with _pytest.raises(ValueError):
+        decode_png(bad)
