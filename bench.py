@@ -111,6 +111,7 @@ EXTENDED = [
     "media_jpeg_decode_stats",
     "media_png_palette_roundtrip",
     "text_bm25_multiquery",
+    "text_unigram_lm_segment",
     # dedup_prefix_ssjoin deliberately NOT benched: it is the documented
     # slower-at-toy-scale skew-insurance path (PERF.md crossover receipt);
     # timing it would bill the suite for an operator whose contract is a

@@ -71,15 +71,25 @@ _CHECK_PRIORITY: list[str] = [
     #    ask #2's ≤ 15 bound). The 14 deferred r4 names sit contiguously
     #    past the edge and lead the r9 cut; each has an in-window (or
     #    bench-timed-every-round) sibling covering its code path — see
-    #    the deferred block comment below.
+    #    the deferred block comment below. (Counts in these comments
+    #    reflect the FOUR-registration final cut: 4 new + 19 r3 + 27 r4
+    #    in-window, 15 r4 deferred.)
     # -- 1. never-checked: registered THIS round, in their own round's
     #    window. media_jpeg_decode_stats = VERDICT r7 ask #3 (stdlib
     #    baseline-JFIF pixel decode); text_bm25_multiquery = ask #5 (the
     #    queries-TABLE retrieval shape); media_png_palette_roundtrip =
-    #    ask #4's corpus-wide certificate for color_type-3 decode.
+    #    ask #4's corpus-wide certificate for color_type-3 decode;
+    #    text_unigram_lm_segment = the SentencePiece-model tokenizer
+    #    (second family next to BPE), pinned-table argmin segmentation.
+    #    The fourth registration displaces one more r4 name
+    #    (stat_exact_moments → deferred; it is bench-HEADLINE, timed
+    #    every round, and its exact-integer-moment twin
+    #    profile_orders_columns stays in-window), so r4-backlog = 15,
+    #    exactly ask #2's bound.
     "media_jpeg_decode_stats",
     "text_bm25_multiquery",
     "media_png_palette_roundtrip",
+    "text_unigram_lm_segment",
     # -- 2. the full r3 backlog (19) — r3-backlog after r8 = 0
     "events_funnel_3step",
     "profile_price_histogram",
@@ -100,7 +110,7 @@ _CHECK_PRIORITY: list[str] = [
     "tpch_q20_part_promotion",
     "y2_range_sorted_roundtrip",
     "w9_time_range_hour",
-    # -- 3. stalest r4 cohort (28 of 42; the other 14 deferred, below)
+    # -- 3. stalest r4 cohort (27 of 42; the other 15 deferred, below)
     "a5_column_bounds",
     "dedup_keep_best_quality",
     "emb_int8_quantize",
@@ -121,7 +131,6 @@ _CHECK_PRIORITY: list[str] = [
     "sim_lsh_multiprobe_recall",
     "sketch_quantile_rollup",
     "skew_salted_join",
-    "stat_exact_moments",
     "text_gopher_quality",
     "text_gram_novelty",
     "text_heavy_hitters",
@@ -130,7 +139,7 @@ _CHECK_PRIORITY: list[str] = [
     "tpch_q3_shipping_priority",
     "w1_latest_order_per_customer",
     # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r4 (14): lead the r9 cut. In-window/bench redundancy per
+    # -- deferred r4 (15): lead the r9 cut. In-window/bench redundancy per
     #    name: a1_dedup_rows (exact-dedup path in dedup_keep_best_quality
     #    in-window; dedup_exact bench-timed), a2_dynamic_sum_agg +
     #    sort_topk + w4_running_sum (bench HEADLINE — timed every round; agg
@@ -159,6 +168,7 @@ _CHECK_PRIORITY: list[str] = [
     "sketch_theta_overlap",
     "set_union_all",
     "sort_topk",
+    "stat_exact_moments",
     "k5_file_manifest",
     "w4_running_sum",
     "emb_pq_codes",

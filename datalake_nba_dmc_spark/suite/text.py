@@ -1367,3 +1367,107 @@ def text_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TableRegistry(spark, sf_dir).documents
     workload = spark.createDataFrame(_BM25_WORKLOAD, ["query_id", "query_text"])
     return T.bm25_multiquery(docs, workload, topk=10)
+
+
+#: Pinned unigram-LM piece table (piece, cost_micro = round(-ln(p)·1e6)),
+#: trained once by ``operators/unigram_lm.train_unigram`` (vocab 48, max
+#: piece length 4, 3 hard-EM iterations, deterministic — retraining
+#: reproduces it bit-for-bit). Both twins consume these literals.
+_UNIGRAM_PIECES = [
+    ("e", 2680860),
+    ("a", 2836659),
+    ("c", 2979388),
+    ("l", 2991493),
+    ("s", 3005290),
+    ("g", 3018608),
+    ("t", 3027362),
+    ("h", 3216378),
+    ("m", 3505150),
+    ("ow", 3506241),
+    ("d", 3511715),
+    ("b", 3515748),
+    ("r", 3522752),
+    ("or", 3524975),
+    ("st", 3532418),
+    ("n", 3890642),
+    ("o", 3891711),
+    ("mer", 3900309),
+    ("at", 3904093),
+    ("er", 3904093),
+    ("u", 3907893),
+    ("al", 3914987),
+    ("i", 3923788),
+    ("v", 3923788),
+    ("in", 3930996),
+    ("f", 3936017),
+    ("k", 3942188),
+    ("ue", 3946700),
+    ("y", 3947266),
+    ("par", 3952369),
+    ("join", 4552742),
+    ("as", 4570515),
+    ("lu", 4584323),
+    ("ta", 4612525),
+    ("p", 4616935),
+    ("w", 4637025),
+    ("ro", 4646085),
+    ("q", 4654080),
+    ("j", 11424870),
+]
+
+_UNIGRAM_PIECES_SQL = ", ".join(f"('{p}', {c})" for p, c in _UNIGRAM_PIECES)
+
+
+@query(
+    "text_unigram_lm_segment",
+    oracle=f"""
+    WITH RECURSIVE wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x != '')) AS w
+            FROM documents)
+      GROUP BY 1
+    ), pieces(piece, cost) AS (VALUES {_UNIGRAM_PIECES_SQL}
+    ), paths AS (
+      SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS path FROM wf
+      UNION ALL
+      SELECT p.word, p.pos + length(pc.piece), p.cost + pc.cost,
+             CASE WHEN p.path = '' THEN pc.piece
+                  ELSE p.path || ' ' || pc.piece END
+      FROM paths p JOIN pieces pc
+        ON substring(p.word, p.pos + 1, length(pc.piece)) = pc.piece
+      WHERE p.pos < length(p.word)
+    ), best AS (
+      SELECT word, path,
+             row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
+      FROM paths WHERE pos = length(word)
+    ), seg AS (
+      SELECT wf.word, wf.freq, coalesce(best.path, '<unk>') AS path
+      FROM wf LEFT JOIN best ON wf.word = best.word AND best.rn = 1
+    )
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS n
+    FROM (SELECT freq, unnest(string_split(path, ' ')) AS piece FROM seg)
+    GROUP BY 1
+    """,
+)
+def text_unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-model) tokenizer application end-to-end
+    (r8 — the second tokenizer family next to BPE): segment every corpus
+    word to its MINIMUM-COST piece sequence under the pinned trained
+    table and count every emitted piece, weighted by word frequency.
+
+    Determinism contract: integer micro-nat costs + exact argmin over all
+    complete segmentations ordered by (total_cost, space-joined path) — a
+    total order BOTH engines compute literally. The DuckDB twin is a
+    genuinely independent implementation: a recursive CTE enumerates
+    every segmentation path (bounded — ≤ 2^(len-1) per word, corpus max
+    word length 8) and row_number picks the same argmin. Scale shape: the
+    corpus collapses to the word-frequency table first, the Arrow argmin
+    UDF runs once per DISTINCT word, final agg is O(vocab) rows.
+    See operators/unigram_lm (training: distributed seed counts +
+    driver hard-EM over the capped word table, BPE's split)."""
+    from datalake_nba_dmc_spark.operators.unigram_lm import unigram_segment_counts
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return unigram_segment_counts(docs, _UNIGRAM_PIECES)
