@@ -705,6 +705,99 @@ def contamination_hits(
     )
 
 
+def _bloom_positions(gram: Column, num_bits: int, num_hashes: int) -> Column:
+    """The ``num_hashes`` Bloom bit positions of a gram: independent
+    seeded ``xxhash64`` draws, folded into [0, num_bits)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(gram, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def contamination_hits_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`contamination_hits` — the 100 TB
+    broadcast-budget path (r8, pytest-pinned; suite registration follows
+    the staged rollout BPE used). The exact path broadcasts the
+    benchmark's DISTINCT GRAM SET, which at a 10M-gram eval suite is
+    gigabytes of strings; here the benchmark collapses to ONE fixed-size
+    Bloom sketch and the corpus stream probes it — pure built-in
+    expressions end to end (Spark's internal ``bloom_filter_agg`` is not
+    SQL-callable in this build, and needs nothing we can't write
+    ourselves): ``num_hashes`` seeded ``xxhash64`` draws per gram mark
+    bits in a 32-bit-word-packed array, aggregated with map-side-combined
+    ``bit_or`` per word and carried as ONE (word_index → bits) map row
+    (sparse — empty words cost nothing); the probe ANDs ``num_hashes``
+    map lookups. ~1 MiB per 2^23 bits versus however wide the strings
+    are, and the sketch is DETERMINISTIC (bit-OR is commutative), so two
+    runs produce identical screens.
+
+    Semantics: NO false negatives — every doc the exact check flags is
+    flagged here with ``n_hits_bloom >= n_hits`` (a Bloom filter never
+    drops a member); false positives ADD spurious hits at the sized FPR
+    (~0.9% at 1M grams / 2^23 bits / 5 hashes), so the output is a
+    SUPERSET screen: quarantine-then-recheck (run the exact counter on
+    just the flagged docs) is the standard two-stage pipeline shape.
+    Returns (id_col, n_hits_bloom).
+    """
+    bench_bits = (
+        with_shingles(benchmark.select(text_col), text_col, n)
+        .select(F.explode("sh").alias("_gram"))
+        .distinct()
+        .select(
+            F.explode(_bloom_positions(F.col("_gram"), num_bits, num_hashes)).alias(
+                "_pos"
+            )
+        )
+        .select(
+            (F.col("_pos") / 32).cast("long").alias("_word"),
+            # 32-bit word packing: 2^b is double-exact for b <= 31, and the
+            # PySpark shiftleft wrapper only takes a LITERAL shift count
+            F.pow(F.lit(2.0), (F.col("_pos") % 32).cast("int"))
+            .cast("long")
+            .alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+    )
+    sketch = bench_bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("_word", "_bits"))).alias("_bf")
+    )
+    probe = with_shingles(corpus.select(id_col, text_col), text_col, n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.col("sh"),
+                lambda s: _bloom_positions(s, num_bits, num_hashes),
+            )
+        ).alias("_ps"),
+    )
+    hit = F.forall(
+        F.col("_ps"),
+        lambda p: (
+            F.coalesce(
+                F.element_at(F.col("_bf"), (p / 32).cast("long")), F.lit(0).cast("long")
+            ).bitwiseAND(F.pow(F.lit(2.0), (p % 32).cast("int")).cast("long"))
+        )
+        != 0,
+    )
+    return (
+        probe.crossJoin(F.broadcast(sketch))  # one-row sketch broadcast
+        .filter(hit)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits_bloom"))
+    )
+
+
 def incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,

@@ -497,3 +497,44 @@ def test_simhash_near_dups_whitespace_only_docs_emit_no_edges(spark):
     )
     out = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(df, max_hamming=0).collect()}
     assert out == {(4, 5)}  # real dups only; no edges among docs 1-3
+
+
+def test_contamination_hits_bloom_no_false_negatives(spark):
+    """Bloom decontamination (r8): every doc the exact gram check flags
+    must be flagged by the Bloom screen with at least as many hits (no
+    false negatives — the filter never drops a member); the sketch is a
+    deterministic bit-OR aggregate, so two runs agree."""
+    from datalake_nba_dmc_spark.operators.dedup import (
+        contamination_hits,
+        contamination_hits_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [("what is the capital of france",), ("compute the sum of squares",)],
+        ["text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris said the model"),
+            (2, "sum of squares computations appear in compute the sum of squares"),
+            (3, "a completely unrelated document about gardening tools"),
+            (4, "another clean doc with its own private vocabulary entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {r["doc_id"]: r["n_hits"] for r in contamination_hits(corpus, bench).collect()}
+    bloom = {
+        r["doc_id"]: r["n_hits_bloom"]
+        for r in contamination_hits_bloom(corpus, bench).collect()
+    }
+    assert set(exact) == {1, 2}
+    for d, n_exact in exact.items():
+        assert bloom.get(d, 0) >= n_exact, d
+    # determinism of the screen
+    bloom2 = {
+        r["doc_id"]: r["n_hits_bloom"]
+        for r in contamination_hits_bloom(corpus, bench).collect()
+    }
+    assert bloom2 == bloom
+    # at these sizes the 1%-FPR sketch should not flag the clean docs
+    assert 3 not in bloom and 4 not in bloom
