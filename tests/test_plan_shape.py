@@ -557,3 +557,56 @@ def test_temperature_mix_thresholds_broadcast_corpus_unshuffled(spark):
     assert "SortMergeJoin" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert marker not in plan
+
+
+@needs_testdata
+def test_bm25_multiquery_windowgrouplimit_all_broadcast(spark):
+    """Multi-query BM25 (r8): the per-query top-k must compile to
+    WindowGroupLimit (per-query heaps, no global sort), every join side
+    (terms semi-join, df/qterms/stats) must broadcast, and the plan stays
+    Python-free."""
+    plan = plan_of(spark, "text_bm25_multiquery")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+@needs_testdata
+def test_unigram_segment_single_vocab_agg_chain(spark):
+    """Unigram-LM apply (r8): the corpus collapses to the word-frequency
+    table (ONE exchange for the word agg, one for the final piece agg);
+    the argmin UDF is the single Arrow stage and runs AFTER the word agg —
+    once per distinct word, never per token instance."""
+    plan = plan_of(spark, "text_unigram_lm_segment")
+    # count the TREE node line ("ArrowEvalPython (7)"), not the detail
+    # section header ("(7) ArrowEvalPython") that formatted output repeats
+    assert plan.count("ArrowEvalPython (") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_bloom_screen_sketch_broadcasts_corpus_unshuffled(spark):
+    """Bloom decontamination screen (r8): the one-row sketch must arrive
+    by broadcast (a nested-loop join over exactly one row), the corpus
+    side's only exchange is the final per-doc count agg, and the whole
+    probe stays JVM-side (no Python eval)."""
+    import contextlib
+    import io
+
+    from datalake_nba_dmc_spark.operators.dedup import contamination_hits_bloom
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("alpha beta gamma",)], ["text"])
+    df = contamination_hits_bloom(corpus, bench)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+        assert marker not in plan, marker
