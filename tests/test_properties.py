@@ -636,3 +636,123 @@ def test_canonicalize_url_idempotent_and_variation_free(spark, urls):
             assert not hostpart.endswith(":443")
         if scheme == "http":
             assert not hostpart.endswith(":80")
+
+
+# ---------------------------------------------------------------------------
+# r8 codecs: property fuzzing (pure Python — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+FAST = settings(max_examples=40, deadline=None)
+
+
+@FAST
+@given(
+    blocks=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=63),
+                st.integers(min_value=-1023, max_value=1023).filter(lambda v: v != 0),
+            ),
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_jpeg_entropy_roundtrip_property(blocks):
+    """ANY coefficient block list round-trips the Huffman/DPCM/RLE layer
+    exactly (hypothesis-fuzzed sparsity patterns, signs, magnitudes)."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.jpeg import (
+        AC_LUMA,
+        DC_LUMA,
+        _BitWriter,
+        _cached_lut,
+        _canonical_codes,
+        _decode_entropy,
+        _encode_block,
+    )
+
+    zz = np.zeros((len(blocks), 64), dtype=np.int32)
+    for i, cells in enumerate(blocks):
+        for pos, val in cells:
+            zz[i, pos] = val
+    dc, ac = _canonical_codes(*DC_LUMA), _canonical_codes(*AC_LUMA)
+    w = _BitWriter()
+    pred = 0
+    for b in zz:
+        pred = _encode_block(w, b, pred, dc, ac)
+    w.flush()
+    seg = bytes(w.out).replace(b"\xff\x00", b"\xff")
+    huff = {(0, 0): _cached_lut(*DC_LUMA), (1, 0): _cached_lut(*AC_LUMA)}
+    out = _decode_entropy(
+        [seg], [{"h": 1, "v": 1, "td": 0, "ta": 0}], len(zz), 1, 0, huff
+    )
+    assert (out[0] == zz).all()
+
+
+@FAST
+@given(
+    data=st.data(),
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    interlace=st.booleans(),
+)
+def test_png_roundtrip_property(data, h, w, ch, interlace):
+    """ANY 8-bit image round-trips the PNG codec bit-exactly, interlaced
+    or not, under a fuzzed filter schedule."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.array(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.lists(st.integers(0, 255), min_size=ch, max_size=ch),
+                    min_size=w,
+                    max_size=w,
+                ),
+                min_size=h,
+                max_size=h,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=5))
+    out = decode_png(encode_png(img, filter_types=filters, interlace=interlace))
+    assert out.shape == (h, w, ch)
+    assert (out == img).all()
+
+
+@FAST
+@given(
+    data=st.data(),
+    word=st.text(alphabet="abcd", min_size=1, max_size=9),
+)
+def test_unigram_argmin_matches_bruteforce_property(data, word):
+    """best_segmentation equals full enumeration for ANY fuzzed vocab that
+    covers the word's characters (singles always present)."""
+    import itertools
+
+    from datalake_nba_dmc_spark.operators.unigram_lm import best_segmentation
+
+    pieces = {c: data.draw(st.integers(1, 50), label=f"cost_{c}") for c in "abcd"}
+    for _ in range(data.draw(st.integers(0, 6))):
+        p = data.draw(st.text(alphabet="abcd", min_size=2, max_size=4))
+        pieces[p] = data.draw(st.integers(1, 50))
+
+    n = len(word)
+    best = None
+    for mask in itertools.product([0, 1], repeat=max(0, n - 1)):
+        cuts = [0] + [i + 1 for i, b in enumerate(mask) if b] + [n]
+        segs = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+        if any(p not in pieces for p in segs):
+            continue
+        key = (sum(pieces[p] for p in segs), " ".join(segs))
+        if best is None or key < best[:2]:
+            best = (key[0], key[1], segs)
+    got = best_segmentation(word, pieces)
+    assert got == (best[0], best[2])
