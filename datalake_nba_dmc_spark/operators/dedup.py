@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators.text import fingerprint, tokens
@@ -1320,4 +1320,79 @@ def prefix_filter_ssjoin(
             (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= t)
+    )
+
+
+def cross_doc_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring span detection (the fixed-window
+    distributed form of Lee et al. 2022's ExactSubstr dedup, r8 —
+    pytest-pinned; suite registration staged for r9): find every token
+    span that appears VERBATIM in at least ``min_docs`` documents and
+    return the per-document spans to cut, with overlapping/adjacent
+    windows merged into maximal spans.
+
+    Lee et al. build one giant suffix array — inherently sequential and
+    memory-bound. The Spark-shaped equivalent slides a ``window_tokens``
+    window over every document (one explode — O(tokens) rows of 64-bit
+    window hashes + positions), keeps the window hashes whose DISTINCT
+    doc count reaches ``min_docs`` (one map-side-combinable agg; the
+    shuffle carries (hash, doc) pairs only), and merges each surviving
+    document's hit windows with the classic gaps-and-islands pattern
+    (lag + running max over per-doc position order — a per-doc window,
+    cheap because hits are sparse). A span shared by k docs costs k
+    window rows, never k² pairs. Fixed windows trade Lee et al.'s
+    arbitrary-length maximality for one-pass distributability: any shared
+    substring of ≥ ``window_tokens`` tokens is found (its windows all
+    collide); shorter ones are below the dedup threshold by construction.
+
+    Returns (id_col, span_start, span_end) — token offsets, end
+    EXCLUSIVE, maximal merged spans per document.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .withColumn("_toks", toks)
+        .filter(F.size("_toks") >= window_tokens)
+    )
+    wins = staged.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - window_tokens),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i + 1, window_tokens))),
+            )
+        ).alias("pos", "whash"),
+    )
+    shared = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("whash")
+    )
+    hits = wins.join(shared, on="whash", how="left_semi").select(
+        id_col, "pos", (F.col("pos") + window_tokens).alias("end")
+    )
+    # gaps-and-islands: a new island starts where this window begins past
+    # the running max end of all previous windows (per doc, position order)
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_new", F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_isl", F.sum("_new").over(w_ord))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .drop("_isl")
+        .select(id_col, "span_start", "span_end")
     )

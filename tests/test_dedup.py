@@ -538,3 +538,43 @@ def test_contamination_hits_bloom_no_false_negatives(spark):
     assert bloom2 == bloom
     # at these sizes the 1%-FPR sketch should not flag the clean docs
     assert 3 not in bloom and 4 not in bloom
+
+
+def test_cross_doc_substring_spans_finds_and_merges(spark):
+    """Cross-doc ExactSubstr spans (r8): shared >= window-length runs are
+    found in EVERY carrier doc, overlapping windows merge to one maximal
+    span (gaps-and-islands), within-doc-only repeats and short overlaps
+    stay below threshold, disjoint shared runs yield separate spans."""
+    from datalake_nba_dmc_spark.operators.dedup import cross_doc_substring_spans
+
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    other = "alpha beta gamma delta epsilon zeta eta theta"      # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 x y z"),
+            (2, f"lead2 a b {shared}"),
+            (3, f"{other} mid1 mid2 {other}"),   # repeats only WITHIN doc 3
+            (4, "totally different words with no overlap at all here"),
+            (5, f"pre {other} gap1 gap2 gap3 {shared}"),
+            (6, f"{other} solo"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in cross_doc_substring_spans(docs, window_tokens=8).collect()
+    }
+    by_doc = {}
+    for d, a, b in spans:
+        by_doc.setdefault(d, []).append((a, b))
+    # doc 1: shared occupies tokens 0..10 → ONE merged span
+    assert by_doc[1] == [(0, 10)]
+    # doc 2: shared at tokens 3..13
+    assert by_doc[2] == [(3, 13)]
+    # doc 3's within-doc repeat of `other` IS cross-doc shared with 5 and 6
+    assert sorted(by_doc[3]) == [(0, 8), (10, 18)]
+    # doc 4: clean
+    assert 4 not in by_doc
+    # doc 5: two DISJOINT shared runs → two spans, not one
+    assert sorted(by_doc[5]) == [(1, 9), (12, 22)]
+    assert by_doc[6] == [(0, 8)]
