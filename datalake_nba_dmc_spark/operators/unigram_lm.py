@@ -138,6 +138,14 @@ def train_unigram(
     seed_rows = (
         seed_piece_counts(wf, max_piece_len).limit(4 * cap + 1).collect()
     )
+    if len(seed_rows) > 4 * cap:
+        # Mirror the word-table guard: an unordered limit() past the cap
+        # would truncate NONDETERMINISTICALLY and silently break the
+        # bit-for-bit training contract (r8 ADVICE).
+        raise ValueError(
+            f"train_unigram: seed-substring vocabulary exceeds {4 * cap:,} "
+            "rows; raise min_freq or lower max_piece_len"
+        )
     seed = {r["piece"]: int(r["n"]) for r in seed_rows}
     singles = {p for p in seed if len(p) == 1}
 
@@ -159,8 +167,8 @@ def train_unigram(
         usage: dict[str, int] = {}
         for w, f in sorted(words.items()):
             res = best_segmentation(w, costs)
-            if res is None:  # uncovered char: count its singles anyway
-                continue
+            if res is None:  # uncovered char: skip — singles survive the
+                continue     # prune unconditionally, so no usage is lost
             for p in res[1]:
                 usage[p] = usage.get(p, 0) + f
         multi_used = sorted(

@@ -53,6 +53,7 @@ every oracle query matches and nothing crashes.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import traceback
 import zlib
@@ -412,10 +413,16 @@ def _bytes_cases() -> list[tuple[str, str, bytes | None]]:
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", z.compress(b"\x09" + bytes(4))) + chunk(b"IEND", b"")
     )
-    # PNG claiming one extra pixel column in IHDR
+    # PNG claiming one extra pixel column in IHDR: rebuild the 13-byte
+    # body explicitly (r8 ADVICE: the old slice shifted height/depth
+    # fields, so the case died on invalid-depth instead of exercising the
+    # lying-dimensions → IDAT-length-mismatch path it is meant to pin)
     ihdr_at = png.index(b"IHDR") - 4
-    lying = struct.pack(">I", 10) + png[ihdr_at + 8 : ihdr_at + 8 + 21 - 4]
-    png_lying = png[:ihdr_at + 4] + b"IHDR" + lying[:13] + png[ihdr_at + 4 + 4 + 13 :]
+    _w, _h, _bd, _ct, _cm, _fl, _il = struct.unpack(
+        ">IIBBBBB", png[ihdr_at + 8 : ihdr_at + 8 + 13]
+    )
+    lying = struct.pack(">IIBBBBB", _w + 1, _h, _bd, _ct, _cm, _fl, _il)
+    png_lying = png[: ihdr_at + 8] + lying + png[ihdr_at + 8 + 13 :]
     # corrupt IHDR CRC only (content intact)
     crc_at = ihdr_at + 8 + 13
     png_bad_crc = (
@@ -594,11 +601,21 @@ def bytes_audit() -> int:
     return 1 if problems else 0
 
 
+#: Fixture-scheme tag written into the _COMPLETE marker. Bump whenever the
+#: mutation recipe changes (r8 ADVICE: the r7 crc32-seed fix silently never
+#: took effect on machines with a warm /tmp cache because the marker was
+#: contentless — the directory now self-invalidates on scheme mismatch).
+_FIXTURE_SCHEME = "v2:crc32-seeded"
+
+
 def build_mutated(mode: str) -> str:
     out = f"/tmp/robustness_{mode}"
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
-        return out
+        with open(marker) as fh:
+            if fh.read().strip() == _FIXTURE_SCHEME:
+                return out
+        shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     for f in sorted(os.listdir(SRC)):
         if not f.endswith(".parquet"):
@@ -613,7 +630,8 @@ def build_mutated(mode: str) -> str:
         else:
             raise SystemExit(f"unknown mode {mode!r}")
         pq.write_table(t, os.path.join(out, f))
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(_FIXTURE_SCHEME)
     return out
 
 
