@@ -64,7 +64,111 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-8 cut. Staleness entering r8: 19×r3 (last round's
+    # -- round-9 cut. Staleness entering r9 (from CORRECTNESS_r1..r8):
+    #    15×r4 (last round's documented deferred tail — VERDICT r8 ask #2
+    #    says they lead), 48×r5, 50×r6, 50×r7, 50×r8. Window = 2 new
+    #    registrations + all 15 r4 (r4-backlog → 0) + 33 of the 48 r5
+    #    (r5-backlog after r9 = 15, exactly ask #2's ≤ 15 bound). The 15
+    #    deferred r5 names sit contiguously past the edge and lead the
+    #    r10 cut; each has an in-window sibling covering its code path —
+    #    see the deferred block comment below.
+    # -- 1. never-checked: registered THIS round, in their own round's
+    #    window. dedup_contamination_bloom = VERDICT r8 ask #1 (the
+    #    fixed-broadcast-budget Bloom screen, certificate-oracled against
+    #    the exact contamination count); dedup_substring_spans = ask #1's
+    #    second half (distributed ExactSubstr cross-doc spans, DuckDB
+    #    gaps-and-islands twin).
+    "dedup_contamination_bloom",
+    "dedup_substring_spans",
+    # -- 2. the full r4 backlog (15) — r4-backlog after r9 = 0
+    "a1_dedup_rows",
+    "a2_dynamic_sum_agg",
+    "p4p5_derived_columns",
+    "f1_filter_eq",
+    "j2_left_join_expr_key",
+    "events_variant_agg",
+    "events_latest_state_per_user",
+    "sim_lsh_multiprobe_topk",
+    "sketch_theta_overlap",
+    "set_union_all",
+    "sort_topk",
+    "stat_exact_moments",
+    "k5_file_manifest",
+    "w4_running_sum",
+    "emb_pq_codes",
+    # -- 3. stalest r5 cohort (33 of 48; the other 15 deferred, below)
+    "a4_team_style_agg",
+    "agg_grouping_sets",
+    "agg_incremental_maintenance",
+    "agg_percentiles",
+    "conform_union_evolved",
+    "dedup_repeated_spans",
+    "events_heatmap_hour_dow",
+    "events_time_to_convert",
+    "events_user_idle_report",
+    "events_user_running_totals",
+    "f2_null_guarded_parse",
+    "flagship_customer_resume",
+    "func_date_arithmetic",
+    "j3_left_join_derived_key",
+    "j4_join_using",
+    "join_nearest_tier",
+    "k1_write_roundtrip",
+    "k6_versioned_roundtrip",
+    "k7_jsonl_landing_roundtrip",
+    "lakehouse_version_diff",
+    "mart_basket_pairs",
+    "mart_supplier_pareto",
+    "profile_winsorize",
+    "stat_gini_order_value",
+    "stat_psi_price_drift",
+    "text_length_deciles",
+    "text_sentence_boilerplate",
+    "text_source_lang_diversity",
+    "text_stats",
+    "w1_latest_order_maxby",
+    "w2_rank_in_group",
+    "w7_first_last_order",
+    "x1x2x3_date_roundtrip",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r5 (15): lead the r10 cut. In-window/bench redundancy
+    #    per name: w3_lag + w5_ntile_quartiles + w6_moving_avg +
+    #    w8_percent_rank (window-function family: w1_latest_order_maxby,
+    #    w2_rank_in_group, w4_running_sum, w7_first_last_order all
+    #    in-window; w4 is also bench-HEADLINE), join_semi + join_anti
+    #    (j2/j3/j4 + join_nearest_tier in-window; semi/anti plan shapes
+    #    also exercised inside dedup_substring_spans' left_semi and
+    #    dedup_incremental's anti, both driver-checked), agg_rollup +
+    #    agg_pivot (agg_grouping_sets in-window — rollup IS a
+    #    grouping-sets instance; pivot's conditional-agg surface via
+    #    events_variant_agg in-window), func_try_arithmetic
+    #    (func_date_arithmetic in-window; try_-function surface inside
+    #    f2_null_guarded_parse in-window), p1_project_prune +
+    #    p2_bulk_rename (pruning/rename plan-asserted in
+    #    tests/test_plan_shape.py; projection surface inside flagship,
+    #    in-window), dedup_exact (bench-HEADLINE timed every round; the
+    #    exact-dedup path is also inside a1_dedup_rows in-window and
+    #    dedup_contamination_bloom's module), stat_corr_qty_price
+    #    (stat_gini + stat_psi in-window cover the stats family),
+    #    tpch_q1_pricing_summary (bench-HEADLINE every round;
+    #    a4_team_style_agg covers the multi-measure agg shape in-window),
+    #    events_dau_wau (four events queries in-window).
+    "w3_lag",
+    "w5_ntile_quartiles",
+    "w6_moving_avg",
+    "w8_percent_rank",
+    "join_semi",
+    "join_anti",
+    "agg_rollup",
+    "agg_pivot",
+    "func_try_arithmetic",
+    "p1_project_prune",
+    "p2_bulk_rename",
+    "dedup_exact",
+    "stat_corr_qty_price",
+    "tpch_q1_pricing_summary",
+    "events_dau_wau",
+    # -- round-8 cut (historical). Staleness entering r8: 19×r3 (last round's
     #    documented deferred tail — VERDICT r7 ask #2 says they lead),
     #    42×r4, 48×r5, 50×r6, 50×r7. Window = 3 new registrations
     #    + all 19 r3 + 28 of the 42 r4 (r4-backlog after r8 = 14, inside

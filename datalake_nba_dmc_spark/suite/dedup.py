@@ -699,3 +699,101 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_by_group(with_fp, group_col="_fp", key_col="doc_id").select(
         "doc_id", "group_rep", "split"
     )
+
+
+@query(
+    "dedup_contamination_bloom",
+    oracle=f"""
+    WITH toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 20 != 0
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 20 = 0
+    )
+    SELECT c.doc_id, COUNT(*) AS n_hits, TRUE AS screen_covers
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-false-negative certificate for the Bloom decontamination screen
+    (operators/dedup.contamination_hits_bloom — the fixed-broadcast-budget
+    path: the benchmark collapses to ONE ~1 MiB bit-packed sketch instead
+    of a gigabyte gram-string broadcast). The query joins the EXACT
+    contaminated set (oracle-checkable) against the Bloom screen and
+    asserts per doc that ``n_hits_bloom >= n_hits`` — a Bloom filter can
+    add spurious hits (sized ~0.9% FPR) but may NEVER drop a member, so
+    any false negative flips ``screen_covers`` off (or drops the row) and
+    hash-mismatches the oracle's literal TRUE. Same superset-certificate
+    shape as sim_lsh_recall. Both sides reuse the doc_id % 20 eval split
+    of text_decontaminate."""
+    docs = TableRegistry(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = D.contamination_hits(corpus, bench, "text", n=3)
+    bloom = D.contamination_hits_bloom(corpus, bench, "text", n=3)
+    return exact.join(bloom, "doc_id", "left").select(
+        "doc_id",
+        "n_hits",
+        (F.coalesce("n_hits_bloom", F.lit(0)) >= F.col("n_hits")).alias(
+            "screen_covers"
+        ),
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i : i + 7], ' ') AS w
+      FROM toks_t, LATERAL unnest(range(1, len(toks) - 6)) AS t(i)
+      WHERE len(toks) >= 8
+    ), shared AS (
+      SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+    ), occ AS (
+      SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM shared)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM occ
+    ), sp AS (
+      SELECT doc_id, pos,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS span_start,
+           CAST(max(pos) + 8 AS INTEGER) AS span_end
+    FROM sp GROUP BY doc_id, span_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring spans (operators/dedup.
+    cross_doc_substring_spans — the distributed fixed-window form of Lee
+    et al. 2022's ExactSubstr): every 8-token window appearing VERBATIM in
+    >= 2 DISTINCT documents, merged per doc into maximal spans via
+    gaps-and-islands. Differs from dedup_repeated_spans (count >= 2
+    anywhere, including within one doc) by the distinct-doc predicate —
+    this is the cut list for cross-doc boilerplate. The DuckDB twin
+    matches on the window STRING where Spark joins on its xxhash64
+    (independent implementations, equal modulo 64-bit collisions); the
+    shuffle carries (hash, doc, pos) rows only — a span shared by k docs
+    costs k rows, never k^2 pairs."""
+    docs = TableRegistry(spark, sf_dir).documents
+    return D.cross_doc_substring_spans(docs, window_tokens=8, min_docs=2)
