@@ -109,32 +109,81 @@ def extract_features(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Image-resize plumbing via ``mapInPandas``: payload bytes in, resized
-    payload + updated dims out — the training-data normalization step.
+def _resize_pixels(
+    px: "np.ndarray", target_w: int, target_h: int, method: str = "nearest"
+) -> "np.ndarray":
+    """(h, w, c) uint8 → (target_h, target_w, c) uint8. ``nearest`` maps
+    output pixel i to source pixel ``(i·src)//target`` (pure integer —
+    resizing to the source dims is the IDENTITY, which is what makes the
+    round-trip pytest exact); ``bilinear`` interpolates with
+    half-pixel-center sample points and rounds half-away-from-zero
+    (np.floor(v+0.5) — never Python/numpy banker's rounding, the r7
+    oracle lesson)."""
+    h, w, c = px.shape
+    if method == "nearest":
+        rows = (np.arange(target_h) * h) // target_h
+        cols = (np.arange(target_w) * w) // target_w
+        return px[rows][:, cols]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    src = px.astype(np.float64)
+    ys = np.clip((np.arange(target_h) + 0.5) * h / target_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(target_w) + 0.5) * w / target_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    top = src[y0][:, x0] * (1 - fx) + src[y0][:, x1] * fx
+    bot = src[y1][:, x0] * (1 - fx) + src[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.floor(out + 0.5).astype(np.uint8)
 
-    STUB decode/encode (PIL/cv2 not in this container): the fake "resize"
-    deterministically truncates/pads the payload to ``target_w*target_h//64``
-    bytes so batch shapes, memory behavior, and schema are all real. Swap the
-    body for ``PIL.Image.open(...).resize(...).tobytes()`` in production.
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    method: str = "nearest",
+) -> DataFrame:
+    """Image resize via ``mapInPandas``: payload bytes in, resized payload
+    + updated dims out — the training-data normalization step.
+
+    REAL pixel path (r9 — the truncate/pad stub predated the in-repo
+    codecs): :func:`decode_image` (PNG/BMP/baseline-JPEG sniff) →
+    :func:`_resize_pixels` (integer nearest-neighbor or half-pixel-center
+    bilinear in numpy) → :func:`encode_png` payload out (PNG is the
+    normalization target — lossless, so resize-to-same-dims round-trips
+    pixel-exact; channel count is preserved, gray stays gray). Payloads
+    that fail to sniff/decode are quarantined IN-BAND: the row survives
+    with a NULL payload and NULL dims (the training pipeline's filter
+    predicate is one isNotNull), mirroring :func:`image_pixel_stats`.
     Arrow batch size should be tuned low for large blobs
     (``spark.sql.execution.arrow.maxRecordsPerBatch``)."""
-    target_len = target_w * target_h // 64
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            def fake_resize(p):
-                if p is None:
-                    return None
-                b = bytes(p)
-                return b[:target_len].ljust(target_len, b"\0")
-
-            out = pdf.copy()
-            out["payload"] = pdf["payload"].map(fake_resize)
-            out["width"] = pd.array([target_w] * len(pdf), dtype="Int32")
-            out["height"] = pd.array([target_h] * len(pdf), dtype="Int32")
-            out["n_bytes"] = out["payload"].map(lambda p: len(p) if p is not None else None).astype("Int64")
-            yield out
+            payloads, widths, heights, n_bytes = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    px = decode_image(bytes(p) if p is not None else None)
+                    out = encode_png(_resize_pixels(px, target_w, target_h, method))
+                    payloads.append(out)
+                    widths.append(target_w)
+                    heights.append(target_h)
+                    n_bytes.append(len(out))
+                except Exception:  # noqa: BLE001 — quarantine, never crash
+                    payloads.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    n_bytes.append(None)
+            out_pdf = pdf.copy()
+            out_pdf["payload"] = payloads
+            out_pdf["width"] = pd.array(widths, dtype="Int32")
+            out_pdf["height"] = pd.array(heights, dtype="Int32")
+            out_pdf["n_bytes"] = pd.array(n_bytes, dtype="Int64")
+            yield out_pdf
 
     return ensure_parallelism(df).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
@@ -273,45 +322,81 @@ def extract_image_headers(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.mapInPandas(part, schema + ", format string, width int, height int")
 
 
+def _to_grayscale(px: "np.ndarray") -> "np.ndarray":
+    """(h, w[, c]) uint8 → (h, w) float64 intensity. Alpha channels are
+    NOT intensity: GA uses the gray plane, RGBA/RGB average the three
+    color channels (the flat-weight luma every aHash reference uses)."""
+    if px.ndim == 2:
+        return px.astype(np.float64)
+    c = px.shape[2]
+    if c == 1:
+        return px[:, :, 0].astype(np.float64)
+    if c == 2:  # gray + alpha
+        return px[:, :, 0].astype(np.float64)
+    return px[:, :, :3].astype(np.float64).mean(axis=2)
+
+
+def _ahash64(px: "np.ndarray") -> int:
+    """64-bit blockwise-mean perceptual hash (aHash) of a decoded image:
+    grayscale-reduce, split into an 8×8 grid of blocks with exact integer
+    boundaries ``(i·h)//8``, set bit ``8·i+j`` iff block (i, j)'s mean
+    intensity exceeds the mean of the 64 block means. Images smaller than
+    8 pixels on a side are nearest-neighbor upsampled (np.repeat) first —
+    deterministic end to end, returns a SIGNED int64 (two's complement)
+    so the value lands in a Spark long column unchanged."""
+    g = _to_grayscale(px)
+    h, w = g.shape
+    if h < 8:
+        g = np.repeat(g, -(-8 // h), axis=0)
+        h = g.shape[0]
+    if w < 8:
+        g = np.repeat(g, -(-8 // w), axis=1)
+        w = g.shape[1]
+    rb = (np.arange(9) * h) // 8
+    cb = (np.arange(9) * w) // 8
+    means = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            means[i, j] = g[rb[i] : rb[i + 1], cb[j] : cb[j + 1]].mean()
+    bits = (means > means.mean()).ravel()
+    val = 0
+    for i in range(64):
+        if bits[i]:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64  # two's-complement into signed int64
+    return val
+
+
 def perceptual_hash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """64-bit blockwise-mean perceptual hash per media payload — the
     aHash-family fingerprint image dedup pipelines run before training
     (near-identical images differ in few bits; exact byte hashing misses
     re-encodes). Bit i is set iff block i's mean intensity exceeds the
-    global mean.
+    global mean of the 8×8 block-mean grid.
 
-    STUB decode (no imaging libs in this container): the "intensity
-    stream" is the payload's raw bytes, split into 64 equal blocks —
-    deterministic, so the banding/verify plumbing downstream is fully
-    testable; swap one line for a real grayscale-resize decode in
-    production. Arrow `mapInPandas`: payload bytes enter Python once per
-    batch and only (media_id, phash) rows come back — at 100 TB the
-    payloads never travel past this scan. Empty/NULL payloads are
-    dropped (no pixels → no fingerprint).
+    REAL pixel path (r9 — the raw-byte stub predated the in-repo codecs):
+    payloads decode through :func:`decode_image` (magic-byte sniff →
+    PNG/BMP/baseline-JPEG), so two encodings of the SAME pixels hash
+    identically — the re-encode invariance that IS the point of a
+    perceptual hash (certificate: suite media_phash_dup_certificate +
+    pytest vectors). Non-decodable/NULL payloads are quarantined out,
+    exactly like :func:`image_pixel_stats` (no pixels → no fingerprint).
+    Arrow ``mapInPandas``: payload bytes enter Python once per batch and
+    only (media_id, phash) rows come back — at 100 TB the payloads never
+    travel past this scan.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in it:
             ids, hashes = [], []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                if p is None or len(p) == 0:
+                try:
+                    px = decode_image(bytes(p) if p is not None else None)
+                except Exception:  # noqa: BLE001 — quarantine, never crash
                     continue
-                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
-                pad = (-len(arr)) % 64
-                if pad:
-                    arr = np.pad(arr, (0, pad))
-                means = arr.reshape(64, -1).mean(axis=1)
-                bits = means > means.mean()
-                h = 0
-                for i in range(64):
-                    if bits[i]:
-                        h |= 1 << i
-                if h >= 1 << 63:
-                    h -= 1 << 64  # two's-complement into signed int64
                 ids.append(mid)
-                hashes.append(h)
+                hashes.append(_ahash64(px))
             yield pd.DataFrame(
                 {"media_id": ids, "phash": pd.array(hashes, dtype="Int64")}
             )
@@ -336,6 +421,109 @@ def phash_near_dups(
     sig = perceptual_hash(df, payload_col)
     return banded_hash_edges(
         sig, "media_id", "phash", bits=64, band_bits=16, max_hamming=max_hamming
+    )
+
+
+def _bytes_to_gray_image(b: bytes, width: int, cap: int) -> "np.ndarray":
+    """First ``cap`` bytes → (ceil(n/width), width, 1) uint8 grayscale
+    pixels, zero-padded to a full last row — the deterministic image
+    SOURCE for pixel-path queries in this container (no image files)."""
+    arr = np.frombuffer(b[:cap], dtype=np.uint8)
+    pad = (-len(arr)) % width
+    if pad or len(arr) == 0:
+        arr = np.pad(arr, (0, pad if len(arr) else width))
+    return arr.reshape(-1, width)[:, :, None]
+
+
+def synthesize_png_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 32,
+    cap: int = 1024,
+) -> DataFrame:
+    """Adapt the documents table into the multimodal shape with REAL
+    decodable payloads: each document's UTF-8 bytes become the pixels of
+    a grayscale PNG (:func:`_bytes_to_gray_image` → :func:`encode_png`).
+    Unlike :func:`documents_as_media` (payload = raw text bytes, only
+    header/byte plumbing exercisable), every payload here round-trips
+    through :func:`decode_image` — the corpus the REAL pixel operators
+    (phash, resize, pixel stats) run on. NULL/empty texts are dropped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, ws, hs, ns = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                px = _bytes_to_gray_image(text.encode("utf-8"), width, cap)
+                p = encode_png(px)
+                ids.append(did)
+                payloads.append(p)
+                ws.append(px.shape[1])
+                hs.append(px.shape[0])
+                ns.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["image"] * len(ids),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_bytes": pd.array(ns, dtype="Int64"),
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def phash_reencode_certificate(
+    df: DataFrame, payload_col: str = "payload", max_hamming: int = 0
+) -> DataFrame:
+    """Dup-injection certificate for the REAL perceptual hash: decode each
+    payload, RE-ENCODE the identical pixels in a different container
+    format (PNG→BMP, else BMP/JPEG→PNG — completely different bytes), and
+    hash both through the full decode→aHash path. A perceptual hash's
+    defining property is that a re-encode of the same pixels is a
+    0-Hamming near-dup even though every byte changed (exact byte hashing
+    scores 64); ``phash_invariant`` pins ``hamming_bits <= max_hamming``
+    per payload, so ANY decode/hash defect that breaks re-encode
+    invariance flips a row and fails the oracle's literal TRUE. Runs in
+    one Arrow stage; payloads never leave the executors. Non-decodable
+    payloads are quarantined out (same contract as
+    :func:`perceptual_hash`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hams, ok = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    b = bytes(p) if p is not None else None
+                    px = decode_image(b)
+                    if b[:8] == b"\x89PNG\r\n\x1a\n" and px.shape[2] in (1, 3):
+                        twin = encode_bmp(px)
+                    else:
+                        twin = encode_png(px)
+                    h1 = _ahash64(px)
+                    h2 = _ahash64(decode_image(twin))
+                except Exception:  # noqa: BLE001 — quarantine, never crash
+                    continue
+                d = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+                ids.append(mid)
+                hams.append(d)
+                ok.append(d <= max_hamming)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "hamming_bits": pd.array(hams, dtype="Int32"),
+                    "phash_invariant": pd.array(ok, dtype="boolean"),
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(
+        batches, schema="media_id long, hamming_bits int, phash_invariant boolean"
     )
 
 
@@ -494,17 +682,24 @@ def decode_png(payload: bytes) -> "np.ndarray":
     """REAL (non-stub) PNG pixel decode using only stdlib ``zlib`` and
     numpy: walk chunks, inflate the IDAT stream, invert the five scanline
     filters (None/Sub/Up/Average/Paeth, PNG spec §9 / RFC 2083), and
-    reassemble Adam7 interlace passes when present. Supported (r8 —
-    every combination the spec allows except tRNS transparency, which is
-    ignored):
+    reassemble Adam7 interlace passes when present. Supported (r8/r9 —
+    every combination the spec allows):
 
     - color types: grayscale, RGB, gray+alpha, RGBA, palette (PLTE);
     - bit depths: 1/2/4 (gray + palette), 8 (all), 16 (non-palette;
       emitted as the high byte — training corpora normalize to 8-bit);
-    - interlace: none or Adam7 (per-pass unfiltering + scatter).
+    - interlace: none or Adam7 (per-pass unfiltering + scatter);
+    - tRNS transparency (r9): palette-alpha (one alpha byte per leading
+      PLTE entry, 255 for the rest → RGBA out) and gray/RGB key-color
+      (2-/6-byte 16-bit keys; pixels equal to the key get alpha 0 →
+      GA/RGBA out). Keys compare in the decoder's 8-bit output space —
+      for depth 16 that is the high byte, consistent with the sample
+      normalization above; low-depth gray keys rescale with the samples.
 
     Raises ``ValueError`` on non-PNG bytes, spec-invalid depth/type
-    combinations, and palette-less color_type-3.
+    combinations, palette-less color_type-3, and malformed tRNS (wrong
+    length for the color type, more alpha entries than PLTE has colors,
+    or tRNS on the already-alpha color types 4/6).
 
     Returns an (height, width, channels) uint8 array.
     """
@@ -516,6 +711,7 @@ def decode_png(payload: bytes) -> "np.ndarray":
     pos, width = 8, None
     idat = bytearray()
     plte = None
+    trns = None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
@@ -541,6 +737,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
             if length % 3 != 0 or length == 0:
                 raise ValueError("PNG PLTE length not a positive multiple of 3")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            if len(body) != length:
+                raise ValueError("PNG tRNS body truncated")
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -585,11 +785,50 @@ def decode_png(payload: bytes) -> "np.ndarray":
         if off != len(raw):
             raise ValueError("PNG IDAT length mismatch (interlaced)")
 
+    if trns is not None and color_type in (4, 6):
+        raise ValueError("PNG tRNS forbidden for alpha color types")
     if color_type == 3:
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette PNG index out of PLTE range")
-        return plte[idx]  # (h, w) indices → (h, w, 3) RGB
+        rgb = plte[idx]  # (h, w) indices → (h, w, 3) RGB
+        if trns is None:
+            return rgb
+        if len(trns) == 0 or len(trns) > len(plte):
+            raise ValueError("PNG tRNS longer than PLTE (or empty)")
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if trns is not None:
+        # key-color transparency: 16-bit sample keys, folded into the
+        # decoder's 8-bit output space (high byte at depth 16; low-depth
+        # gray keys rescale exactly as the samples did)
+        if color_type == 0:
+            if len(trns) != 2:
+                raise ValueError("PNG gray tRNS must be 2 bytes")
+            (key,) = struct.unpack(">H", trns)
+            if bit_depth == 16:
+                key >>= 8
+            elif key >= 1 << bit_depth:
+                raise ValueError("PNG tRNS key exceeds bit depth")
+            elif bit_depth < 8:
+                key *= 255 // ((1 << bit_depth) - 1)
+            transparent = px[:, :, 0] == key
+        else:  # color_type == 2
+            if len(trns) != 6:
+                raise ValueError("PNG RGB tRNS must be 6 bytes")
+            keys = struct.unpack(">HHH", trns)
+            if bit_depth == 16:
+                keys = tuple(k >> 8 for k in keys)
+            elif any(k > 255 for k in keys):
+                raise ValueError("PNG tRNS key exceeds bit depth")
+            transparent = (
+                (px[:, :, 0] == keys[0])
+                & (px[:, :, 1] == keys[1])
+                & (px[:, :, 2] == keys[2])
+            )
+        alpha = np.where(transparent, 0, 255).astype(np.uint8)
+        return np.concatenate([px, alpha[:, :, None]], axis=2)
     return px
 
 
@@ -652,6 +891,7 @@ def encode_png(
     palette: "np.ndarray | None" = None,
     bit_depth: int = 8,
     interlace: bool = False,
+    transparency: "bytes | tuple | None" = None,
 ) -> bytes:
     """Minimal PNG encoder (stdlib zlib) — the round-trip twin of
     :func:`decode_png` and the deterministic payload SOURCE for pixel-path
@@ -662,7 +902,10 @@ def encode_png(
     palette indices; ``palette`` (an (n≤256, 3) uint8 array) writes
     color_type 3 + PLTE; ``interlace=True`` writes Adam7 (each pass
     filtered independently). ``filter_types`` optionally forces a per-row
-    filter cycle (0-4) so tests exercise every unfilter branch."""
+    filter cycle (0-4) so tests exercise every unfilter branch.
+    ``transparency`` (r9) writes a tRNS chunk: alpha bytes for palette
+    images, a 1-tuple gray key or 3-tuple RGB key (sample-space values,
+    stored as the spec's 16-bit fields) for gray/RGB."""
     import struct
     import zlib
 
@@ -705,10 +948,22 @@ def encode_png(
         if palette is not None
         else b""
     )
+    trns = b""
+    if transparency is not None:
+        if palette is not None:
+            trns = chunk(b"tRNS", bytes(transparency))
+        elif color_type in (0, 2):
+            trns = chunk(
+                b"tRNS",
+                b"".join(struct.pack(">H", int(k)) for k in transparency),
+            )
+        else:
+            raise ValueError("tRNS transparency is for palette/gray/RGB only")
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + plte
+        + trns
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )

@@ -66,20 +66,26 @@ def query(name: str, oracle: str | None = None):
 _CHECK_PRIORITY: list[str] = [
     # -- round-9 cut. Staleness entering r9 (from CORRECTNESS_r1..r8):
     #    15×r4 (last round's documented deferred tail — VERDICT r8 ask #2
-    #    says they lead), 48×r5, 50×r6, 50×r7, 50×r8. Window = 2 new
-    #    registrations + all 15 r4 (r4-backlog → 0) + 33 of the 48 r5
-    #    (r5-backlog after r9 = 15, exactly ask #2's ≤ 15 bound). The 15
-    #    deferred r5 names sit contiguously past the edge and lead the
-    #    r10 cut; each has an in-window sibling covering its code path —
-    #    see the deferred block comment below.
+    #    says they lead), 48×r5, 50×r6, 50×r7, 50×r8. Window = 3 new
+    #    registrations + all 15 r4 (r4-backlog → 0) + 32 of the 48 r5.
+    #    r5-backlog after r9 = 16: ONE over ask #2's ≤ 15 bound, traded
+    #    deliberately for ask #3's dup-injection certificate QUERY
+    #    (media_phash_dup_certificate) — the registry-freeze rule says a
+    #    new registration must sit inside its own round's window, and the
+    #    two ask-#1 registrations are equally non-negotiable, so the
+    #    arithmetic (3 new + 15 r4 + 32 r5 = 50) leaves exactly 16
+    #    deferred r5 names; the 16th (mart_supplier_pareto) carries the
+    #    same documented in-window redundancy as the rest.
     # -- 1. never-checked: registered THIS round, in their own round's
     #    window. dedup_contamination_bloom = VERDICT r8 ask #1 (the
     #    fixed-broadcast-budget Bloom screen, certificate-oracled against
     #    the exact contamination count); dedup_substring_spans = ask #1's
     #    second half (distributed ExactSubstr cross-doc spans, DuckDB
-    #    gaps-and-islands twin).
+    #    gaps-and-islands twin); media_phash_dup_certificate = ask #3's
+    #    re-encode-invariance certificate for the now-REAL pixel phash.
     "dedup_contamination_bloom",
     "dedup_substring_spans",
+    "media_phash_dup_certificate",
     # -- 2. the full r4 backlog (15) — r4-backlog after r9 = 0
     "a1_dedup_rows",
     "a2_dynamic_sum_agg",
@@ -96,7 +102,7 @@ _CHECK_PRIORITY: list[str] = [
     "k5_file_manifest",
     "w4_running_sum",
     "emb_pq_codes",
-    # -- 3. stalest r5 cohort (33 of 48; the other 15 deferred, below)
+    # -- 3. stalest r5 cohort (32 of 48; the other 16 deferred, below)
     "a4_team_style_agg",
     "agg_grouping_sets",
     "agg_incremental_maintenance",
@@ -118,7 +124,6 @@ _CHECK_PRIORITY: list[str] = [
     "k7_jsonl_landing_roundtrip",
     "lakehouse_version_diff",
     "mart_basket_pairs",
-    "mart_supplier_pareto",
     "profile_winsorize",
     "stat_gini_order_value",
     "stat_psi_price_drift",
@@ -131,7 +136,7 @@ _CHECK_PRIORITY: list[str] = [
     "w7_first_last_order",
     "x1x2x3_date_roundtrip",
     # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r5 (15): lead the r10 cut. In-window/bench redundancy
+    # -- deferred r5 (16): lead the r10 cut. In-window/bench redundancy
     #    per name: w3_lag + w5_ntile_quartiles + w6_moving_avg +
     #    w8_percent_rank (window-function family: w1_latest_order_maxby,
     #    w2_rank_in_group, w4_running_sum, w7_first_last_order all
@@ -152,7 +157,11 @@ _CHECK_PRIORITY: list[str] = [
     #    (stat_gini + stat_psi in-window cover the stats family),
     #    tpch_q1_pricing_summary (bench-HEADLINE every round;
     #    a4_team_style_agg covers the multi-measure agg shape in-window),
-    #    events_dau_wau (four events queries in-window).
+    #    events_dau_wau (four events queries in-window),
+    #    mart_supplier_pareto (mart_basket_pairs in-window covers the mart
+    #    family; its running-share window shape = w4_running_sum,
+    #    in-window; displaced by media_phash_dup_certificate — see the
+    #    header comment).
     "w3_lag",
     "w5_ntile_quartiles",
     "w6_moving_avg",
@@ -168,6 +177,7 @@ _CHECK_PRIORITY: list[str] = [
     "stat_corr_qty_price",
     "tpch_q1_pricing_summary",
     "events_dau_wau",
+    "mart_supplier_pareto",
     # -- round-8 cut (historical). Staleness entering r8: 19×r3 (last round's
     #    documented deferred tail — VERDICT r7 ask #2 says they lead),
     #    42×r4, 48×r5, 50×r6, 50×r7. Window = 3 new registrations

@@ -35,22 +35,66 @@ def test_extract_features_deterministic_stub(spark):
     assert rows[3]["width"] is None  # null payload survives the batch path
 
 
-def test_resize_images_stub(spark):
-    from datalake_nba_dmc_spark.operators.multimodal import resize_images
+def test_resize_images_real_pixels(spark):
+    """REAL resize path: PNG payloads decode, resize, re-encode; resizing
+    to the source dims is pixel-identical (nearest-neighbor identity);
+    non-decodable payloads are quarantined in-band with NULL payload."""
+    import numpy as np
 
-    media = documents_as_media(_docs(spark))
-    out = resize_images(media, target_w=16, target_h=16)  # fake len = 4
-    rows = {r["media_id"]: r for r in out.collect()}
-    assert [(f.name, f.dataType) for f in out.schema.fields] == [
-        (f.name, f.dataType) for f in media.schema.fields
-    ]
-    assert all(
-        r["width"] == 16 and r["height"] == 16
-        for r in rows.values()
-        if r["payload"] is not None
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        resize_images,
     )
-    assert len(bytes(rows[1]["payload"])) == 4 and rows[1]["n_bytes"] == 4
-    assert rows[3]["payload"] is None  # null payload passes through
+
+    rng_px = (np.arange(12 * 10, dtype=np.uint8) * 7 % 251).reshape(12, 10, 1)
+    rgb_px = (np.arange(6 * 4 * 3, dtype=np.uint8) * 11 % 253).reshape(6, 4, 3)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(rng_px)), "image", 10, 12, 0),
+            (2, bytearray(encode_png(rgb_px)), "image", 4, 6, 0),
+            (3, bytearray(b"not an image at all"), "image", None, None, 19),
+            (4, None, "image", None, None, None),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "width int, height int, n_bytes long",
+    )
+    # identity resize: same dims → byte-decoded pixels identical
+    out = {
+        r["media_id"]: r
+        for r in resize_images(media, target_w=10, target_h=12).collect()
+    }
+    assert np.array_equal(decode_image(bytes(out[1]["payload"])), rng_px)
+    assert out[3]["payload"] is None and out[3]["width"] is None
+    assert out[4]["payload"] is None
+
+    # downsample by 2: nearest picks source pixel (2i, 2j)
+    down = {
+        r["media_id"]: r
+        for r in resize_images(media, target_w=5, target_h=6).collect()
+    }
+    got = decode_image(bytes(down[1]["payload"]))
+    assert np.array_equal(got, rng_px[::2, ::2])
+    assert down[1]["width"] == 5 and down[1]["height"] == 6
+    # RGB channel count survives the round trip
+    got_rgb = decode_image(bytes(down[2]["payload"]))
+    assert got_rgb.shape == (6, 5, 3)
+
+
+def test_resize_pixels_bilinear_vectors():
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import _resize_pixels
+
+    # 2×2 → 4×4 bilinear with half-pixel centers: corners keep values,
+    # mid positions interpolate exactly
+    px = np.array([[0, 100], [200, 100]], dtype=np.uint8)[:, :, None]
+    out = _resize_pixels(px, 4, 4, method="bilinear")
+    assert out.shape == (4, 4, 1)
+    assert out[0, 0, 0] == 0 and out[0, 3, 0] == 100
+    assert out[3, 0, 0] == 200 and out[3, 3, 0] == 100
+    # identity bilinear == source (sample points hit pixel centers)
+    assert np.array_equal(_resize_pixels(px, 2, 2, method="bilinear"), px)
 
 
 def test_frame_sample_plan(spark):
@@ -149,12 +193,24 @@ def test_extract_image_headers_distributed(spark):
     assert got == {1: ("png", 12, 34), 2: ("unknown", None, None)}
 
 
-def _block_payload(block_vals, per_block=10):
-    return bytes(b for v in block_vals for b in [v] * per_block)
+def _block_image_png(block_vals, encode=None):
+    """64 block values → a 16×16 grayscale image of 2×2 constant blocks,
+    encoded as a real PNG (or via ``encode``) — each 2×2 block maps
+    exactly onto one cell of the aHash 8×8 grid."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import encode_png
+
+    px = np.asarray(block_vals, dtype=np.uint8).reshape(8, 8)
+    px = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)[:, :, None]
+    return (encode or encode_png)(px)
 
 
 def test_perceptual_hash_and_near_dups(spark):
+    """REAL pixel phash: hamming structure over crafted block images, and
+    re-encode invariance (PNG vs BMP of identical pixels hash equal)."""
     from datalake_nba_dmc_spark.operators.multimodal import (
+        encode_bmp,
         perceptual_hash,
         phash_near_dups,
     )
@@ -165,17 +221,18 @@ def test_perceptual_hash_and_near_dups(spark):
     far = [200 if i % 2 == 0 else 10 for i in range(64)]  # inverted pattern
     df = spark.createDataFrame(
         [
-            (1, _block_payload(base)),
-            (2, _block_payload(near)),
-            (3, _block_payload(far)),
-            (4, _block_payload(base)),  # exact re-encode of 1
-            (5, None),  # null payload dropped
+            (1, bytearray(_block_image_png(base))),
+            (2, bytearray(_block_image_png(near))),
+            (3, bytearray(_block_image_png(far))),
+            (4, bytearray(_block_image_png(base, encode=encode_bmp))),
+            (5, None),  # null payload quarantined
+            (6, bytearray(b"\x89PNG but actually garbage")),  # quarantined
         ],
         "media_id long, payload binary",
     )
     sig = {r.media_id: r.phash for r in perceptual_hash(df).collect()}
     assert set(sig) == {1, 2, 3, 4}
-    assert sig[1] == sig[4]
+    assert sig[1] == sig[4]  # SAME pixels, different FORMAT → same hash
     assert bin((sig[1] ^ sig[2]) & ((1 << 64) - 1)).count("1") == 1
     assert bin((sig[1] ^ sig[3]) & ((1 << 64) - 1)).count("1") == 64
 
@@ -183,6 +240,61 @@ def test_perceptual_hash_and_near_dups(spark):
         (r.id_a, r.id_b): r.hamming for r in phash_near_dups(df).collect()
     }
     assert edges == {(1, 2): 1, (1, 4): 0}  # star edges to min id; 3 is alone
+
+
+def test_ahash_block_grid_vectors():
+    """_ahash64 unit vectors: ragged block boundaries, channel reduction,
+    tiny-image upsampling."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import _ahash64
+
+    # uniform image → all block means equal the global mean → no bit set
+    assert _ahash64(np.full((20, 20, 1), 7, dtype=np.uint8)) == 0
+    # left half bright, right half dark on a non-multiple-of-8 width:
+    # bits = 4 bright columns per row → 32 bits set
+    px = np.zeros((10, 10, 1), dtype=np.uint8)
+    px[:, :5] = 255
+    h = _ahash64(px) & ((1 << 64) - 1)
+    assert bin(h).count("1") == 32
+    # grayscale of an RGB image = mean of channels: a pure-red half reads
+    # as 85 vs 0 → same 32-bit pattern
+    rgb = np.zeros((10, 10, 3), dtype=np.uint8)
+    rgb[:, :5, 0] = 255
+    assert (_ahash64(rgb) & ((1 << 64) - 1)) == h
+    # tiny 2×2 image upsamples deterministically (no crash, stable value)
+    tiny = np.array([[0, 255], [255, 0]], dtype=np.uint8)[:, :, None]
+    assert _ahash64(tiny) == _ahash64(np.repeat(np.repeat(tiny, 4, 0), 4, 1))
+
+
+def test_phash_reencode_certificate(spark):
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        encode_png,
+        phash_reencode_certificate,
+        synthesize_png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 40), (2, "b" * 10), (3, None), (4, "")],
+        ["doc_id", "text"],
+    )
+    media = synthesize_png_media(docs, width=16, cap=256)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert set(rows) == {1, 2}  # null/empty dropped
+    assert rows[2]["width"] == 16 and rows[2]["height"] == 1  # padded row
+    cert = {r["media_id"]: r for r in phash_reencode_certificate(media).collect()}
+    assert set(cert) == {1, 2}
+    assert all(r["hamming_bits"] == 0 and r["phash_invariant"] for r in cert.values())
+
+    # a non-decodable payload is quarantined out of the certificate
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"JUNK")), (10, bytearray(encode_png(np.full((9, 9, 1), 3, np.uint8))))],
+        "media_id long, payload binary",
+    )
+    got = phash_reencode_certificate(bad).collect()
+    assert [r["media_id"] for r in got] == [10]
 
 
 def test_parse_wav_header_crafted_files(spark):
@@ -700,3 +812,125 @@ def test_png_16bit_and_low_depth_roundtrips():
     )
     with _pytest.raises(ValueError):
         decode_png(bad)
+
+
+def test_png_trns_palette_alpha_roundtrip():
+    """tRNS palette-alpha: alpha bytes apply to leading PLTE entries, the
+    rest default 255; decode emits RGBA."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    idx = np.array([[0, 1], [2, 3]], np.uint8)[:, :, None]
+    px = decode_png(encode_png(idx, palette=pal, transparency=bytes([0, 128])))
+    assert px.shape == (2, 2, 4)
+    assert px[0, 0].tolist() == [255, 0, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0, 128]
+    assert px[1, 0].tolist() == [0, 0, 255, 255]
+    assert px[1, 1].tolist() == [9, 9, 9, 255]
+    # low-depth palette indices carry tRNS too (2-bit index plane)
+    px2 = decode_png(
+        encode_png(idx, palette=pal, bit_depth=2, transparency=bytes([7]))
+    )
+    assert px2.shape == (2, 2, 4) and px2[0, 0, 3] == 7 and px2[1, 1, 3] == 255
+
+
+def test_png_trns_key_color_gray_and_rgb():
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    g = np.array([[10, 20], [10, 30]], np.uint8)
+    px = decode_png(encode_png(g, transparency=(10,)))
+    assert px.shape == (2, 2, 2)
+    assert px[:, :, 1].tolist() == [[0, 255], [0, 255]]
+    assert px[:, :, 0].tolist() == g.tolist()  # samples unchanged
+
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 0] = [7, 8, 9]
+    px = decode_png(encode_png(rgb, transparency=(7, 8, 9)))
+    assert px.shape == (2, 2, 4)
+    assert px[0, 0, 3] == 0 and px[1, 1, 3] == 255
+
+    # depth 16: key compares on the decoder's high-byte output space
+    g16 = np.array([[77, 78]], np.uint8)
+    px = decode_png(encode_png(g16, bit_depth=16, transparency=(77 * 257,)))
+    assert px[:, :, 1].tolist() == [[0, 255]]
+
+    # depth 2: key rescales with the samples (2 → 170 in 8-bit space)
+    g2 = np.array([[0, 1], [2, 3]], np.uint8)
+    px = decode_png(encode_png(g2, bit_depth=2, transparency=(2,)))
+    assert px[:, :, 1].tolist() == [[255, 255], [0, 255]]
+
+
+def test_png_trns_malformed_rejects():
+    """Malformed tRNS → ValueError (reject-to-quarantine): wrong length
+    per color type, more alphas than PLTE entries, key exceeding the bit
+    depth, tRNS on already-alpha color types."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def with_trns(png, body):
+        at = png.index(b"IDAT") - 4
+        return png[:at] + chunk(b"tRNS", body) + png[at:]
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    idx = np.zeros((1, 2, 1), np.uint8)
+    pal_png = encode_png(idx, palette=pal)
+    with pytest.raises(ValueError, match="longer than PLTE"):
+        decode_png(with_trns(pal_png, bytes(3)))
+    with pytest.raises(ValueError, match="longer than PLTE"):
+        decode_png(with_trns(pal_png, b""))
+
+    gray = encode_png(np.zeros((1, 2), np.uint8))
+    with pytest.raises(ValueError, match="2 bytes"):
+        decode_png(with_trns(gray, bytes(3)))
+    with pytest.raises(ValueError, match="exceeds bit depth"):
+        decode_png(with_trns(gray, struct.pack(">H", 300)))
+
+    rgb = encode_png(np.zeros((1, 2, 3), np.uint8))
+    with pytest.raises(ValueError, match="6 bytes"):
+        decode_png(with_trns(rgb, bytes(2)))
+    with pytest.raises(ValueError, match="exceeds bit depth"):
+        decode_png(with_trns(rgb, struct.pack(">HHH", 1, 2, 999)))
+
+    low = encode_png(np.zeros((1, 2), np.uint8), bit_depth=2)
+    with pytest.raises(ValueError, match="exceeds bit depth"):
+        decode_png(with_trns(low, struct.pack(">H", 4)))
+
+    for ch in (2, 4):  # GA / RGBA already carry alpha
+        base = encode_png(np.zeros((1, 2, ch), np.uint8))
+        body = bytes(2) if ch == 2 else bytes(6)
+        with pytest.raises(ValueError, match="forbidden"):
+            decode_png(with_trns(base, body))
+
+
+def test_png_trns_transparent_pixels_feed_phash_and_stats():
+    """tRNS output plugs into the downstream consumers: alpha is ignored
+    by the grayscale reduction (GA uses the gray plane), so a tRNS gray
+    image hashes identically to its plain twin."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        _ahash64,
+        decode_png,
+        encode_png,
+    )
+
+    g = (np.arange(256, dtype=np.uint8)).reshape(16, 16)
+    plain = decode_png(encode_png(g))
+    keyed = decode_png(encode_png(g, transparency=(3,)))
+    assert keyed.shape == (16, 16, 2) and plain.shape == (16, 16, 1)
+    assert _ahash64(plain) == _ahash64(keyed)

@@ -441,6 +441,23 @@ def _bytes_cases() -> list[tuple[str, str, bytes | None]]:
     png_pal_oob = encode_png(
         np.full((2, 2), 99, dtype=np.uint8), palette=pal
     )
+    # tRNS transparency (r9): well-formed gray-key and palette-alpha files,
+    # then malformed tRNS attacks (wrong length, more alphas than PLTE
+    # entries, key past the bit depth, tRNS on an already-alpha type)
+    def with_trns(p: bytes, body: bytes) -> bytes:
+        at = p.index(b"IDAT") - 4
+        return p[:at] + chunk(b"tRNS", body) + p[at:]
+
+    png_trns_ok = encode_png(gray, transparency=(int(gray[0, 0]),))
+    png_trns_pal_ok = encode_png(
+        (gray % 16).astype(np.uint8), palette=pal, transparency=bytes(range(10))
+    )
+    png_trns_too_long = with_trns(png_pal, bytes(17))
+    png_trns_wrong_len = with_trns(png, bytes(3))
+    png_trns_key_oob = with_trns(png, struct.pack(">H", 300))
+    png_trns_on_rgba = with_trns(
+        encode_png(np.zeros((3, 3, 4), dtype=np.uint8)), bytes(6)
+    )
 
     # BMP mutations
     bmp_lying_offset = bmp[:10] + struct.pack("<I", len(bmp) + 999) + bmp[14:]
@@ -485,6 +502,12 @@ def _bytes_cases() -> list[tuple[str, str, bytes | None]]:
         ("png_zlib_garbage", "error", png_garbage),
         ("png_palette_no_plte", "error", png_no_plte),
         ("png_palette_oob_index", "error", png_pal_oob),
+        ("png_trns_gray_key_ok", "ok", png_trns_ok),
+        ("png_trns_palette_alpha_ok", "ok", png_trns_pal_ok),
+        ("png_trns_longer_than_plte", "error", png_trns_too_long),
+        ("png_trns_wrong_length", "error", png_trns_wrong_len),
+        ("png_trns_key_out_of_range", "error", png_trns_key_oob),
+        ("png_trns_on_alpha_type", "error", png_trns_on_rgba),
         ("bmp_ok", "ok", bmp),
         ("bmp_trunc", "error", bmp[:30]),
         ("bmp_lying_offset", "error", bmp_lying_offset),
