@@ -287,7 +287,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              ts + INTERVAL 2 HOUR AS inc_end
       FROM events WHERE event_type = 'error'
     )
-    SELECT l.event_id, l.user_id, r.incident_id
+    SELECT DISTINCT l.event_id, l.user_id, r.incident_id
     FROM l JOIN r ON l.user_id = r.user_id
      AND l.start_ts < r.inc_end AND r.inc_start < l.end_ts
      AND l.event_id <> r.incident_id
@@ -538,14 +538,8 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_dedup_replay",
     oracle="""
-    SELECT event_id, user_id, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_copies
-    FROM (SELECT * FROM events UNION ALL
-          SELECT * FROM events WHERE event_id % 3 = 0)
-    GROUP BY event_id, user_id, event_type
-    HAVING FALSE
-    UNION ALL
-    SELECT event_id, user_id, event_type, 1 AS n_copies
+    SELECT DISTINCT event_id, user_id, event_type,
+           CAST(1 AS BIGINT) AS n_copies
     FROM events
     """,
 )
@@ -703,15 +697,24 @@ _TIER_VALUES_SQL = ", ".join(
 @query(
     "join_nearest_tier",
     oracle=f"""
-    WITH centers(event_type, center, tier) AS (VALUES {_TIER_VALUES_SQL})
-    SELECT event_id, value, nearest_center, nearest_tier FROM (
-      SELECT e.event_id, e.value, c.center AS nearest_center,
-             c.tier AS nearest_tier,
-             ROW_NUMBER() OVER (PARTITION BY e.event_id
-                                ORDER BY abs(e.value - c.center), c.center) AS rn
-      FROM events e LEFT JOIN centers c
-        ON e.event_type = c.event_type AND e.value IS NOT NULL)
-    WHERE rn = 1
+    WITH centers(event_type, center, tier) AS (VALUES {_TIER_VALUES_SQL}),
+    assign AS (
+      -- nearest center per DISTINCT event, then fanned back out per input
+      -- row: keeps the twin duplication-proof (the dup robustness audit
+      -- doubles every row; the operator assigns each ROW its tier, while
+      -- a bare per-event_id ROW_NUMBER would collapse the copies)
+      SELECT event_id, value, nearest_center, nearest_tier FROM (
+        SELECT d.event_id, d.value, c.center AS nearest_center,
+               c.tier AS nearest_tier,
+               ROW_NUMBER() OVER (PARTITION BY d.event_id
+                                  ORDER BY abs(d.value - c.center), c.center) AS rn
+        FROM (SELECT DISTINCT event_id, event_type, value FROM events) d
+        LEFT JOIN centers c
+          ON d.event_type = c.event_type AND d.value IS NOT NULL)
+      WHERE rn = 1
+    )
+    SELECT e.event_id, e.value, a.nearest_center, a.nearest_tier
+    FROM events e JOIN assign a ON e.event_id = a.event_id
     """,
 )
 def join_nearest_tier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,23 +49,30 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "media_audio_stats",
     oracle="""
-    WITH bytes AS (
+    WITH d AS (
+      -- stats per DISTINCT document, fanned back out per input row below:
+      -- the operator emits one stats row per media ROW, so a bare GROUP BY
+      -- doc_id would pool duplicated rows' bytes (dup robustness audit)
+      SELECT DISTINCT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ), bytes AS (
       -- the payload is the text's UTF-8 BYTES, so the twin must walk
       -- bytes (hex pairs of the encoded blob), not code points — the two
       -- only coincide on pure-ASCII corpora
       SELECT doc_id,
              CAST('0x' || substr(hex(encode(text)),
                                  2 * CAST(i AS INTEGER) - 1, 2) AS INTEGER) AS b
-      FROM documents,
-           UNNEST(range(1, octet_length(encode(text)) + 1)) AS t(i)
-      WHERE octet_length(encode(text)) > 0
+      FROM d, UNNEST(range(1, octet_length(encode(text)) + 1)) AS t(i)
+    ), stats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_samples,
+             COUNT(*) / 16000.0 AS duration_s,
+             sqrt(AVG(CAST(b AS DOUBLE) * b)) AS rms,
+             CAST(MAX(b) AS INTEGER) AS peak
+      FROM bytes GROUP BY doc_id
     )
-    SELECT doc_id AS media_id,
-           COUNT(*) AS n_samples,
-           COUNT(*) / 16000.0 AS duration_s,
-           sqrt(AVG(CAST(b AS DOUBLE) * b)) AS rms,
-           CAST(MAX(b) AS INTEGER) AS peak
-    FROM bytes GROUP BY doc_id
+    SELECT doc.doc_id AS media_id, s.n_samples, s.duration_s, s.rms, s.peak
+    FROM documents doc JOIN stats s ON doc.doc_id = s.doc_id
     """,
 )
 def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

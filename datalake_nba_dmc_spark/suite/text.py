@@ -236,8 +236,13 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_repetition",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
+    WITH d AS (
+      -- signals per DISTINCT document, fanned back out per input row:
+      -- per-doc_id gram/word counts would otherwise pool duplicated
+      -- rows' tokens and halve the distinct ratios (dup audit)
+      SELECT DISTINCT doc_id, text FROM documents
+    ), toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS w FROM d
     ), grams AS (
       SELECT doc_id,
              CASE WHEN len(w) >= 2
@@ -254,7 +259,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top
       FROM counts GROUP BY doc_id
     )
-    SELECT g.doc_id,
+    SELECT doc.doc_id,
            CAST(COALESCE(ds.n_words, 0) AS BIGINT) AS n_words,
            CAST(COALESCE(ds.n_distinct, 0) AS BIGINT) AS n_distinct_words,
            CASE WHEN ds.n_words > 0
@@ -264,7 +269,9 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST(ds.top AS DOUBLE) / ds.n_words
                 ELSE 0.0 END AS top_word_fraction,
            g.dup_2gram_fraction
-    FROM grams g LEFT JOIN ds ON g.doc_id = ds.doc_id
+    FROM documents doc
+    JOIN grams g ON doc.doc_id = g.doc_id
+    LEFT JOIN ds ON g.doc_id = ds.doc_id
     """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,9 +391,13 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_char_entropy",
     oracle="""
-    WITH ch AS (
-      SELECT doc_id, unnest(string_split(text, '')) AS c
-      FROM documents WHERE length(text) > 0
+    WITH d AS (
+      -- histogram per DISTINCT document, fanned back out per input row:
+      -- the operator is a map-only per-ROW pass, so a bare GROUP BY
+      -- doc_id would pool duplicated rows' characters (dup audit)
+      SELECT DISTINCT doc_id, text FROM documents WHERE length(text) > 0
+    ), ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM d
     ), cnt AS (
       SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2
     ), agg AS (
@@ -396,12 +407,13 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(round(k * ln(k) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
       FROM cnt GROUP BY 1
     )
-    SELECT doc_id, n_chars, n_distinct_chars,
+    SELECT doc.doc_id, agg.n_chars, agg.n_distinct_chars,
            least(greatest(
-             round(ln(n_chars) - (CAST(s AS DOUBLE) / 1000000.0) / n_chars, 6),
-             0.0), round(ln(n_distinct_chars), 6))
+             round(ln(agg.n_chars) - (CAST(agg.s AS DOUBLE) / 1000000.0)
+                   / agg.n_chars, 6),
+             0.0), round(ln(agg.n_distinct_chars), 6))
              AS char_entropy_nats
-    FROM agg
+    FROM documents doc JOIN agg ON doc.doc_id = agg.doc_id
     """,
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

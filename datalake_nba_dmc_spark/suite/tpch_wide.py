@@ -268,14 +268,17 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q11_important_stock",
     oracle="""
     WITH val AS (
+      -- ASIA-supplier MEMBERSHIP (IN), not inner joins: the Spark plan
+      -- semi-joins, so duplicated dimension rows must not multiply the
+      -- lineitem contributions (dup robustness audit)
       SELECT l_partkey,
              SUM(CAST(round(l_extendedprice * l_quantity * 10000) AS BIGINT))
                AS value_l
       FROM lineitem
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      JOIN region   ON n_regionkey = r_regionkey
-      WHERE r_name = 'ASIA'
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier WHERE s_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+            SELECT r_regionkey FROM region WHERE r_name = 'ASIA')))
       GROUP BY l_partkey
     )
     SELECT l_partkey, CAST(value_l AS DOUBLE) / 10000.0 AS part_value

@@ -28,6 +28,18 @@ the same differential comparison on two mutated copies of the data that a
   domain quota, salted pre-agg present) are re-checked against the hot
   data's ACTUAL row counts, not just the plan text.
 
+- ``dup``    — 100% duplicated data (r9): every table is concatenated
+  with itself, so EVERY row (including every primary key) appears exactly
+  twice — the re-crawled batch / double-delivered landing zone a 100 TB
+  ingest actually sees. Two gates: (a) the same differential compare
+  (duplicated rows create exact ties in every window ordering and break
+  every implicit key-uniqueness assumption; both engines see identical
+  bytes, so any divergence is a real duplicate-sensitivity bug), and (b)
+  ``dup_invariants`` — the scale-law claims: dedup-family outputs must
+  NOT scale with the duplication (the representative set / merged span
+  set is a function of the DISTINCT content), while linear aggregates
+  must scale EXACTLY 2× and ratio statistics must be bit-identical.
+
 - ``bytes``  — malformed-media robustness (r8): truncated IDAT, corrupt
   CRCs, lying IHDR/SOF/BMP dimension and offset fields, invalid filter
   and Huffman structures, RIFF size-field overflows, random/empty/NULL
@@ -42,6 +54,7 @@ Usage::
     python tools/robustness_audit.py empty [query ...]
     python tools/robustness_audit.py nulls [query ...]
     python tools/robustness_audit.py skew  [query ...]
+    python tools/robustness_audit.py dup   [query ...]
     python tools/robustness_audit.py bytes
 
 Builds the mutated dataset under ``/tmp/robustness_<mode>`` (cached — wiped
@@ -141,6 +154,118 @@ KNOWN_SKEW: dict[str, str] = {
         "pair_ok=0 for hot vectors is correct dedup behavior"
     ),
 }
+
+# Expected outcomes on 100%-DUPLICATED input. The differential compare is
+# the primary gate (both engines see identical doubled bytes); entries here
+# are queries whose CONTRACT is violated by duplicate entity keys, not
+# engine divergences — each triaged in PERF.md's r9 dup-audit notes. Seven
+# OTHER queries that initially diverged were twin defects (per-key GROUP
+# BY / join-multiplicity where the operator is per-row or membership-
+# based) and were FIXED by making the oracles duplication-proof
+# (distinct-entity compute + fan-back-out join, IN-membership, DISTINCT
+# pair sets) — clean-data results unchanged.
+KNOWN_DUP: dict[str, str] = {
+    "dedup_clusters_assign": (
+        "the DuckDB twin's RECURSIVE CTE uses UNION set semantics, which "
+        "collapses the duplicated (doc_id, cluster) rows the per-row Spark "
+        "path keeps; the assignments agree on the distinct set"
+    ),
+    "dedup_incremental": (
+        "ingest contract is one row per document id: duplicated rows "
+        "inflate exact gram-intersection counts 4x against unchanged "
+        "shingle-set sizes, degenerating the Jaccard arithmetic in BOTH "
+        "formulations (the twin's denominators go negative and its "
+        "near-dup drops vanish; the Spark path's gram-fanout cap flips "
+        "other admissions) — collapse duplicate rows upstream "
+        "(a1_dedup_rows) before admission"
+    ),
+    "emb_second_moments": (
+        "the SQL twin self-joins components USING (vec_id), so a "
+        "duplicated vector contributes 4x where the per-row operator "
+        "correctly contributes 2x; the operator's answer IS the gram "
+        "matrix of the doubled table"
+    ),
+    "sim_semantic_dedup_certificate": (
+        "certificate precondition (no natural cosine>=0.9999 pairs) is "
+        "violated by construction — every vector now has an identical "
+        "twin row, so injected copies legitimately lose to natural "
+        "duplicates (same reasoning as the skew-mode entry)"
+    ),
+}
+
+
+def dup_invariants(spark, sf_dir: str, specs) -> list[str]:
+    """Scale-law checks on 100%-duplicated data (r9 audit dimension):
+    differential parity says Spark==DuckDB; these pin the claims that make
+    a dedup engine USEFUL on re-delivered data, against the CLEAN run:
+
+    - ``dedup_exact``: the representative (min-id-per-fingerprint) SET is
+      a function of the distinct content — bit-identical under
+      duplication — while its row output doubles exactly (the semi-join
+      keeps both copies of each surviving key: duplicate-row removal is
+      whole-row dedup's job, a1_dedup_rows, not exact_dedup's);
+    - ``dedup_substring_spans``: the merged cross-doc span set is
+      EXACTLY invariant (duplicated rows carry the same doc_id, so the
+      distinct-doc gate and the gaps-and-islands merge both collapse);
+    - ``tpch_q1``: every additive measure doubles EXACTLY (integer
+      micro-unit sums — a ±1 drift would expose float accumulation) and
+      every ratio statistic (avg_qty, avg_disc) is bit-identical
+      ((2s)/(2c) rounds to the same IEEE double as s/c).
+    """
+    from tools.verify_local import canonical_hash
+
+    problems: list[str] = []
+
+    def run(name: str, d: str):
+        return specs[name].builder(spark, d).toPandas()
+
+    n_clean = spark.read.parquet(os.path.join(SRC, "documents.parquet")).count()
+    n_dup = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    print(f"INVAR dup_build: documents {n_clean} -> {n_dup}")
+    if n_dup != 2 * n_clean:
+        problems.append(f"dup build broken: {n_dup} != 2*{n_clean}")
+
+    de_clean, de_dup = run("dedup_exact", SRC), run("dedup_exact", sf_dir)
+    reps_clean = sorted(de_clean["doc_id"].unique())
+    reps_dup = sorted(de_dup["doc_id"].unique())
+    print(
+        f"INVAR dedup_exact: {len(de_clean)} rows / {len(reps_clean)} reps "
+        f"clean -> {len(de_dup)} rows / {len(reps_dup)} reps dup"
+    )
+    if reps_clean != reps_dup:
+        problems.append("dedup_exact representative set changed under duplication")
+    if len(de_dup) != 2 * len(de_clean):
+        problems.append(
+            f"dedup_exact rows {len(de_dup)} != 2*{len(de_clean)} "
+            "(semi-join should keep both copies)"
+        )
+
+    ss_clean = run("dedup_substring_spans", SRC)
+    ss_dup = run("dedup_substring_spans", sf_dir)
+    print(f"INVAR substring_spans: {len(ss_clean)} clean vs {len(ss_dup)} dup spans")
+    if canonical_hash(ss_clean) != canonical_hash(ss_dup):
+        problems.append("dedup_substring_spans output not duplication-invariant")
+
+    q1_c = run("tpch_q1_pricing_summary", SRC)
+    q1_d = run("tpch_q1_pricing_summary", sf_dir)
+    keys = ["l_returnflag", "l_linestatus"]
+    linear = ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "count_order"]
+    ratios = ["avg_qty", "avg_disc"]
+    merged = q1_c.merge(q1_d, on=keys, suffixes=("_c", "_d"))
+    if len(merged) != len(q1_c) or len(q1_d) != len(q1_c):
+        problems.append("tpch_q1 group set changed under duplication")
+    else:
+        for c in linear:
+            if not (merged[f"{c}_d"] == 2 * merged[f"{c}_c"]).all():
+                problems.append(f"tpch_q1 {c} did not scale exactly 2x")
+        for c in ratios:
+            if not (merged[f"{c}_d"] == merged[f"{c}_c"]).all():
+                problems.append(f"tpch_q1 {c} not bit-identical under duplication")
+        print(
+            f"INVAR tpch_q1: {len(linear)} additive measures exactly 2x, "
+            f"{len(ratios)} ratios bit-identical over {len(merged)} groups"
+        )
+    return problems
 
 
 def skew_invariants(spark, sf_dir: str, specs) -> list[str]:
@@ -650,6 +775,8 @@ def build_mutated(mode: str) -> str:
             t = _inject(t, seed_text=f)
         elif mode == "skew":
             t = _skew(t, f)
+        elif mode == "dup":
+            t = pa.concat_tables([t, t])
         else:
             raise SystemExit(f"unknown mode {mode!r}")
         pq.write_table(t, os.path.join(out, f))
@@ -758,7 +885,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
         )
 
-    known = {"empty": KNOWN_EMPTY, "nulls": KNOWN_NULLS, "skew": KNOWN_SKEW}[mode]
+    known = {
+        "empty": KNOWN_EMPTY,
+        "nulls": KNOWN_NULLS,
+        "skew": KNOWN_SKEW,
+        "dup": KNOWN_DUP,
+    }[mode]
     n_pass = n_fail = n_rows_only = n_crash = n_known = 0
     failures: list[str] = []
     for name, spec in sorted(specs.items()):
@@ -818,12 +950,18 @@ def main() -> int:
     invariant_problems: list[str] = []
     if mode == "skew" and not only:
         invariant_problems = skew_invariants(spark, sf_dir, specs)
-        for p in invariant_problems:
-            print(f"FAIL invariant: {p}")
+    elif mode == "dup" and not only:
+        invariant_problems = dup_invariants(spark, sf_dir, specs)
+    for p in invariant_problems:
+        print(f"FAIL invariant: {p}")
     print(
         f"\n[{mode}] {n_pass} pass, {n_fail} mismatch, {n_crash} crash, "
         f"{n_rows_only} rows-only, {n_known} known"
-        + (f", {len(invariant_problems)} invariant failures" if mode == "skew" else "")
+        + (
+            f", {len(invariant_problems)} invariant failures"
+            if mode in ("skew", "dup")
+            else ""
+        )
     )
     if failures:
         print("failures:", " ".join(sorted(failures)))
