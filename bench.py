@@ -112,6 +112,10 @@ EXTENDED = [
     "media_png_palette_roundtrip",
     "text_bm25_multiquery",
     "text_unigram_lm_segment",
+    # r9 registrations (first same-harness baseline: BENCH_r09)
+    "dedup_contamination_bloom",
+    "dedup_substring_spans",
+    "media_phash_dup_certificate",
     # dedup_prefix_ssjoin deliberately NOT benched: it is the documented
     # slower-at-toy-scale skew-insurance path (PERF.md crossover receipt);
     # timing it would bill the suite for an operator whose contract is a

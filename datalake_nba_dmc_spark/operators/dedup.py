@@ -772,24 +772,24 @@ def contamination_hits_bloom(
     sketch = bench_bits.agg(
         F.map_from_entries(F.collect_list(F.struct("_word", "_bits"))).alias("_bf")
     )
+    # Probe as FLAT per-gram expressions, not transform/forall lambdas:
+    # interpreted HOFs run outside whole-stage codegen AND putting their
+    # output under a Filter splits the plan (the r7 simhash lesson). The
+    # r9 A/B at sf0.1 (certificate query, same session, min-of-3): 11.97 s
+    # HOF probe → 1.66 s flat probe. Same hashes, same positions — explode
+    # grams once, AND num_hashes codegen'd (xxhash64 → pmod → map-lookup →
+    # bit-test) conditions.
     probe = with_shingles(corpus.select(id_col, text_col), text_col, n).select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.col("sh"),
-                lambda s: _bloom_positions(s, num_bits, num_hashes),
-            )
-        ).alias("_ps"),
+        id_col, F.explode("sh").alias("_gram")
     )
-    hit = F.forall(
-        F.col("_ps"),
-        lambda p: (
-            F.coalesce(
-                F.element_at(F.col("_bf"), (p / 32).cast("long")), F.lit(0).cast("long")
-            ).bitwiseAND(F.pow(F.lit(2.0), (p % 32).cast("int")).cast("long"))
+    hit = F.lit(True)
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.col("_gram"), F.lit(i)), F.lit(num_bits))
+        word = F.element_at(F.col("_bf"), (pos / 32).cast("long"))
+        bit = F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
+        hit = hit & (
+            F.coalesce(word, F.lit(0).cast("long")).bitwiseAND(bit) != 0
         )
-        != 0,
-    )
     return (
         probe.crossJoin(F.broadcast(sketch))  # one-row sketch broadcast
         .filter(hit)
