@@ -63,17 +63,23 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _decode_image(payload: bytes) -> dict:
-    """STUB — real implementation would use PIL/cv2 (not in this container).
-
-    Deterministic fake: derives pseudo-dimensions from the payload so the
-    downstream plumbing (schema, joins, aggregations) is fully testable.
-    Swap the body for ``PIL.Image.open(io.BytesIO(payload))`` in production.
-    """
+def _best_effort_dims(payload: bytes | None) -> tuple[int | None, int | None]:
+    """Best-effort image dimensions (r9 — replaces the length-derived
+    pseudo-dims stub that predated the in-repo codecs): REAL pixel decode
+    where the payload decodes (:func:`decode_image` — PNG/BMP/baseline
+    JPEG), header-parsed dimensions where only the header is readable
+    (:func:`parse_image_header` — adds GIF and the decoders' reject
+    cases, e.g. progressive JPEG), and (None, None) for everything else.
+    A metadata harvest must never invent dimensions for garbage."""
     if payload is None:
-        return {"width": None, "height": None}
-    h = len(payload)
-    return {"width": int(h % 640) + 1, "height": int(h % 480) + 1}
+        return (None, None)
+    try:
+        px = decode_image(payload)
+        return (int(px.shape[1]), int(px.shape[0]))
+    except Exception:  # noqa: BLE001 — fall through to the header walk
+        pass
+    _fmt, w, h = parse_image_header(payload)
+    return (w, h)
 
 
 FEATURE_SCHEMA = StructType(
@@ -89,20 +95,25 @@ FEATURE_SCHEMA = StructType(
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas`` — Arrow batches of payload
-    bytes enter Python once per batch, not per row. Batch size is governed
-    by ``spark.sql.execution.arrow.maxRecordsPerBatch``; for large blobs
-    set it low (e.g. 64) so a batch fits in executor memory."""
+    bytes enter Python once per batch, not per row. Dimensions are
+    :func:`_best_effort_dims` (REAL decode → header parse → NULL); the
+    payload never leaves the executors. Batch size is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``; for large blobs set
+    it low (e.g. 64) so a batch fits in executor memory."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(_decode_image)
+            dims = [
+                _best_effort_dims(bytes(p) if p is not None else None)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": dims.map(lambda d: d["width"]).astype("Int32"),
-                    "height": dims.map(lambda d: d["height"]).astype("Int32"),
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
                 }
             )
 
@@ -247,10 +258,11 @@ def audio_waveform_stats(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
 def parse_image_header(payload: bytes | None) -> tuple[str, int | None, int | None]:
     """REAL (non-stub) container-format sniffing + dimension extraction by
     struct-parsing the file header — PNG IHDR, GIF logical screen, BMP
-    info header, JPEG SOFn scan. Needs no imaging library, so unlike
-    ``_decode_image`` this path runs as-is in production; only pixel
-    DECODE remains stubbed. Returns (format, width, height), with
-    ("unknown", None, None) for unrecognized payloads.
+    info header, JPEG SOFn scan. Needs no imaging library; this is the
+    cheap pre-decode quarantine pass AND the dimension source for formats
+    the pixel decoders reject (GIF, progressive JPEG). Returns (format,
+    width, height), with ("unknown", None, None) for unrecognized
+    payloads.
     """
     import struct
 

@@ -1,0 +1,227 @@
+"""REAL YUV4MPEG2 (.y4m) video frame access — stdlib-only, no pyav/ffmpeg.
+
+The reference treats video as opaque blobs; the extension surface needs
+frame sampling (``frame_sample_plan`` plans indices from DECLARED
+metadata). This module adds the real thing for a real public container:
+Y4M (mjpegtools' uncompressed interchange format — a text header, then
+``FRAME\\n``-delimited raw YUV planes). Because frames are fixed-size and
+uncompressed, frame access is pure offset arithmetic — the one video
+format where a correct, dependency-free decoder is a page of code, which
+makes it the honest replacement for a "pyav goes here" stub: the Spark
+plumbing (Arrow batches, quarantine, exact-integer stats contracts) is
+identical for compressed containers; only the per-frame byte decode
+differs.
+
+Suite registration is staged for the next round (the registry freeze adds
+new queries only inside their own round's driver window); the oracle plan
+for ``media_y4m_frame_stats`` is the media_audio_stats-style hex-pair
+byte walk over the synthesized luma planes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
+
+#: frame bytes per luma pixel, by colorspace tag (chroma subsampling).
+_PLANE_FACTOR = {
+    "420": 1.5,
+    "420jpeg": 1.5,
+    "420mpeg2": 1.5,
+    "420paldv": 1.5,
+    "422": 2.0,
+    "444": 3.0,
+    "mono": 1.0,
+}
+
+
+def parse_y4m_header(payload: bytes | None):
+    """Parse the stream header. Returns (width, height, fps_num, fps_den,
+    colorspace, frame_bytes, first_frame_offset); raises ``ValueError``
+    on non-Y4M bytes, missing/invalid dimensions, unsupported colorspace,
+    or odd dimensions under 4:2:0 (half-resolution chroma planes need
+    even luma dims)."""
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M header unterminated")
+    width = height = None
+    fps_num, fps_den = 30, 1
+    cs = "420"
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                cs = val.decode("ascii")
+            # I (interlace), A (aspect), X (extensions): ignored
+        except (ValueError, UnicodeDecodeError) as e:
+            raise ValueError(f"Y4M malformed header token {tok!r}") from e
+    if not width or not height or width <= 0 or height <= 0:
+        raise ValueError("Y4M missing/invalid dimensions")
+    if cs not in _PLANE_FACTOR:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    if cs.startswith("420") and (width % 2 or height % 2):
+        raise ValueError("Y4M 4:2:0 requires even dimensions")
+    if fps_den <= 0 or fps_num <= 0:
+        raise ValueError("Y4M invalid frame rate")
+    frame_bytes = int(width * height * _PLANE_FACTOR[cs])
+    return width, height, fps_num, fps_den, cs, frame_bytes, nl + 1
+
+
+def iter_y4m_frames(payload: bytes):
+    """Yield (frame_idx, plane_data_offset) for every frame, validating
+    EVERY ``FRAME`` marker and the stream length (a truncated tail or
+    trailing junk raises — lying sizes are the bytes-audit failure mode,
+    not something to silently tolerate)."""
+    _w, _h, _fn, _fd, _cs, fb, off = parse_y4m_header(payload)
+    idx = 0
+    while off < len(payload):
+        if payload[off : off + 5] != b"FRAME":
+            raise ValueError("Y4M bad FRAME marker")
+        nl = payload.find(b"\n", off)
+        if nl < 0:
+            raise ValueError("Y4M FRAME header unterminated")
+        data = nl + 1
+        if data + fb > len(payload):
+            raise ValueError("Y4M truncated frame")
+        yield idx, data
+        off = data + fb
+        idx += 1
+
+
+def y4m_frame_stats(
+    df: DataFrame, every_n: int = 10, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame sampling: walk each Y4M payload's frame index
+    (pure offset arithmetic — no full-stream copy), take every
+    ``every_n``-th frame, and emit exact-integer luma statistics per
+    sampled frame: (media_id, frame_idx, n_frames, y_mean_micro) with
+    ``y_mean_micro`` the half-up integer micro-mean of the luma plane
+    ((2·sum·10⁶ + n)//(2n) — the suite's standard float-free contract, so
+    a DuckDB byte-walk twin can replay it exactly). Non-Y4M / malformed
+    payloads are quarantined out, same contract as ``perceptual_hash``.
+    One Arrow stage; payloads never leave the executors. At 100 TB the
+    same shape holds for compressed containers — only the per-frame
+    decode body changes (that part needs pyav, absent here; Y4M needs
+    nothing)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, totals, means = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    b = bytes(p) if p is not None else None
+                    w, h, _fn, _fd, _cs, _fb, _off = parse_y4m_header(b)
+                    frames = list(iter_y4m_frames(b))
+                except Exception:  # noqa: BLE001 — quarantine, never crash
+                    continue
+                n = w * h
+                for idx, data in frames[::every_n]:
+                    y = np.frombuffer(b, dtype=np.uint8, count=n, offset=data)
+                    s = int(y.sum(dtype=np.int64))
+                    ids.append(mid)
+                    idxs.append(idx)
+                    totals.append(len(frames))
+                    means.append((2 * s * 1_000_000 + n) // (2 * n))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "n_frames": pd.array(totals, dtype="Int32"),
+                    "y_mean_micro": pd.array(means, dtype="Int64"),
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(
+        batches,
+        schema="media_id long, frame_idx int, n_frames int, y_mean_micro long",
+    )
+
+
+def encode_y4m(
+    frames: "np.ndarray", fps: tuple[int, int] = (30, 1), colorspace: str = "420"
+) -> bytes:
+    """Minimal Y4M encoder — the round-trip twin of the parser and the
+    deterministic payload SOURCE for tests/queries in this videoless
+    container. ``frames`` is (n_frames, height, width) uint8 LUMA; chroma
+    planes are written as constant 128 (gray) for subsampled/full chroma,
+    or omitted for mono."""
+    if frames.ndim != 3:
+        raise ValueError("frames must be (n, h, w) luma")
+    n, h, w = frames.shape
+    if colorspace not in _PLANE_FACTOR:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    chroma_len = int(w * h * _PLANE_FACTOR[colorspace]) - w * h
+    chroma = bytes([128]) * chroma_len
+    out = [
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
+        % (w, h, fps[0], fps[1], colorspace.encode("ascii"))
+    ]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype(np.uint8).tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+def synthesize_y4m_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    height: int = 8,
+    cap_frames: int = 16,
+) -> DataFrame:
+    """Adapt the documents table into REAL Y4M video payloads: each
+    document's UTF-8 bytes fill consecutive ``width``×``height`` luma
+    frames (zero-padded tail, at most ``cap_frames``), chroma constant —
+    the deterministic video corpus for the frame-sampling queries, byte-
+    replayable by a SQL twin (frame f's luma = bytes [f·w·h, (f+1)·w·h)).
+    NULL/empty texts are dropped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, ns = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                raw = text.encode("utf-8")[: cap_frames * width * height]
+                fsize = width * height
+                nf = -(-len(raw) // fsize)
+                arr = np.zeros(nf * fsize, dtype=np.uint8)
+                arr[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                p = encode_y4m(arr.reshape(nf, height, width))
+                ids.append(did)
+                payloads.append(p)
+                ns.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["video"] * len(ids),
+                    "width": pd.array([width] * len(ids), dtype="Int32"),
+                    "height": pd.array([height] * len(ids), dtype="Int32"),
+                    "n_bytes": pd.array(ns, dtype="Int64"),
+                }
+            )
+
+    from datalake_nba_dmc_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )

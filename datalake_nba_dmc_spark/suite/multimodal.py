@@ -15,19 +15,28 @@ from datalake_nba_dmc_spark.suite import query
     "media_metadata",
     oracle="""
     SELECT doc_id AS media_id, 'image' AS media_type,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
-           CAST(strlen(text) % 480 + 1 AS INTEGER) AS height
+           CAST(16 AS INTEGER) AS width,
+           CAST((least(octet_length(encode(text)), 1024) + 15) // 16
+                AS INTEGER) AS height
     FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
     """,
 )
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline: documents→(media_id, payload bytes, metadata)
-    → mapInPandas feature extraction. The decode stub derives dimensions
-    deterministically from payload length, which is what the oracle
-    replicates — so the whole Arrow/mapInPandas path is hash-checked."""
+    """Binary-column pipeline over REAL payloads (r9 — the length-derived
+    pseudo-dims stub predated the in-repo codecs): documents become
+    decodable grayscale PNGs (synthesize_png_media, width 16, cap 1024),
+    and extract_features harvests dimensions through the best-effort path
+    (REAL decode → header parse → NULL). The oracle recomputes the
+    expected dims from the byte counts alone — width 16, height
+    ceil(min(bytes,1024)/16) — so a wrong decode on ANY payload
+    hash-mismatches. n_bytes is the PNG container size (not
+    SQL-computable) and is exercised by pytest instead."""
     docs = TableRegistry(spark, sf_dir).documents
-    return M.extract_features(M.documents_as_media(docs))
+    media = M.synthesize_png_media(docs, width=16, cap=1024)
+    return M.extract_features(media).select(
+        "media_id", "media_type", "width", "height"
+    )
 
 
 @query(

@@ -26,13 +26,34 @@ def test_documents_as_media_schema_and_bytes(spark):
     assert rows[3]["payload"] is None and rows[3]["n_bytes"] is None
 
 
-def test_extract_features_deterministic_stub(spark):
-    out = extract_features(documents_as_media(_docs(spark)))
+def test_extract_features_best_effort_dims(spark):
+    """REAL decode where possible, header dims where only the header
+    parses, NULL dims otherwise — never invented dimensions."""
+    import struct
+
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import encode_png
+
+    png = encode_png(np.zeros((12, 34, 1), dtype=np.uint8))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4  # header only
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png), "image", None, None, len(png)),
+            (2, bytearray(gif), "image", None, None, len(gif)),
+            (3, bytearray(b"not an image"), "image", None, None, 12),
+            (4, None, "image", None, None, None),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "width int, height int, n_bytes long",
+    )
+    out = extract_features(media)
     assert out.schema == FEATURE_SCHEMA
     rows = {r["media_id"]: r for r in out.collect()}
-    # stub: width = len % 640 + 1, height = len % 480 + 1
-    assert (rows[1]["width"], rows[1]["height"]) == (6, 6)
-    assert rows[3]["width"] is None  # null payload survives the batch path
+    assert (rows[1]["width"], rows[1]["height"]) == (34, 12)  # real decode
+    assert (rows[2]["width"], rows[2]["height"]) == (320, 200)  # header walk
+    assert rows[3]["width"] is None and rows[3]["height"] is None
+    assert rows[4]["width"] is None  # null payload survives the batch path
 
 
 def test_resize_images_real_pixels(spark):
