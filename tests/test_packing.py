@@ -1,0 +1,114 @@
+"""Unit tests: training-sequence packing (distributed global prefix sum)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datalake_nba_dmc_spark.operators.packing import pack_sequences
+
+
+def _docs(spark, counts: dict[int, int]):
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(n))) for i, n in counts.items()]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _sequential_reference(counts: dict[int, int], L: int):
+    """Driver-side sequential replay: the semantics pack_sequences must
+    reproduce distributively."""
+    out, off = [], 0
+    for i in sorted(counts):
+        n = counts[i]
+        if n <= 0:
+            continue
+        start, end = off, off + n
+        s = start // L
+        while s * L < end:
+            ps, pe = max(start, s * L), min(end, (s + 1) * L)
+            out.append((i, s, ps - start, ps - s * L, pe - ps, n))
+            s += 1
+        off = end
+    return sorted(out)
+
+
+def _collect(df):
+    return sorted(
+        (r.doc_id, r.seq_id, r.doc_offset, r.seq_offset, r.piece_len, r.n_tokens)
+        for r in df.collect()
+    )
+
+
+def test_pack_matches_sequential_reference(spark):
+    counts = {1: 3, 2: 5, 3: 1, 5: 9, 8: 2, 13: 4, 21: 7}
+    got = _collect(pack_sequences(_docs(spark, counts), seq_len=4))
+    assert got == _sequential_reference(counts, 4)
+
+
+def test_pack_boundary_cases(spark):
+    # exact-fit docs, a doc spanning MANY sequences, gaps in ids,
+    # zero-token / NULL docs consume no offset
+    counts = {10: 4, 11: 12, 40: 4}
+    df = _docs(spark, counts)
+    extra = spark.createDataFrame(
+        [(12, ""), (13, None), (14, "   ")], ["doc_id", "text"]
+    )
+    got = _collect(pack_sequences(df.unionByName(extra), seq_len=4))
+    assert got == _sequential_reference(counts, 4)
+    # doc 11 (12 tokens) fills sequences 1,2,3 exactly
+    d11 = [g for g in got if g[0] == 11]
+    assert [(g[1], g[3], g[4]) for g in d11] == [(1, 0, 4), (2, 0, 4), (3, 0, 4)]
+
+
+def test_pack_invariants_random(spark):
+    import random
+
+    rng = random.Random(9)
+    counts = {i: rng.randint(1, 17) for i in rng.sample(range(1000), 60)}
+    L = 8
+    got = _collect(pack_sequences(_docs(spark, counts), seq_len=L, num_buckets=7))
+    assert got == _sequential_reference(counts, L)
+    total = sum(counts.values())
+    # every sequence except the last is exactly full
+    per_seq: dict[int, int] = {}
+    for _i, s, _do, _so, pl, _n in got:
+        per_seq[s] = per_seq.get(s, 0) + pl
+    last = max(per_seq)
+    assert all(v == L for s, v in per_seq.items() if s != last)
+    assert sum(per_seq.values()) == total
+    # per-doc pieces partition [0, n)
+    per_doc: dict[int, list] = {}
+    for i, _s, do, _so, pl, n in got:
+        per_doc.setdefault(i, []).append((do, pl, n))
+    for i, pieces in per_doc.items():
+        pieces.sort()
+        assert pieces[0][0] == 0
+        for (a, al, _), (b, _, _) in zip(pieces, pieces[1:]):
+            assert a + al == b
+        assert pieces[-1][0] + pieces[-1][1] == counts[i]
+
+
+def test_pack_no_corpus_wide_single_partition_window(spark):
+    """The only unpartitioned window must be the <=num_buckets bucket
+    table — the document-scale windows are all partitioned by bucket."""
+    df = _docs(spark, {i: 3 for i in range(1, 40)})
+    plan = pack_sequences(df, seq_len=4)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert windows, "expected Window nodes in the packing plan"
+
+    def is_unpartitioned(w: str) -> bool:
+        # windowspecdefinition(partCol1, ..., sortCol ASC, frame) — when the
+        # FIRST argument already carries a sort direction there is no
+        # partition spec at all
+        inner = w.split("windowspecdefinition(", 1)[1]
+        first = inner.split(",", 1)[0]
+        return "ASC" in first or "DESC" in first
+
+    unpart = [w for w in windows if is_unpartitioned(w)]
+    # exactly one unpartitioned window, and it is the <=num_buckets bucket
+    # offsets table (sums _bn), never the corpus-scale running sum
+    assert len(unpart) == 1 and "sum(_bn" in unpart[0], unpart
+    assert any("sum(_n#" in w and not is_unpartitioned(w) for w in windows)
+
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, seq_len=0)
