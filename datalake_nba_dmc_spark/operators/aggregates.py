@@ -169,6 +169,7 @@ def basket_pairs(
     basket_col: str,
     item_col: str,
     min_support: int = 2,
+    max_items_per_basket: int | None = None,
 ) -> DataFrame:
     """Market-basket pair mining: for every pair of items co-occurring in
     at least ``min_support`` baskets, the co-occurrence count and the
@@ -187,11 +188,20 @@ def basket_pairs(
     combination expression over the SORTED item array — the blow-up is
     still Σ k_b² over ITEMS-PER-BASKET k_b (single digits in practice),
     never |items|², and now happens inside a codegen'd projection instead
-    of a join. A pathological mega-basket remains the skew risk: cap
-    items per basket upstream if k_b is unbounded."""
-    baskets = df.groupBy(basket_col).agg(
-        F.sort_array(F.collect_set(item_col)).alias("_its")
-    )
+    of a join. A pathological mega-basket remains the skew risk:
+    ``max_items_per_basket`` (r9, from the r8 plan-audit note) caps each
+    basket to its k smallest items DETERMINISTICALLY before the pair
+    expansion, bounding the quadratic term at k²; supports and the basket
+    total derive from the same capped arrays, so lift stays internally
+    consistent. The cap bounds the EXPLODE (the quadratic risk), not the
+    ``collect_set`` agg state, which stays linear like any set agg —
+    pre-agg row limiting would buy nothing but an extra shuffle."""
+    its = F.sort_array(F.collect_set(item_col))
+    if max_items_per_basket is not None:
+        if max_items_per_basket <= 1:
+            raise ValueError("max_items_per_basket must be > 1 (pairs need 2)")
+        its = F.slice(its, 1, max_items_per_basket)
+    baskets = df.groupBy(basket_col).agg(its.alias("_its"))
     pair_arr = F.flatten(
         F.transform(
             F.col("_its"),

@@ -290,3 +290,27 @@ def test_basket_pairs_counts_and_lift(spark):
     }
     # supports: x in 3 baskets, y in 3; pair in 2 of 4 → lift = 2*4/(3*3)
     assert got == {("x", "y"): (2, round(8 / 9, 6))}
+
+
+def test_basket_pairs_mega_basket_cap(spark):
+    """max_items_per_basket bounds the quadratic pair expansion
+    deterministically (k smallest items) and keeps lift internally
+    consistent with the capped supports."""
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.aggregates import basket_pairs
+
+    mega = [(1, f"i{j:03d}") for j in range(50)] + [(2, "i000"), (2, "i001")]
+    df = spark.createDataFrame(mega, ["basket", "item"])
+    capped = basket_pairs(
+        df, "basket", "item", min_support=1, max_items_per_basket=5
+    ).collect()
+    # basket 1 contributes C(5,2)=10 pairs, basket 2 one pair
+    assert len(capped) == 10
+    got = {(r.item_a, r.item_b): r.n_ab for r in capped}
+    assert got[("i000", "i001")] == 2  # both baskets keep their smallest items
+    assert all(a < "i005" and b < "i005" for a, b in got)
+    # default stays uncapped: C(50,2) + the shared pair
+    assert len(basket_pairs(df, "basket", "item", min_support=1).collect()) == 50 * 49 // 2
+    with pytest.raises(ValueError, match="must be > 1"):
+        basket_pairs(df, "basket", "item", max_items_per_basket=1)
