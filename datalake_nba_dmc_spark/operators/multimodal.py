@@ -200,10 +200,13 @@ def resize_images(
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: expands each media row into frame-index
-    rows (decode stubbed — indices derived from n_bytes as a deterministic
-    fake for frame count). Real impl: pyav/ffmpeg inside the same
-    mapInPandas shape."""
+    """Video frame-sampling PLANNER: expands each media row into frame-index
+    rows from DECLARED metadata only (frame count derived deterministically
+    from n_bytes — no payload read, so it stays a pure-column expression).
+    The REAL payload-walking path exists for Y4M containers
+    (operators/y4m.y4m_frame_stats — frame counts from validated FRAME
+    markers, sampled luma stats); compressed containers would need
+    pyav/ffmpeg (absent here) inside the same mapInPandas shape."""
     n_frames = (F.col("n_bytes") % 300 + 1).cast("int")
     return df.select(
         "media_id",
