@@ -68,6 +68,11 @@ BNLJ_AUDITED = {
     "text_unigram_logprob",       # one-row token grand total
     "text_vocab_coverage",        # one-row token grand total
     "tpch_q11_important_stock",   # one-row global-value threshold
+    "dedup_contamination_bloom",  # one-row bit-packed Bloom sketch map
+                                  # broadcast onto the corpus gram stream
+                                  # (r9; the whole point of the operator —
+                                  # a fixed ~1 MiB sketch replaces the
+                                  # gram-string broadcast)
     "tpch_q22_dormant_customers", # one-row avg(acctbal) scalar
 }
 
