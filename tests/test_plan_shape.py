@@ -610,3 +610,36 @@ def test_bloom_screen_sketch_broadcasts_corpus_unshuffled(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
         assert marker not in plan, marker
+
+
+@needs_testdata
+def test_substring_spans_semi_join_partitioned_islands(spark):
+    """Cross-doc substring spans (r9): the shared-window filter compiles
+    to a broadcast/shuffled SEMI join (window hashes only — text never
+    re-shuffles), the gaps-and-islands merge windows are partitioned by
+    document (no corpus-wide single-partition Window), and the plan stays
+    JVM-side after the tokenize stage."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    # every Window node partitions by doc_id
+    import re
+
+    for w in re.findall(r"windowspecdefinition\([^\n]*", plan):
+        assert "doc_id" in w.split("ASC")[0], w
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+@needs_testdata
+def test_phash_certificate_single_arrow_stage_chain(spark):
+    """pHash re-encode certificate (r9): synthesize→decode→re-encode→hash
+    chains map-side MapInPandas stages — no join, and the ONLY Exchange
+    is ensure_parallelism's fan-out of the raw (doc_id, text) rows BEFORE
+    any payload exists, so PNG/BMP bytes never cross a shuffle."""
+    plan = plan_of(spark, "media_phash_dup_certificate")
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("MapInPandas (") == 2, plan
+    # the exchange sits under the scan side, upstream of both Arrow stages
+    assert plan.index("Exchange (") > plan.index("MapInPandas ("), plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
