@@ -756,3 +756,182 @@ def test_unigram_argmin_matches_bruteforce_property(data, word):
             best = (key[0], key[1], segs)
     got = best_segmentation(word, pieces)
     assert got == (best[0], best[2])
+
+
+@FAST
+@given(
+    data=st.data(),
+    h=st.integers(min_value=1, max_value=8),
+    w=st.integers(min_value=1, max_value=8),
+    n_pal=st.integers(min_value=1, max_value=16),
+)
+def test_png_trns_roundtrip_property(data, h, w, n_pal):
+    """ANY palette image with ANY (shorter-or-equal) tRNS alpha vector
+    decodes to RGBA with alpha = tRNS[idx] (255 past the vector), and ANY
+    gray image with ANY key gets alpha 0 exactly where samples equal the
+    key."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import decode_png, encode_png
+
+    pal = np.array(
+        data.draw(
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=3, max_size=3),
+                min_size=n_pal,
+                max_size=n_pal,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    idx = np.array(
+        data.draw(
+            st.lists(
+                st.lists(st.integers(0, n_pal - 1), min_size=w, max_size=w),
+                min_size=h,
+                max_size=h,
+            )
+        ),
+        dtype=np.uint8,
+    )[:, :, None]
+    n_alpha = data.draw(st.integers(min_value=1, max_value=n_pal))
+    alphas = bytes(data.draw(st.lists(st.integers(0, 255), min_size=n_alpha, max_size=n_alpha)))
+    out = decode_png(encode_png(idx, palette=pal, transparency=alphas))
+    assert out.shape == (h, w, 4)
+    assert (out[:, :, :3] == pal[idx[:, :, 0]]).all()
+    full = np.full(n_pal, 255, dtype=np.uint8)
+    full[:n_alpha] = np.frombuffer(alphas, dtype=np.uint8)
+    assert (out[:, :, 3] == full[idx[:, :, 0]]).all()
+
+    gray = np.array(
+        data.draw(
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=w, max_size=w),
+                min_size=h,
+                max_size=h,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    key = data.draw(st.integers(0, 255))
+    gout = decode_png(encode_png(gray, transparency=(key,)))
+    assert gout.shape == (h, w, 2)
+    assert (gout[:, :, 0] == gray).all()
+    assert ((gout[:, :, 1] == 0) == (gray == key)).all()
+
+
+@FAST
+@given(
+    data=st.data(),
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    ch=st.sampled_from([1, 3]),
+)
+def test_phash_format_invariance_property(data, h, w, ch):
+    """The aHash of ANY image is identical across PNG and BMP encodings
+    of the same pixels — the re-encode invariance that defines a
+    perceptual hash (byte hashing has none)."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        _ahash64,
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
+
+    img = np.array(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.lists(st.integers(0, 255), min_size=ch, max_size=ch),
+                    min_size=w,
+                    max_size=w,
+                ),
+                min_size=h,
+                max_size=h,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    h_png = _ahash64(decode_image(encode_png(img)))
+    h_bmp = _ahash64(decode_image(encode_bmp(img)))
+    assert h_png == h_bmp
+
+
+@FAST
+@given(
+    data=st.data(),
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),
+    sy=st.integers(min_value=1, max_value=4),
+    sx=st.integers(min_value=1, max_value=4),
+)
+def test_resize_nearest_laws_property(data, h, w, sy, sx):
+    """Nearest-neighbor resize laws on ANY image: identity at source
+    dims; integer upscale-by-repeat then downscale-back is the identity;
+    every output pixel VALUE exists in the source."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import _resize_pixels
+
+    img = np.array(
+        data.draw(
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=w, max_size=w),
+                min_size=h,
+                max_size=h,
+            )
+        ),
+        dtype=np.uint8,
+    )[:, :, None]
+    assert np.array_equal(_resize_pixels(img, w, h), img)
+    up = _resize_pixels(img, w * sx, h * sy)
+    assert np.array_equal(up, np.repeat(np.repeat(img, sy, 0), sx, 1))
+    assert np.array_equal(_resize_pixels(up, w, h), img)
+
+
+@FAST
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=5),
+    h=st.integers(min_value=1, max_value=4),
+    w=st.integers(min_value=1, max_value=4),
+    cs=st.sampled_from(["420", "422", "444", "mono"]),
+)
+def test_y4m_roundtrip_property(data, n, h, w, cs):
+    """ANY luma frame stack round-trips the Y4M encoder/walker: the
+    parser recovers dims/colorspace, the walk yields every frame offset,
+    and the luma planes read back byte-exact."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.y4m import (
+        encode_y4m,
+        iter_y4m_frames,
+        parse_y4m_header,
+    )
+
+    if cs == "420":
+        h, w = h * 2, w * 2  # 4:2:0 requires even dims
+    frames = np.array(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.lists(st.integers(0, 255), min_size=w, max_size=w),
+                    min_size=h,
+                    max_size=h,
+                ),
+                min_size=n,
+                max_size=n,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    p = encode_y4m(frames, colorspace=cs)
+    pw, ph, _fn, _fd, pcs, _fb, _off = parse_y4m_header(p)
+    assert (pw, ph, pcs) == (w, h, cs)
+    offs = list(iter_y4m_frames(p))
+    assert [i for i, _ in offs] == list(range(n))
+    for i, off in offs:
+        y = np.frombuffer(p, dtype=np.uint8, count=w * h, offset=off).reshape(h, w)
+        assert np.array_equal(y, frames[i])
