@@ -1,0 +1,108 @@
+"""Link-graph centrality for crawl curation — fixed-iteration PageRank in
+EXACT integer arithmetic.
+
+Web-scale pretraining corpora weight documents by their host's link
+centrality (Common-Crawl-derived datasets filter and sample on harmonic /
+PageRank centrality); the curation suite therefore needs a rank signal
+computed at corpus scale. Floating-point PageRank is partial-agg-order
+dependent (sums of doubles), which breaks the engine's cross-engine
+value-hash contract — so this implementation defines the recurrence in
+scaled INTEGER micro-rank with floor division:
+
+    rank_0(v)     = SCALE // N
+    share_k(u)    = (damping_pct · rank_k(u) // 100) // outdeg(u)
+    rank_{k+1}(v) = (100 − damping_pct) · SCALE // (100 · N)
+                    + Σ_{u→v} share_k(u)
+
+Every operation is an integer add (associative — partition order can
+never flip a value) or a floor division applied per-row identically in
+any engine, so a DuckDB twin that unrolls the same k iterations as
+chained CTEs reproduces the ranks BIT-EXACTLY. The floor divisions leak
+≤ outdeg(u) micro-units of mass per node per round — bounded, documented,
+and identical in both engines (this is a determinism contract, not an
+approximation of some other float truth). Dangling nodes (no out-edges)
+keep receiving the teleport term but redistribute nothing, the simplest
+standard variant.
+
+Scale shape: each iteration is ONE equi-join of the edge list against the
+current rank table plus one groupBy(dst) sum — the same shuffle pair
+Pregel does per superstep — with ``localCheckpoint`` truncating lineage
+per round (the connected_components hygiene). Hot pages (in-degree skew)
+are map-side-combined by the sum agg; AQE's skew-join handles the join
+side. Suite registration (``web_domain_pagerank``) is staged for the
+next round per the registry freeze.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
+
+SCALE = 10**12
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 10,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+    Returns (node, rank_micro) for every node appearing as a source or
+    destination; ``sum(rank_micro) ≤ SCALE`` (floor-division mass leak is
+    the documented, engine-identical remainder). Parallel edges are
+    deliberately KEPT (a page linking twice passes twice the share —
+    dedupe upstream if unwanted)."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    e = ensure_parallelism(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.withColumn("rank_micro", F.lit(0).cast("long"))
+    outdeg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    teleport = (100 - damping_pct) * SCALE // (100 * n_total)
+    ranks = nodes.withColumn(
+        "rank_micro", F.lit(SCALE // n_total).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        shares = (
+            ranks.join(outdeg, "node")
+            .select(
+                F.col("node").alias("_s"),
+                # SQL `div` is EXACT long division — `/` would round-trip
+                # through doubles and can land 1 off the true floor near
+                # representability edges, breaking the bit-exact contract
+                F.expr(
+                    f"(rank_micro * {damping_pct} div 100) div _deg"
+                ).alias("_share"),
+            )
+            .join(e, "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = (
+            nodes.join(shares, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce("_in", F.lit(0)))
+                .cast("long")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1,0 +1,74 @@
+"""Unit tests: integer-contract PageRank (crawl centrality)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datalake_nba_dmc_spark.operators.graph import SCALE, pagerank_micro
+
+
+def _reference(edges, n_iters, dp=85):
+    """Sequential integer replay of the documented recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {v: SCALE // n for v in nodes}
+    tel = (100 - dp) * SCALE // (100 * n)
+    for _ in range(n_iters):
+        incoming = {v: 0 for v in nodes}
+        for u, v in edges:
+            incoming[v] += (rank[u] * dp // 100) // outdeg[u]
+        rank = {v: tel + incoming[v] for v in nodes}
+    return rank
+
+
+def _run(spark, edges, n_iters, dp=85):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = pagerank_micro(df, n_iters=n_iters, damping_pct=dp)
+    return {r.node: r.rank_micro for r in out.collect()}
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (5, 1),
+    (6, 6),          # self-loop
+    (7, 3),          # 8 is reachable-only (dangling via 3? no: 8 below)
+    (3, 8),          # 8 is a dangling sink (no out-edges)
+    (1, 2),          # parallel edge: doubled share by contract
+]
+
+
+def test_pagerank_matches_sequential_reference(spark):
+    for k in (0, 1, 3, 10):
+        assert _run(spark, EDGES, k) == _reference(EDGES, k)
+
+
+def test_pagerank_laws(spark):
+    got = _run(spark, EDGES, 10)
+    ref = _reference(EDGES, 10)
+    assert got == ref
+    # mass never exceeds SCALE (floor leaks only shrink it)
+    assert sum(got.values()) <= SCALE
+    # the hub (3: five in-edges) outranks the dangling sink's rank source
+    assert got[3] == max(got.values())
+    # dangling sink still receives teleport + inflow but redistributes none
+    assert got[8] > 0
+    # parallel edge doubling: node 2's only inflow is 1->2 twice, fed by
+    # node 1's rank at the PREVIOUS iteration
+    n = len(ref)
+    share1 = (_reference(EDGES, 9)[1] * 85 // 100) // 3  # node 1 outdeg 3
+    tel = 15 * SCALE // (100 * n)
+    assert got[2] == tel + 2 * share1
+
+
+def test_pagerank_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_micro(empty).collect() == []
+    # damping 0: pure teleport, every node equal
+    got = _run(spark, [(1, 2), (2, 1), (3, 1)], 5, dp=0)
+    assert set(got.values()) == {SCALE // 3}
+    with pytest.raises(ValueError, match="damping_pct"):
+        _run(spark, [(1, 2)], 1, dp=101)
+    with pytest.raises(ValueError, match="n_iters"):
+        _run(spark, [(1, 2)], -1)
