@@ -740,13 +740,86 @@ def bytes_audit() -> int:
             print(f"PASS {name}: wav duration={r['duration_s']}")
             n_pass += 1
 
+    # Y4M battery (r9): the same quarantine-not-crash contract, driven
+    # through the distributed y4m_frame_stats operator over a MIXED
+    # corpus (valid streams interleaved with truncations, lying headers,
+    # bad markers, unsupported colorspaces, garbage). Valid streams must
+    # yield one row per sampled frame with exact luma micro-means;
+    # malformed ones contribute ZERO rows and must never kill the scan.
+    from datalake_nba_dmc_spark.operators.y4m import y4m_frame_stats
+
+    ycases = _y4m_cases()
+    ydf = spark.createDataFrame(
+        [
+            (i, name, bytearray(p) if p is not None else None)
+            for i, (name, _, p) in enumerate(ycases)
+        ],
+        "media_id long, case string, payload binary",
+    )
+    got = {}
+    for r in y4m_frame_stats(ydf, every_n=1).collect():
+        got.setdefault(r["media_id"], []).append(r)
+    for i, (name, want, _) in enumerate(ycases):
+        rows_i = sorted(got.get(i, []), key=lambda r: r["frame_idx"])
+        if want is None:
+            if rows_i:
+                problems.append(f"{name}: malformed Y4M produced rows")
+            else:
+                print(f"PASS {name}: quarantined")
+                n_pass += 1
+            continue
+        n_frames, first_mean = want
+        ok = (
+            len(rows_i) == n_frames
+            and all(r["n_frames"] == n_frames for r in rows_i)
+            and (n_frames == 0 or rows_i[0]["y_mean_micro"] == first_mean)
+        )
+        if ok:
+            print(f"PASS {name}: {len(rows_i)} frames")
+            n_pass += 1
+        else:
+            problems.append(
+                f"{name}: expected {n_frames} frames/mean {first_mean}, "
+                f"got {[(r['frame_idx'], r['y_mean_micro']) for r in rows_i]}"
+            )
+
     for p in problems:
         print(f"FAIL {p}")
     print(
         f"\n[bytes] {n_pass} pass, {len(problems)} fail, {n_known} known "
-        f"({len(cases)} crafted cases)"
+        f"({len(cases) + len(ycases)} crafted cases)"
     )
     return 1 if problems else 0
+
+
+def _y4m_cases():
+    """Crafted Y4M corpus: (case, expected, payload) — expected is
+    (n_frames, first_frame_y_mean_micro) for valid streams, None for
+    malformed ones (quarantined: zero output rows)."""
+    from datalake_nba_dmc_spark.operators.y4m import encode_y4m
+
+    rng = np.random.RandomState(17)
+    frames = rng.randint(0, 256, size=(4, 4, 6), dtype=np.uint8)
+    good = encode_y4m(frames)
+    n = 4 * 6
+    mean0 = (2 * int(frames[0].sum(dtype=np.int64)) * 1_000_000 + n) // (2 * n)
+    mono = encode_y4m(frames, colorspace="mono")
+    bad_marker = bytearray(good)
+    second = bad_marker.index(b"FRAME", good.index(b"FRAME") + 1)
+    bad_marker[second : second + 5] = b"FRANE"
+    return [
+        ("y4m_ok_420", (4, mean0), good),
+        ("y4m_ok_mono", (4, mean0), mono),
+        ("y4m_header_only_zero_frames", (0, None), b"YUV4MPEG2 W6 H4 F30:1 C420\n"),
+        ("y4m_trunc_frame", None, good[:-5]),
+        ("y4m_bad_frame_marker", None, bytes(bad_marker)),
+        # header claims a wider image -> the last frame read overruns
+        ("y4m_lying_width", None, good.replace(b"W6", b"W8", 1)),
+        ("y4m_unsupported_colorspace", None, good.replace(b"C420", b"C411", 1)),
+        ("y4m_odd_dims_420", None, b"YUV4MPEG2 W5 H4 C420\n" + bytes(30)),
+        ("y4m_garbage", None, b"definitely not video bytes"),
+        ("y4m_null", None, None),
+    ]
 
 
 #: Fixture-scheme tag written into the _COMPLETE marker. Bump whenever the
