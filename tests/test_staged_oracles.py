@@ -1,0 +1,172 @@
+"""Differential DuckDB twins for the r9-staged operators (registration is
+next round's window work per the registry freeze; these tests prove the
+oracles are ALREADY green so the registration is a rename, not a risk).
+
+Each test runs the Spark operator over the real sf0.001 documents table
+and an independently formulated DuckDB SQL twin over the same parquet,
+comparing full sorted row sets (exact integers everywhere — the suite's
+float-free contract)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(SF, 'documents.parquet')}'"
+    )
+    return con
+
+
+@needs_testdata
+def test_pack_sequences_duckdb_twin(spark):
+    """pack_sequences (two-phase parallel prefix sum) vs the sequential
+    running-sum + unnest(range) formulation DuckDB executes directly."""
+    from datalake_nba_dmc_spark.operators.packing import pack_sequences
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    L = 64
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.doc_id, r.seq_id, r.doc_offset, r.seq_offset, r.piece_len, r.n_tokens)
+        for r in pack_sequences(docs, seq_len=L).collect()
+    )
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in _duck().execute(
+            f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x != '')) AS n
+          FROM documents WHERE text IS NOT NULL
+        ), nz AS (SELECT * FROM toks WHERE n > 0),
+        sp AS (
+          SELECT doc_id, n,
+                 CAST(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS e
+          FROM nz
+        ), spans AS (SELECT doc_id, n, e - n AS s, e FROM sp)
+        SELECT doc_id, q AS seq_id,
+               greatest(s, q * {L}) - s AS doc_offset,
+               greatest(s, q * {L}) - q * {L} AS seq_offset,
+               least(e, (q + 1) * {L}) - greatest(s, q * {L}) AS piece_len,
+               n AS n_tokens
+        FROM spans, UNNEST(range(s // {L}, (e - 1) // {L} + 1)) AS t(q)
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+@needs_testdata
+def test_y4m_frame_stats_duckdb_twin(spark):
+    """synthesize_y4m_media → y4m_frame_stats vs a hex-pair byte walk
+    (frame f's luma = document bytes [64f, 64f+64), zero-padded)."""
+    from datalake_nba_dmc_spark.operators.y4m import (
+        synthesize_y4m_media,
+        y4m_frame_stats,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    media = synthesize_y4m_media(docs, width=8, height=8, cap_frames=16)
+    got = sorted(
+        (r.media_id, r.frame_idx, r.n_frames, r.y_mean_micro)
+        for r in y4m_frame_stats(media, every_n=2).collect()
+    )
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in _duck().execute(
+            """
+        WITH d AS (
+          SELECT DISTINCT doc_id, encode(text) AS blob,
+                 least(octet_length(encode(text)), 1024) AS nb
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ), fr AS (
+          SELECT doc_id, nb, CAST((nb + 63) // 64 AS INTEGER) AS n_frames
+          FROM d
+        ), bytes AS (
+          SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS frame_idx,
+                 CAST('0x' || substr(hex(blob), 2 * CAST(i AS INTEGER) - 1, 2)
+                      AS INTEGER) AS b
+          FROM d, UNNEST(range(1, nb + 1)) AS t(i)
+        ), fsums AS (
+          SELECT doc_id, frame_idx, SUM(b) AS s
+          FROM bytes GROUP BY 1, 2
+        )
+        SELECT f.doc_id AS media_id, f.frame_idx, fr.n_frames,
+               (2 * f.s * 1000000 + 64) // (2 * 64) AS y_mean_micro
+        FROM fsums f JOIN fr ON f.doc_id = fr.doc_id
+        WHERE f.frame_idx % 2 = 0
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def _pagerank_oracle(n_iters: int, dp: int, scale: int) -> str:
+    """Unrolled-CTE PageRank twin: iteration k is a plain CTE over k-1 —
+    the sequential formulation of the documented integer recurrence."""
+    ctes = [
+        "edges AS (SELECT doc_id % 101 AS src, (doc_id // 101) % 101 AS dst "
+        "FROM documents WHERE doc_id % 101 != (doc_id // 101) % 101)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        "n AS (SELECT COUNT(*) AS c FROM nodes)",
+        f"r0 AS (SELECT node, (SELECT {scale} // c FROM n) AS rank_micro "
+        "FROM nodes)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT nodes.node, "
+            f"(SELECT ({100 - dp} * {scale}) // (100 * c) FROM n) "
+            "+ COALESCE(inflow.s, 0) AS rank_micro "
+            "FROM nodes LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM((r.rank_micro * {dp} // 100) // deg.d) AS s "
+            f"FROM edges e JOIN r{k - 1} r ON e.src = r.node "
+            "JOIN deg ON deg.src = e.src GROUP BY e.dst"
+            ") inflow ON nodes.node = inflow.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank_micro FROM r{n_iters}"
+    )
+
+
+@needs_testdata
+def test_pagerank_duckdb_twin(spark):
+    """pagerank_micro over a deterministic derived link graph vs the
+    unrolled-CTE sequential twin — bit-exact thanks to the integer
+    micro-rank contract (exact `div` on both sides)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.graph import SCALE, pagerank_micro
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") / 101).cast("long") % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    got = sorted(
+        (r.node, r.rank_micro)
+        for r in pagerank_micro(edges, n_iters=5).collect()
+    )
+    want = sorted(
+        (int(a), int(b))
+        for a, b in _duck().execute(_pagerank_oracle(5, 85, SCALE)).fetchall()
+    )
+    assert got == want and len(got) > 0
