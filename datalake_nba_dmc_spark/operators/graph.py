@@ -27,7 +27,8 @@ standard variant.
 Scale shape: each iteration is ONE equi-join of the edge list against the
 current rank table plus one groupBy(dst) sum — the same shuffle pair
 Pregel does per superstep — with ``localCheckpoint`` truncating lineage
-per round (the connected_components hygiene). Hot pages (in-degree skew)
+on a tunable cadence (the connected_components hygiene, amortized; see
+``checkpoint_every``). Hot pages (in-degree skew)
 are map-side-combined by the sum agg; AQE's skew-join handles the join
 side. Suite registration (``web_domain_pagerank``) is staged for the
 next round per the registry freeze.

@@ -610,6 +610,10 @@ def test_bloom_screen_sketch_broadcasts_corpus_unshuffled(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
         assert marker not in plan, marker
+    # r9 regression pin: the probe must stay FLAT expressions — a
+    # forall()-based membership filter re-introduces the interpreted-HOF
+    # plan split that cost 7x (PERF.md r9 Bloom receipt)
+    assert "forall" not in plan.lower(), "interpreted HOF back in the probe"
 
 
 @needs_testdata
