@@ -6,14 +6,15 @@ metadata is a typed struct, and all decode / feature-extraction runs as
 Arrow-batched Pandas UDFs via ``mapInPandas`` so bytes never cross the
 Python boundary row-at-a-time.
 
-Decode status: PNG (:func:`decode_png` — stdlib zlib inflate + full
-scanline unfiltering) and uncompressed BMP (:func:`decode_bmp`) are REAL
-pixel decoders, bit-exact-tested against the in-repo encoders and (PNG)
-oracle-asserted corpus-wide; container/WAV header parsing is real struct
-walking. Only formats that require codecs absent from this container
-(JPEG DCT, video) remain stubbed — each stub is clearly marked below,
-and the Spark-side plumbing (schema, Arrow batching, partition sizing,
-UDF signatures) is real and tested for all of them.
+Decode status (r9): every format this module touches now has a REAL
+decoder — PNG (:func:`decode_png`, incl. palette, Adam7, 1/2/4/16-bit,
+tRNS), uncompressed BMP (:func:`decode_bmp`), baseline JPEG
+(operators/jpeg.decode_jpeg), PCM WAV (:func:`decode_wav_pcm`), and Y4M
+video frames (operators/y4m). The one remaining deliberate stub is
+:func:`audio_waveform_stats`'s opaque-byte waveform (kept as the
+oracle-checked Arrow-loop certificate; :func:`wav_pcm_stats` is the real
+container-decoding path) and :func:`frame_sample_plan`'s declared-
+metadata planner (operators/y4m.y4m_frame_stats is the real walk).
 """
 
 from __future__ import annotations
@@ -233,11 +234,13 @@ def audio_waveform_stats(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
     come back out (the shape that matters at 100 TB: features travel,
     payloads don't).
 
-    STUB decode (no soundfile/librosa in this container): the "waveform"
-    is the payload's unsigned bytes — deterministic, so the stats are
-    oracle-checkable; swap one line for ``soundfile.read`` in production.
-    Empty/NULL payloads are dropped (no samples → no stats row), matching
-    the SQL oracle's length>0 grain."""
+    OPAQUE-BYTE waveform by design (kept as the oracle-checked Arrow-loop
+    certificate: the "waveform" is the payload's unsigned bytes, so the
+    DuckDB twin replays every emitted value and certifies the whole
+    decode loop, not just its schema). The REAL container-decoding path
+    is :func:`wav_pcm_stats` (RIFF/PCM walk → actual samples at the
+    actual rate). Empty/NULL payloads are dropped (no samples → no stats
+    row), matching the SQL oracle's length>0 grain."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -546,10 +549,10 @@ def parse_wav_header(
     payload: bytes | None,
 ) -> tuple[str, int | None, int | None, int | None, float | None]:
     """REAL (non-stub) RIFF/WAVE header parsing by struct-walking the
-    chunk list — the audio twin of :func:`parse_image_header`. Needs no
-    audio library, so this metadata path runs as-is in production; only
-    sample DECODE (handled separately by ``audio_waveform_stats``) is
-    environment-dependent. Returns (format, channels, sample_rate,
+    chunk list — the audio twin of :func:`parse_image_header`; the
+    clamping, never-raising metadata pass that runs BEFORE
+    :func:`decode_wav_pcm`'s strict sample decode.
+    Returns (format, channels, sample_rate,
     bits_per_sample, duration_s), with ("unknown", None, ...) for
     non-WAV payloads and ("wav", parsed-fmt..., None) when the data
     chunk is missing/truncated.
@@ -617,6 +620,170 @@ def extract_audio_headers(df: DataFrame, payload_col: str = "payload") -> DataFr
         "duration_s double",
     ]
     return df.mapInPandas(part, ", ".join(fields))
+
+
+# ---------------------------------------------------------------------------
+# REAL PCM WAV sample decode (stdlib struct + numpy — no soundfile needed)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
+    """Minimal canonical RIFF/WAVE PCM encoder — the round-trip twin of
+    :func:`decode_wav_pcm` and the deterministic payload SOURCE for audio
+    decode tests/queries in this container. ``samples`` is (n,) or
+    (n, channels); dtype uint8 writes 8-bit PCM, int16 writes 16-bit."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype == np.uint8:
+        bits = 8
+    elif samples.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError("encode_wav_pcm takes uint8 (8-bit) or int16 samples")
+    n, ch = samples.shape
+    data = samples.astype("<u1" if bits == 8 else "<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * bits // 8,
+        ch * bits // 8, bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(payload: bytes | None) -> tuple["np.ndarray", int]:
+    """REAL (non-stub) PCM WAV sample decode by struct-walking the chunk
+    list (JUNK/LIST chunks and word alignment honored, same walk as
+    :func:`parse_wav_header`): returns ((frames, channels) sample array —
+    uint8 for 8-bit, int16 for 16-bit — and the sample rate). Stricter
+    than the clamping header walk, as a decode must be: raises
+    ``ValueError`` on non-WAV bytes, non-PCM format codes (compressed
+    audio needs a codec), unsupported bit depths, a data chunk whose
+    declared size overruns the payload (lying sizes quarantine, they are
+    not silently clamped at decode time), or missing fmt/data."""
+    import struct
+
+    if not payload or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    n = len(payload)
+    i = 12
+    fmt_code = channels = rate = bits = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = i + 8
+        if cid == b"fmt ":
+            if body + 16 > n:
+                raise ValueError("WAV fmt chunk truncated")
+            fmt_code, channels, rate = struct.unpack(
+                "<HHI", payload[body : body + 8]
+            )
+            (bits,) = struct.unpack("<H", payload[body + 14 : body + 16])
+        elif cid == b"data":
+            if body + size > n:
+                raise ValueError("WAV data chunk overruns payload")
+            data = payload[body : body + size]
+        i = body + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt_code is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code != 1:
+        raise ValueError(f"unsupported WAV format code {fmt_code} (PCM only)")
+    if bits not in (8, 16) or not channels or not rate:
+        raise ValueError(f"unsupported WAV layout (bits={bits}, ch={channels})")
+    width = bits // 8
+    frame_bytes = channels * width
+    if len(data) % frame_bytes:
+        raise ValueError("WAV data length not a whole number of frames")
+    arr = np.frombuffer(data, dtype="<u1" if bits == 8 else "<i2")
+    return arr.reshape(-1, channels), rate
+
+
+def wav_pcm_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio feature extraction (r9 — the opaque-byte stub's excuse
+    expired with the in-repo codecs): each payload decodes through the
+    full RIFF/PCM container walk (:func:`decode_wav_pcm`), then the same
+    per-clip statistics as :func:`audio_waveform_stats`, but over ACTUAL
+    samples at the container's ACTUAL rate: (n_samples across channels,
+    sample_rate, duration_s = frames/rate, rms, peak = max |sample|).
+    Non-WAV / compressed / malformed payloads are quarantined out — the
+    standard decode contract. One Arrow stage; payloads never leave the
+    executors."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "n_samples": [], "sample_rate": [],
+                "duration_s": [], "rms": [], "peak": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    samples, rate = decode_wav_pcm(
+                        bytes(p) if p is not None else None
+                    )
+                except Exception:  # noqa: BLE001 — quarantine, never crash
+                    continue
+                if samples.size == 0:
+                    continue
+                wave = samples.astype(np.float64).ravel()
+                out["media_id"].append(mid)
+                out["n_samples"].append(wave.size)
+                out["sample_rate"].append(rate)
+                out["duration_s"].append(samples.shape[0] / float(rate))
+                out["rms"].append(float(np.sqrt(np.mean(wave * wave))))
+                out["peak"].append(int(np.abs(wave).max()))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df).mapInPandas(
+        batches,
+        schema="media_id long, n_samples long, sample_rate int, "
+        "duration_s double, rms double, peak int",
+    )
+
+
+def synthesize_wav_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 16000,
+    cap: int = 4096,
+) -> DataFrame:
+    """Adapt the documents table into REAL PCM WAV payloads: each
+    document's first ``cap`` UTF-8 bytes become 16-bit mono samples with
+    the byte VALUES as amplitudes — so a SQL twin replays the decoded
+    statistics with the media_audio_stats hex-pair byte walk, while the
+    Spark side must get there through the full container decode. NULL/
+    empty texts are dropped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, ns = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                raw = np.frombuffer(
+                    text.encode("utf-8")[:cap], dtype=np.uint8
+                ).astype(np.int16)
+                p = encode_wav_pcm(raw, sample_rate=sample_rate)
+                ids.append(did)
+                payloads.append(p)
+                ns.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["audio"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "n_bytes": pd.array(ns, dtype="Int64"),
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

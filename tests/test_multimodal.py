@@ -955,3 +955,74 @@ def test_png_trns_transparent_pixels_feed_phash_and_stats():
     keyed = decode_png(encode_png(g, transparency=(3,)))
     assert keyed.shape == (16, 16, 2) and plain.shape == (16, 16, 1)
     assert _ahash64(plain) == _ahash64(keyed)
+
+
+def test_wav_pcm_codec_roundtrip_and_rejects():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    mono16 = (np.arange(100, dtype=np.int16) * 257 - 12000).astype(np.int16)
+    out, rate = decode_wav_pcm(encode_wav_pcm(mono16, 22050))
+    assert rate == 22050 and out.shape == (100, 1)
+    assert np.array_equal(out[:, 0], mono16)
+
+    stereo = np.stack([mono16, mono16[::-1]], axis=1)
+    out, _ = decode_wav_pcm(encode_wav_pcm(stereo))
+    assert out.shape == (100, 2) and np.array_equal(out, stereo)
+
+    eight = np.arange(50, dtype=np.uint8)
+    out, _ = decode_wav_pcm(encode_wav_pcm(eight, 8000))
+    assert out.dtype == np.uint8 and np.array_equal(out[:, 0], eight)
+
+    # a non-canonical layout (JUNK chunk before fmt) still decodes
+    p = encode_wav_pcm(mono16)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"  # odd→word-aligned
+    noncanon = p[:12] + junk + p[12:]
+    noncanon = noncanon[:4] + struct.pack("<I", len(noncanon) - 8) + noncanon[8:]
+    out, _ = decode_wav_pcm(noncanon)
+    assert np.array_equal(out[:, 0], mono16)
+
+    for payload, frag in [
+        (b"not audio", "not a RIFF"),
+        (None, "not a RIFF"),
+        (p[:30], "truncated" ),
+        (p[:-10], "overruns"),
+        (p[:20] + struct.pack("<H", 3) + p[22:], "format code"),  # IEEE float
+        # bits_per_sample lives at canonical offset 34 (12 RIFF + 8 chunk
+        # header + 14 into fmt)
+        (p[:34] + struct.pack("<H", 24) + p[36:], "unsupported WAV layout"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            decode_wav_pcm(payload)
+
+
+def test_wav_pcm_stats_real_decode(spark):
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        encode_wav_pcm,
+        wav_pcm_stats,
+    )
+
+    s = np.array([0, 100, -100, 200], dtype=np.int16)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm(s, 8000))),
+            (2, bytearray(b"garbage")),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in wav_pcm_stats(media).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert (r.n_samples, r.sample_rate, r.peak) == (4, 8000, 200)
+    assert abs(r.duration_s - 4 / 8000) < 1e-15
+    assert abs(r.rms - float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))) < 1e-12

@@ -170,3 +170,49 @@ def test_pagerank_duckdb_twin(spark):
         for a, b in _duck().execute(_pagerank_oracle(5, 85, SCALE)).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+@needs_testdata
+def test_wav_pcm_stats_duckdb_twin(spark):
+    """synthesize_wav_media → wav_pcm_stats (REAL RIFF/PCM container
+    decode) vs the hex-pair byte walk: the synthesized samples ARE the
+    document bytes, so the twin recomputes every decoded statistic
+    without ever seeing a WAV container."""
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        synthesize_wav_media,
+        wav_pcm_stats,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    media = synthesize_wav_media(docs, sample_rate=16000, cap=4096)
+    got = sorted(
+        (r.media_id, r.n_samples, r.sample_rate,
+         round(r.duration_s, 9), round(r.rms, 6), r.peak)
+        for r in wav_pcm_stats(media).collect()
+    )
+    want = sorted(
+        (int(a), int(b), int(c), round(float(d), 9), round(float(e), 6), int(f))
+        for a, b, c, d, e, f in _duck().execute(
+            """
+        WITH d AS (
+          SELECT DISTINCT doc_id, encode(text) AS blob,
+                 least(octet_length(encode(text)), 4096) AS nb
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ), bytes AS (
+          SELECT doc_id, nb,
+                 CAST('0x' || substr(hex(blob), 2 * CAST(i AS INTEGER) - 1, 2)
+                      AS INTEGER) AS b
+          FROM d, UNNEST(range(1, nb + 1)) AS t(i)
+        )
+        SELECT doc_id AS media_id,
+               COUNT(*) AS n_samples,
+               16000 AS sample_rate,
+               COUNT(*) / 16000.0 AS duration_s,
+               sqrt(AVG(CAST(b AS DOUBLE) * b)) AS rms,
+               CAST(MAX(b) AS INTEGER) AS peak
+        FROM bytes GROUP BY doc_id
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
