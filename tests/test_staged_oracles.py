@@ -216,3 +216,36 @@ def test_wav_pcm_stats_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_staged_ops_empty_inputs(spark):
+    """Empty-input laws for every staged operator (pre-empting the empty
+    robustness audit they will face once registered): empty in → empty
+    out, never a crash (no collect()[0], no max() on nothing)."""
+    from datalake_nba_dmc_spark.operators.graph import pagerank_micro
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        synthesize_wav_media,
+        wav_pcm_stats,
+    )
+    from datalake_nba_dmc_spark.operators.packing import pack_sequences
+    from datalake_nba_dmc_spark.operators.y4m import (
+        synthesize_y4m_media,
+        y4m_frame_stats,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    media = spark.createDataFrame([], "media_id long, payload binary")
+    assert pack_sequences(docs, seq_len=8).collect() == []
+    assert y4m_frame_stats(media).collect() == []
+    assert synthesize_y4m_media(docs).collect() == []
+    assert wav_pcm_stats(media).collect() == []
+    assert synthesize_wav_media(docs).collect() == []
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_micro(edges).collect() == []
+    # all-NULL / all-empty text behaves like empty, not like a crash
+    degenerate = spark.createDataFrame(
+        [(1, None), (2, "")], ["doc_id", "text"]
+    )
+    assert pack_sequences(degenerate, seq_len=8).collect() == []
+    assert synthesize_y4m_media(degenerate).collect() == []
+    assert synthesize_wav_media(degenerate).collect() == []
