@@ -82,7 +82,17 @@ def pack_sequences(
         .withColumn("_boff", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)))
         .select("_b", "_boff")
     )
-    w_in = Window.partitionBy("_b").orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame treats ORDER BY ties as
+    # peers and hands BOTH rows the same running total — with a duplicated
+    # id (the dup-audit shape) that double-assigns one span and covers
+    # nothing with the other. ROWS packs each physical row its own span;
+    # tied rows are identical, so the output MULTISET stays deterministic
+    # and equals the sequential replay of the duplicated corpus.
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     spans = (
         bucketed.join(F.broadcast(bucket_offsets), "_b")
         .withColumn("_end", F.col("_boff") + F.sum("_n").over(w_in))

@@ -112,3 +112,37 @@ def test_pack_no_corpus_wide_single_partition_window(spark):
 
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(df, seq_len=0)
+
+
+def test_pack_duplicated_rows_pack_twice(spark):
+    """Duplicate-data law (the dup-audit shape): a corpus containing the
+    same document row TWICE packs its tokens twice — the output multiset
+    equals a sequential replay over the duplicated row list. Regression
+    pin for the RANGE-frame trap: the default window frame hands ORDER BY
+    peers the same running total, double-assigning one span and covering
+    nothing with the other."""
+    rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in
+            [(1, 3), (2, 5), (3, 2)]]
+    df = spark.createDataFrame(rows + rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.seq_id, r.doc_offset, r.seq_offset, r.piece_len, r.n_tokens)
+        for r in pack_sequences(df, seq_len=4).collect()
+    )
+    # sequential replay over the duplicated list, id-ordered, row by row
+    L, out, off = 4, [], 0
+    for i, n in sorted([(1, 3), (1, 3), (2, 5), (2, 5), (3, 2), (3, 2)]):
+        start, end = off, off + n
+        s = start // L
+        while s * L < end:
+            ps, pe = max(start, s * L), min(end, (s + 1) * L)
+            out.append((i, s, ps - start, ps - s * L, pe - ps, n))
+            s += 1
+        off = end
+    assert got == sorted(out)
+    # every token slot [0, 20) is covered exactly once across sequences
+    covered = sorted(
+        (seq * 4 + so + k)
+        for _i, seq, _do, so, pl, _n in got
+        for k in range(pl)
+    )
+    assert covered == list(range(20))
