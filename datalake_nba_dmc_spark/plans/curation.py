@@ -95,6 +95,52 @@ def near_dup_pairs_exact(
     ).select("id_a", "id_b")
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: directed (id_a, id_b, containment)
+    with ``C(a→b) = |A ∩ B| / |A| >= threshold`` — the ASYMMETRIC near-dup
+    relation Jaccard structurally misses: a short document embedded
+    verbatim inside a much longer one (a syndicated article inside an
+    aggregator page, a quoted post inside a thread dump) has containment
+    ≈ 1 but Jaccard ≈ |A|/|B| → 0 as the host grows (Broder 1997 defines
+    both resemblance AND containment for exactly this reason). Dedup
+    pipelines drop the contained side and keep the host.
+
+    Same scale shape as :func:`near_dup_pairs_exact`: one staged shingle
+    evaluation (the gram rows are reused across both join sides via an
+    eager localCheckpoint — Catalyst does not share the exchange), one
+    64-bit-gram equi self-join, one pair-grouping; the only differences
+    are the asymmetric pair predicate (``!=`` keeps both directions, so
+    A≡B yields both edges) and the one-sided denominator. Suite
+    registration (``dedup_containment``) is staged for the next round
+    per the registry freeze; the DuckDB twin mirrors
+    dedup_ngram_jaccard's with ``/ sz_a``.
+    """
+    sh = sized_gram_rows(docs, text_col, id_col, shingle_n).localCheckpoint(
+        eager=True
+    )
+    return (
+        sh.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "gram")
+        .join(sh.select(F.col(id_col).alias("id_b"), "gram"), on="gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"), F.first("sz_a").alias("sz_a"))
+        .filter(
+            F.col("n_inter").cast("double") / F.col("sz_a") >= threshold
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / F.col("sz_a")).alias("containment"),
+        )
+    )
+
+
 def curate(
     docs: DataFrame,
     text_col: str = "text",

@@ -578,3 +578,35 @@ def test_cross_doc_substring_spans_finds_and_merges(spark):
     # doc 5: two DISJOINT shared runs → two spans, not one
     assert sorted(by_doc[5]) == [(1, 9), (12, 22)]
     assert by_doc[6] == [(0, 8)]
+
+
+def test_containment_pairs_asymmetric(spark):
+    """Containment catches a short doc embedded in a long host (Jaccard
+    misses it): C(short→host) ~ 1, C(host→short) small; identical docs
+    yield both directions at 1.0."""
+    short = "alpha beta gamma delta epsilon zeta"
+    host = short + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, short), (2, host), (3, short), (4, "totally unrelated words here")],
+        ["doc_id", "text"],
+    )
+    from datalake_nba_dmc_spark.plans.curation import containment_pairs
+
+    got = {
+        (r.id_a, r.id_b): round(r.containment, 6)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    # 1 and 3 are identical -> both directions at 1.0; each is contained
+    # in the host 2; the host is contained in nothing; 4 pairs with none
+    assert got[(1, 3)] == 1.0 and got[(3, 1)] == 1.0
+    assert got[(1, 2)] == 1.0 and got[(3, 2)] == 1.0
+    assert set(got) == {(1, 3), (3, 1), (1, 2), (3, 2)}
+
+    # jaccard at the same threshold structurally misses the embedding
+    from datalake_nba_dmc_spark.plans.curation import near_dup_pairs_exact
+
+    jac = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_exact(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac

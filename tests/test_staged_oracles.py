@@ -249,3 +249,53 @@ def test_staged_ops_empty_inputs(spark):
     assert pack_sequences(degenerate, seq_len=8).collect() == []
     assert synthesize_y4m_media(degenerate).collect() == []
     assert synthesize_wav_media(degenerate).collect() == []
+
+
+@needs_testdata
+def test_containment_pairs_duckdb_twin(spark):
+    """containment_pairs vs the directed gram-join twin (the
+    dedup_ngram_jaccard oracle shape with the one-sided denominator)."""
+    from datalake_nba_dmc_spark.plans.curation import containment_pairs
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    )
+    want = sorted(
+        (int(a), int(b), round(float(c), 9))
+        for a, b, c in _duck().execute(
+            r"""
+        WITH toks_t AS (
+          SELECT doc_id,
+                 list_filter(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x != '') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' '
+                                          || toks[i+2]
+                                          FOR i IN range(1, len(toks) - 1)])
+                      ELSE [array_to_string(toks, ' ')] END AS grams
+          FROM toks_t
+        ), sizes AS (
+          SELECT doc_id, len(grams) AS sz FROM sh
+        ), exploded AS (
+          SELECT doc_id, unnest(grams) AS gram FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM exploded a JOIN exploded b
+            ON a.gram = b.gram AND a.doc_id != b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_inter AS DOUBLE) / sa.sz AS containment
+        FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / sa.sz >= 0.8
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
