@@ -72,3 +72,54 @@ def test_pagerank_degenerate_inputs(spark):
         _run(spark, [(1, 2)], 1, dp=101)
     with pytest.raises(ValueError, match="n_iters"):
         _run(spark, [(1, 2)], -1)
+
+
+def _harmonic_reference(edges, k):
+    """Sequential BFS replay of the truncated harmonic recurrence."""
+    from datalake_nba_dmc_spark.operators.graph import SCALE
+
+    es = {(u, v) for u, v in edges if u != v}
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    out: dict = {v: 0 for v in nodes}
+    for s in nodes:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, k + 1):
+            nxt = []
+            for u in frontier:
+                for (a, b) in es:
+                    if a == u and b not in dist:
+                        dist[b] = d
+                        nxt.append(b)
+            frontier = nxt
+        for t, d in dist.items():
+            if t != s:
+                out[t] += SCALE // d
+    return out
+
+
+def test_harmonic_centrality_matches_bfs_reference(spark):
+    from datalake_nba_dmc_spark.operators.graph import harmonic_centrality_micro
+
+    # chain with a shortcut, a cycle, parallel + self edges (ignored)
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (1, 3),
+        (6, 7), (7, 6), (6, 6), (1, 2),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (1, 2, 4):
+        got = {
+            r.node: r.harmonic_micro
+            for r in harmonic_centrality_micro(df, max_hops=k).collect()
+        }
+        assert got == _harmonic_reference(edges, k), k
+    # truncation law: centrality is monotone in the radius
+    h1 = _harmonic_reference(edges, 1)
+    h4 = _harmonic_reference(edges, 4)
+    assert all(h4[v] >= h1[v] for v in h4)
+    # node 5: dist 1 from 4, dist 2 from 3, dist 3 from 2, and dist 3
+    # from 1 (the 1->3 shortcut beats the 4-hop chain)
+    from datalake_nba_dmc_spark.operators.graph import SCALE
+
+    got4 = _harmonic_reference(edges, 4)
+    assert got4[5] == SCALE + SCALE // 2 + 2 * (SCALE // 3)

@@ -299,3 +299,60 @@ def test_containment_pairs_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def _harmonic_oracle(k: int, scale: int) -> str:
+    """Unrolled-BFS harmonic-centrality twin: round r discovers pairs via
+    an ANTI JOIN against everything known — first discovery = min hops."""
+    ctes = [
+        "edges AS (SELECT DISTINCT doc_id % 101 AS s, (doc_id // 101) % 101 AS d "
+        "FROM documents WHERE doc_id % 101 != (doc_id // 101) % 101)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT s AS node FROM edges UNION ALL SELECT d FROM edges))",
+        "k1 AS (SELECT s, d, 1 AS h FROM edges)",
+        "a1 AS (SELECT * FROM k1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"c{r} AS (SELECT DISTINCT f.s, e.d FROM k{r - 1} f "
+            "JOIN edges e ON f.d = e.s WHERE f.s != e.d)"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT c{r}.s, c{r}.d, {r} AS h FROM c{r} "
+            f"ANTI JOIN a{r - 1} USING (s, d))"
+        )
+        ctes.append(f"a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM k{r})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT n.node,
+           CAST(COALESCE(SUM({scale} // a.h), 0) AS BIGINT) AS harmonic_micro
+    FROM nodes n LEFT JOIN a{k} a ON n.node = a.d
+    GROUP BY n.node"""
+    )
+
+
+@needs_testdata
+def test_harmonic_centrality_duckdb_twin(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.graph import (
+        SCALE,
+        harmonic_centrality_micro,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") / 101).cast("long") % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    got = sorted(
+        (r.node, r.harmonic_micro)
+        for r in harmonic_centrality_micro(edges, max_hops=4).collect()
+    )
+    want = sorted(
+        (int(a), int(b))
+        for a, b in _duck().execute(_harmonic_oracle(4, SCALE)).fetchall()
+    )
+    assert got == want and len(got) > 0
