@@ -676,7 +676,11 @@ def decode_wav_pcm(payload: bytes | None) -> tuple["np.ndarray", int]:
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
         body = i + 8
         if cid == b"fmt ":
-            if body + 16 > n:
+            # honor the DECLARED chunk size too: a malformed fmt chunk
+            # declaring size < 16 (with more payload following) would
+            # otherwise read the next chunk's header bytes as
+            # channels/rate/bits instead of raising
+            if size < 16 or body + 16 > n:
                 raise ValueError("WAV fmt chunk truncated")
             fmt_code, channels, rate = struct.unpack(
                 "<HHI", payload[body : body + 8]

@@ -63,15 +63,43 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        # a non-integral id would produce NULL buckets that the inner
+        # joins silently drop — reject at plan time instead
+        raise TypeError(
+            f"pack_sequences requires an integral id column; "
+            f"{id_col} is {id_type.simpleString()}"
+        )
     counts = (
         ensure_parallelism(df.select(id_col, text_col))
         .select(id_col, F.coalesce(token_count(text_col), F.lit(0)).alias("_n"))
         .filter(F.col("_n") > 0)
     )
-    # order-preserving bucket split of the id domain (monotone in id)
-    mx = counts.agg((F.max(id_col) + 1).alias("_mx"))
-    bucketed = counts.crossJoin(F.broadcast(mx)).withColumn(
-        "_b", (F.col(id_col) * num_buckets / F.col("_mx")).cast("long")
+    # Order-preserving bucket split of the id domain (monotone in id).
+    # Min-shifted DOUBLE arithmetic: the earlier integer form
+    # (id·B)//(max+1) wrapped int64 for large ids (e.g. xxhash64-derived
+    # doc ids) — scrambling bucket order without error — and flipped
+    # monotonicity when every id was negative. Double conversion,
+    # same-constant subtraction, division, and floor are each monotone
+    # non-decreasing, so bucket order == id order for ANY long ids; ties
+    # from >2^53 precision loss merely merge adjacent buckets, which the
+    # algorithm tolerates (any monotone id→bucket map is correct).
+    rng = counts.agg(
+        F.min(id_col).cast("double").alias("_mn"),
+        (F.max(id_col).cast("double") - F.min(id_col).cast("double") + 1).alias(
+            "_span"
+        ),
+    )
+    bucketed = counts.crossJoin(F.broadcast(rng)).withColumn(
+        "_b",
+        (
+            (F.col(id_col).cast("double") - F.col("_mn"))
+            / F.col("_span")
+            * num_buckets
+        ).cast("long"),
     )
     # tiny per-bucket totals; the ONLY unpartitioned window runs over
     # <= num_buckets rows (the corpus never single-partitions)

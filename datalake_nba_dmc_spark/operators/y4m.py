@@ -119,6 +119,12 @@ def y4m_frame_stats(
     same shape holds for compressed containers — only the per-frame
     decode body changes (that part needs pyav, absent here; Y4M needs
     nothing)."""
+    if every_n < 1:
+        # validate at plan time, matching the other operators' argument
+        # guards: every_n=0 would raise inside the executor task (slice
+        # step zero) instead of quarantining, and a negative value would
+        # silently sample frames in reverse
+        raise ValueError("every_n must be >= 1")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

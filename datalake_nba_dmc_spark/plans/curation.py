@@ -116,10 +116,17 @@ def containment_pairs(
     eager localCheckpoint — Catalyst does not share the exchange), one
     64-bit-gram equi self-join, one pair-grouping; the only differences
     are the asymmetric pair predicate (``!=`` keeps both directions, so
-    A≡B yields both edges) and the one-sided denominator. Suite
-    registration (``dedup_containment``) is staged for the next round
-    per the registry freeze; the DuckDB twin mirrors
-    dedup_ngram_jaccard's with ``/ sz_a``.
+    A≡B yields both edges) and the one-sided denominator. The DuckDB
+    twin mirrors dedup_ngram_jaccard's with ``/ sz_a``.
+
+    SET semantics, not multiset (the documented Broder form): the gram
+    rows come from ``sized_gram_rows`` → ``_grams_from_tokens``, which
+    ends in ``array_distinct`` BEFORE the size capture and the explode —
+    a shingle occurring j times in A and k times in B contributes
+    exactly 1 to ``n_inter`` (not j·k), ``sz_a`` is the DISTINCT shingle
+    count, and containment is mathematically ≤ 1 on any input, however
+    repetitive (pytest-pinned: test_dedup.py
+    ``test_containment_set_semantics_caps_at_one``).
     """
     sh = sized_gram_rows(docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=True

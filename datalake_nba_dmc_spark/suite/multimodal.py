@@ -68,20 +68,25 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- the payload is the text's UTF-8 BYTES, so the twin must walk
       -- bytes (hex pairs of the encoded blob), not code points — the two
       -- only coincide on pure-ASCII corpora
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST('0x' || substr(hex(encode(text)),
                                  2 * CAST(i AS INTEGER) - 1, 2) AS INTEGER) AS b
       FROM d, UNNEST(range(1, octet_length(encode(text)) + 1)) AS t(i)
     ), stats AS (
-      SELECT doc_id,
+      -- keyed by (doc_id, text), not doc_id alone: were one doc_id ever
+      -- carried by two DIFFERENT texts, a doc_id-only key would pool
+      -- their bytes into one stats row fanned to both, while the
+      -- operator emits independent per-row stats
+      SELECT doc_id, text,
              COUNT(*) AS n_samples,
              COUNT(*) / 16000.0 AS duration_s,
              sqrt(AVG(CAST(b AS DOUBLE) * b)) AS rms,
              CAST(MAX(b) AS INTEGER) AS peak
-      FROM bytes GROUP BY doc_id
+      FROM bytes GROUP BY doc_id, text
     )
     SELECT doc.doc_id AS media_id, s.n_samples, s.duration_s, s.rms, s.peak
-    FROM documents doc JOIN stats s ON doc.doc_id = s.doc_id
+    FROM documents doc
+    JOIN stats s ON doc.doc_id = s.doc_id AND doc.text = s.text
     """,
 )
 def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -610,3 +610,46 @@ def test_containment_pairs_asymmetric(spark):
         for r in near_dup_pairs_exact(docs, threshold=0.8).collect()
     }
     assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_containment_set_semantics_caps_at_one(spark):
+    """Broder SET semantics pin (ADVICE r9 follow-up): grams are
+    array_distinct'd BEFORE the size capture and explode, so a shingle
+    occurring j times in A and k times in B contributes 1 to the
+    intersection, not j*k — containment never exceeds 1.0 even for a
+    pathologically repetitive host, and a repeated doc is exactly
+    containment-1.0 equivalent to its single-copy twin."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.plans.curation import (
+        containment_pairs,
+        sized_gram_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a b c"] * 50)),  # 150 tokens, 3 distinct 3-grams
+            (2, "a b c a b c"),
+            (3, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    sg = (
+        sized_gram_rows(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.first("sz").alias("sz"),
+            F.count_distinct("gram").alias("nd"),
+        )
+        .collect()
+    )
+    # one row per DISTINCT gram; sz is the distinct count
+    assert all(r.n_rows == r.sz == r.nd for r in sg)
+    assert {r.doc_id: r.sz for r in sg} == {1: 3, 2: 3, 3: 1}
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, threshold=0.0).collect()
+    }
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+    assert max(got.values()) <= 1.0

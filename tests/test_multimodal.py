@@ -1026,3 +1026,24 @@ def test_wav_pcm_stats_real_decode(spark):
     assert (r.n_samples, r.sample_rate, r.peak) == (4, 8000, 200)
     assert abs(r.duration_s - 4 / 8000) < 1e-15
     assert abs(r.rms - float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))) < 1e-12
+
+
+def test_wav_fmt_chunk_declared_size_honored():
+    """ADVICE r9: a malformed fmt chunk DECLARING size < 16 (with more
+    payload following, so body+16 <= n holds) must raise, not read the
+    next chunk's header bytes as channels/rate/bits."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    p = encode_wav_pcm(np.arange(100, dtype=np.int16), 16000)
+    # fmt chunk size field lives at offset 16 (RIFF 12 + 'fmt ' 4)
+    lying = p[:16] + struct.pack("<I", 8) + p[20:]
+    with pytest.raises(ValueError, match="fmt chunk truncated"):
+        decode_wav_pcm(lying)

@@ -146,3 +146,45 @@ def test_pack_duplicated_rows_pack_twice(spark):
         for k in range(pl)
     )
     assert covered == list(range(20))
+
+
+def test_pack_sequences_extreme_and_negative_ids(spark):
+    """ADVICE r9: the bucket split is min-shifted double arithmetic —
+    xxhash64-scale ids no longer wrap int64 (which scrambled bucket
+    order silently) and all-negative id domains keep id order. The
+    span assignment must equal the sequential replay in id order."""
+    from datalake_nba_dmc_spark.operators.packing import pack_sequences
+
+    cases = [
+        [(-(2**62) + 7, 3), (-5, 5), (-1, 2)],          # all negative
+        [(2**62 + 11, 4), (2**62 + 12, 3), (2**63 - 2, 5)],  # near-overflow
+        [(-(2**61), 2), (0, 3), (2**61, 4)],            # huge span
+    ]
+    for ids in cases:
+        rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in ids]
+        got = sorted(
+            (r.doc_id, r.seq_id, r.doc_offset, r.seq_offset, r.piece_len)
+            for r in pack_sequences(
+                spark.createDataFrame(rows, ["doc_id", "text"]), seq_len=4
+            ).collect()
+        )
+        L, out, off = 4, [], 0
+        for i, n in sorted(ids):
+            start, end = off, off + n
+            s = start // L
+            while s * L < end:
+                ps, pe = max(start, s * L), min(end, (s + 1) * L)
+                out.append((i, s, ps - start, ps - s * L, pe - ps))
+                s += 1
+            off = end
+        assert got == sorted(out)
+
+
+def test_pack_sequences_rejects_non_integral_id(spark):
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([("a", "x y z")], ["doc_id", "text"])
+    with pytest.raises(TypeError, match="integral id column"):
+        pack_sequences(df, seq_len=4)

@@ -116,3 +116,17 @@ def test_synthesize_y4m_replayable_from_bytes(spark):
     _, _, _, _, _, _, off = parse_y4m_header(p)
     data = p.index(b"\n", off) + 1
     assert p[data : data + 2] == b"ab" and p[data + 2 : data + 64] == bytes(62)
+
+
+def test_frame_stats_rejects_bad_every_n(spark):
+    """ADVICE r9: every_n is validated at plan time — 0 would raise
+    inside the executor task (zero slice step) and a negative value
+    would silently sample in reverse."""
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.y4m import y4m_frame_stats
+
+    media = spark.createDataFrame([], "media_id long, payload binary")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="every_n"):
+            y4m_frame_stats(media, every_n=bad)
