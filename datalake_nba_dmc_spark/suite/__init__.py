@@ -300,6 +300,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         events,
         functions_surface,
+        graph,
         lakehouse,
         multimodal,
         parity,

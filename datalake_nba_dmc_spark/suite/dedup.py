@@ -797,3 +797,47 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs k rows, never k^2 pairs."""
     docs = TableRegistry(spark, sf_dir).documents
     return D.cross_doc_substring_spans(docs, window_tokens=8, min_docs=2)
+
+
+@query(
+    "mart_containment_pairs",
+    oracle=f"""
+    WITH toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS sz FROM sh
+    ), exploded AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.gram = b.gram AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / sa.sz AS containment
+    FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / sa.sz >= 0.8
+    """,
+)
+def mart_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs (plans/curation.containment_pairs):
+    C(a→b) = |A∩B| / |A| >= 0.8 — Broder's ASYMMETRIC embedded-document
+    relation that Jaccard structurally misses (a short doc embedded in a
+    long host has containment ~1 but Jaccard ~|A|/|B| → 0). SET semantics
+    by construction: grams are array_distinct'd before the size capture
+    and explode, so containment is mathematically <= 1 on any input
+    (pytest-pinned). Same scale shape as dedup_ngram_jaccard — one staged
+    shingle evaluation reused across both join sides via an eager
+    localCheckpoint, one 64-bit-gram equi self-join, one pair-grouping;
+    the twin mirrors the gram join with the one-sided denominator.
+    Division: exact integers cast to double divide identically in both
+    engines."""
+    from datalake_nba_dmc_spark.plans.curation import containment_pairs
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return containment_pairs(docs, threshold=0.8)

@@ -310,3 +310,111 @@ def media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return M.jpeg_roundtrip_stats(media, cap=48)
+
+
+@query(
+    "media_y4m_frame_stats",
+    oracle="""
+    WITH d AS (
+      -- stats per DISTINCT (doc_id, text), fanned back out per input row
+      -- at the end — the operator emits rows per media ROW (dup audit)
+      SELECT DISTINCT doc_id, text, encode(text) AS blob,
+             least(octet_length(encode(text)), 1024) AS nb
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), fr AS (
+      SELECT doc_id, text, nb, CAST((nb + 63) // 64 AS INTEGER) AS n_frames
+      FROM d
+    ), bytes AS (
+      SELECT doc_id, text, CAST((i - 1) // 64 AS INTEGER) AS frame_idx,
+             CAST('0x' || substr(hex(blob), 2 * CAST(i AS INTEGER) - 1, 2)
+                  AS INTEGER) AS b
+      FROM d, UNNEST(range(1, nb + 1)) AS t(i)
+    ), fsums AS (
+      SELECT doc_id, text, frame_idx, SUM(b) AS s
+      FROM bytes GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT f.doc_id, f.text, f.frame_idx, fr.n_frames,
+             CAST((2 * f.s * 1000000 + 64) // (2 * 64) AS BIGINT)
+               AS y_mean_micro
+      FROM fsums f JOIN fr ON f.doc_id = fr.doc_id AND f.text = fr.text
+      WHERE f.frame_idx % 2 = 0
+    )
+    SELECT doc.doc_id AS media_id, s.frame_idx, s.n_frames, s.y_mean_micro
+    FROM documents doc
+    JOIN stats s ON doc.doc_id = s.doc_id AND doc.text = s.text
+    """,
+)
+def media_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (operators/y4m.y4m_frame_stats): each
+    document becomes a genuine YUV4MPEG2 stream (synthesize_y4m_media,
+    8×8 luma frames filled by the text's UTF-8 bytes, zero-padded tail),
+    then the frame walk samples every 2nd frame by pure offset arithmetic
+    (no full-stream copy) and emits the exact-integer half-up micro-mean
+    of each sampled luma plane. The twin never sees a Y4M container — it
+    replays frame f's luma as document bytes [64f, 64f+64) via the
+    hex-pair byte walk, so every header parse, frame offset, and
+    zero-padding decision in the Spark decode path is hash-checked. One
+    Arrow stage; payloads never leave the executors. For compressed
+    containers only the per-frame decode body changes (needs pyav,
+    absent by contract — frame_sample_plan stays the planner there)."""
+    docs = TableRegistry(spark, sf_dir).documents
+    from datalake_nba_dmc_spark.operators.y4m import (
+        synthesize_y4m_media,
+        y4m_frame_stats,
+    )
+
+    media = synthesize_y4m_media(docs, width=8, height=8, cap_frames=16)
+    return y4m_frame_stats(media, every_n=2)
+
+
+@query(
+    "media_wav_pcm_stats",
+    oracle="""
+    WITH d AS (
+      -- stats per DISTINCT (doc_id, text), fanned back out per input row
+      SELECT DISTINCT doc_id, text, encode(text) AS blob,
+             least(octet_length(encode(text)), 4096) AS nb
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), bytes AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(hex(blob), 2 * CAST(i AS INTEGER) - 1, 2)
+                  AS INTEGER) AS b
+      FROM d, UNNEST(range(1, nb + 1)) AS t(i)
+    ), stats AS (
+      SELECT doc_id, text,
+             COUNT(*) AS n_samples,
+             CAST(16000 AS INTEGER) AS sample_rate,
+             COUNT(*) / 16000.0 AS duration_s,
+             sqrt(AVG(CAST(b AS DOUBLE) * b)) AS rms,
+             CAST(MAX(b) AS INTEGER) AS peak
+      FROM bytes GROUP BY doc_id, text
+    )
+    SELECT doc.doc_id AS media_id, s.n_samples, s.sample_rate,
+           s.duration_s, s.rms, s.peak
+    FROM documents doc
+    JOIN stats s ON doc.doc_id = s.doc_id AND doc.text = s.text
+    """,
+)
+def media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (operators/multimodal.wav_pcm_stats): each
+    document's first 4096 UTF-8 bytes become 16-bit mono PCM samples
+    inside a genuine RIFF/WAVE container (synthesize_wav_media), and the
+    stats query decodes back through the full chunk walk
+    (decode_wav_pcm — fmt/data chunks, JUNK skip, word alignment,
+    declared-size validation) before computing per-clip sample count,
+    duration, RMS, and peak. The twin recomputes every statistic from
+    the raw document bytes without ever seeing a WAV container, so the
+    whole codec round-trip is hash-checked. Doubles are safe here: the
+    squared-byte sums are exact integers < 2^53, so sum/mean/sqrt are
+    bit-identical across engines (the media_audio_stats precedent).
+    Differs from media_audio_stats exactly in WHAT it certifies: that
+    query pins the opaque-byte Arrow loop; this one pins the REAL
+    container decode."""
+    docs = TableRegistry(spark, sf_dir).documents
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        synthesize_wav_media,
+        wav_pcm_stats,
+    )
+
+    media = synthesize_wav_media(docs, sample_rate=16000, cap=4096)
+    return wav_pcm_stats(media)

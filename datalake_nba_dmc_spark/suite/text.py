@@ -1483,3 +1483,47 @@ def text_unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return unigram_segment_counts(docs, _UNIGRAM_PIECES)
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ), nz AS (SELECT * FROM toks WHERE n > 0),
+    sp AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS e
+      FROM nz
+    ), spans AS (SELECT doc_id, n, e - n AS s, e FROM sp)
+    SELECT doc_id, q AS seq_id,
+           greatest(s, q * 64) - s AS doc_offset,
+           greatest(s, q * 64) - q * 64 AS seq_offset,
+           least(e, (q + 1) * 64) - greatest(s, q * 64) AS piece_len,
+           n AS n_tokens
+    FROM spans, UNNEST(range(s // 64, (e - 1) // 64 + 1)) AS t(q)
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.pack_sequences,
+    seq_len=64): every document's whitespace-token span assigned to
+    fixed-length training sequences in doc_id order, one row per
+    (document, sequence) piece. The sequential formulation is a global
+    running offset — the textbook "one unpartitioned window" trap that
+    would collapse 100 TB onto one task; the operator computes the SAME
+    assignment with a two-phase parallel prefix sum (per-bucket totals →
+    tiny bucket-offset window over <= 256 rows → parallel within-bucket
+    running sums), plan-asserted to never window the corpus
+    unpartitioned. The DuckDB twin IS the sequential running-sum +
+    unnest(range) formulation, so the equality is the parallel-vs-
+    sequential proof. Buckets are min-shifted double arithmetic
+    (overflow-safe for xxhash64-scale ids, monotone for negative ids)."""
+    from datalake_nba_dmc_spark.operators.packing import pack_sequences
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return pack_sequences(docs, seq_len=64)
