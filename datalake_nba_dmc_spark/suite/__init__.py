@@ -64,7 +64,138 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-9 cut. Staleness entering r9 (from CORRECTNESS_r1..r8):
+    # -- round-10 cut. Staleness entering r10 (from CORRECTNESS_r1..r9):
+    #    16×r5 (last round's documented deferred tail — VERDICT r9 ask #2
+    #    says they lead), 50×r6, 50×r7, 50×r8, 50×r9. Window = 6 new
+    #    registrations (VERDICT r9 ask #1: the staged operators whose
+    #    DuckDB twins were already green in tests/test_staged_oracles.py)
+    #    + all 16 r5 (r5-backlog → 0) + 28 of the 50 r6 (r6-backlog after
+    #    r10 = 22, exactly ask #2's ≤ 22 bound). media_metadata (r6,
+    #    REAL-decode path changed r9) takes an explicit in-window slot per
+    #    ask #3; media_phash_near_dups (r7, same r9 change) rotates r11
+    #    when the r7 cohort leads — its changed code path already holds a
+    #    fresh r9-green driver row via media_phash_dup_certificate, which
+    #    runs the identical synthesize→decode→aHash pipeline with a
+    #    stricter (oracle-pinned) contract, so the redundancy is exact.
+    #    The 22 deferred r6 names sit contiguously past the edge with
+    #    per-name redundancy notes below.
+    # -- 1. never-checked: registered THIS round, in their own round's
+    #    window (registry freeze). corpus_pack_sequences = two-phase
+    #    parallel-prefix-sum packing vs the sequential running-sum twin;
+    #    media_y4m_frame_stats + media_wav_pcm_stats = REAL container
+    #    decodes (Y4M frame walk / RIFF-PCM chunk walk) vs hex-pair
+    #    byte-walk twins that never see a container;
+    #    graph_pagerank_micro + graph_harmonic_centrality = integer
+    #    micro-rank contracts vs unrolled-CTE / unrolled-BFS twins;
+    #    mart_containment_pairs = Broder directed containment vs the
+    #    one-sided-denominator gram-join twin.
+    "corpus_pack_sequences",
+    "media_y4m_frame_stats",
+    "media_wav_pcm_stats",
+    "graph_pagerank_micro",
+    "graph_harmonic_centrality",
+    "mart_containment_pairs",
+    # -- 2. the full r5 backlog (16) — r5-backlog after r10 = 0
+    "w3_lag",
+    "w5_ntile_quartiles",
+    "w6_moving_avg",
+    "w8_percent_rank",
+    "join_semi",
+    "join_anti",
+    "agg_rollup",
+    "agg_pivot",
+    "func_try_arithmetic",
+    "p1_project_prune",
+    "p2_bulk_rename",
+    "dedup_exact",
+    "stat_corr_qty_price",
+    "tpch_q1_pricing_summary",
+    "events_dau_wau",
+    "mart_supplier_pareto",
+    # -- 3. stalest r6 cohort (28 of 50; the other 22 deferred, below).
+    #    Selection rule: the 19 r6 names that bench.py times EVERY round
+    #    (headline or extended) defer with that standing perf+smoke
+    #    coverage; the in-window 28 are the r6 names with NO bench row —
+    #    plus media_metadata (bench-timed but r9-changed, ask #3).
+    "media_metadata",
+    "agg_approx_percentiles",
+    "agg_conditional",
+    "agg_cube",
+    "conform_safe_downcast",
+    "events_approx_distinct_users",
+    "events_followup_within_hour",
+    "events_json_extract",
+    "func_array_scalars",
+    "func_null_semantics",
+    "func_string_surface",
+    "grouped_minmax_norm",
+    "k2_partition_overwrite_roundtrip",
+    "merge_upsert_orders",
+    "project_unpivot",
+    "sample_hash_mod",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "sim_embedding_near_dups_certificate",
+    "sim_ivf_recall",
+    "sim_lsh_recall",
+    "sim_semantic_dedup_certificate",
+    "skew_salted_agg",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_winnow_fingerprints",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r6 (22): lead the r11 cut. Redundancy per name —
+    #    19 are bench-timed EVERY round (executed at sf0.1 each bench run,
+    #    so a crash/regression stays visible round-over-round):
+    #    dedup_minhash_lsh + dedup_ngram_jaccard + dedup_simhash +
+    #    dedup_url_canonical (bench; near-dup family further covered
+    #    in-window by mart_containment_pairs, new, + the certificates),
+    #    sim_bruteforce_topk (bench; sim_ivf_recall in-window measures
+    #    recall AGAINST the brute-force truth, running it internally),
+    #    sim_embedding_near_dups + sim_semantic_dedup (bench; their
+    #    oracle-checked certificates are in-window),
+    #    text_token_histogram + text_tfidf + text_domain_quota +
+    #    text_dsir_selection + text_bpe_pair_counts +
+    #    text_quality_classifier (bench; BPE surface also in-window via
+    #    text_bpe_token_count, token counting via corpus_pack_sequences),
+    #    events_tumbling_agg + events_sessionization +
+    #    events_asof_latest_order (bench; events_json_extract +
+    #    events_followup_within_hour + events_approx_distinct_users
+    #    in-window),
+    #    tpch_q1-anchored trio tpch_q5_local_supplier_volume +
+    #    tpch_q6_forecast_revenue + tpch_q18_large_volume_customers
+    #    (bench HEADLINE; tpch_q1 itself in-window via the r5 block).
+    #    The 3 non-bench deferrals: set_except (set_except_all +
+    #    set_intersect + set_intersect_all in-window share the counted-
+    #    multiset/anti-join implementation), join_inner (j1–j4 all
+    #    r9-green, join_semi + join_anti in-window), x4_split_mmss
+    #    (scalar split/format surface inside func_string_surface,
+    #    in-window).
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_url_canonical",
+    "sim_bruteforce_topk",
+    "sim_embedding_near_dups",
+    "sim_semantic_dedup",
+    "text_token_histogram",
+    "text_tfidf",
+    "text_domain_quota",
+    "text_dsir_selection",
+    "text_bpe_pair_counts",
+    "text_quality_classifier",
+    "events_tumbling_agg",
+    "events_sessionization",
+    "events_asof_latest_order",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
+    "set_except",
+    "join_inner",
+    "x4_split_mmss",
+    # -- round-9 cut (historical). Staleness entering r9 (from CORRECTNESS_r1..r8):
     #    15×r4 (last round's documented deferred tail — VERDICT r8 ask #2
     #    says they lead), 48×r5, 50×r6, 50×r7, 50×r8. Window = 3 new
     #    registrations + all 15 r4 (r4-backlog → 0) + 32 of the 48 r5.
