@@ -116,6 +116,16 @@ EXTENDED = [
     "dedup_contamination_bloom",
     "dedup_substring_spans",
     "media_phash_dup_certificate",
+    # r10 registrations (first same-harness baseline: BENCH_r10; staged
+    # pre-baselines from the r9 session, same host/sf0.1: pack 1.54 s,
+    # y4m_stats 0.65 s, pagerank@10it 3.43 s — the registered pagerank
+    # runs 5 iterations, so expect roughly half that)
+    "corpus_pack_sequences",
+    "media_y4m_frame_stats",
+    "media_wav_pcm_stats",
+    "graph_pagerank_micro",
+    "graph_harmonic_centrality",
+    "mart_containment_pairs",
     # dedup_prefix_ssjoin deliberately NOT benched: it is the documented
     # slower-at-toy-scale skew-insurance path (PERF.md crossover receipt);
     # timing it would bill the suite for an operator whose contract is a

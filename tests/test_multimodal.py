@@ -1047,3 +1047,62 @@ def test_wav_fmt_chunk_declared_size_honored():
     lying = p[:16] + struct.pack("<I", 8) + p[20:]
     with pytest.raises(ValueError, match="fmt chunk truncated"):
         decode_wav_pcm(lying)
+
+
+def test_media_quarantine_report_is_the_dropped_row_ledger(spark):
+    """VERDICT r9 ask #7: the quarantine report's 'ok' total equals
+    EXACTLY what perceptual_hash emits and what resize_images keeps
+    (non-NULL payload rows) on the same frame — the silent drops are
+    observable, per format, per status."""
+    import numpy as np
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        media_quarantine_report,
+        perceptual_hash,
+        resize_images,
+    )
+
+    px = (np.arange(96, dtype=np.uint8).reshape(8, 12) * 2 + 7) % 251
+    good_png = encode_png(px)
+    good_bmp = encode_bmp(px)
+    rows = [
+        (1, bytearray(good_png)),                      # png ok
+        (2, bytearray(good_bmp)),                      # bmp ok
+        (3, bytearray(good_png[:40])),                 # png quarantined
+        (4, bytearray(good_bmp[:10])),                 # bmp quarantined
+        (5, bytearray(b"\xff\xd8garbage")),            # jpeg quarantined
+        (6, bytearray(b"plain text, no magic")),       # unrecognized
+        (7, None),                                     # null payload
+        (8, bytearray(good_png)),                      # png ok (again)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    report = {
+        (r.sniffed_format, r.status): r.n
+        for r in media_quarantine_report(media).collect()
+    }
+    assert report == {
+        ("png", "ok"): 2,
+        ("bmp", "ok"): 1,
+        ("png", "quarantined"): 1,
+        ("bmp", "quarantined"): 1,
+        ("jpeg", "quarantined"): 1,
+        ("unknown", "unrecognized"): 1,
+        ("null", "null_payload"): 1,
+    }
+    n_ok = sum(n for (f, s), n in report.items() if s == "ok")
+    assert perceptual_hash(media).count() == n_ok
+    from pyspark.sql import functions as F
+
+    full = media.select(
+        "media_id",
+        "payload",
+        F.lit("image").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("n_bytes"),
+    )
+    resized = resize_images(full, 8, 8).collect()
+    assert len(resized) == len(rows)  # in-band: every row survives
+    assert sum(1 for r in resized if r.payload is not None) == n_ok
