@@ -40,6 +40,16 @@ the same differential comparison on two mutated copies of the data that a
   set is a function of the DISTINCT content), while linear aggregates
   must scale EXACTLY 2× and ratio statistics must be bit-identical.
 
+- ``partitions`` — determinism under partition perturbation (r10): the
+  CLEAN data re-planned under three radically different physical layouts
+  (1 / 7 / 200 shuffle partitions, each with a different input-split
+  size); every query must produce a BIT-IDENTICAL result set across all
+  three. Catches order-dependent aggregation state, non-deterministic
+  tie-breaking, and partition-count-dependent logic that both the fixed-
+  layout clean runs and the DuckDB differential (which only sees final
+  values) are blind to. No mutated fixture and no second engine — the
+  three layouts ARE the differential.
+
 - ``bytes``  — malformed-media robustness (r8): truncated IDAT, corrupt
   CRCs, lying IHDR/SOF/BMP dimension and offset fields, invalid filter
   and Huffman structures, RIFF size-field overflows, random/empty/NULL
@@ -56,6 +66,7 @@ Usage::
     python tools/robustness_audit.py skew  [query ...]
     python tools/robustness_audit.py dup   [query ...]
     python tools/robustness_audit.py bytes
+    python tools/robustness_audit.py partitions [query ...]
 
 Builds the mutated dataset under ``/tmp/robustness_<mode>`` (cached — wiped
 and rebuilt when missing) from ``/root/testdata/sf0.001``, then runs the
@@ -822,6 +833,98 @@ def _y4m_cases():
     ]
 
 
+#: Partition-perturbation trials (r10 audit dimension): the SAME clean
+#: sf0.001 data re-planned under radically different physical layouts —
+#: one shuffle partition (everything serializes through a single reducer:
+#: any order-dependent aggregation state sees rows in one global order),
+#: seven (a prime, so hash co-partitioning never lines up with the default
+#: 32), and two hundred (most partitions empty at this scale: empty-
+#: partition merge paths execute), each with a different input-split size
+#: so file scans also fragment differently. Every registered query must
+#: produce a BIT-IDENTICAL result set across all three — catching
+#: order-dependent aggregation, non-deterministic tie-breaking, and
+#: partition-count-dependent logic that the fixed-layout clean runs (and
+#: the DuckDB differential, which only sees the final values) can't.
+_PARTITION_TRIALS: list[tuple[str, dict[str, str]]] = [
+    ("shuf1/128MB-splits", {
+        "spark.sql.shuffle.partitions": "1",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }),
+    ("shuf7/64KB-splits", {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.files.maxPartitionBytes": str(64 * 1024),
+    }),
+    ("shuf200/1MB-splits", {
+        "spark.sql.shuffle.partitions": "200",
+        "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+    }),
+]
+
+#: Queries whose OUTPUT legitimately describes the physical layout itself
+#: — triaged, not bugs (everything else must be bit-identical):
+KNOWN_PARTITIONS: dict[str, str] = {
+    # populated by triage on first run; keep empty unless a query's
+    # CONTRACT is layout-dependent (e.g. a file manifest listing the
+    # files a write produced — file count follows the partition count)
+}
+
+
+def partitions_audit(only: set[str]) -> int:
+    """Determinism under partition perturbation: run every query once per
+    _PARTITION_TRIALS layout on the CLEAN sf0.001 tables and require the
+    canonical value hash to be identical across layouts."""
+    from datalake_nba_dmc_spark.session import get_spark
+    from datalake_nba_dmc_spark.suite import load_all
+    from tools.verify_local import canonical_hash
+
+    specs = load_all()
+    spark = get_spark("robustness_partitions")
+    n_pass = n_fail = n_crash = n_known = 0
+    failures: list[str] = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        if name in KNOWN_PARTITIONS:
+            print(f"KNOWN {name}: {KNOWN_PARTITIONS[name]}")
+            n_known += 1
+            continue
+        results: list[tuple[str, int, str]] = []
+        crashed = False
+        for label, confs in _PARTITION_TRIALS:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            try:
+                pdf = spec.builder(spark, SRC).toPandas()
+                results.append((label, len(pdf), canonical_hash(pdf)))
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"CRASH {name} [{label}]: {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:160]}"
+                )
+                n_crash += 1
+                failures.append(name)
+                crashed = True
+                break
+        if crashed:
+            continue
+        hashes = {h for _, _, h in results}
+        if len(hashes) == 1:
+            print(f"PASS {name} ({results[0][1]} rows, {len(results)} layouts)")
+            n_pass += 1
+        else:
+            detail = "; ".join(f"{lbl}: {n} rows {h}" for lbl, n, h in results)
+            print(f"FAIL {name}: layout-dependent result — {detail}")
+            n_fail += 1
+            failures.append(name)
+    print(
+        f"\n[partitions] {n_pass} pass, {n_fail} layout-dependent, "
+        f"{n_crash} crash, {n_known} known"
+    )
+    if failures:
+        print("failures:", " ".join(sorted(failures)))
+    return 1 if (n_fail or n_crash) else 0
+
+
 #: Fixture-scheme tag written into the _COMPLETE marker. Bump whenever the
 #: mutation recipe changes (r8 ADVICE: the r7 crc32-seed fix silently never
 #: took effect on machines with a warm /tmp cache because the marker was
@@ -939,6 +1042,8 @@ def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "empty"
     if mode == "bytes":
         return bytes_audit()
+    if mode == "partitions":
+        return partitions_audit(set(sys.argv[2:]))
     only = set(sys.argv[2:])
     sf_dir = build_mutated(mode)
 
