@@ -1,0 +1,105 @@
+"""Bigram language-model quality scoring — the second-order upgrade of
+``text.unigram_logprob``.
+
+CCNet-style corpus filtering scores documents by their likelihood under a
+background LM; a unigram model misses word-ORDER gibberish ("the of and
+to a" scores beautifully), so production quality gates add a conditional
+term. This module scores each document by its average add-one-smoothed
+bigram log-probability under the corpus's OWN bigram distribution:
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+
+with ``c(w1 w2)`` the corpus bigram count, ``c(w1 ·)`` the count of
+``w1`` as a bigram CONTEXT (so the smoothed distribution sums to exactly
+1 over the V-word vocabulary), and ``V`` the corpus-wide distinct-token
+count. Laplace smoothing keeps every quantity an exact INTEGER until one
+``ln`` per distinct bigram — and that per-bigram micro-nat term
+``round(ln(·) · 1e6)`` is an exact int64, so the per-document sums are
+associative/order-free and a DuckDB twin replays them bit-exactly (the
+``unigram_logprob`` determinism contract, extended one order up).
+
+Scale shape (the 100 TB plan):
+
+1. One explode of ZIPPED token-slice pairs → hash-agg to per-(doc, w1,
+   w2) counts (map-side combined): shuffled rows are O(distinct (doc,
+   bigram)), never O(token instances).
+2. Corpus bigram counts and context counts are two further hash-aggs of
+   strictly decreasing size; the vocabulary size rides in as a broadcast
+   one-row literal.
+3. The model join back to per-doc rows is a plain equi-join on
+   (w1, w2) — AQE's skew-join owns hot bigrams ("of the") exactly as it
+   owns hot words in the unigram path.
+
+Suite registration (``text_bigram_logprob``) is staged for the next
+round per the registry freeze; the DuckDB twin (tests/
+test_staged_oracles.py) builds bigrams with a list comprehension over
+the token array and replays the same integer micro-nat terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average add-one bigram log-probability under the
+    corpus's own bigram LM. Returns (``id_col``, ``n_bigrams``,
+    ``avg_logprob``) for every document with >= 2 tokens (a 0/1-token
+    document has no bigrams and is dropped, like the twin's length
+    filter); ``avg_logprob`` is the micro-nat-exact mean rounded to 6 dp
+    (one floating division total, after integer sums)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+    )
+    # vocabulary over ALL tokens (including 1-token docs' — the smoothing
+    # denominator is a corpus property, not a bigram-stream property)
+    vocab_size = (
+        ensure_parallelism(df)
+        .select(F.explode(toks).alias("_w"))
+        .agg(F.count_distinct("_w").alias("v"))
+    )
+    pairs = (
+        base.withColumn("_w1s", F.slice("_t", 1, F.size("_t") - 1))
+        .withColumn("_w2s", F.slice("_t", 2, F.size("_t") - 1))
+        .select(id_col, F.explode(F.arrays_zip("_w1s", "_w2s")).alias("_p"))
+        .select(
+            id_col,
+            F.col("_p._w1s").alias("w1"),
+            F.col("_p._w2s").alias("w2"),
+        )
+    )
+    dbb = pairs.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("n_dbb"))
+    big = dbb.groupBy("w1", "w2").agg(F.sum("n_dbb").alias("c_ww"))
+    ctx = big.groupBy("w1").agg(F.sum("c_ww").alias("c_w1"))
+    term = F.round(
+        F.log(
+            (F.col("c_ww") + 1).cast("double")
+            / (F.col("c_w1") + F.col("v")).cast("double")
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        dbb.join(big, on=["w1", "w2"])
+        .join(ctx, on="w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("n_dbb") * term).alias("_s"),
+            F.sum("n_dbb").alias("n_bigrams"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams"),
+            F.round((F.col("_s") / 1e6) / F.col("n_bigrams"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

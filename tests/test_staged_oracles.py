@@ -356,3 +356,61 @@ def test_harmonic_centrality_duckdb_twin(spark):
         for a, b in _duck().execute(_harmonic_oracle(4, SCALE)).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+@needs_testdata
+def test_bigram_logprob_duckdb_twin(spark):
+    """bigram_logprob (r10-staged) vs an independently formulated DuckDB
+    twin: bigrams via a list comprehension over the token array, the same
+    add-one model tables, and the same exact integer micro-nat terms —
+    value-identical including the 6-dp rounded average."""
+    from datalake_nba_dmc_spark.operators.ngram_lm import bigram_logprob
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.doc_id, r.n_bigrams, r.avg_logprob)
+        for r in bigram_logprob(docs).collect()
+    )
+    want = sorted(
+        (int(a), int(b), float(c))
+        for a, b, c in _duck().execute(
+            r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x != '') AS toks
+          FROM documents
+        ), uni AS (
+          SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM t)
+        ), t2 AS (
+          SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+        ), bi AS (
+          SELECT doc_id,
+                 unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                         FOR i IN range(1, len(toks))]) AS p
+          FROM t2
+        ), pairs AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi
+        ), dbb AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS n_dbb FROM pairs GROUP BY 1, 2, 3
+        ), big AS (
+          SELECT w1, w2, CAST(SUM(n_dbb) AS BIGINT) AS c_ww
+          FROM dbb GROUP BY 1, 2
+        ), ctx AS (
+          SELECT w1, CAST(SUM(c_ww) AS BIGINT) AS c_w1 FROM big GROUP BY 1
+        )
+        SELECT dbb.doc_id,
+               CAST(SUM(dbb.n_dbb) AS BIGINT) AS n_bigrams,
+               round((CAST(SUM(dbb.n_dbb * CAST(round(
+                      ln(CAST(big.c_ww + 1 AS DOUBLE)
+                         / CAST(ctx.c_w1 + uni.v AS DOUBLE))
+                      * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+                     / CAST(SUM(dbb.n_dbb) AS BIGINT), 6) AS avg_logprob
+        FROM dbb JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN uni
+        GROUP BY dbb.doc_id
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
