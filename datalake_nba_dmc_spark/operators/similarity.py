@@ -230,35 +230,47 @@ def ivf_index(
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: KMeans centroids + corpus→centroid assignment.
 
-    Training runs distributed (``pyspark.ml`` KMeans — optionally on a
-    sample, which is standard IVF practice at scale); assignment is one
-    ``model.transform`` scan. Returns the assigned corpus (extra
-    ``centroid_id`` int column) and the centers (k × dim floats — small
-    enough for the driver/broadcast by construction, e.g. 65536 × 768 ×
-    8 B = 400 MB worst case; typical k ≪ that).
+    Training is the engine's own LAYOUT-INDEPENDENT Lloyd's loop
+    (operators/kmeans.deterministic_kmeans — content-hash init, exact
+    int64-quantized centroid sums, bit-equal convergence stop): the r10
+    partition-perturbation audit caught ``pyspark.ml`` KMeans producing
+    different models for the same data under different physical layouts
+    (per-partition kmeans|| sampling + partition-order double sums),
+    which made IVF assignments a function of file-split sizes.
+    Assignment is one argmin-expression scan. Returns the assigned
+    corpus (extra ``centroid_id`` int column) and the centers (k × dim
+    floats — small enough for the driver/broadcast by construction,
+    e.g. 65536 × 768 × 8 B = 400 MB worst case; typical k ≪ that).
+
+    ``sample_fraction`` draws by CONTENT hash (``pmod(xxhash64(vec,
+    seed), 10⁶) < f·10⁶``), not ``DataFrame.sample`` — per-partition
+    Bernoulli sampling would reintroduce the exact layout sensitivity
+    the trainer removes.
 
     At 100 TB the assigned corpus is written partitioned/bucketed by
     ``centroid_id`` so probe queries prune to ~``n_probe/k`` of the data.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from datalake_nba_dmc_spark.operators.kmeans import deterministic_kmeans
 
-    feats = array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    train = corpus.sample(sample_fraction, seed=seed) if sample_fraction else corpus
+    train = corpus
+    if sample_fraction:
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
     if train.isEmpty():
-        # fail fast with a diagnosable message instead of MLlib's opaque
-        # Py4JJavaError — an index build over nothing means the upstream
-        # corpus (or the sample) is broken, and silently returning an
-        # empty index would mask that (same policy as pca_project;
-        # robustness_audit `empty` finding)
+        # fail fast with a diagnosable message — an index build over
+        # nothing means the upstream corpus (or the sample) is broken,
+        # and silently returning an empty index would mask that (same
+        # policy as pca_project; robustness_audit `empty` finding)
         raise ValueError("ivf_index: empty input (no vectors to fit)")
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, predictionCol="centroid_id"
-    ).fit(train.select(feats))
-    assigned = model.transform(
-        ensure_parallelism(corpus).withColumn("features", feats)
-    ).drop("features")
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    centers = deterministic_kmeans(
+        train, k=n_centroids, vec_col=vec_col, max_iter=max_iter, seed=seed
+    )
+    assigned = ensure_parallelism(corpus).withColumn(
+        "centroid_id",
+        nearest_centroids(F.col(vec_col).cast("array<double>"), centers, 1)[0],
+    )
     return assigned, centers
 
 
@@ -689,14 +701,20 @@ def pq_train(
     scalar quantization (4×) and PCA: PQ stores m·log2(k) bits per vector
     (m=8, k=16 → 4 BYTES for a 64-dim float vector, 64×).
 
-    Each fit is a distributed ``pyspark.ml`` KMeans over one slice
-    projection — m small jobs, corpus never collected; the returned
-    codebooks are m × k × (dim/m) floats, broadcast-sized by
+    All m codebooks train JOINTLY in the engine's layout-independent
+    Lloyd's loop (operators/kmeans.deterministic_pq_codebooks — the r10
+    partition-perturbation audit caught ``pyspark.ml`` KMeans models
+    varying with the physical layout, which made the emitted CODES a
+    function of file-split sizes): subvector rows carry their subspace
+    id, so each round is ONE scan + ONE hash-agg for every book instead
+    of m separate fit job-chains; the corpus is never collected and the
+    returned codebooks are m × k × (dim/m) floats, broadcast-sized by
     construction. At 100 TB train on a sample (``sample_fraction`` —
-    standard PQ practice, same lever as ``ivf_index``); encoding still
-    scans everything."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    standard PQ practice; drawn by CONTENT hash, same layout-free lever
+    as ``ivf_index``); encoding still scans everything."""
+    from datalake_nba_dmc_spark.operators.kmeans import (
+        deterministic_pq_codebooks,
+    )
 
     if dim % m != 0:
         raise ValueError(
@@ -704,21 +722,16 @@ def pq_train(
             " silently dropped from every codebook"
         )
     if sample_fraction:
-        corpus = corpus.sample(sample_fraction, seed=seed)
-    if corpus.isEmpty():
-        # one guard before the m fits — same fail-fast policy as ivf_index
-        raise ValueError("pq_train: empty input (no vectors to fit)")
-    sub = dim // m
-    books = []
-    for j in range(m):
-        feats = array_to_vector(
-            F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
-        ).alias("features")
-        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(
-            corpus.select(feats)
+        corpus = corpus.filter(
+            F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
         )
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
+    if corpus.isEmpty():
+        # one guard before the fit — same fail-fast policy as ivf_index
+        raise ValueError("pq_train: empty input (no vectors to fit)")
+    return deterministic_pq_codebooks(
+        corpus, dim=dim, m=m, k=k, vec_col=vec_col, max_iter=max_iter, seed=seed
+    )
 
 
 def _nearest_codeword(sub_col: Column, book: list[list[float]]) -> Column:

@@ -434,20 +434,40 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_cluster_assign_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding KMeans clustering with a per-row assignment certificate:
-    every vector's MLlib-assigned centroid (operators/similarity.
-    ivf_index → distributed KMeans + model.transform) must equal the
-    argmin squared-L2 centroid computed independently by the engine's own
-    inline array expressions (``nearest_centroids`` with n_probe=1) —
-    cross-validating the two scoring paths the ANN family depends on. The
-    oracle pins assign_ok=1 for every vector; any drift between MLlib's
-    distance math and the expression path (ties broken differently,
-    wrong slice arithmetic) surfaces as a hash mismatch."""
+    every vector's assigned centroid (operators/similarity.ivf_index →
+    the layout-independent deterministic trainer + the Catalyst
+    argmin-expression scan) must equal the argmin squared-L2 centroid
+    recomputed INDEPENDENTLY by vectorized numpy inside an Arrow
+    ``mapInPandas`` stage — cross-validating the two scoring paths the
+    ANN family depends on (JVM codegen'd double arithmetic vs numpy
+    float64 broadcasting; before r10 the independent side was MLlib's
+    ``model.transform``, which the partition-perturbation audit retired
+    as layout-dependent). The oracle pins assign_ok=1 for every vector;
+    any drift (ties broken differently, wrong slice arithmetic, IEEE
+    divergence between the two stacks) surfaces as a hash mismatch."""
+    import numpy as np
+    import pandas as pd
+
     emb = TableRegistry(spark, sf_dir).embeddings
     assigned, centers = S.ivf_index(emb, n_centroids=8)
-    ours = S.nearest_centroids(F.col("embedding"), centers, n_probe=1)[0]
-    return assigned.select(
+    c = np.asarray(centers, dtype=np.float64)  # (k, dim)
+
+    def np_argmin(it):
+        for pdf in it:
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "np_cid": d.argmin(axis=1)}
+            )
+
+    ours = assigned.select("vec_id", "embedding").mapInPandas(
+        np_argmin, schema="vec_id long, np_cid int"
+    )
+    return assigned.join(ours, on="vec_id").select(
         "vec_id",
-        (F.col("centroid_id") == ours).cast("int").alias("assign_ok"),
+        (F.col("centroid_id") == F.col("np_cid")).cast("int").alias("assign_ok"),
     )
 
 
