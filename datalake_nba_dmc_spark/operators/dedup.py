@@ -371,13 +371,23 @@ def connected_components(
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    both = both.localCheckpoint(eager=True)
+    if both.isEmpty():
+        # no edges → no labeled nodes; skip the propagation loop instead
+        # of paying its per-round eager-checkpoint jobs for nothing (a
+        # CLEAN corpus is exactly the zero-edge case — r10 profiling
+        # found the empty loop costing seconds of pure job overhead
+        # inside SemDeDup). isEmpty on the materialized checkpoint is
+        # one cheap partition probe.
+        return both.select(
+            F.col("a").alias("id"), F.col("a").alias("comp")
+        )
     labels = (
         both.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    both = both.localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.a == labels.id)

@@ -1,4 +1,5 @@
-"""Layout-independent Lloyd's KMeans — exact-integer centroid updates.
+"""Layout-independent KMeans training — content-hash sample + driver
+Lloyd, the faiss posture with a determinism contract.
 
 The r10 partition-perturbation audit caught ``pyspark.ml`` KMeans
 producing DIFFERENT models for the same data under different physical
@@ -9,113 +10,117 @@ of ``spark.sql.files.maxPartitionBytes``. That is poison for a 100 TB
 pipeline: re-running the same job after a repartition or a file
 compaction would silently re-cluster the corpus.
 
-This module replaces the fit with a Lloyd's loop where every step is a
-layout-free function of the DATA VALUES:
+The replacement makes every step a layout-free function of the DATA
+VALUES, at the standard industrial cost shape (faiss trains IVF/PQ
+quantizers on a bounded sample — ~256·k vectors — never the corpus;
+this repo's BPE/unigram tokenizers already use the same "distributed
+reduce → bounded driver solve → broadcast" split):
 
-- **Init**: the k distinct vectors with the smallest salted CONTENT hash
-  (``xxhash64(vec, seed)``) — a deterministic pseudo-random draw that no
-  partitioning can influence (ties broken on the vector value itself).
-- **Assignment**: per-row argmin over broadcast centers via an
-  ``array_sort`` of (distance, centroid_id) structs — pure codegen'd
-  double arithmetic on one row at a time, identical on any executor.
-- **Update**: per-component sums of ``round(x · 10⁸)`` int64s — exact
-  integers, associative, partition-order-free — collected as k·dim
-  bounded rows; the mean's two divisions happen once, driver-side, in a
-  fixed order. Empty clusters keep their previous center.
-- **Stop**: when the centers are BIT-EQUAL to the previous round (exact
-  assignments → exact integer sums → exact equality is meaningful), or
-  at ``max_iter``. Convergence is typically well under 10 rounds.
+1. **Sample** (distributed, ONE job, no window): the ``cap`` vectors
+   with the smallest salted content hash ``xxhash64(vec, seed)`` via
+   ``orderBy(hash, vec).limit(cap)`` — TakeOrderedAndProject keeps a
+   cap-sized top-k per map partition, so nothing resembling a global
+   sort or a single-partition window ever runs; the draw is a
+   deterministic pseudo-random function of the VALUES that no
+   partitioning can influence (hash ties break on the vector itself).
+   Duplicates dedupe on the driver, stably, in hash order.
+2. **Init** (driver): deterministic farthest-point traversal over the
+   sample — first center = lowest-hash vector, each next = the sample
+   point maximizing distance to its nearest chosen center (ties to the
+   lower hash rank). Spread-out centers bound cluster imbalance the way
+   kmeans++ does, with zero randomness.
+3. **Train** (driver, numpy): Lloyd's iterations over the fixed-order
+   sample — squared-L2 argmin (ties to the lower centroid index),
+   means reduced in sample order, stop on bit-equal centers or
+   ``max_iter``. Single-threaded numpy reductions over a fixed-order
+   array are bit-deterministic; nothing here sees Spark's layout.
+4. **Assign** (distributed, one scan): :func:`assign_centroids` — an
+   Arrow-vectorized numpy argmin batch scan (the role MLlib's
+   ``model.transform`` played); the Catalyst expression path
+   (``similarity.nearest_centroids``) stays as the INDEPENDENT check
+   the emb_cluster_assign_ok certificate compares corpus-wide.
 
-Cost per iteration: one scan + one hash-agg to (m · k · dim/m) rows —
-the same shuffle class as MLlib's aggregate, minus its layout
-sensitivity. The PQ variant trains ALL m sub-codebooks inside the same
-per-iteration job (the m separate MLlib fits each paid their own job
-chain). Int64 headroom: component sums are bounded by rows · 10⁸ ·
-|x|; at 10⁹ unit-normalized vectors that is ~10¹⁷, inside int64.
+PQ sub-codebooks are sliced from the SAME sampled vectors (faiss's
+exact design), so m books cost the one sampling job.
+
+A first cut kept Lloyd DISTRIBUTED with exact int64-quantized centroid
+sums — bit-identical across layouts, but 15-45× slower than the MLlib
+fit it replaced (each round re-scans the corpus through an interpreted
+higher-order argmin; receipts in PERF.md r10). Sample-bounded driver
+training is both the faster AND the more scale-honest design: at 100 TB
+nobody Lloyd-iterates the full corpus, and the one full-corpus pass
+this module keeps is the single hash-ranked top-cap job.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datalake_nba_dmc_spark.operators.util import ensure_parallelism
-
-QUANT = 10**8
-
-
-def _argmin_center(vec_col: Column, centers: list[list[float]]) -> Column:
-    """Centroid id of the squared-L2-nearest center — inline struct sort,
-    ties to the lower id (deterministic per row under any layout)."""
-    scored = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v.cast("double"),
-            ).alias("d"),
-            F.lit(i).alias("cid"),
-        )
-        for i, c in enumerate(centers)
-    ]
-    return F.array_sort(F.array(*scored))[0]["cid"]
+#: Default training-sample bound: comfortably above faiss's recommended
+#: 256 points per centroid for the suite's k ≤ 16 codebooks, tiny for
+#: the driver (4096 × 768 doubles ≈ 25 MB worst case).
+DEFAULT_SAMPLE_CAP = 4096
 
 
-def _train(rows: DataFrame, m: int, k: int, max_iter: int, seed: int) -> list[list[list[float]]]:
-    """Core loop over (_j, _v) subspace rows; returns m books of <= k
-    centers each (fewer iff a subspace has fewer distinct vectors)."""
-    rows = ensure_parallelism(rows).localCheckpoint(eager=True)
-    w = Window.partitionBy("_j").orderBy("_h", "_v")
-    init = (
-        rows.distinct()
-        .withColumn("_h", F.xxhash64("_v", F.lit(seed), "_j"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("_j", "_rn", "_v")
+def _hash_ranked_sample(df: DataFrame, vec_col: str, cap: int, seed: int):
+    """The cap smallest-salted-hash vectors as a driver list (hash
+    order, duplicates removed stably) — one TakeOrderedAndProject job,
+    the only full-data pass training ever makes."""
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_h", F.xxhash64("_v", F.lit(seed)))
+        .orderBy("_h", "_v")
+        .limit(cap)
         .collect()
     )
-    if not init:
-        raise ValueError("deterministic_kmeans: empty input (no vectors to fit)")
-    books: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in sorted(init, key=lambda r: (r._j, r._rn)):
-        books[r._j].append([float(x) for x in r._v])
-    dims = [len(b[0]) for b in books]
+    seen: set[tuple] = set()
+    out = []
+    for r in rows:
+        key = tuple(r._v)
+        if key not in seen:
+            seen.add(key)
+            out.append([float(x) for x in r._v])
+    return out
+
+
+def _farthest_point_init(sample, k: int):
+    """Deterministic kmeans++-style spread: greedy farthest-point
+    traversal from the lowest-hash vector; ties to the lower rank."""
+    import numpy as np
+
+    chosen = [0]
+    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int(d2.argmax())  # argmax ties -> lowest index
+        if d2[nxt] == 0.0:
+            break  # fewer than k distinct points
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    return sample[chosen].copy()
+
+
+def _lloyd_numpy(sample, k: int, max_iter: int):
+    """Driver-side Lloyd over a fixed-order (n, dim) float64 array.
+    Deterministic end to end: farthest-point init, argmin ties to the
+    lower index, means reduce in row order, stop on bit-equal centers."""
+    import numpy as np
+
+    centers = _farthest_point_init(sample, k)
     for _ in range(max_iter):
-        cid = None
-        for j in range(m):
-            a = _argmin_center(F.col("_v"), books[j])
-            cid = a if cid is None else F.when(F.col("_j") == j, a).otherwise(cid)
-        # the assignment projects in its OWN select: a Generate
-        # (posexplode) in the same projection re-resolves the struct
-        # array literal and drops its field aliases (col1/col2 —
-        # FIELD_NOT_FOUND on `cid`), a Catalyst quirk isolated in r10
-        agg = (
-            rows.select("_j", cid.alias("_c"), "_v")
-            .select("_j", "_c", F.posexplode("_v").alias("_p", "_x"))
-            .groupBy("_j", "_c", "_p")
-            .agg(
-                F.sum(F.round(F.col("_x") * QUANT).cast("long")).alias("_s"),
-                F.count("*").alias("_n"),
-            )
-            .collect()
-        )
-        cell = {(r._j, r._c, r._p): (r._s, r._n) for r in agg}
-        new_books = [[list(c) for c in b] for b in books]  # empty cluster keeps center
-        for j in range(m):
-            for c in range(len(books[j])):
-                if (j, c, 0) in cell:
-                    new_books[j][c] = [
-                        (cell[(j, c, p)][0] / cell[(j, c, p)][1]) / QUANT
-                        for p in range(dims[j])
-                    ]
-        if new_books == books:
+        d = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties -> lowest index
+        new = centers.copy()  # empty cluster keeps its center
+        for c in range(len(centers)):
+            members = sample[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, centers):
             break
-        books = new_books
-    return books
+        centers = new
+    return [[float(x) for x in c] for c in centers]
 
 
 def deterministic_kmeans(
@@ -124,13 +129,17 @@ def deterministic_kmeans(
     vec_col: str = "embedding",
     max_iter: int = 10,
     seed: int = 42,
+    sample_cap: int = DEFAULT_SAMPLE_CAP,
 ) -> list[list[float]]:
     """Train one codebook of <= k centers over ``vec_col`` (see module
     docstring for the layout-independence contract)."""
-    rows = df.select(
-        F.lit(0).alias("_j"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).filter(F.col("_v").isNotNull())
-    return _train(rows, 1, k, max_iter, seed)[0]
+    import numpy as np
+
+    picked = _hash_ranked_sample(df, vec_col, sample_cap, seed)
+    if not picked:
+        raise ValueError("deterministic_kmeans: empty input (no vectors to fit)")
+    sample = np.asarray(picked, dtype=np.float64)
+    return _lloyd_numpy(sample, min(k, len(sample)), max_iter)
 
 
 def deterministic_pq_codebooks(
@@ -141,26 +150,66 @@ def deterministic_pq_codebooks(
     vec_col: str = "embedding",
     max_iter: int = 10,
     seed: int = 42,
+    sample_cap: int = DEFAULT_SAMPLE_CAP,
 ) -> list[list[list[float]]]:
-    """Train all m product-quantization sub-codebooks JOINTLY: subvector
-    rows carry their subspace id, so each Lloyd round is ONE scan + ONE
-    hash-agg for every book (the m separate fits each paid their own job
-    chain). Returns m books of <= k codewords."""
+    """Train all m product-quantization sub-codebooks from the SAME
+    hash-ranked vector sample, sliced per subspace on the driver
+    (faiss's design — m books for one sampling job). Returns m books of
+    <= k codewords; a subspace with fewer distinct subvectors than k
+    gets exactly its distinct set."""
+    import numpy as np
+
+    picked = _hash_ranked_sample(df, vec_col, sample_cap, seed)
+    if not picked:
+        raise ValueError("pq codebooks: empty input (no vectors to fit)")
+    full = np.asarray(picked, dtype=np.float64)
     sub = dim // m
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("_j"),
-                F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias(
-                    "_v"
-                ),
-            )
-            for j in range(m)
-        ]
-    )
-    rows = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.explode(slices).alias("_e"))
-        .select("_e._j", "_e._v")
-    )
-    return _train(rows, m, k, max_iter, seed)
+    books = []
+    for j in range(m):
+        sl = full[:, j * sub : (j + 1) * sub]
+        # stable per-subspace dedupe (slices of distinct vectors can
+        # collide) — hash order preserved, first occurrence wins
+        seen: set[tuple] = set()
+        keep = []
+        for i in range(len(sl)):
+            key = tuple(sl[i])
+            if key not in seen:
+                seen.add(key)
+                keep.append(i)
+        sample = sl[keep]
+        books.append(_lloyd_numpy(sample, min(k, len(sample)), max_iter))
+    return books
+
+
+def assign_centroids(
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow-vectorized numpy scan —
+    one batched matmul-shaped pass (the role MLlib's ``model.transform``
+    played, minus the layout-dependent model). The first deterministic
+    cut assigned through the inline ``nearest_centroids`` struct-sort
+    expression; interpreted higher-order functions made that ~2.3 s per
+    evaluation at sf0.1 AND it re-evaluates at every plan reference
+    (SemDeDup's self-joins paid it ~8×: 1.1 → 20 s — receipts in
+    PERF.md r10). Ties go to the lower centroid index, matching the
+    expression path, which the emb_cluster_assign_ok certificate keeps
+    comparing against this scan corpus-wide."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centers, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _nearest(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in vs], dtype=np.float64
+        )
+        d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _nearest(F.col(vec_col).cast("array<double>")))

@@ -267,9 +267,10 @@ def ivf_index(
     centers = deterministic_kmeans(
         train, k=n_centroids, vec_col=vec_col, max_iter=max_iter, seed=seed
     )
-    assigned = ensure_parallelism(corpus).withColumn(
-        "centroid_id",
-        nearest_centroids(F.col(vec_col).cast("array<double>"), centers, 1)[0],
+    from datalake_nba_dmc_spark.operators.kmeans import assign_centroids
+
+    assigned = assign_centroids(
+        ensure_parallelism(corpus), centers, vec_col=vec_col
     )
     return assigned, centers
 
@@ -1040,17 +1041,45 @@ def _semantic_edges(
     big = ws.filter(F.col("_csize") > max_cluster_rows)
 
     def pair_edges(keyed: DataFrame, keys: list[str]) -> DataFrame:
-        ka = keyed.select(
-            *keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
-        )
-        kb = keyed.select(
-            *keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
-        )
+        # Per-group numpy Gram matmul via applyInPandas — the paper's own
+        # execution shape (SemDeDup computes within-cluster pairwise
+        # cosine as a dense matmul). The first cut self-joined the
+        # cluster on its key and filtered an interpreted HOF cosine per
+        # PAIR: ~80 µs × Σ|cluster|²/2 pairs put a hidden ~12 s (sf0.1)
+        # into the edge stage that bench's pre-built-frame timing never
+        # billed (r10 profiling receipt, PERF.md). Here each cluster
+        # enters Python ONCE, normalizes, takes G = Vn·Vnᵀ with BLAS,
+        # and emits only the ≥ threshold (id_a < id_b) pairs — the
+        # shuffle carries cluster rows, never pair rows, and the cap
+        # (max_cluster_rows) bounds the per-group matmul by
+        # construction. Zero vectors normalize to cosine 0 with
+        # everything, matching the expression path's guard.
+        import numpy as np
+
+        def gram_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            norms = np.sqrt((v * v).sum(axis=1))
+            norms[norms == 0.0] = 1.0  # zero vec -> cosine 0, never passes
+            vn = v / norms[:, None]
+            g = vn @ vn.T
+            ia, ib = np.nonzero(np.triu(g >= threshold, k=1))
+            lo = np.minimum(ids[ia], ids[ib])
+            hi = np.maximum(ids[ia], ids[ib])
+            keep = lo != hi  # duplicated ids are not self-edges
+            return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
         return (
-            ka.join(kb, on=keys)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
-            .select("id_a", "id_b")
+            keyed.select(*keys, id_col, vec_col)
+            .groupBy(*keys)
+            .applyInPandas(gram_edges, schema="id_a long, id_b long")
+            # a duplicated id inside one group emits the same edge from
+            # each copy-pair; edges are a SET downstream
+            .dropDuplicates(["id_a", "id_b"])
         )
 
     edges = pair_edges(

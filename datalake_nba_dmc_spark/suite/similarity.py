@@ -439,35 +439,24 @@ def emb_cluster_assign_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin-expression scan) must equal the argmin squared-L2 centroid
     recomputed INDEPENDENTLY by vectorized numpy inside an Arrow
     ``mapInPandas`` stage — cross-validating the two scoring paths the
-    ANN family depends on (JVM codegen'd double arithmetic vs numpy
-    float64 broadcasting; before r10 the independent side was MLlib's
-    ``model.transform``, which the partition-perturbation audit retired
-    as layout-dependent). The oracle pins assign_ok=1 for every vector;
-    any drift (ties broken differently, wrong slice arithmetic, IEEE
-    divergence between the two stacks) surfaces as a hash mismatch."""
-    import numpy as np
-    import pandas as pd
-
+    ANN family depends on: the PRODUCTION side is the Arrow-vectorized
+    numpy batch scan (operators/kmeans.assign_centroids — the role
+    MLlib's ``model.transform`` played before the r10 partition-
+    perturbation audit retired it as layout-dependent), the INDEPENDENT
+    side is the Catalyst inline array-expression argmin
+    (``nearest_centroids`` with n_probe=1) — numpy float64 broadcasting
+    vs JVM codegen'd doubles. The oracle pins assign_ok=1 for every
+    vector; any drift (ties broken differently, wrong slice arithmetic,
+    IEEE divergence between the two stacks) surfaces as a hash
+    mismatch."""
     emb = TableRegistry(spark, sf_dir).embeddings
     assigned, centers = S.ivf_index(emb, n_centroids=8)
-    c = np.asarray(centers, dtype=np.float64)  # (k, dim)
-
-    def np_argmin(it):
-        for pdf in it:
-            v = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
-            )
-            d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # (n, k)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "np_cid": d.argmin(axis=1)}
-            )
-
-    ours = assigned.select("vec_id", "embedding").mapInPandas(
-        np_argmin, schema="vec_id long, np_cid int"
-    )
-    return assigned.join(ours, on="vec_id").select(
+    ours = S.nearest_centroids(
+        F.col("embedding").cast("array<double>"), centers, n_probe=1
+    )[0]
+    return assigned.select(
         "vec_id",
-        (F.col("centroid_id") == F.col("np_cid")).cast("int").alias("assign_ok"),
+        (F.col("centroid_id") == ours).cast("int").alias("assign_ok"),
     )
 
 

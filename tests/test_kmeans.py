@@ -37,10 +37,8 @@ def test_kmeans_bit_identical_across_layouts(spark):
 def test_kmeans_clusters_separated_data(spark):
     """Sanity: on well-separated clumps the trainer recovers them (each
     center lands inside one clump; assignment partitions the clumps)."""
-    from datalake_nba_dmc_spark.operators.kmeans import (
-        _argmin_center,
-        deterministic_kmeans,
-    )
+    from datalake_nba_dmc_spark.operators.kmeans import deterministic_kmeans
+    from datalake_nba_dmc_spark.operators.similarity import nearest_centroids
     from pyspark.sql import functions as F
 
     rows = [
@@ -53,7 +51,9 @@ def test_kmeans_clusters_separated_data(spark):
     assert clumps == [0, 1, 2]
     assigned = df.select(
         "vec_id",
-        _argmin_center(F.col("embedding").cast("array<double>"), centers).alias("c"),
+        nearest_centroids(
+            F.col("embedding").cast("array<double>"), centers, 1
+        )[0].alias("c"),
     ).collect()
     by_clump = {}
     for r in assigned:
@@ -104,7 +104,8 @@ def test_pq_codebooks_match_per_subspace_training(spark):
             k=3,
             seed=11,
         )
-        # seeds differ via the _j hash column, so centers may differ; the
+        # the joint trainer samples by FULL-vector hash while the solo
+        # trainer samples by slice hash, so centers may differ; the
         # EXECUTION-EQUIVALENCE check instead re-runs the joint trainer
         # restricted to one subspace and demands bit equality
         restricted = deterministic_pq_codebooks(
