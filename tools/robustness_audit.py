@@ -202,6 +202,15 @@ KNOWN_DUP: dict[str, str] = {
         "twin row, so injected copies legitimately lose to natural "
         "duplicates (same reasoning as the skew-mode entry)"
     ),
+    "mart_containment_pairs": (
+        "same one-row-per-document ingest contract as its Jaccard "
+        "sibling (dedup_incremental): duplicated rows inflate the gram "
+        "self-join 4x against unchanged shingle-set sizes, and the "
+        "twin's sizes-join fans every pair to the duplicated size rows "
+        "(61 vs 122 rows) where the Spark pair-grouping keeps one — "
+        "collapse duplicate rows upstream (a1_dedup_rows) before "
+        "containment screening (r10 first-exposure finding)"
+    ),
 }
 
 
