@@ -1,0 +1,268 @@
+"""HyperBall — HLL ball sketches for centrality at 100 TB (Boldi &
+Vigna 2013, "In-Core Computation of Geometric Centralities with
+HyperBall: A Hundred Billion Nodes and Beyond" — public).
+
+``graph.harmonic_centrality_micro`` is exact but carries the reached-
+PAIR table — fine for bounded-radius/medium graphs, quadratic-ish on a
+web graph. HyperBall replaces the pair table with one fixed-size
+HyperLogLog counter per node: ball_t(v) (the set of nodes that reach v
+within t hops) becomes m registers, and the update
+
+    ball_t(v) = ball_{t-1}(v)  ∪  ⋃_{u → v}  ball_{t-1}(u)
+
+becomes an elementwise register MAX — associative, commutative,
+IDEMPOTENT, so the result is layout-independent BY ALGEBRA (the r10
+partitions-audit lesson applied at design time: a max-merge cannot see
+partition order). Per round that is ONE edges⋈counters equi-join plus
+ONE groupBy(dst) with m flat ``max`` aggregates — map-side combined,
+whole-stage codegen'd, no arrays, no HOFs in the hot path, state
+O(nodes · m) however deep the graph.
+
+Determinism contract (cross-engine twin-able):
+
+- The per-node hash is a 32-bit avalanche mixer written as plain
+  integer arithmetic (shift-as-floor-division / xor / multiply-mod-2³²;
+  every intermediate < 2⁵⁸, no int64 overflow, no ANSI traps). The
+  SAME recipe renders into each engine's dialect
+  (:func:`mixer_sql` — Spark spells integer division ``div`` and xor
+  ``^``, DuckDB spells them ``//`` and ``xor()``); no engine hash
+  builtin is involved, so the registers are an engine-free function of
+  the node ids.
+- register index = h mod m, rho = leading-zero rank of the remaining
+  27 bits + 1 via a generated CASE ladder (pure comparisons).
+- After t rounds, register (v, j) EQUALS max rho over the EXACT ball —
+  so a DuckDB twin that unrolls t BFS rounds (the harmonic oracle's
+  machinery) and takes the same max reproduces every register
+  BIT-EXACTLY. The ball-size estimate is then a fixed closed-form
+  expression of integer registers (Σ 2^(K−reg) kept as an exact long;
+  one double division per node per round), identical in both engines.
+
+Suite registration (``graph_hyperball_registers``) is staged for the
+next round per the registry freeze; tests/test_staged_oracles.py
+carries the register-level DuckDB twin and tests/test_hyperball.py the
+estimate-accuracy certificate against the exact operator plus the
+layout-invariance law.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
+
+#: Register count (2^5). Standard HLL relative error ~1.04/sqrt(m) ≈ 18%;
+#: raise to 2^10+ on a real crawl — the plan shape is m flat columns, so
+#: the knob only widens one projection.
+M_REGISTERS = 32
+#: Scale for the exact Σ 2^(K−reg) long: reg ≤ 28 < K keeps each term a
+#: positive power of two and the per-node sum < m·2^K ≪ int64.
+_K = 40
+_ALPHA_32 = 0.697  # standard HLL alpha_m for m = 32
+
+
+def _xor(a: str, b: str, dialect: str) -> str:
+    return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
+
+
+def _idiv(a: str, b: int, dialect: str) -> str:
+    return f"({a} div {b})" if dialect == "spark" else f"({a} // {b})"
+
+
+def mixer_sql(col: str, dialect: str) -> str:
+    """32-bit avalanche hash (lowbias32 family) as dialect-rendered SQL:
+    every intermediate fits int64, every op is plain arithmetic. Input
+    must be a non-negative integer expression."""
+    h0 = f"({col} % 4294967296)"
+    h1 = f"(({_xor(h0, _idiv(h0, 65536, dialect), dialect)} * 73244475) % 4294967296)"
+    h2 = f"(({_xor(h1, _idiv(h1, 65536, dialect), dialect)} * 73244475) % 4294967296)"
+    return _xor(h2, _idiv(h2, 65536, dialect), dialect)
+
+
+def rho_sql(w: str) -> str:
+    """Leading-zero rank + 1 of a 27-bit value as a CASE ladder (28 for
+    w = 0 — the all-zeros remainder). Dialect-free (comparisons only)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (26 - z)} THEN {z + 1}" for z in range(27)
+    )
+    return f"(CASE {branches} ELSE 28 END)"
+
+
+def seed_register_sql(
+    col: str, j: int, dialect: str, m: int = M_REGISTERS
+) -> str:
+    """Register j of the singleton ball {col}: rho if the node lands in
+    bucket j, else 0. The same recipe feeds the Spark seeding projection
+    and the DuckDB twin."""
+    h = mixer_sql(col, dialect)
+    return (
+        f"(CASE WHEN ({h} % {m}) = {j} THEN "
+        f"{rho_sql(_idiv(h, m, dialect))} ELSE 0 END)"
+    )
+
+
+def _ball_rounds(
+    edges: DataFrame, n_rounds: int, src: str, dst: str, m: int
+) -> list[DataFrame]:
+    """Register state per round (flat _r0.._r{m-1} columns), 0..n_rounds;
+    each state eagerly checkpointed (iterative-lineage hygiene)."""
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    e = (
+        ensure_parallelism(
+            edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    regs = [f"_r{j}" for j in range(m)]
+    balls = nodes.select(
+        "node",
+        *[
+            F.expr(seed_register_sql("node", j, "spark", m))
+            .cast("int")
+            .alias(r)
+            for j, r in enumerate(regs)
+        ],
+    ).localCheckpoint(eager=True)
+    states = [balls]
+    for _ in range(n_rounds):
+        # ball_t(v) |= ball_{t-1}(u) for every edge u -> v: one equi-join
+        # + m flat MAX aggregates (map-side combined), then a greatest()
+        # merge with the previous state. Idempotent max-merge => extra
+        # rounds past the diameter are no-ops, and no layout can change
+        # a single register.
+        inflow = (
+            e.join(balls, e["_s"] == balls["node"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(*[F.max(r).alias(r) for r in regs])
+        )
+        merged = balls.alias("b").join(inflow.alias("i"), on="node", how="left")
+        balls = merged.select(
+            "node",
+            *[
+                F.greatest(
+                    F.col(f"b.{r}"), F.coalesce(F.col(f"i.{r}"), F.lit(0))
+                )
+                .cast("int")
+                .alias(r)
+                for r in regs
+            ],
+        ).localCheckpoint(eager=True)
+        states.append(balls)
+    return states
+
+
+def hyperball_registers(
+    edges: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    m: int = M_REGISTERS,
+) -> DataFrame:
+    """Register state after ``n_rounds`` max-merge rounds: one row per
+    (node, j, reg) with reg = max rho over the EXACT ≤ n_rounds in-ball
+    (bit-exact vs an unrolled-BFS twin). Nodes must be non-negative
+    integers (hash-mix contract)."""
+    balls = _ball_rounds(edges, n_rounds, src, dst, m)[-1]
+    regs = [f"_r{j}" for j in range(m)]
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.col(r).alias("reg"))
+            for j, r in enumerate(regs)
+        ]
+    )
+    return balls.select("node", F.explode(pairs).alias("_p")).select(
+        "node", F.col("_p.j").alias("j"), F.col("_p.reg").alias("reg")
+    )
+
+
+def linear_counting_case_sql(v: str, m: int) -> str:
+    """Small-range (linear counting) table as literal doubles: E =
+    m · ln(m / V) for V zero registers. The values are generated ONCE in
+    Python and embedded as full-precision literals, so Spark and DuckDB
+    parse the SAME decimal into the same double — no engine ln()
+    divergence can enter (dialect-free fragment)."""
+    import math
+
+    branches = " ".join(
+        f"WHEN {v} = {vv} THEN {m * math.log(m / vv)!r}" for vv in range(1, m + 1)
+    )
+    return f"(CASE {branches} ELSE 0.0 END)"
+
+
+def _estimate_col(m: int, regs: list[str]):
+    """HLL estimate over flat register columns: raw
+    E = alpha_m · m² / Σ 2^(−reg) with the denominator carried as the
+    EXACT long Σ 2^(K−reg) (reg ≤ 28 < K, one double division total,
+    fixed operand order), switched to linear counting
+    E = m · ln(m / V) when the raw estimate is in the small range
+    (E ≤ 2.5 m and V > 0 zero registers) — the standard HLL correction;
+    without it the raw estimator reads an EMPTY ball as alpha·m ≈ 22,
+    drowning the small balls truncated-harmonic sums are made of."""
+    s = None
+    v = None
+    for r in regs:
+        term = F.expr(f"CAST(POW(2, {_K} - {r}) AS BIGINT)")
+        s = term if s is None else s + term
+        zero = F.when(F.col(r) == 0, F.lit(1)).otherwise(F.lit(0))
+        v = zero if v is None else v + zero
+    raw = F.lit(_ALPHA_32 * m * m) * F.lit(float(2**_K)) / s.cast("double")
+    return raw, v
+
+
+def _corrected(m: int, raw_col: str, v_col: str):
+    return F.when(
+        (F.col(raw_col) <= F.lit(2.5 * m)) & (F.col(v_col) > 0),
+        F.expr(linear_counting_case_sql(v_col, m)),
+    ).otherwise(F.col(raw_col))
+
+
+def hyperball_harmonic_estimate(
+    edges: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    m: int = M_REGISTERS,
+) -> DataFrame:
+    """Approximate truncated harmonic centrality from ONE HyperBall run:
+    H(v) ≈ Σ_t (E_t(v) − E_{t−1}(v)) / t over the per-round ball-size
+    estimates. Output (node, harmonic_micro_est) as half-up micro-units
+    (floor(x·10⁶ + 0.5)) — a fixed-order double pipeline over integer
+    registers, layout-free because the registers are. Raw estimator (no
+    small-range correction) so the expression stays engine-portable; at
+    m = 32 typical relative error is ~18% — test_hyperball pins the
+    certificate against the exact operator."""
+    states = _ball_rounds(edges, n_rounds, src, dst, m)
+    regs = [f"_r{j}" for j in range(m)]
+
+    def est(state: DataFrame, t: int) -> DataFrame:
+        raw, v = _estimate_col(m, regs)
+        staged = state.select(
+            "node", raw.alias(f"_raw{t}"), v.alias(f"_v{t}")
+        )
+        return staged.select(
+            "node", _corrected(m, f"_raw{t}", f"_v{t}").alias(f"_e{t}")
+        )
+
+    out = est(states[0], 0)
+    for t in range(1, n_rounds + 1):
+        out = out.join(est(states[t], t), on="node")
+    h = None
+    for t in range(1, n_rounds + 1):
+        # per-round delta clamped at 0: the linear/raw estimator switch
+        # can dip a hair across rounds even though registers only grow
+        term = F.greatest(
+            (F.col(f"_e{t}") - F.col(f"_e{t-1}")), F.lit(0.0)
+        ) / F.lit(float(t))
+        h = term if h is None else h + term
+    return out.select(
+        "node",
+        F.floor(h * 1e6 + F.lit(0.5)).cast("long").alias("harmonic_micro_est"),
+    )

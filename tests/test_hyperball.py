@@ -1,0 +1,168 @@
+"""HyperBall sketch laws: exact-ball register equivalence, layout
+invariance by algebra, estimate accuracy vs the exact operator."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _mix32(x: int) -> int:
+    """Python replay of operators/hyperball.mixer_sql."""
+    h = x % 4294967296
+    h = ((h ^ (h // 65536)) * 73244475) % 4294967296
+    h = ((h ^ (h // 65536)) * 73244475) % 4294967296
+    return h ^ (h // 65536)
+
+
+def _rho27(w: int) -> int:
+    for z in range(27):
+        if w >= 1 << (26 - z):
+            return z + 1
+    return 28
+
+
+def _exact_balls(edges: list[tuple[int, int]], t: int) -> dict[int, set[int]]:
+    """ball_t(v) = {u != v reaching v in <= t hops} ∪ {v}, brute force."""
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    balls = {v: {v} for v in nodes}
+    frontier = {v: {v} for v in nodes}
+    # reverse-BFS via forward propagation: iterate t times, ball(v) grows
+    # by preimages — equivalently recompute reachability per source
+    dist: dict[tuple[int, int], int] = {}
+    cur = {(a, b) for a, b in edges if a != b}
+    for h in range(1, t + 1):
+        for (a, b) in cur:
+            if (a, b) not in dist:
+                dist[(a, b)] = h
+        nxt = set()
+        for (a, b) in cur:
+            for c in adj.get(b, ()):
+                if a != c and (a, c) not in dist:
+                    nxt.add((a, c))
+        cur = nxt
+    for (a, b), h in dist.items():
+        balls[b].add(a)
+    return balls
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 0),  # 5-cycle
+    (5, 1), (6, 1), (7, 1),                  # hub inflow
+    (8, 9),                                  # detached pair
+]
+
+
+def test_registers_equal_exact_ball_max(spark):
+    """After t rounds, register (v, j) must equal the max rho over the
+    EXACT t-ball — the sketch is the exact set's image, bit for bit."""
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        M_REGISTERS,
+        hyperball_registers,
+    )
+
+    t = 3
+    got = {
+        (r.node, r.j): r.reg
+        for r in hyperball_registers(_edges_df(spark, EDGES), t).collect()
+    }
+    balls = _exact_balls(EDGES, t)
+    for v, members in balls.items():
+        want = [0] * M_REGISTERS
+        for u in members:
+            h = _mix32(u)
+            j = h % M_REGISTERS
+            want[j] = max(want[j], _rho27(h // M_REGISTERS))
+        for j in range(M_REGISTERS):
+            assert got[(v, j)] == want[j], (v, j)
+
+
+def test_registers_layout_invariant_and_idempotent(spark):
+    """Max-merge is idempotent and order-free: any input layout gives
+    bit-identical registers, and rounds past the diameter change
+    nothing."""
+    from datalake_nba_dmc_spark.operators.hyperball import hyperball_registers
+
+    base = sorted(
+        (r.node, r.j, r.reg)
+        for r in hyperball_registers(_edges_df(spark, EDGES), 4).collect()
+    )
+    for parts in (1, 13):
+        df = _edges_df(spark, list(reversed(EDGES))).repartition(parts)
+        assert (
+            sorted(
+                (r.node, r.j, r.reg)
+                for r in hyperball_registers(df, 4).collect()
+            )
+            == base
+        )
+    # longest shortest path is 5 (hub 5/6/7 -> 1 -> 2 -> 3 -> 4 -> 0),
+    # so states at rounds 6 and 8 are bit-identical no-ops
+    r6 = sorted(
+        (r.node, r.j, r.reg)
+        for r in hyperball_registers(_edges_df(spark, EDGES), 6).collect()
+    )
+    r8 = sorted(
+        (r.node, r.j, r.reg)
+        for r in hyperball_registers(_edges_df(spark, EDGES), 8).collect()
+    )
+    assert r6 == r8
+
+
+def test_estimate_tracks_exact_harmonic(spark):
+    """Certificate: on the suite's derived 101-node graph the HyperBall
+    estimate stays within the documented m=32 error band of the exact
+    bounded-radius harmonic centrality (aggregate relative error, not
+    per-node — HLL guarantees are distributional)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.graph import (
+        SCALE,
+        harmonic_centrality_micro,
+    )
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        hyperball_harmonic_estimate,
+    )
+
+    spark_df = spark.range(0, 2000).select(
+        (F.col("id") % 101).alias("src"),
+        ((F.col("id") * 37) % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    exact = {
+        r.node: r.harmonic_micro / SCALE
+        for r in harmonic_centrality_micro(spark_df, max_hops=3).collect()
+    }
+    est = {
+        r.node: r.harmonic_micro_est / 1e6
+        for r in hyperball_harmonic_estimate(spark_df, n_rounds=3).collect()
+    }
+    assert set(est) == set(exact)
+    tot_exact = sum(exact.values())
+    tot_est = sum(est.values())
+    assert tot_exact > 0
+    assert abs(tot_est - tot_exact) / tot_exact < 0.25
+    # and the estimate is usable as a RANKING signal: top-decile overlap
+    k = max(1, len(exact) // 10)
+    top_exact = {n for n, _ in sorted(exact.items(), key=lambda kv: -kv[1])[:k]}
+    top_est = {n for n, _ in sorted(est.items(), key=lambda kv: -kv[1])[:k]}
+    assert len(top_exact & top_est) >= k // 2
+
+
+def test_empty_and_bad_args(spark):
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        hyperball_harmonic_estimate,
+        hyperball_registers,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hyperball_registers(empty, 2).collect() == []
+    assert hyperball_harmonic_estimate(empty, 2).collect() == []
+    with pytest.raises(ValueError, match="n_rounds"):
+        hyperball_registers(empty, -1)

@@ -414,3 +414,74 @@ def test_bigram_logprob_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+@needs_testdata
+def test_hyperball_registers_duckdb_twin(spark):
+    """hyperball_registers (r10-staged) vs a DuckDB twin that derives the
+    EXACT <= t in-balls via unrolled BFS and takes the same max over the
+    shared dialect-rendered mixer/rho fragments — every HLL register
+    bit-exact without DuckDB ever max-MERGING anything."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        M_REGISTERS,
+        _idiv,
+        hyperball_registers,
+        mixer_sql,
+        rho_sql,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    T = 3
+    docs = TableRegistry(spark, SF).documents
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") / 101).cast("long") % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    got = sorted(
+        (r.node, r.j, r.reg)
+        for r in hyperball_registers(edges, n_rounds=T).collect()
+    )
+    m = M_REGISTERS
+    mix = mixer_sql("u", "duck")
+    ctes = [
+        "edges AS (SELECT DISTINCT doc_id % 101 AS s, (doc_id // 101) % 101 "
+        "AS d FROM documents WHERE doc_id % 101 != (doc_id // 101) % 101)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT s AS node FROM edges UNION ALL SELECT d FROM edges))",
+        "k1 AS (SELECT s, d, 1 AS h FROM edges)",
+        "a1 AS (SELECT * FROM k1)",
+    ]
+    for r in range(2, T + 1):
+        ctes.append(
+            f"c{r} AS (SELECT DISTINCT f.s, e.d FROM k{r - 1} f "
+            "JOIN edges e ON f.d = e.s WHERE f.s != e.d)"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT c{r}.s, c{r}.d, {r} AS h FROM c{r} "
+            f"ANTI JOIN a{r - 1} USING (s, d))"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM k{r})"
+        )
+    ctes.append(
+        "members AS (SELECT node, node AS u FROM nodes "
+        f"UNION ALL SELECT d AS node, s AS u FROM a{T})"
+    )
+    ctes.append(
+        f"scored AS (SELECT node, ({mix} % {m}) AS bucket, "
+        f"{rho_sql(_idiv(mix, m, 'duck'))} AS rv FROM members)"
+    )
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT s.node, t.j,
+           COALESCE(MAX(CASE WHEN s.bucket = t.j THEN s.rv END), 0) AS reg
+    FROM scored s CROSS JOIN UNNEST(range(0, {m})) AS t(j)
+    GROUP BY s.node, t.j"""
+    )
+    want = sorted(
+        (int(a), int(b), int(c)) for a, b, c in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) == 101 * m
