@@ -192,7 +192,8 @@ def linear_counting_case_sql(v: str, m: int) -> str:
     import math
 
     branches = " ".join(
-        f"WHEN {v} = {vv} THEN {m * math.log(m / vv)!r}" for vv in range(1, m + 1)
+        f"WHEN {v} = {vv} THEN CAST({m * math.log(m / vv)!r} AS DOUBLE)"
+        for vv in range(1, m + 1)
     )
     return f"(CASE {branches} ELSE 0.0 END)"
 

@@ -144,3 +144,52 @@ def test_theta_overlap_exact_at_small_cardinality(spark):
     # A = multiples of 3 (334), B = evens (500); A∩B = multiples of 6 (167)
     assert out["est_inter"] == 167
     assert out["est_diff_a"] == 334 - 167
+
+
+def test_hll_portable_accuracy_and_layout_invariance(spark):
+    """Portable HLL: estimate within the m=32 rse band of the exact
+    distinct count per group, and bit-identical under repartition/row
+    order (max-merge algebra — the r10 partitions-audit design rule)."""
+    from datalake_nba_dmc_spark.operators.hll_portable import (
+        hll_portable_distinct,
+    )
+
+    rows = [(i % 7, (i * 13) % 400) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, k long")
+    got = {
+        r.g: r.distinct_est_micro
+        for r in hll_portable_distinct(df, ["g"], "k").collect()
+    }
+    exact = {}
+    for g, k in rows:
+        exact.setdefault(g, set()).add(k)
+    assert set(got) == set(exact)
+    for g, ks in exact.items():
+        est = got[g] / 1e6
+        assert abs(est - len(ks)) / len(ks) < 0.45  # ~2.5 sigma at m=32
+    for parts in (1, 17):
+        df2 = spark.createDataFrame(list(reversed(rows)), "g int, k long")
+        got2 = {
+            r.g: r.distinct_est_micro
+            for r in hll_portable_distinct(
+                df2.repartition(parts), ["g"], "k"
+            ).collect()
+        }
+        assert got2 == got  # BIT-equal micro-units, not approx
+
+
+def test_hll_portable_empty_and_single(spark):
+    from datalake_nba_dmc_spark.operators.hll_portable import (
+        hll_portable_distinct,
+    )
+
+    empty = spark.createDataFrame([], "g int, k long")
+    assert hll_portable_distinct(empty, ["g"], "k").collect() == []
+    one = spark.createDataFrame([(1, 42)], "g int, k long")
+    [r] = hll_portable_distinct(one, ["g"], "k").collect()
+    # linear counting: V = 31 zero registers -> 32*ln(32/31), ~1.016
+    import math
+
+    assert r.distinct_est_micro == math.floor(
+        32 * math.log(32 / 31) * 1e6 + 0.5
+    )

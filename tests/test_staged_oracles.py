@@ -485,3 +485,44 @@ def test_hyperball_registers_duckdb_twin(spark):
         (int(a), int(b), int(c)) for a, b, c in _duck().execute(sql).fetchall()
     )
     assert got == want and len(got) == 101 * m
+
+
+@needs_testdata
+def test_hll_portable_duckdb_twin(spark):
+    """hll_portable_distinct (r10-staged) vs DuckDB evaluating the SAME
+    dialect-rendered register aggregates and the SAME literal-embedded
+    estimate — the sketch VALUE hash-matches, not just a tolerance
+    certificate (the gap the engine-private DataSketches blobs can't
+    close)."""
+    from datalake_nba_dmc_spark.operators.hll_portable import (
+        M_REGISTERS,
+        estimate_sql,
+        hll_portable_distinct,
+        register_agg_sql,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.source, r.distinct_est_micro)
+        for r in hll_portable_distinct(docs, ["source"], "doc_id").collect()
+    )
+    m = M_REGISTERS
+    regs = [f"_r{j}" for j in range(m)]
+    reg_select = ", ".join(
+        f"{register_agg_sql('doc_id', j, 'duck', m)} AS {r}"
+        for j, r in enumerate(regs)
+    )
+    want = sorted(
+        (a, int(b))
+        for a, b in _duck().execute(
+            f"""
+        WITH regs AS (
+          SELECT source, {reg_select} FROM documents GROUP BY source
+        )
+        SELECT source, {estimate_sql(regs, m)} AS distinct_est_micro
+        FROM regs
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
