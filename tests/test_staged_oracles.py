@@ -526,3 +526,47 @@ def test_hll_portable_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+@needs_testdata
+def test_media_quarantine_report_duckdb_twin(spark):
+    """media_quarantine_report (r10-staged) over a deterministically
+    corrupted PNG corpus (every 7th payload truncated to 40 bytes —
+    magic intact, decode impossible) vs the counts DuckDB derives from
+    the corruption rule alone: the ledger's per-(format, status) totals
+    hash-match, certifying both the sniff and the decode verdicts."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.multimodal import (
+        media_quarantine_report,
+        synthesize_png_media,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    media = synthesize_png_media(docs, width=16, cap=1024)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 7 == 0, F.expr("substring(payload, 1, 40)")
+        ).otherwise(F.col("payload")),
+    )
+    got = sorted(
+        (r.sniffed_format, r.status, r.n)
+        for r in media_quarantine_report(corrupted).collect()
+    )
+    want = sorted(
+        (a, b, int(c))
+        for a, b, c in _duck().execute(
+            """
+        SELECT 'png' AS sniffed_format,
+               CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END
+                 AS status,
+               COUNT(*) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+        GROUP BY 1, 2
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) == 2
