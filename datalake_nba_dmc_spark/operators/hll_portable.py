@@ -92,9 +92,19 @@ def hll_portable_distinct(
     group however hot the group (the skew-immunity exact countDistinct's
     two-shuffle form lacks)."""
     regs = [f"_r{j}" for j in range(m)]
-    agg = df.groupBy(*group_cols).agg(
+    # staged per-row bucket/rho (mixer rendered ONCE — the hyperball
+    # seeding lesson: m copies of the mixer+rho ladder cost seconds of
+    # codegen compile), then m trivial MAX(CASE) aggregates
+    scored = (
+        df.withColumn("_h", F.expr(mixer_sql(key_col, "spark")))
+        .withColumn("_b", F.col("_h") % m)
+        .withColumn("_rho", F.expr(rho_sql(_idiv("_h", m, "spark"))))
+    )
+    agg = scored.groupBy(*group_cols).agg(
         *[
-            F.expr(register_agg_sql(key_col, j, "spark", m)).alias(r)
+            F.coalesce(
+                F.max(F.when(F.col("_b") == j, F.col("_rho"))), F.lit(0)
+            ).alias(r)
             for j, r in enumerate(regs)
         ]
     )

@@ -122,15 +122,29 @@ def _ball_rounds(
         .distinct()
     )
     regs = [f"_r{j}" for j in range(m)]
-    balls = nodes.select(
-        "node",
-        *[
-            F.expr(seed_register_sql("node", j, "spark", m))
-            .cast("int")
-            .alias(r)
-            for j, r in enumerate(regs)
-        ],
-    ).localCheckpoint(eager=True)
+    # STAGED seeding: mixer once per row, then bucket/rho once, then m
+    # trivial comparisons. Rendering the full mixer + 27-branch rho
+    # ladder inside every register column (the first cut, mirroring
+    # seed_register_sql) built a ~1000-node projection whose whole-stage
+    # codegen compile alone cost ~8 s (r10 profile receipt, PERF.md);
+    # CollapseProject keeps these stages separate because the aliases
+    # are non-cheap and multiply referenced (the with_shingles rule).
+    balls = (
+        nodes.withColumn("_h", F.expr(mixer_sql("node", "spark")))
+        .withColumn("_b", F.col("_h") % m)
+        .withColumn("_rho", F.expr(rho_sql(_idiv("_h", m, "spark"))))
+        .select(
+            "node",
+            *[
+                F.when(F.col("_b") == j, F.col("_rho"))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias(r)
+                for j, r in enumerate(regs)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
     states = [balls]
     for _ in range(n_rounds):
         # ball_t(v) |= ball_{t-1}(u) for every edge u -> v: one equi-join
