@@ -647,3 +647,67 @@ def test_phash_certificate_single_arrow_stage_chain(spark):
     # the exchange sits under the scan side, upstream of both Arrow stages
     assert plan.index("Exchange (") > plan.index("MapInPandas ("), plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_gram_matmul_no_pair_join(spark):
+    """SemDeDup edges (r10 rewrite): the within-cluster pairwise stage is
+    a grouped Arrow matmul (FlatMapGroupsInPandas), NOT a self-join that
+    materializes pair rows — the shuffle carries cluster rows only; no
+    cartesian/BNLJ anywhere; and the interpreted per-pair HOF cosine of
+    the first cut (hidden ~12 s at sf0.1) cannot reappear without this
+    failing. Asserted on the EDGE stage's own plan: the registered
+    query's final plan hides it behind connected_components'
+    localCheckpoint materialization."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.similarity import _semantic_edges
+
+    with_sim = spark.createDataFrame(
+        [(0, 1, [1.0, 0.0], 0.9), (0, 2, [1.0, 0.0], 0.9)],
+        "centroid_id int, vec_id long, embedding array<double>, centroid_sim double",
+    )
+    edges = _semantic_edges(
+        with_sim, dim=2, id_col="vec_id", vec_col="embedding",
+        threshold=0.95, max_cluster_rows=10, n_split_tables=2, seed=1,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no SELF-JOIN of the keyed cluster rows survives anywhere
+    assert "SortMergeJoin Inner" not in plan, plan
+
+
+def test_hll_portable_single_partial_agg(spark):
+    """Portable HLL (r10-staged): ONE hash aggregation with map-side
+    partial_max registers — exactly one Exchange (the group-key
+    shuffle), no Window, no Python in the plan (pure codegen'd CASE
+    arithmetic)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.hll_portable import (
+        hll_portable_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, i * 7) for i in range(100)], "g int, k long"
+    )
+    out = hll_portable_distinct(df, ["g"], "k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange (") == 1, plan
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
