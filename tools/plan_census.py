@@ -68,6 +68,13 @@ BNLJ_AUDITED = {
     "text_unigram_logprob",       # one-row token grand total
     "text_vocab_coverage",        # one-row token grand total
     "tpch_q11_important_stock",   # one-row global-value threshold
+    "corpus_pack_sequences",      # one-row (min_id, id_span) broadcast for
+                                  # the order-preserving bucket split (r10;
+                                  # the two Window nodes are the documented
+                                  # two-phase prefix sum: a <=256-row
+                                  # bucket-offset window + the
+                                  # partitionBy(bucket) parallel running
+                                  # sum — plan-asserted in test_packing)
     "dedup_contamination_bloom",  # one-row bit-packed Bloom sketch map
                                   # broadcast onto the corpus gram stream
                                   # (r9; the whole point of the operator —
