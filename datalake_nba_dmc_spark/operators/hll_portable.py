@@ -56,28 +56,44 @@ def register_agg_sql(key: str, j: int, dialect: str, m: int = M_REGISTERS) -> st
     )
 
 
-def estimate_sql(reg_cols: list[str], m: int = M_REGISTERS) -> str:
-    """Dialect-free estimate over register COLUMNS: exact long
-    Σ 2^(K−reg) denominator, linear-counting switch, micro-unit half-up
-    floor — identical literals, identical operation order, both
-    engines."""
+def sum_v_sql(reg_cols: list[str]) -> tuple[str, str]:
+    """The two register reductions: exact long Σ 2^(K−reg) and the
+    zero-register count V. Dialect-free."""
     s = " + ".join(f"CAST(POW(2, {_K} - {r}) AS BIGINT)" for r in reg_cols)
     v = " + ".join(f"(CASE WHEN {r} = 0 THEN 1 ELSE 0 END)" for r in reg_cols)
+    return f"({s})", f"({v})"
+
+
+def estimate_from_sv_sql(s: str, v: str, m: int = M_REGISTERS) -> str:
+    """Dialect-free estimate from the staged (Σ 2^(K−reg), V) pair:
+    linear-counting switch, micro-unit half-up floor — identical
+    literals, identical operation order, both engines."""
     # every literal is CAST AS DOUBLE: DuckDB parses bare decimal
     # literals as DECIMAL and then overflows the DECIMAL multiply; Spark
     # happens to widen — the casts make both engines run pure doubles
     raw = (
         f"(CAST({_ALPHA_32 * m * m!r} AS DOUBLE) "
-        f"* CAST({float(2 ** _K)!r} AS DOUBLE) / CAST(({s}) AS DOUBLE))"
+        f"* CAST({float(2 ** _K)!r} AS DOUBLE) / CAST({s} AS DOUBLE))"
     )
-    lin = linear_counting_case_sql(f"({v})", m)
+    lin = linear_counting_case_sql(v, m)
     est = (
-        f"(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND ({v}) > 0 "
+        f"(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND {v} > 0 "
         f"THEN {lin} ELSE {raw} END)"
     )
     return (
         f"CAST(FLOOR({est} * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     )
+
+
+def estimate_sql(reg_cols: list[str], m: int = M_REGISTERS) -> str:
+    """One-shot composition over register columns (the DuckDB twin's
+    convenience form; the Spark path stages (_s, _v) columns first —
+    inlining all three layers into one expression fused the whole thing
+    into the aggregate's generated output method and blew janino's
+    64 KB method limit at sf0.1, silently falling back to interpreted
+    mode: an r10 cross-scale finding)."""
+    s, v = sum_v_sql(reg_cols)
+    return estimate_from_sv_sql(s, v, m)
 
 
 def hll_portable_distinct(
@@ -108,6 +124,16 @@ def hll_portable_distinct(
             for j, r in enumerate(regs)
         ]
     )
-    return agg.select(
-        *group_cols, F.expr(estimate_sql(regs, m)).alias("distinct_est_micro")
+    # STAGED estimate: (_s, _v) reductions in their own projection, the
+    # CASE/floor pipeline in the next — one fused expression overflowed
+    # janino's generated-method limit at scale (see estimate_sql note)
+    s_sql, v_sql = sum_v_sql(regs)
+    staged = agg.withColumn("_s", F.expr(s_sql)).withColumn(
+        "_v", F.expr(v_sql)
+    )
+    return staged.select(
+        *group_cols,
+        F.expr(estimate_from_sv_sql("_s", "_v", m)).alias(
+            "distinct_est_micro"
+        ),
     )

@@ -47,12 +47,18 @@ from datalake_nba_dmc_spark.operators.util import ensure_parallelism
 def bigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document average add-one bigram log-probability under the
-    corpus's own bigram LM. Returns (``id_col``, ``n_bigrams``,
-    ``avg_logprob``) for every document with >= 2 tokens (a 0/1-token
-    document has no bigrams and is dropped, like the twin's length
-    filter); ``avg_logprob`` is the micro-nat-exact mean rounded to 6 dp
-    (one floating division total, after integer sums)."""
+    """Per-document add-one bigram log-probability under the corpus's
+    own bigram LM. Returns (``id_col``, ``n_bigrams``,
+    ``sum_logprob_micro``) for every document with >= 2 tokens (a
+    0/1-token document has no bigrams and is dropped, like the twin's
+    length filter). The output is PURE integers: ``sum_logprob_micro``
+    is the exact int64 sum of per-bigram micro-nat terms — no final
+    float division. A first cut emitted ``round(mean, 6)`` and the
+    sf0.1 cross-scale spot-run caught 2/5000 docs landing on a 6th-
+    decimal rounding boundary where Spark's BigDecimal HALF_UP and
+    DuckDB's round() disagree on the same double (the r7 lesson,
+    re-learned: keep oracle-checked outputs integer to the end; the
+    mean is one division away for any consumer)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     base = (
         ensure_parallelism(df)
@@ -92,14 +98,8 @@ def bigram_logprob(
         .crossJoin(F.broadcast(vocab_size))
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("n_dbb") * term).alias("_s"),
+            F.sum(F.col("n_dbb") * term).alias("sum_logprob_micro"),
             F.sum("n_dbb").alias("n_bigrams"),
         )
-        .select(
-            id_col,
-            F.col("n_bigrams"),
-            F.round((F.col("_s") / 1e6) / F.col("n_bigrams"), 6).alias(
-                "avg_logprob"
-            ),
-        )
+        .select(id_col, "n_bigrams", "sum_logprob_micro")
     )

@@ -32,7 +32,7 @@ def _replay(rows: list[tuple[int, str]]) -> dict[int, tuple[int, float]]:
             p = (big[(a, b)] + 1) / float(ctx[a] + v)
             s += int(round(math.log(p) * 1e6))
             n += 1
-        out[i] = (n, round((s / 1e6) / n, 6))
+        out[i] = (n, s)
     return out
 
 
@@ -50,15 +50,16 @@ def test_bigram_logprob_matches_sequential_replay(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
-        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        r.doc_id: (r.n_bigrams, r.sum_logprob_micro)
         for r in bigram_logprob(df).collect()
     }
     want = _replay(rows)
     assert got == want
     assert set(got) == {1, 2, 3, 7}
     # word ORDER matters now: the scrambled doc scores strictly worse
-    # than its in-order twin (every unigram model scores them equal)
-    assert got[3][1] < got[1][1]
+    # than its in-order twin (every unigram model scores them equal);
+    # equal n_bigrams makes the micro-nat SUMS directly comparable
+    assert got[3][0] == got[1][0] and got[3][1] < got[1][1]
     assert got[7] == got[1]
 
 

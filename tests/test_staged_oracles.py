@@ -369,11 +369,11 @@ def test_bigram_logprob_duckdb_twin(spark):
 
     docs = TableRegistry(spark, SF).documents
     got = sorted(
-        (r.doc_id, r.n_bigrams, r.avg_logprob)
+        (r.doc_id, r.n_bigrams, r.sum_logprob_micro)
         for r in bigram_logprob(docs).collect()
     )
     want = sorted(
-        (int(a), int(b), float(c))
+        (int(a), int(b), int(c))
         for a, b, c in _duck().execute(
             r"""
         WITH t AS (
@@ -403,11 +403,10 @@ def test_bigram_logprob_duckdb_twin(spark):
         )
         SELECT dbb.doc_id,
                CAST(SUM(dbb.n_dbb) AS BIGINT) AS n_bigrams,
-               round((CAST(SUM(dbb.n_dbb * CAST(round(
+               CAST(SUM(dbb.n_dbb * CAST(round(
                       ln(CAST(big.c_ww + 1 AS DOUBLE)
                          / CAST(ctx.c_w1 + uni.v AS DOUBLE))
-                      * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
-                     / CAST(SUM(dbb.n_dbb) AS BIGINT), 6) AS avg_logprob
+                      * 1e6) AS BIGINT)) AS BIGINT) AS sum_logprob_micro
         FROM dbb JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN uni
         GROUP BY dbb.doc_id
         """
