@@ -58,7 +58,28 @@ M_REGISTERS = 32
 #: Scale for the exact Σ 2^(K−reg) long: reg ≤ 28 < K keeps each term a
 #: positive power of two and the per-node sum < m·2^K ≪ int64.
 _K = 40
-_ALPHA_32 = 0.697  # standard HLL alpha_m for m = 32
+
+
+def alpha_for_m(m: int) -> float:
+    """Standard HLL bias-correction constant alpha_m (Flajolet et al.
+    2007, Fig. 3): tabulated for the small register counts, the closed
+    form 0.7213/(1 + 1.079/m) from m = 128 up. Deriving it here (rather
+    than hard-coding the m=32 value) keeps every estimate unbiased when
+    callers raise m — the docstrings advise exactly that for real
+    dashboards, and a silently-wrong alpha biases ~2-3% at m=64 and
+    grows with m (r10 ADVICE finding)."""
+    if m < 16:
+        raise ValueError(f"alpha_for_m: m={m} below the HLL minimum (16)")
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+_ALPHA_32 = alpha_for_m(32)  # kept for existing importers (m = 32 default)
 
 
 def _xor(a: str, b: str, dialect: str) -> str:
@@ -228,7 +249,7 @@ def _estimate_col(m: int, regs: list[str]):
         s = term if s is None else s + term
         zero = F.when(F.col(r) == 0, F.lit(1)).otherwise(F.lit(0))
         v = zero if v is None else v + zero
-    raw = F.lit(_ALPHA_32 * m * m) * F.lit(float(2**_K)) / s.cast("double")
+    raw = F.lit(alpha_for_m(m) * m * m) * F.lit(float(2**_K)) / s.cast("double")
     return raw, v
 
 
@@ -250,10 +271,14 @@ def hyperball_harmonic_estimate(
     H(v) ≈ Σ_t (E_t(v) − E_{t−1}(v)) / t over the per-round ball-size
     estimates. Output (node, harmonic_micro_est) as half-up micro-units
     (floor(x·10⁶ + 0.5)) — a fixed-order double pipeline over integer
-    registers, layout-free because the registers are. Raw estimator (no
-    small-range correction) so the expression stays engine-portable; at
-    m = 32 typical relative error is ~18% — test_hyperball pins the
-    certificate against the exact operator."""
+    registers, layout-free because the registers are. Each per-round
+    ball size uses the CORRECTED estimator (:func:`_corrected`: linear
+    counting E = m·ln(m/V) when raw E ≤ 2.5m and V > 0) — the raw form
+    reads an EMPTY ball as alpha·m ≈ 22, drowning the small balls a
+    truncated harmonic sum is made of; the correction's literal-embedded
+    CASE table keeps the expression engine-portable. At m = 32 typical
+    relative error is ~18% — test_hyperball pins the certificate against
+    the exact operator."""
     states = _ball_rounds(edges, n_rounds, src, dst, m)
     regs = [f"_r{j}" for j in range(m)]
 

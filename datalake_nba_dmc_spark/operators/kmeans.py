@@ -196,20 +196,36 @@ def assign_centroids(
     (SemDeDup's self-joins paid it ~8×: 1.1 → 20 s — receipts in
     PERF.md r10). Ties go to the lower centroid index, matching the
     expression path, which the emb_cluster_assign_ok certificate keeps
-    comparing against this scan corpus-wide."""
+    comparing against this scan corpus-wide.
+
+    NULL or mis-dimensioned vectors get a NULL ``out_col`` (in-band
+    quarantine, the resize_images policy) instead of the opaque
+    inhomogeneous-shape ValueError ``np.asarray`` would raise inside the
+    executor — ``ivf_index`` feeds this the UNFILTERED corpus, so a
+    single bad row must stay diagnosable (r10 ADVICE finding)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(centers, dtype=np.float64)
+    dim = c.shape[1]
 
     @pandas_udf("int")
     def _nearest(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype="int32")
-        v = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in vs], dtype=np.float64
-        )
-        d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        out = np.full(len(vs), -1, dtype=np.int64)
+        idxs, rows = [], []
+        for i, x in enumerate(vs):
+            if x is None:
+                continue
+            a = np.asarray(x, dtype=np.float64)
+            if a.shape != (dim,):
+                continue
+            idxs.append(i)
+            rows.append(a)
+        if rows:
+            v = np.asarray(rows, dtype=np.float64)
+            d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            out[idxs] = d.argmin(axis=1)
+        res = pd.Series(out, dtype="Int32")
+        return res.mask(res < 0)
 
     return df.withColumn(out_col, _nearest(F.col(vec_col).cast("array<double>")))

@@ -231,13 +231,15 @@ def ivf_index(
     """IVF coarse quantizer: KMeans centroids + corpus→centroid assignment.
 
     Training is the engine's own LAYOUT-INDEPENDENT Lloyd's loop
-    (operators/kmeans.deterministic_kmeans — content-hash init, exact
-    int64-quantized centroid sums, bit-equal convergence stop): the r10
+    (operators/kmeans.deterministic_kmeans — a content-hash-ranked
+    bounded sample via TakeOrdered, then driver-side numpy Lloyd with
+    farthest-point init and a bit-equal convergence stop): the r10
     partition-perturbation audit caught ``pyspark.ml`` KMeans producing
     different models for the same data under different physical layouts
     (per-partition kmeans|| sampling + partition-order double sums),
     which made IVF assignments a function of file-split sizes.
-    Assignment is one argmin-expression scan. Returns the assigned
+    Assignment is one Arrow-vectorized numpy argmin scan
+    (operators/kmeans.assign_centroids). Returns the assigned
     corpus (extra ``centroid_id`` int column) and the centers (k × dim
     floats — small enough for the driver/broadcast by construction,
     e.g. 65536 × 768 × 8 B = 400 MB worst case; typical k ≪ that).
@@ -702,15 +704,16 @@ def pq_train(
     scalar quantization (4×) and PCA: PQ stores m·log2(k) bits per vector
     (m=8, k=16 → 4 BYTES for a 64-dim float vector, 64×).
 
-    All m codebooks train JOINTLY in the engine's layout-independent
-    Lloyd's loop (operators/kmeans.deterministic_pq_codebooks — the r10
+    All m codebooks train from ONE layout-independent sampling job
+    (operators/kmeans.deterministic_pq_codebooks — the r10
     partition-perturbation audit caught ``pyspark.ml`` KMeans models
     varying with the physical layout, which made the emitted CODES a
-    function of file-split sizes): subvector rows carry their subspace
-    id, so each round is ONE scan + ONE hash-agg for every book instead
-    of m separate fit job-chains; the corpus is never collected and the
-    returned codebooks are m × k × (dim/m) floats, broadcast-sized by
-    construction. At 100 TB train on a sample (``sample_fraction`` —
+    function of file-split sizes): a single content-hash-ranked sample
+    is collected once, sliced per subspace on the driver, and each book
+    fits with driver-side numpy Lloyd (faiss's design — m books from one
+    sampling job instead of m separate fit job-chains); the full corpus
+    is never collected and the returned codebooks are m × k × (dim/m)
+    floats, broadcast-sized by construction. At 100 TB train on a sample (``sample_fraction`` —
     standard PQ practice; drawn by CONTENT hash, same layout-free lever
     as ``ivf_index``); encoding still scans everything."""
     from datalake_nba_dmc_spark.operators.kmeans import (
@@ -1057,6 +1060,17 @@ def _semantic_edges(
         import numpy as np
 
         def gram_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+            # NULL/ragged vectors can't be semantic duplicates of anything
+            # — drop them here rather than let np.asarray raise an opaque
+            # inhomogeneous-shape error (assign_centroids routes them to
+            # a NULL-centroid group, which still reaches this UDF)
+            ok = [
+                i
+                for i, x in enumerate(pdf[vec_col])
+                if x is not None and len(x) == dim
+            ]
+            if len(ok) < len(pdf):
+                pdf = pdf.iloc[ok]
             ids = pdf[id_col].to_numpy()
             if len(ids) < 2:
                 return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")

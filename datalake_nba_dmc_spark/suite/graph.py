@@ -40,9 +40,12 @@ _EDGES_SQL = (
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TableRegistry(spark, sf_dir).documents
+    # `div`, not `/`+cast: double division truncates-toward-zero after
+    # rounding, which diverges from the twin's exact integer `//` for
+    # negative ids and for ids >= ~2^46 (r10 ADVICE finding)
     return docs.select(
         (F.col("doc_id") % 101).alias("src"),
-        ((F.col("doc_id") / 101).cast("long") % 101).alias("dst"),
+        (F.expr("doc_id div 101") % 101).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
 
 

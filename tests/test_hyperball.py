@@ -166,3 +166,24 @@ def test_empty_and_bad_args(spark):
     assert hyperball_harmonic_estimate(empty, 2).collect() == []
     with pytest.raises(ValueError, match="n_rounds"):
         hyperball_registers(empty, -1)
+
+
+def test_alpha_for_m():
+    """alpha_m derives from m (r10 ADVICE: the hard-coded m=32 constant
+    silently biased any other register count)."""
+    import math
+
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        _ALPHA_32,
+        alpha_for_m,
+    )
+
+    assert alpha_for_m(16) == 0.673
+    assert alpha_for_m(32) == 0.697 == _ALPHA_32
+    assert alpha_for_m(64) == 0.709
+    assert math.isclose(alpha_for_m(128), 0.7213 / (1 + 1.079 / 128))
+    assert alpha_for_m(1 << 14) < 0.7213
+    with pytest.raises(ValueError, match="below the HLL minimum"):
+        alpha_for_m(8)

@@ -119,3 +119,57 @@ def test_pq_codebooks_match_per_subspace_training(spark):
         )[0]
         assert solo == restricted
         assert len(joint[j]) == 3 and all(len(c) == 4 for c in joint[j])
+
+
+def test_assign_centroids_quarantines_bad_vectors(spark):
+    """NULL / mis-dimensioned vectors -> NULL centroid_id (in-band
+    quarantine), never an executor-side inhomogeneous-shape ValueError;
+    good rows in the same batch are still assigned (r10 ADVICE fix)."""
+    from datalake_nba_dmc_spark.operators.kmeans import assign_centroids
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, None),          # NULL vector
+        (2, [5.0]),         # ragged (dim 1, centers are dim 2)
+        (3, [10.0, 10.0]),
+        (4, [0.1, 0.1, 9.9]),  # ragged (dim 3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.centroid_id
+        for r in assign_centroids(
+            df, centers=[[0.0, 0.0], [10.0, 10.0]]
+        ).collect()
+    }
+    assert got == {0: 0, 1: None, 2: None, 3: 1, 4: None}
+
+
+def test_semantic_edges_skip_bad_vectors(spark):
+    """The SemDeDup Gram stage drops NULL/ragged vectors instead of
+    crashing the whole cluster batch (they reach it via the NULL
+    centroid group assign_centroids now emits)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.similarity import _semantic_edges
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0001]),  # near-dup of 0
+        (2, 0, None),
+        (3, 0, [1.0]),          # ragged
+        (4, 1, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, centroid_id int, embedding array<double>"
+    )
+    edges = _semantic_edges(
+        df,
+        dim=2,
+        id_col="doc_id",
+        vec_col="embedding",
+        threshold=0.99,
+        max_cluster_rows=100,
+        n_split_tables=1,
+        seed=7,
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in edges) == [(0, 1)]
