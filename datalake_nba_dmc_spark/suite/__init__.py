@@ -64,7 +64,148 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- round-10 cut. Staleness entering r10 (from CORRECTNESS_r1..r9):
+    # -- round-11 cut. Staleness entering r11 (from CORRECTNESS_r1..r10):
+    #    22×r6 (last round's documented deferred tail — VERDICT r10 ask #2
+    #    says they lead), 50×r7, 50×r8, 50×r9, 50×r10. Window = 6 new
+    #    registrations (ask #1's staged operators — bigram LM, HyperBall
+    #    registers + estimate, portable HLL, media quarantine ledger —
+    #    plus ask #6's estimate-vs-exact error certificate, each in its
+    #    own round's window per the registry freeze) + all 22 r6
+    #    (r6-backlog → 0) + 22 of the 50 r7 (r7-backlog after r11 = 28).
+    #    r7 selection rule (the r10 precedent): the 15 r7 names bench.py
+    #    times EVERY round defer with that standing perf+smoke coverage;
+    #    media_phash_near_dups + media_frame_sample take explicit
+    #    in-window slots per ask #2 (both r9-changed; rotation promised
+    #    "r10+"); the other 13 no-bench deferrals sit contiguously past
+    #    the edge with per-name redundancy notes below.
+    # -- 1. never-checked: registered THIS round, in their own round's
+    #    window. text_bigram_logprob = add-one bigram LM, exact integer
+    #    micro-nat contract vs a list-comprehension twin;
+    #    graph_hyperball_registers / graph_hyperball_harmonic_est = the
+    #    100 TB HLL-ball centrality path, register-exact AND
+    #    estimate-exact vs BFS-derived twins;
+    #    graph_hyperball_error_certificate = ask #6 (estimate vs exact
+    #    harmonic, integer ppm aggregates + band verdict);
+    #    sketch_hll_portable = cross-engine bit-exact HLL rollup (full
+    #    VALUE oracle where DataSketches blobs only admit tolerance);
+    #    media_quarantine_report = ask #7 (r9)'s quarantine ledger with
+    #    a corruption-rule-derived oracle.
+    "text_bigram_logprob",
+    "graph_hyperball_registers",
+    "graph_hyperball_harmonic_est",
+    "graph_hyperball_error_certificate",
+    "sketch_hll_portable",
+    "media_quarantine_report",
+    # -- 2. the full r6 backlog (22) — r6-backlog after r11 = 0
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_url_canonical",
+    "sim_bruteforce_topk",
+    "sim_embedding_near_dups",
+    "sim_semantic_dedup",
+    "text_token_histogram",
+    "text_tfidf",
+    "text_domain_quota",
+    "text_dsir_selection",
+    "text_bpe_pair_counts",
+    "text_quality_classifier",
+    "events_tumbling_agg",
+    "events_sessionization",
+    "events_asof_latest_order",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
+    "set_except",
+    "join_inner",
+    "x4_split_mmss",
+    # -- 3. stalest r7 cohort (22 of 50; the other 28 deferred, below).
+    #    media_phash_near_dups + media_frame_sample first per ask #2.
+    "media_phash_near_dups",
+    "media_frame_sample",
+    "cdc_snapshot_diff",
+    "corpus_mix_report",
+    "dq_orders_expectations",
+    "emb_cluster_assign_ok",
+    "emb_pca_project",
+    "emb_second_moments",
+    "events_cohort_retention",
+    "func_date_parts",
+    "gapfill_user_daily",
+    "profile_orders_columns",
+    "sample_stratified_segments",
+    "scd2_user_event_history",
+    "sim_label_centroids",
+    "sim_pq_adc_recall",
+    "text_collocations",
+    "text_pack_bins",
+    "text_pii_redaction",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r7 (28): lead the r12 cut. 15 are bench-timed EVERY
+    #    round (executed at sf0.1 each bench run, crash/regression stays
+    #    visible round-over-round): a3_multi_measure_agg,
+    #    corpus_temperature_mix, curation_pipeline, dedup_incremental,
+    #    dedup_paragraphs, media_png_roundtrip_stats, sample_group_split,
+    #    sim_ivf_topk, sketch_distinct_rollup, text_bm25_topk,
+    #    text_bpe_segment, text_ccnet_buckets, text_decontaminate,
+    #    text_js_divergence, tpch_q4_order_priority. The 13 non-bench
+    #    deferrals, each with in-window redundancy:
+    #    emb_pca_whitened (emb_pca_project in-window — same
+    #    covariance/eigh substrate, whitening is a diagonal rescale);
+    #    events_interval_overlap + events_sliding_agg +
+    #    events_time_rollup (events family: tumbling/sessionization/
+    #    asof + cohort_retention all in-window);
+    #    tpch_q14_promo_revenue (conditional-agg shape = in-window
+    #    tpch_q6 + events family; q14's when/sum surface also in
+    #    agg_conditional, r10-green), tpch_q17_small_quantity_revenue
+    #    (correlated scalar-subquery shape = in-window tpch_q15's view
+    #    + tpch_q21's correlated exists family),
+    #    tpch_q19_disjunctive_predicates (pure filter surface — q6
+    #    in-window is the same scan+filter+agg shape),
+    #    tpch_q22_dormant_customers (anti-join + scalar subquery:
+    #    join_inner in-window, join_anti r10-green, q21 in-window);
+    #    y3_zorder_roundtrip (k-roundtrip family k1/k2/k3/k4/k5/k6/k7
+    #    all r9/r10-green; zorder layout pytest-pinned in test_layout);
+    #    dedup_prefix_ssjoin (the skew audit's zipf_hot_ssjoin_invariant
+    #    runs it every audit round; 4 dedup names in-window);
+    #    text_vocab_coverage + text_repetition (six text names
+    #    in-window; both are map-only token projections whose surface
+    #    text_token_histogram/text_tfidf cover);
+    #    sim_lsh_topk (sim_lsh_recall r10-green runs the same LSH
+    #    bucket path against brute-force truth — the stricter contract,
+    #    same precedent as media_phash_near_dups' r9 certificate).
+    "emb_pca_whitened",
+    "events_interval_overlap",
+    "events_sliding_agg",
+    "events_time_rollup",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22_dormant_customers",
+    "y3_zorder_roundtrip",
+    "dedup_prefix_ssjoin",
+    "text_vocab_coverage",
+    "text_repetition",
+    "sim_lsh_topk",
+    "a3_multi_measure_agg",
+    "corpus_temperature_mix",
+    "curation_pipeline",
+    "dedup_incremental",
+    "dedup_paragraphs",
+    "media_png_roundtrip_stats",
+    "sample_group_split",
+    "sim_ivf_topk",
+    "sketch_distinct_rollup",
+    "text_bm25_topk",
+    "text_bpe_segment",
+    "text_ccnet_buckets",
+    "text_decontaminate",
+    "text_js_divergence",
+    "tpch_q4_order_priority",
+    # -- round-10 cut (historical). Staleness entering r10 (from CORRECTNESS_r1..r9):
     #    16×r5 (last round's documented deferred tail — VERDICT r9 ask #2
     #    says they lead), 50×r6, 50×r7, 50×r8, 50×r9. Window = 6 new
     #    registrations (VERDICT r9 ask #1: the staged operators whose

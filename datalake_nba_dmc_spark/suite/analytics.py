@@ -799,3 +799,53 @@ def stat_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def _hll_portable_oracle() -> str:
+    """The twin evaluates the SAME dialect-rendered register aggregates
+    (integer mixer + rho ladder, MAX(CASE) per register) and the SAME
+    literal-embedded estimate expression — a full VALUE oracle for an
+    approximate sketch, the gap the engine-private DataSketches blobs in
+    sketch_distinct_rollup can only close with a tolerance certificate."""
+    from datalake_nba_dmc_spark.operators.hll_portable import (
+        M_REGISTERS,
+        estimate_sql,
+        register_agg_sql,
+    )
+
+    m = M_REGISTERS
+    regs = [f"_r{j}" for j in range(m)]
+    reg_select = ", ".join(
+        f"{register_agg_sql('doc_id', j, 'duck', m)} AS {r}"
+        for j, r in enumerate(regs)
+    )
+    return f"""
+    WITH regs AS (
+      SELECT source, {reg_select} FROM documents GROUP BY source
+    )
+    SELECT source, {estimate_sql(regs, m)} AS distinct_est_micro
+    FROM regs
+    """
+
+
+@query("sketch_hll_portable", oracle=_hll_portable_oracle())
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count rollup (operators/
+    hll_portable.hll_portable_distinct, registered r11): per-source
+    distinct doc_id estimates where the HASH is a dialect-rendered
+    integer avalanche mixer (no engine hash builtin), the registers are
+    m flat MAX(CASE) aggregates (map-side combined, skew-immune: group
+    state is m small ints however hot the group), and the estimate —
+    alpha_m correction, linear-counting small range, micro-unit floor —
+    is an identical-literal, identical-order expression in both engines,
+    so the sketch's VALUE hash-matches bit-for-bit. The Spark side
+    stages the (sum, zero-count) reductions as separate projections:
+    fusing all three layers into the aggregate's generated method blew
+    janino's 64 KB limit at sf0.1 and silently fell back to interpreted
+    execution (r10 cross-scale finding, now a plan-census rule)."""
+    from datalake_nba_dmc_spark.operators.hll_portable import (
+        hll_portable_distinct,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return hll_portable_distinct(docs, ["source"], "doc_id")

@@ -83,9 +83,13 @@ def _pagerank_oracle(n_iters: int, dp: int, scale: int) -> str:
     )
 
 
-def _harmonic_oracle(k: int, scale: int) -> str:
-    """Unrolled-BFS harmonic-centrality twin: round r discovers pairs via
-    an ANTI JOIN against everything known — first discovery = min hops."""
+def _bfs_ctes(k: int) -> list[str]:
+    """Shared unrolled-BFS CTE chain: round r discovers pairs via an
+    ANTI JOIN against everything known — first discovery = min hops.
+    ``a{r}`` holds every (s, d) pair with d reachable from s in ≤ r
+    hops (plus hop count h). Reused by the exact-harmonic twin AND the
+    HyperBall register/estimate twins (the registers are maxima over
+    exactly these balls)."""
     ctes = [
         f"edges AS (SELECT DISTINCT src AS s, dst AS d FROM ({_EDGES_SQL}))",
         "nodes AS (SELECT DISTINCT node FROM "
@@ -105,13 +109,24 @@ def _harmonic_oracle(k: int, scale: int) -> str:
         ctes.append(
             f"a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM k{r})"
         )
+    return ctes
+
+
+def _exact_harmonic_cte(k: int, scale: int) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
-        + f"""
-    SELECT n.node,
-           CAST(COALESCE(SUM({scale} // a.h), 0) AS BIGINT) AS harmonic_micro
-    FROM nodes n LEFT JOIN a{k} a ON n.node = a.d
-    GROUP BY n.node"""
+        f"exact AS (SELECT n.node, "
+        f"CAST(COALESCE(SUM({scale} // a.h), 0) AS BIGINT) AS harmonic_micro "
+        f"FROM nodes n LEFT JOIN a{k} a ON n.node = a.d GROUP BY n.node)"
+    )
+
+
+def _harmonic_oracle(k: int, scale: int) -> str:
+    """Unrolled-BFS harmonic-centrality twin over :func:`_bfs_ctes`."""
+    ctes = _bfs_ctes(k) + [_exact_harmonic_cte(k, scale)]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT node, harmonic_micro FROM exact"
     )
 
 
@@ -137,3 +152,240 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps the pair table for HyperBall HLL ball sketches; the loop shape
     is identical."""
     return harmonic_centrality_micro(_edges(spark, sf_dir), max_hops=_HC_HOPS)
+
+
+# --- HyperBall twins (registered r11) ---------------------------------
+# The registers twin derives the EXACT <= t in-balls from _bfs_ctes and
+# takes the same max over the shared dialect-rendered mixer/rho fragments
+# — every HLL register bit-exact without DuckDB ever max-MERGING
+# anything. The estimate twin then evaluates the SAME literal-embedded
+# corrected-estimator expression per round and replays the delta sum in
+# the SAME operation order, so even the double pipeline hash-matches.
+
+_HB_ROUNDS = 3
+
+
+def _hb_score_ctes(t_rounds: int, m: int) -> list[str]:
+    """BFS CTEs + per-node hash scores + per-round (members, register
+    hits, (Σ 2^(K−reg), V) reductions, corrected estimate e{t})."""
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        _K,
+        _idiv,
+        alpha_for_m,
+        linear_counting_case_sql,
+        mixer_sql,
+        rho_sql,
+    )
+
+    mix = mixer_sql("node", "duck")
+    ctes = _bfs_ctes(t_rounds)
+    ctes.append(
+        f"uscore AS (SELECT node AS u, ({mix} % {m}) AS bucket, "
+        f"{rho_sql(_idiv(mix, m, 'duck'))} AS rv FROM nodes)"
+    )
+    raw = (
+        f"(CAST({alpha_for_m(m) * m * m!r} AS DOUBLE) "
+        f"* CAST({float(2 ** _K)!r} AS DOUBLE) / CAST(s AS DOUBLE))"
+    )
+    lin = linear_counting_case_sql("v", m)
+    for t in range(0, t_rounds + 1):
+        members = "SELECT node, node AS u FROM nodes"
+        if t > 0:
+            members += f" UNION ALL SELECT d AS node, s AS u FROM a{t}"
+        ctes.append(f"members{t} AS ({members})")
+        ctes.append(
+            f"hits{t} AS (SELECT mm.node, us.bucket, MAX(us.rv) AS reg "
+            f"FROM members{t} mm JOIN uscore us ON mm.u = us.u "
+            "GROUP BY mm.node, us.bucket)"
+        )
+        # missing buckets are zero registers: 2^K each in the sum, and
+        # they ARE the zero-register count V (rho >= 1 for every hit)
+        ctes.append(
+            f"sv{t} AS (SELECT node, "
+            f"CAST(CAST(SUM(CAST(POW(2, {_K} - reg) AS BIGINT)) AS BIGINT) "
+            f"+ ({m} - COUNT(*)) * CAST(POW(2, {_K}) AS BIGINT) AS BIGINT) AS s, "
+            f"({m} - COUNT(*)) AS v FROM hits{t} GROUP BY node)"
+        )
+        ctes.append(
+            f"est{t} AS (SELECT node, (CASE WHEN {raw} <= "
+            f"CAST({2.5 * m!r} AS DOUBLE) AND v > 0 THEN {lin} "
+            f"ELSE {raw} END) AS e{t} FROM sv{t})"
+        )
+    deltas = " + ".join(
+        f"GREATEST(e{t} - e{t - 1}, CAST(0.0 AS DOUBLE)) "
+        f"/ CAST({float(t)!r} AS DOUBLE)"
+        for t in range(1, t_rounds + 1)
+    )
+    joins = " ".join(f"JOIN est{t} USING (node)" for t in range(1, t_rounds + 1))
+    ctes.append(
+        f"hb_est AS (SELECT node, CAST(FLOOR(({deltas}) "
+        "* CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) "
+        f"AS harmonic_micro_est FROM est0 {joins})"
+    )
+    return ctes
+
+
+def _hb_registers_oracle(t_rounds: int) -> str:
+    from datalake_nba_dmc_spark.operators.hyperball import M_REGISTERS
+
+    m = M_REGISTERS
+    ctes = _hb_score_ctes(t_rounds, m)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT s.node, t.j,
+           COALESCE(MAX(CASE WHEN s.bucket = t.j THEN s.rv END), 0) AS reg
+    FROM (SELECT mm.node, us.bucket, us.rv
+          FROM members{t_rounds} mm JOIN uscore us ON mm.u = us.u) s
+    CROSS JOIN UNNEST(range(0, {m})) AS t(j)
+    GROUP BY s.node, t.j"""
+    )
+
+
+def _hb_estimate_oracle(t_rounds: int) -> str:
+    from datalake_nba_dmc_spark.operators.hyperball import M_REGISTERS
+
+    ctes = _hb_score_ctes(t_rounds, M_REGISTERS)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT node, harmonic_micro_est FROM hb_est"
+    )
+
+
+def _hb_certificate_oracle(t_rounds: int, scale: int, band_ppm: int) -> str:
+    from datalake_nba_dmc_spark.operators.hyperball import M_REGISTERS
+
+    ctes = _hb_score_ctes(t_rounds, M_REGISTERS)
+    ctes.append(_exact_harmonic_cte(t_rounds, scale))
+    # the exact operator emits SCALE(=10^12 pico)-unit centralities while
+    # the estimate is micro-units: floor-divide the exact SUM down to
+    # micro in both engines before the ppm arithmetic (also keeps
+    # |diff| * 10^6 far inside int64)
+    ctes.append(
+        "cert AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        f"CAST(CAST(SUM(exact.harmonic_micro) AS BIGINT) // {scale // 10**6} "
+        "AS BIGINT) AS sum_exact_micro, "
+        "CAST(SUM(hb_est.harmonic_micro_est) AS BIGINT) AS sum_est_micro "
+        "FROM exact JOIN hb_est USING (node))"
+    )
+    err = (
+        "CAST(abs(sum_est_micro - sum_exact_micro) * 1000000 "
+        "// GREATEST(sum_exact_micro, 1) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT n_nodes, sum_exact_micro, sum_est_micro,
+           {err} AS agg_err_ppm,
+           CAST(CASE WHEN {err} <= {band_ppm} THEN 1 ELSE 0 END AS INTEGER)
+             AS within_band
+    FROM cert"""
+    )
+
+
+@query("graph_hyperball_registers", oracle=_hb_registers_oracle(_HB_ROUNDS))
+def graph_hyperball_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall register state after 3 max-merge rounds (operators/
+    hyperball.hyperball_registers, registered r11): per round ONE
+    edges⋈counters equi-join plus ONE groupBy(dst) with m flat MAX
+    aggregates — map-side combined, no arrays or HOFs in the hot path,
+    state O(nodes·m) however deep the graph. Registers are maxima over
+    the EXACT ≤3-hop in-balls, so the twin derives the balls by
+    unrolled BFS and takes the same max over the shared
+    dialect-rendered mixer/rho fragments — bit-exact, the full-value
+    oracle an approximate sketch normally can't have. This is the
+    documented 100 TB swap-in for graph_harmonic_centrality's pair
+    table (Boldi & Vigna 2013)."""
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        hyperball_registers,
+    )
+
+    return hyperball_registers(_edges(spark, sf_dir), n_rounds=_HB_ROUNDS)
+
+
+@query(
+    "graph_hyperball_harmonic_est", oracle=_hb_estimate_oracle(_HB_ROUNDS)
+)
+def graph_hyperball_harmonic_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate truncated harmonic centrality from ONE HyperBall run
+    (operators/hyperball.hyperball_harmonic_estimate, registered r11):
+    H(v) ≈ Σ_t (E_t(v) − E_{t−1}(v))/t over per-round CORRECTED ball
+    estimates (linear counting in the small range — a raw estimator
+    reads an EMPTY ball as alpha·m ≈ 22). Every constant is the same
+    full-precision literal in both engines and the double pipeline has
+    a fixed operation order, so even the ESTIMATE hash-matches
+    bit-for-bit — the twin recomputes it from BFS-derived registers."""
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        hyperball_harmonic_estimate,
+    )
+
+    return hyperball_harmonic_estimate(
+        _edges(spark, sf_dir), n_rounds=_HB_ROUNDS
+    )
+
+
+#: Aggregate relative-error band for the certificate, ppm. HLL accuracy
+#: is distributional (rse ≈ 1.04/√m ≈ 18% at m=32), so the certificate
+#: pins the AGGREGATE error like test_hyperball does, with headroom for
+#: the truncated-delta amplification; measured agg_err_ppm stays well
+#: inside at all three gate scales (receipt in PERF.md r11).
+_HB_BAND_PPM = 400_000
+
+
+@query(
+    "graph_hyperball_error_certificate",
+    oracle=_hb_certificate_oracle(_HB_ROUNDS, SCALE, _HB_BAND_PPM),
+)
+def graph_hyperball_error_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimate-vs-exact certificate (VERDICT r10 ask #6): joins the
+    HyperBall harmonic estimate against the EXACT bounded-radius
+    harmonic centrality at the same radius and emits one row of integer
+    aggregates — node count, both centrality sums, the aggregate
+    relative error in ppm (integer // arithmetic, engine-exact), and
+    the within-band verdict. The linear-counting correction's
+    empty-ball edge case is exactly where the estimate would silently
+    drift: an uncorrected estimator inflates every unreachable node by
+    alpha·m, blowing the ppm budget — so a regression there fails BOTH
+    the value hash and the band flag."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.graph import (
+        harmonic_centrality_micro,
+    )
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        hyperball_harmonic_estimate,
+    )
+
+    edges = _edges(spark, sf_dir)
+    exact = harmonic_centrality_micro(edges, max_hops=_HB_ROUNDS)
+    est = hyperball_harmonic_estimate(edges, n_rounds=_HB_ROUNDS)
+    agg = (
+        exact.join(est, on="node")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            # exact is SCALE(pico)-units, estimate is micro: floor the
+            # exact sum down to micro on both sides before the ppm math
+            F.expr(f"sum(harmonic_micro) div {SCALE // 10**6}").alias(
+                "sum_exact_micro"
+            ),
+            F.sum("harmonic_micro_est").alias("sum_est_micro"),
+        )
+    )
+    err = F.expr(
+        "(abs(sum_est_micro - sum_exact_micro) * 1000000) "
+        "div greatest(sum_exact_micro, 1)"
+    )
+    return agg.select(
+        "n_nodes",
+        "sum_exact_micro",
+        "sum_est_micro",
+        err.alias("agg_err_ppm"),
+    ).withColumn(
+        "within_band",
+        (F.col("agg_err_ppm") <= F.lit(_HB_BAND_PPM)).cast("int"),
+    )

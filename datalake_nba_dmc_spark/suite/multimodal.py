@@ -418,3 +418,39 @@ def media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_wav_media(docs, sample_rate=16000, cap=4096)
     return wav_pcm_stats(media)
+
+
+@query(
+    "media_quarantine_report",
+    oracle="""
+    SELECT 'png' AS sniffed_format,
+           CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END
+             AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+    GROUP BY 1, 2
+    """,
+)
+def media_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine OBSERVABILITY ledger (VERDICT r9 ask #7, registered
+    r11): every 7th synthesized PNG payload is deterministically
+    truncated to 40 bytes (magic intact, decode impossible), then
+    operators/multimodal.media_quarantine_report classifies the corpus
+    by magic-byte sniff AND full decode outcome in one Arrow scan. The
+    oracle derives the per-(format, status) totals from the corruption
+    rule alone, so a sniff regression (truncated PNG no longer reported
+    as 'png') or a decode regression (healthy PNG quarantined) each
+    fail the value hash. At 100 TB this report is what distinguishes
+    "0.01% corrupt input" from "a format regression quarantined half
+    the corpus" — O(formats x statuses) output rows regardless of
+    corpus size, payloads never leave the executors."""
+    docs = TableRegistry(spark, sf_dir).documents
+    media = M.synthesize_png_media(docs, width=16, cap=1024)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 7 == 0, F.expr("substring(payload, 1, 40)")
+        ).otherwise(F.col("payload")),
+    )
+    return M.media_quarantine_report(corrupted)

@@ -1527,3 +1527,59 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return pack_sequences(docs, seq_len=64)
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(toks) AS w FROM t)
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+    ), bi AS (
+      SELECT doc_id,
+             unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                     FOR i IN range(1, len(toks))]) AS p
+      FROM t2
+    ), pairs AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi
+    ), dbb AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS n_dbb FROM pairs GROUP BY 1, 2, 3
+    ), big AS (
+      SELECT w1, w2, CAST(SUM(n_dbb) AS BIGINT) AS c_ww
+      FROM dbb GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c_ww) AS BIGINT) AS c_w1 FROM big GROUP BY 1
+    )
+    SELECT dbb.doc_id,
+           CAST(SUM(dbb.n_dbb) AS BIGINT) AS n_bigrams,
+           CAST(SUM(dbb.n_dbb * CAST(round(
+                  ln(CAST(big.c_ww + 1 AS DOUBLE)
+                     / CAST(ctx.c_w1 + uni.v AS DOUBLE))
+                  * 1e6) AS BIGINT)) AS BIGINT) AS sum_logprob_micro
+    FROM dbb JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN uni
+    GROUP BY dbb.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM quality score (operators/ngram_lm.
+    bigram_logprob, registered r11) — the word-ORDER upgrade of
+    text_unigram_logprob: p(w2|w1) = (c(w1 w2)+1) / (c(w1 .)+V) under
+    the corpus's own bigram distribution. Shuffled rows are O(distinct
+    (doc, bigram)), never O(token instances); the vocabulary size rides
+    as a broadcast one-row literal; per-bigram micro-nat terms are exact
+    int64 and the output stays PURE integer to the end (the sf0.1
+    rounding-boundary lesson: Spark HALF_UP vs DuckDB round() disagree
+    on the same double — so no final float division). The twin builds
+    bigrams with a list comprehension over the token array, an
+    independent formulation of the zipped-slice explode."""
+    from datalake_nba_dmc_spark.operators.ngram_lm import bigram_logprob
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return bigram_logprob(docs)
