@@ -130,6 +130,17 @@ EXTENDED = [
     # slower-at-toy-scale skew-insurance path (PERF.md crossover receipt);
     # timing it would bill the suite for an operator whose contract is a
     # worst-case bound, not a clean-corpus constant.
+    # r11 registrations (first same-harness baseline: BENCH_r11; staged
+    # pre-baselines from the r10 session, same host/sf0.1: bigram 1.93 s,
+    # hb_registers@3 4.06 s, hb_estimate@3 4.61 s, hll_portable 0.70 s,
+    # quarantine 0.74 s; the error certificate runs exact+estimate
+    # together, first baseline this round)
+    "text_bigram_logprob",
+    "graph_hyperball_registers",
+    "graph_hyperball_harmonic_est",
+    "graph_hyperball_error_certificate",
+    "sketch_hll_portable",
+    "media_quarantine_report",
 ]
 
 #: The r6-era extended membership (first 24 names) — used only to emit the
@@ -210,6 +221,14 @@ def main() -> None:
         # r7: gram rows now eagerly checkpointed before the self-join —
         # rebuild so the materialization is billed every pass
         "dedup_ngram_jaccard",
+        # r11: the HyperBall builders eagerly localCheckpoint every
+        # max-merge round — pre-building would bill only the final noop
+        # of an already-materialized frame (the r10 "eager builder work
+        # never billed" gotcha). First baselines are r11, so the honest
+        # end-to-end definition starts clean here.
+        "graph_hyperball_registers",
+        "graph_hyperball_harmonic_est",
+        "graph_hyperball_error_certificate",
     }
 
     samples: dict[str, list[float]] = {}
@@ -312,18 +331,32 @@ def main() -> None:
                 "extended_total": ext_total,
                 "extended_total_r6def": ext_total_r6def,
                 # round-over-round movers under explicit watch (VERDICT r7
-                # ask #6) — surfaced here so the DRIVER record carries them
-                # even though the extended detail no longer fits the tail
+                # ask #6; r11 adds the three r10 A/B movers) — surfaced here
+                # so the DRIVER record carries them even though the extended
+                # detail no longer fits the tail
                 "watch": {
-                    n: ext_timings[n]
-                    for n in ("er_fuzzy_name_pairs", "text_unigram_logprob")
-                    if n in ext_timings
+                    n: ext_timings.get(n, timings.get(n))
+                    for n in (
+                        "er_fuzzy_name_pairs",
+                        "text_unigram_logprob",
+                        "mart_basket_pairs",
+                        "tpch_q4_order_priority",
+                    )
+                    if n in ext_timings or n in timings
                 },
                 "idle_wait_s": idle_wait,
                 "unstable": still_unstable,
             }
         )
     )
+
+
+#: FINAL-line budget (VERDICT r10 ask #8): the driver parses JSON from the
+#: LAST ~2000 bytes of stdout. The compact line is O(1) in the extended-set
+#: size by construction (fixed fields + a 4-name watch dict + the unstable
+#: list, which only ever holds headline names) — test_suite_contract pins
+#: the worst-case length under the window.
+_FINAL_LINE_BUDGET = 2000
 
 
 if __name__ == "__main__":

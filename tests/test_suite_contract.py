@@ -110,3 +110,38 @@ def test_driver_window_priority():
     assert tail_oldest == names[50 : 50 + len(tail_oldest)], (
         "deferred-backlog entries must sit contiguously at the window edge"
     )
+
+
+def test_bench_final_line_fits_tail_window():
+    """VERDICT r10 ask #8: the driver parses JSON from the LAST ~2000
+    bytes of bench stdout, so the compact FINAL line must stay under
+    budget even in the WORST case (every headline query unstable, every
+    watch entry present, maximal float widths). The line is O(1) in the
+    extended-set size by construction — this pins that it stays so as
+    registrations grow."""
+    import json
+
+    import bench
+
+    worst = {
+        "metric": "headline_suite_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"_detail": "see BENCH_DETAIL.json"},
+        "extended_total": 99999.999,
+        "extended_total_r6def": 99999.999,
+        "watch": {
+            "er_fuzzy_name_pairs": 99999.999,
+            "text_unigram_logprob": 99999.999,
+            "mart_basket_pairs": 99999.999,
+            "tpch_q4_order_priority": 99999.999,
+        },
+        "idle_wait_s": 120.0,
+        "unstable": list(bench.HEADLINE),  # worst case: ALL unstable
+    }
+    line = json.dumps(worst)
+    assert len(line) <= bench._FINAL_LINE_BUDGET - 200, (
+        f"compact FINAL line worst case is {len(line)} bytes — too close "
+        f"to the driver's ~{bench._FINAL_LINE_BUDGET}-byte tail window"
+    )

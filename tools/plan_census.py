@@ -1,12 +1,19 @@
 """Full-registry physical-plan census — the per-round self-audit tool.
 
-For every registered query, build the frame at sf0.001 and count plan
-features that matter at 100 TB. Each round audits a dimension (r5:
-FileScan duplication + broadcast direction; r6: window rank-limit
-pushdown + cartesian / Python-marker / exchange-count screen). Usage:
+For every registered query, build the frame at sf0.001, count plan
+features that matter at 100 TB, then EXECUTE it into the noop sink while
+watching the JVM's stderr for whole-stage-codegen compile failures. Each
+round audits a dimension (r5: FileScan duplication + broadcast
+direction; r6: window rank-limit pushdown + cartesian / Python-marker /
+exchange-count screen; r11: janino compile-failure scan — the r10
+portable-HLL finding: a generated aggregate output method past janino's
+64 KB limit logs `ERROR CodeGenerator ... Failed to compile` and
+silently falls back to INTERPRETED execution, correct but unbilled-slow;
+this was a manual grep until now). Usage:
 
     python tools/plan_census.py            # summary + flagged queries
     python tools/plan_census.py --all      # per-query table
+    python tools/plan_census.py --no-exec  # analyze-only (skip codegen scan)
 """
 
 from __future__ import annotations
@@ -16,13 +23,17 @@ import io
 import os
 import re
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from datalake_nba_dmc_spark.session import get_spark
-from datalake_nba_dmc_spark.suite import load_all
-
 SF = "/root/testdata/sf0.001"
+
+#: Codegen-health patterns: janino's method-size overflow and the generic
+#: compile-failure banner both precede a silent interpreted fallback.
+CODEGEN_BAD = re.compile(
+    r"Failed to compile|grows beyond 64 KB|Code of method .* exceeds"
+)
 
 #: Queries allowed to show a ranking Window WITHOUT WindowGroupLimit:
 #: their window result is NOT filtered by a rank bound (full ranking is
@@ -81,14 +92,44 @@ BNLJ_AUDITED = {
                                   # a fixed ~1 MiB sketch replaces the
                                   # gram-string broadcast)
     "tpch_q22_dormant_customers", # one-row avg(acctbal) scalar
+    "text_bigram_logprob",        # one-row vocabulary-size broadcast onto
+                                  # the per-(doc,bigram) count stream (r11;
+                                  # same shape as text_unigram_logprob's
+                                  # token grand total — the smoothing
+                                  # denominator V is a corpus scalar)
 }
 
 
 def main() -> int:
     show_all = "--all" in sys.argv
+    do_exec = "--no-exec" not in sys.argv
+
+    # JVM stderr capture for the codegen scan: the JVM inherits fd 2 at
+    # fork time, so the redirect must happen BEFORE the SparkSession
+    # (hence before get_spark's first import-time use). Python-side
+    # stderr keeps flowing to the same file; per-query attribution reads
+    # the file's delta after each execution.
+    cap = tempfile.NamedTemporaryFile(
+        mode="w+b", prefix="census_stderr_", suffix=".log", delete=False
+    )
+    saved_fd2 = os.dup(2)
+    os.dup2(cap.fileno(), 2)
+
+    from datalake_nba_dmc_spark.session import get_spark
+    from datalake_nba_dmc_spark.suite import load_all
+
     spark = get_spark("plan_census")
+
+    def stderr_delta(pos: int) -> tuple[str, int]:
+        with open(cap.name, "rb") as f:
+            f.seek(pos)
+            chunk = f.read()
+        return chunk.decode("utf-8", "replace"), pos + len(chunk)
+
     flagged: list[str] = []
     rows = []
+    # drain JVM startup noise before attributing anything
+    _, cap_pos = stderr_delta(0)
     for name, spec in load_all().items():
         try:
             df = spec.builder(spark, SF)
@@ -125,6 +166,17 @@ def main() -> int:
             problems.append("ROW-PYTHON")
         if rank_filtered and n_wgl == 0 and name not in UNFILTERED_RANK_OK:
             problems.append("RANK-FILTER-NO-PUSHDOWN")
+        if do_exec:
+            # run the real plan (codegen compiles at execution, same
+            # generated methods at every scale) and scan the JVM stderr
+            # delta for the silent-interpreted-fallback banner
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"EXEC-ERROR {type(e).__name__}")
+            delta, cap_pos = stderr_delta(cap_pos)
+            if CODEGEN_BAD.search(delta):
+                problems.append("JANINO-FALLBACK")
         line = (
             f"exch={n_exchange} win={n_window} wgl={n_wgl}"
             + (" " + ",".join(problems) if problems else "")
@@ -132,6 +184,8 @@ def main() -> int:
         rows.append((name, line))
         if problems:
             flagged.append(name)
+    os.dup2(saved_fd2, 2)
+    os.close(saved_fd2)
     if show_all:
         for n, line in rows:
             print(f"{n:45s} {line}")

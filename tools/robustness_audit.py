@@ -50,6 +50,18 @@ the same differential comparison on two mutated copies of the data that a
   values) are blind to. No mutated fixture and no second engine — the
   three layouts ARE the differential.
 
+- ``spill``  — memory-pressure/spill determinism (r11): every query runs
+  twice in one session — default confs, then with the window / sort-merge
+  -join / cartesian / session-window buffers forced OUT of their in-memory
+  arrays after 2 rows (spilling every 53) and ObjectHashAggregate forced
+  into its sort-based fallback after 2 keys — and the two result sets must
+  be BIT-IDENTICAL. Catches accumulation-order and partial-state bugs that
+  only manifest when operators externalize; the clean runs and the
+  partitions audit both execute comfortably in memory and cannot reach
+  these code paths. The session event log is parsed afterwards and the
+  audit FAILS ITSELF if zero bytes actually spilled (a vacuous pass —
+  e.g. a future Spark renames the threshold confs).
+
 - ``bytes``  — malformed-media robustness (r8): truncated IDAT, corrupt
   CRCs, lying IHDR/SOF/BMP dimension and offset fields, invalid filter
   and Huffman structures, RIFF size-field overflows, random/empty/NULL
@@ -67,6 +79,7 @@ Usage::
     python tools/robustness_audit.py dup   [query ...]
     python tools/robustness_audit.py bytes
     python tools/robustness_audit.py partitions [query ...]
+    python tools/robustness_audit.py spill [query ...]
 
 Builds the mutated dataset under ``/tmp/robustness_<mode>`` (cached — wiped
 and rebuilt when missing) from ``/root/testdata/sf0.001``, then runs the
@@ -934,6 +947,150 @@ def partitions_audit(only: set[str]) -> int:
     return 1 if (n_fail or n_crash) else 0
 
 
+#: Spill-forcing SQL confs (all DYNAMIC — toggled per trial in one
+#: session). The buffer thresholds drive ExternalAppendOnlyUnsafeRowArray
+#: (window frames, sort-merge-join buffered matches, cartesian blocks,
+#: session windows) out of its in-memory array and into a spilling
+#: UnsafeExternalSorter after a handful of rows; the ObjectHashAggregate
+#: threshold forces the sort-based fallback for object aggregates
+#: (collect_list/set, percentile_approx) after 7 distinct keys. Values
+#: are primes so a "coincidentally aligned batch" can't mask an
+#: order-sensitivity bug. Thresholds are tiny (2/3) because the audit
+#: runs at sf0.001, where per-group buffers are a handful of rows — the
+#: receipt below proves spills actually happened.
+_SPILL_CONFS = {
+    "spark.sql.windowExec.buffer.in.memory.threshold": "2",
+    "spark.sql.windowExec.buffer.spill.threshold": "53",
+    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "2",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "53",
+    "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "2",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold": "53",
+    "spark.sql.sessionWindow.buffer.in.memory.threshold": "2",
+    "spark.sql.sessionWindow.buffer.spill.threshold": "53",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "2",
+}
+
+#: Queries whose spill-mode divergence is triaged as contractual:
+KNOWN_SPILL: dict[str, str] = {}
+
+
+def spill_audit(only: set[str]) -> int:
+    """Memory-pressure/spill determinism (r11, VERDICT r10 ask #5): run
+    every query twice in one session — default confs, then the
+    _SPILL_CONFS trial that forces window/join/cartesian buffers and
+    object-hash aggregates to externalize after a few rows — and require
+    BIT-IDENTICAL results. Catches accumulation-order and partial-state
+    bugs that only manifest when operators spill, which neither the
+    clean differential nor the partitions audit can reach (both run
+    comfortably in memory).
+
+    Efficacy receipt: the session runs with event logging on; after the
+    audit the context is stopped and the log's task metrics are summed —
+    ZERO spilled bytes across the whole run means the confs silently
+    stopped engaging (a vacuous pass) and the audit FAILS itself."""
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from datalake_nba_dmc_spark.session import apply_runtime_confs
+    from datalake_nba_dmc_spark.suite import load_all
+    from tools.verify_local import canonical_hash
+
+    eventdir = "/tmp/robustness_spill_eventlog"
+    shutil.rmtree(eventdir, ignore_errors=True)
+    os.makedirs(eventdir, exist_ok=True)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = apply_runtime_confs(
+        SparkSession.builder.appName("robustness_spill")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", eventdir)
+        .config("spark.eventLog.compress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    specs = load_all()
+    n_pass = n_fail = n_crash = n_known = 0
+    failures: list[str] = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        if name in KNOWN_SPILL:
+            print(f"KNOWN {name}: {KNOWN_SPILL[name]}")
+            n_known += 1
+            continue
+        results = []
+        crashed = False
+        for label, confs in (("default", {}), ("spill", _SPILL_CONFS)):
+            for k in _SPILL_CONFS:
+                spark.conf.unset(k)
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            try:
+                pdf = spec.builder(spark, SRC).toPandas()
+                results.append((label, len(pdf), canonical_hash(pdf)))
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"CRASH {name} [{label}]: {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:160]}"
+                )
+                n_crash += 1
+                failures.append(name)
+                crashed = True
+                break
+        if crashed:
+            continue
+        if len({h for _, _, h in results}) == 1:
+            print(f"PASS {name} ({results[0][1]} rows, default==spill)")
+            n_pass += 1
+        else:
+            detail = "; ".join(f"{lbl}: {n} rows {h}" for lbl, n, h in results)
+            print(f"FAIL {name}: spill-dependent result — {detail}")
+            n_fail += 1
+            failures.append(name)
+    # efficacy receipt: total spilled bytes from the event log
+    spark.sparkContext.stop()
+    spilled = 0
+    paths = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(eventdir)
+        for f in files
+        if "appstatus" not in f
+    ]
+    for path in paths:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                if '"Disk Bytes Spilled"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                spilled += int(tm.get("Disk Bytes Spilled", 0)) + int(
+                    tm.get("Memory Bytes Spilled", 0)
+                )
+    print(
+        f"\n[spill] {n_pass} pass, {n_fail} spill-dependent, "
+        f"{n_crash} crash, {n_known} known; "
+        f"spilled_bytes_receipt={spilled}"
+    )
+    if spilled == 0 and not only:
+        print(
+            "CONF-INEFFECTIVE: zero bytes spilled across the whole audit — "
+            "the spill confs no longer engage; the pass is vacuous"
+        )
+        return 1
+    if failures:
+        print("failures:", " ".join(sorted(failures)))
+    return 1 if (n_fail or n_crash) else 0
+
+
 #: Fixture-scheme tag written into the _COMPLETE marker. Bump whenever the
 #: mutation recipe changes (r8 ADVICE: the r7 crc32-seed fix silently never
 #: took effect on machines with a warm /tmp cache because the marker was
@@ -1053,6 +1210,8 @@ def main() -> int:
         return bytes_audit()
     if mode == "partitions":
         return partitions_audit(set(sys.argv[2:]))
+    if mode == "spill":
+        return spill_audit(set(sys.argv[2:]))
     only = set(sys.argv[2:])
     sf_dir = build_mutated(mode)
 
