@@ -1084,3 +1084,67 @@ def js_divergence(
             F.round((kl_a + kl_b) / F.lit(2.0), 6).alias("jsd"),
         )
     )
+
+
+def c4_line_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level cleaning signals (Raffel et al. 2020, §2.2 —
+    public paper; the reference pipeline behind the C4 corpus). Where
+    :func:`gopher_quality` judges a DOCUMENT by ratio rules, C4 first
+    cleans LINE BY LINE and then applies page-level discards:
+
+    - a line is KEPT iff it ends in terminal punctuation (``. ! ? "``)
+      AND has at least 5 words AND does not contain the word
+      ``javascript`` (case-insensitive);
+    - the page is DISCARDED if it has fewer than 3 kept "sentences"
+      (kept lines, the paper's proxy), contains ``lorem ipsum``, or
+      contains a curly brace (``{`` — code markup).
+
+    Emitted per document: ``n_lines`` (non-blank), ``n_kept_lines``,
+    ``kept_chars`` (Σ trimmed length of kept lines — the size of the
+    cleaned page), ``has_lorem`` / ``has_brace`` (0/1), and the
+    conjunctive ``c4_keep`` verdict. Pure built-in array expressions
+    (split → filter → aggregate) — one codegen'd map-only projection the
+    scan absorbs, no UDF, no shuffle, embarrassingly parallel at 100 TB.
+    The three-sentence-span corpus dedup step of C4 lives separately in
+    ``dedup.cross_doc_substring_spans`` (registered r9).
+
+    Suite registration (``text_c4_filters``) is staged for the next
+    round per the registry freeze; tests/test_staged_oracles.py carries
+    the DuckDB twin (list_filter replay of the same line rules).
+    """
+    c = F.col(text_col)
+    # STAGE the line arrays as real columns (the with_shingles rule):
+    # higher-order functions are interpreted, and `_lines`/`_kept` are
+    # each referenced by two output columns — inlined, the whole
+    # split→trim→filter chain re-evaluates per reference (measured
+    # 7.4 s → ~1 s at sf0.1 for this exact projection).
+    staged = df.withColumn(
+        "_lines",
+        F.filter(F.transform(F.split(c, "\n"), F.trim), lambda l: l != ""),
+    ).withColumn(
+        "_kept",
+        F.filter(
+            F.col("_lines"),
+            lambda l: l.rlike('[.!?"]$')
+            & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= 5)
+            & ~F.lower(l).contains("javascript"),
+        ),
+    )
+    n_kept = F.size("_kept")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    c4_keep = (n_kept >= 3) & ~has_lorem & ~has_brace
+    return staged.withColumns(
+        {
+            "n_lines": F.size("_lines").cast("long"),
+            "n_kept_lines": n_kept.cast("long"),
+            "kept_chars": F.aggregate(
+                F.transform(F.col("_kept"), F.length),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ),
+            "has_lorem": has_lorem.cast("int"),
+            "has_brace": has_brace.cast("int"),
+            "c4_keep": F.coalesce(c4_keep, F.lit(False)).cast("int"),
+        }
+    ).drop("_lines", "_kept")

@@ -569,3 +569,74 @@ def test_media_quarantine_report_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 2
+
+
+@needs_testdata
+def test_c4_line_filters_duckdb_twin(spark):
+    """c4_line_filters (r11-staged) vs a DuckDB list_filter replay of the
+    same line rules — terminal punctuation, >=5 words, no 'javascript',
+    page-level lorem/brace/3-kept-lines discards — value-identical per
+    document including the kept-character totals."""
+    from datalake_nba_dmc_spark.operators.text import c4_line_filters
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (
+            r.doc_id,
+            r.n_lines,
+            r.n_kept_lines,
+            r.kept_chars,
+            r.has_lorem,
+            r.has_brace,
+            r.c4_keep,
+        )
+        for r in c4_line_filters(docs)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept_lines",
+            "kept_chars",
+            "has_lorem",
+            "has_brace",
+            "c4_keep",
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(int(x) for x in row)
+        for row in _duck().execute(
+            r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                             x -> trim(x)), x -> x != '') AS lines
+          FROM documents
+        ), k AS (
+          SELECT doc_id, text, lines,
+                 list_filter(lines, l ->
+                     regexp_matches(l, '[.!?"]$')
+                     AND len(list_filter(string_split_regex(l, '\s+'),
+                                         w -> w != '')) >= 5
+                     AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(COALESCE(list_sum(list_transform(kept, x -> length(x))),
+                             0) AS BIGINT) AS kept_chars,
+               CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0
+                 END AS has_lorem,
+               CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+               CASE WHEN len(kept) >= 3
+                         AND NOT contains(lower(text), 'lorem ipsum')
+                         AND NOT contains(text, '{')
+                    THEN 1 ELSE 0 END AS c4_keep
+        FROM k
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the rules actually bite on the synthetic corpus (not a vacuous twin)
+    assert any(r[6] == 0 for r in got) or any(r[2] < r[1] for r in got)
