@@ -201,3 +201,77 @@ def harmonic_centrality_micro(
         "node",
         F.coalesce("harmonic_micro", F.lit(0)).cast("long").alias("harmonic_micro"),
     )
+
+
+def label_propagation_micro(
+    edges: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan, Albert &
+    Kumara 2007 — public): every node starts labeled with its own id;
+    each round every node adopts the label carried by the PLURALITY of
+    its (undirected) neighbors, ties broken toward the SMALLEST label.
+    Returns (node, community) after exactly ``n_rounds`` synchronous
+    rounds — community = the final label. The crawl-curation use is
+    domain/host community detection next to the centrality signals
+    (PageRank ranks pages, LPA groups them).
+
+    Determinism contract: synchronous updates (round t reads only round
+    t−1's labels), integer labels, and the deterministic tie-break make
+    the whole recurrence an integer function of the edge set — a DuckDB
+    twin that unrolls k rounds of per-node plurality votes reproduces
+    every label bit-exactly (same family as ``pagerank_micro``; NO
+    random visit order, which the paper's asynchronous variant uses and
+    which could never be twinned). Classic LPA caveat: synchronous
+    updates can oscillate 2-cycles on bipartite structures — with a
+    FIXED round count both engines sit at the same point of the
+    oscillation, so the contract holds regardless.
+
+    Scale shape: one neighbor-join + one (node, label) hash-agg + one
+    plurality-pick hash-agg per round (all map-side combinable;
+    argmax-by-struct, no window), labels O(nodes), lineage truncated
+    every ``checkpoint_every`` rounds. Suite registration
+    (``graph_label_propagation``) is staged for the next round per the
+    registry freeze; tests/test_staged_oracles.py carries the
+    unrolled-CTE twin."""
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    und = (
+        e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("_u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for t in range(1, n_rounds + 1):
+        votes = und.join(
+            labels.select(F.col("node").alias("_v"), "label"), on="_v"
+        ).select(F.col("_u").alias("node"), "label")
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        # plurality with min-label tie-break as ONE argmax aggregate:
+        # max over (count, -label) structs — labels are non-negative ids,
+        # so max(-label) = min(label). No window, map-side combinable.
+        picked = counts.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))
+            ).alias("_m")
+        )
+        labels = picked.select(
+            "node", (-F.col("_m._nl")).cast("long").alias("label")
+        )
+        if t % checkpoint_every == 0 or t == n_rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

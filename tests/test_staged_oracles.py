@@ -640,3 +640,92 @@ def test_c4_line_filters_duckdb_twin(spark):
     assert got == want and len(got) > 0
     # the rules actually bite on the synthetic corpus (not a vacuous twin)
     assert any(r[6] == 0 for r in got) or any(r[2] < r[1] for r in got)
+
+
+@needs_testdata
+def test_label_propagation_duckdb_twin(spark):
+    """label_propagation_micro (r11-staged) vs a DuckDB twin unrolling k
+    synchronous plurality-vote rounds (ROW_NUMBER ordered by count DESC,
+    label ASC = the operator's max-by-(count, -label) aggregate) — every
+    community label bit-exact."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.graph import (
+        label_propagation_micro,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    T = 4
+    docs = TableRegistry(spark, SF).documents
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        (F.expr("doc_id div 101") % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    got = sorted(
+        (r.node, r.community)
+        for r in label_propagation_micro(edges, n_rounds=T).collect()
+    )
+    ctes = [
+        "edges AS (SELECT DISTINCT doc_id % 101 AS s, (doc_id // 101) % 101 "
+        "AS d FROM documents WHERE doc_id % 101 != (doc_id // 101) % 101)",
+        "und AS (SELECT DISTINCT u, v FROM (SELECT s AS u, d AS v FROM edges "
+        "UNION ALL SELECT d, s FROM edges))",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)",
+    ]
+    for t in range(1, T + 1):
+        ctes.append(
+            f"v{t} AS (SELECT und.u AS node, l.label FROM und "
+            f"JOIN l{t - 1} l ON und.v = l.node)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT node, label, COUNT(*) AS c FROM v{t} "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{t} AS (SELECT node, label FROM (SELECT node, label, "
+            "ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC)"
+            f" AS rn FROM c{t}) WHERE rn = 1)"
+        )
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{T}"
+    )
+    want = sorted(
+        (int(a), int(b)) for a, b in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) == 101
+    # communities actually coarsen (not the identity labeling)
+    assert len({c for _, c in got}) < 101
+
+
+def test_label_propagation_empty_and_laws(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.graph import (
+        label_propagation_micro,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation_micro(empty, 2).collect() == []
+    with pytest.raises(ValueError, match="n_rounds"):
+        label_propagation_micro(empty, -1)
+    # a clique collapses to the minimum id: votes are NEIGHBOR-only, so
+    # round 1 sends node 0 to label 1 (its neighbors tie at {1,2,3} →
+    # min) while 1..3 adopt 0; round 2 converges everyone onto 0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "src long, dst long",
+    )
+    r1 = {
+        (r.node, r.community)
+        for r in label_propagation_micro(k4, n_rounds=1).collect()
+    }
+    assert r1 == {(0, 1), (1, 0), (2, 0), (3, 0)}
+    r2 = {
+        (r.node, r.community)
+        for r in label_propagation_micro(k4, n_rounds=2).collect()
+    }
+    assert r2 == {(0, 0), (1, 0), (2, 0), (3, 0)}
