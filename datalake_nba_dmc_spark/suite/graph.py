@@ -386,6 +386,11 @@ def graph_hyperball_error_certificate(
         "sum_est_micro",
         err.alias("agg_err_ppm"),
     ).withColumn(
+        # when/otherwise, not a bare cast: on EMPTY input the sums (and
+        # hence the ppm) are NULL, and the twin's CASE yields 0 there —
+        # a bare (NULL <= band).cast would yield NULL and hash-mismatch
         "within_band",
-        (F.col("agg_err_ppm") <= F.lit(_HB_BAND_PPM)).cast("int"),
+        F.when(F.col("agg_err_ppm") <= F.lit(_HB_BAND_PPM), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int"),
     )
