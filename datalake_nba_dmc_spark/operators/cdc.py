@@ -1,0 +1,138 @@
+"""Content-defined chunking (CDC) of token streams — the storage-dedup
+boundary trick (LBFS, Muthitacharoen et al. SOSP'01; FastCDC, Xia et al.
+ATC'16 — both public) applied to text at token granularity.
+
+Fixed-size chunking breaks under insertion: one added token shifts every
+later boundary, so nothing downstream deduplicates. CDC instead places a
+boundary wherever a HASH OF THE CONTENT ITSELF satisfies a divisor test
+(``hash(token) % D == 0``), so an edit only moves boundaries inside its
+own chunk — every other chunk's (start, end, hash) survives verbatim.
+For an LLM corpus this gives edit-stable chunk identities: re-crawled
+pages with small diffs share most chunk hashes with their previous crawl,
+so chunk-level dedup (exact hash join) removes the unchanged bulk without
+any similarity machinery. Expected chunk length = ``divisor`` tokens.
+
+Determinism contract (cross-engine twin-able): the per-token hash is the
+dialect-rendered 32-bit avalanche mixer (operators/hyperball.mixer_sql —
+plain integer arithmetic, no engine hash builtin) over a position-
+weighted codepoint sum ``Σ ord(c_j)·j`` (exact small integers). The chunk
+fingerprint mixes the position-weighted sum of member token hashes. Both
+sides therefore reproduce every boundary and every fingerprint
+BIT-EXACTLY. Like the media twins, ASCII-only is an EXPLICIT contract
+filter (``octet_length = length``) applied on BOTH engines — it is what
+makes codepoint arithmetic identical across JVM UTF-16 and DuckDB UTF-8,
+not an assumption (the r7 U+1D54A lesson).
+
+Scale shape: one map-only projection — per-doc array expressions, no
+shuffle, no UDF; the output explodes one row per chunk. Chunk-level
+dedup afterwards is the exact-dedup hash-agg shape. Suite registration
+(``dedup_cdc_chunks``) is staged for the next round per the registry
+freeze; tests/test_staged_oracles.py carries the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+#: Modulus for the position-weighted sums (2^31, matching the mixer's
+#: non-negative input contract; sums stay far inside int64 before the mod).
+_M = 2_147_483_648
+
+
+def token_hash_sql(tok: str, dialect: str) -> str:
+    """Dialect-rendered token hash: mixer(Σ ord(char_j)·j mod 2^31).
+    The linear positional weight keeps every intermediate exact (no
+    modular exponentiation), and the avalanche mixer supplies the
+    dispersion the divisor test needs."""
+    if dialect == "spark":
+        base = (
+            f"aggregate(zip_with(split({tok}, ''), "
+            f"sequence(1, char_length({tok})), "
+            "(c, j) -> CAST(ascii(c) AS BIGINT) * j), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+    else:
+        base = (
+            f"CAST(COALESCE(list_sum(list_transform("
+            f"range(1, length({tok}) + 1), "
+            f"j -> ord(substr({tok}, CAST(j AS INTEGER), 1)) * j)), 0) "
+            "AS BIGINT)"
+        )
+    return mixer_sql(f"({base} % {_M})", dialect)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 16,
+) -> DataFrame:
+    """Chunk every (ASCII-contract) document at content-defined token
+    boundaries: a boundary falls AFTER token i whenever
+    ``token_hash(i) % divisor == 0``. Returns one row per chunk:
+    (``id_col``, chunk_idx, tok_start, tok_end, chunk_hash) — token
+    offsets, end exclusive, ``chunk_hash`` = mixer of the
+    position-weighted member-token-hash sum (the chunk's dedup key).
+    Documents with zero tokens produce no rows."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    staged = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.octet_length(text_col) == F.length(text_col))
+        )
+        .select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .withColumn(
+            "_th",
+            F.expr(
+                "transform(_t, tok -> " + token_hash_sql("tok", "spark") + ")"
+            ),
+        )
+    )
+    # boundary positions (0-based token index i with hash % D == 0),
+    # then chunk (start, end) pairs from consecutive boundaries
+    chunks = staged.withColumn(
+        "_b",
+        F.expr(
+            f"filter(sequence(0, size(_th) - 1), i -> _th[i] % {divisor} = 0)"
+        ),
+    ).withColumn(
+        "_spans",
+        F.expr(
+            "filter(zip_with("
+            "  concat(array(0), transform(_b, x -> x + 1)),"
+            "  concat(transform(_b, x -> x + 1), array(size(_th))),"
+            "  (s, e) -> struct(s, e)), p -> p.s < p.e)"
+        ),
+    )
+    out = chunks.select(
+        id_col,
+        "_th",
+        F.posexplode("_spans").alias("chunk_idx", "_p"),
+    )
+    # chunk fingerprint: mixer over the position-weighted sum of member
+    # token hashes (k = 1-based position inside the chunk). Each term is
+    # < 2^31 · chunk_len, the sum < 2^31 · len², far inside int64 before
+    # the final mod.
+    chunk_sum = (
+        # Spark sequence() is INCLUSIVE of its end (unlike DuckDB range):
+        # sequence(1, len) gives exactly len positions — an off-by-one
+        # here NULL-pads zip_with and poisons the whole sum
+        "aggregate(zip_with(slice(_th, _p.s + 1, _p.e - _p.s), "
+        "sequence(1, _p.e - _p.s), "
+        f"(h, k) -> (h % {_M}) * k), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_p.s").cast("long").alias("tok_start"),
+        F.col("_p.e").cast("long").alias("tok_end"),
+        F.expr(mixer_sql(f"({chunk_sum} % {_M})", "spark"))
+        .cast("long")
+        .alias("chunk_hash"),
+    )

@@ -729,3 +729,93 @@ def test_label_propagation_empty_and_laws(spark):
         for r in label_propagation_micro(k4, n_rounds=2).collect()
     }
     assert r2 == {(0, 0), (1, 0), (2, 0), (3, 0)}
+
+
+@needs_testdata
+def test_cdc_chunks_duckdb_twin(spark):
+    """cdc_chunks (r11-staged) vs a DuckDB twin replaying the same
+    dialect-rendered token hashes, divisor test, span construction, and
+    chunk fingerprints — every boundary and fingerprint bit-exact."""
+    from datalake_nba_dmc_spark.operators.cdc import _M, cdc_chunks, token_hash_sql
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    D = 16
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.tok_start, r.tok_end, r.chunk_hash)
+        for r in cdc_chunks(docs, divisor=D).collect()
+    )
+    th = token_hash_sql("tok", "duck")
+    csum = (
+        f"CAST(list_sum(list_transform(range(1, e - s + 1), "
+        f"k -> (th[CAST(s + k AS INTEGER)] % {_M}) * k)) AS BIGINT)"
+    )
+    sql = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) > 0
+    ), h AS (
+      SELECT doc_id, list_transform(toks, tok -> {th}) AS th FROM t2
+    ), b AS (
+      SELECT doc_id, th,
+             list_concat([0], list_transform(
+               list_filter(range(0, len(th)),
+                           i -> th[CAST(i + 1 AS INTEGER)] % {D} = 0),
+               x -> x + 1)) AS starts,
+             list_concat(list_transform(
+               list_filter(range(0, len(th)),
+                           i -> th[CAST(i + 1 AS INTEGER)] % {D} = 0),
+               x -> x + 1), [len(th)]) AS ends
+      FROM h
+    ), spans AS (
+      SELECT doc_id, th,
+             starts[CAST(u.i AS INTEGER)] AS s,
+             ends[CAST(u.i AS INTEGER)] AS e,
+             u.i AS ord_i
+      FROM b, UNNEST(range(1, len(starts) + 1)) AS u(i)
+      WHERE starts[CAST(u.i AS INTEGER)] < ends[CAST(u.i AS INTEGER)]
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord_i) - 1
+             AS chunk_idx,
+           CAST(s AS BIGINT) AS tok_start,
+           CAST(e AS BIGINT) AS tok_end,
+           {mixer_sql(f"(({csum}) % {_M})", "duck")} AS chunk_hash
+    FROM spans
+    """
+    want = sorted(
+        tuple(int(x) for x in row) for row in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # CDC actually splits (some doc has >1 chunk) and the divisor rule
+    # bites (mean chunk length in the right ballpark, not one-chunk-docs)
+    assert any(r[1] >= 1 for r in got)
+
+
+def test_cdc_chunks_edit_stability(spark):
+    """The CDC property itself: inserting one token near the front moves
+    only the boundaries inside the affected chunk — chunks after the
+    next content-defined boundary keep their exact fingerprints."""
+    from datalake_nba_dmc_spark.operators.cdc import cdc_chunks
+
+    base_words = " ".join(f"w{i % 97}x{(i * 7) % 53}" for i in range(400))
+    edited = "INSERTED " + base_words
+    df = spark.createDataFrame(
+        [(1, base_words), (2, edited)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(df, divisor=8).collect()
+    h1 = {r.chunk_hash for r in chunks if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in chunks if r.doc_id == 2}
+    shared = h1 & h2
+    # the tail of the stream re-synchronizes: most chunk fingerprints
+    # survive the front-edit (fixed-size chunking would share none)
+    assert len(shared) >= max(1, int(0.7 * len(h1)))
+    # and both docs produced several chunks, so the law is non-vacuous
+    assert len(h1) >= 5
