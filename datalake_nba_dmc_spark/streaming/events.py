@@ -92,6 +92,33 @@ def tumbling_agg(
     )
 
 
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(sliding window, event_type) counts — the overlapping-window
+    trend signal between tumbling (no overlap) and session (gap-driven)
+    aggregation; completes the streaming window triple next to
+    :func:`tumbling_agg` / :func:`session_agg` and mirrors the batch
+    ``events_sliding_agg`` query so the stream-vs-batch agreement law is
+    testable. Each event lands in ``window/slide`` overlapping windows —
+    state grows by that factor, purged as the watermark passes each
+    window's end (the standard Spark sliding-window cost model)."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def session_agg(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -669,3 +669,31 @@ def test_curated_ingest_stream_matches_sequential_batch(spark, tmp_path):
     admit_batch(curated)(replay, batch_id=99)
     after = sorted(r["doc_id"] for r in spark.read.parquet(curated).collect())
     assert after == got
+
+
+@needs_testdata
+def test_sliding_agg_stream_matches_batch(spark, events_dir, tmp_path):
+    """Sliding windows (1h window, 15m slide): emitted closed windows
+    equal the batch computation restricted to the watermark horizon —
+    the same agreement law tumbling_agg pins, with overlap."""
+    import datetime
+
+    from datalake_nba_dmc_spark.streaming.events import sliding_agg
+
+    stream = sliding_agg(read_events_stream(spark, events_dir))
+    got = _run_stream(spark, stream, str(tmp_path))
+    want = sliding_agg(_read_events_batch(spark, events_dir))
+    cols = ["window_start", "window_end", "event_type", "n_events"]
+    got_rows, want_rows = _rows(got, cols), _rows(want, cols)
+    assert set(got_rows) <= set(want_rows)
+    max_ts = _read_events_batch(spark, events_dir).agg({"ts": "max"}).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    closed = [r for r in want_rows if r[1] <= horizon]
+    assert set(closed) <= set(got_rows)
+    assert len(got_rows) > 0
+    # overlap really happens: some event time is covered by >1 window
+    starts = sorted({r[0] for r in want_rows})
+    assert any(
+        b - a < datetime.timedelta(hours=1)
+        for a, b in zip(starts, starts[1:])
+    )
