@@ -1342,7 +1342,7 @@ def cross_doc_substring_spans(
 ) -> DataFrame:
     """Cross-document exact-substring span detection (the fixed-window
     distributed form of Lee et al. 2022's ExactSubstr dedup, r8 —
-    pytest-pinned; suite registration staged for r9): find every token
+    pytest-pinned; driver query dedup_substring_spans, registered r9): find every token
     span that appears VERBATIM in at least ``min_docs`` documents and
     return the per-document spans to cut, with overlapping/adjacent
     windows merged into maximal spans.

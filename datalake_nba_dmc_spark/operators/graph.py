@@ -143,7 +143,8 @@ def harmonic_centrality_micro(
     sketch union instead of pair dedup). localCheckpoint per round (the
     iterative-lineage hygiene). Returns (node, harmonic_micro) for every
     node that appears in the edge list; unreachable/isolated targets
-    score 0. Suite registration staged for the next round."""
+    score 0. Driver query ``graph_harmonic_centrality`` (registered
+    r10)."""
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     e = (

@@ -19,8 +19,7 @@ alpha·m²/Σ2^(−reg) with linear-counting small-range correction — every
 constant embedded as the SAME full-precision literal in both engines.
 Result: a DuckDB twin reproduces the ESTIMATE bit-for-bit, so the
 sketch query gets a full value-hash driver oracle, not a tolerance
-certificate. Suite registration (``sketch_hll_portable``) is staged for
-the next round per the registry freeze.
+certificate (driver query ``sketch_hll_portable``, registered r11).
 
 Contract: ``key`` must be a non-negative integral expression (ids); at
 100 TB string keys pre-hash through any stable int64 derivation the

@@ -37,10 +37,13 @@ Determinism contract (cross-engine twin-able):
   expression of integer registers (Σ 2^(K−reg) kept as an exact long;
   one double division per node per round), identical in both engines.
 
-Suite registration (``graph_hyperball_registers``) is staged for the
-next round per the registry freeze; tests/test_staged_oracles.py
-carries the register-level DuckDB twin and tests/test_hyperball.py the
-estimate-accuracy certificate against the exact operator plus the
+Driver queries (registered r11): ``graph_hyperball_registers`` and
+``graph_hyperball_harmonic_est`` carry FULL value oracles (registers and
+the corrected estimate both bit-exact vs BFS-derived twins), and
+``graph_hyperball_error_certificate`` pins the estimate against the
+exact harmonic operator as integer-ppm aggregates;
+tests/test_staged_oracles.py keeps the register-level twin and
+tests/test_hyperball.py the accuracy certificate plus the
 layout-invariance law.
 """
 

@@ -30,10 +30,10 @@ Scale shape (the 100 TB plan):
    (w1, w2) — AQE's skew-join owns hot bigrams ("of the") exactly as it
    owns hot words in the unigram path.
 
-Suite registration (``text_bigram_logprob``) is staged for the next
-round per the registry freeze; the DuckDB twin (tests/
-test_staged_oracles.py) builds bigrams with a list comprehension over
-the token array and replays the same integer micro-nat terms.
+Driver query ``text_bigram_logprob`` (registered r11); the DuckDB twin
+(tests/test_staged_oracles.py and the suite oracle) builds bigrams with
+a list comprehension over the token array and replays the same integer
+micro-nat terms.
 """
 
 from __future__ import annotations

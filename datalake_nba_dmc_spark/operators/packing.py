@@ -22,10 +22,9 @@ the exact same assignment with the classic two-phase parallel prefix sum:
 4. each document explodes into the ``start//L .. (end-1)//L`` sequences
    it overlaps — at most tokens/L + 1 rows per doc, linear overall.
 
-Suite registration (``corpus_pack_sequences``) is staged for the next
-round per the registry freeze; the DuckDB twin is a running-sum window
-plus ``unnest(range(...))`` (sequential semantics, independently
-formulated).
+Driver query ``corpus_pack_sequences`` (registered r10); the DuckDB
+twin is a running-sum window plus ``unnest(range(...))`` (sequential
+semantics, independently formulated).
 """
 
 from __future__ import annotations

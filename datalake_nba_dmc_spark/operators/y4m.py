@@ -12,10 +12,9 @@ plumbing (Arrow batches, quarantine, exact-integer stats contracts) is
 identical for compressed containers; only the per-frame byte decode
 differs.
 
-Suite registration is staged for the next round (the registry freeze adds
-new queries only inside their own round's driver window); the oracle plan
-for ``media_y4m_frame_stats`` is the media_audio_stats-style hex-pair
-byte walk over the synthesized luma planes.
+Driver query ``media_y4m_frame_stats`` (registered r10): the oracle is
+the media_audio_stats-style hex-pair byte walk over the synthesized luma
+planes.
 """
 
 from __future__ import annotations
