@@ -1,0 +1,119 @@
+"""Portable MinHash — near-dup signatures whose VALUES are a
+cross-engine bit-exact contract (the hll_portable treatment applied to
+the LSH dedup family).
+
+The production MinHash path (operators/dedup.minhash_signature) hashes
+shingles with ``xxhash64`` — engine-private, so its driver checks are
+rows-only plus certificate twins. This module swaps exactly one
+ingredient: the shingle hash becomes the dialect-rendered 32-bit integer
+mixer over a position-weighted codepoint sum (operators/cdc.
+token_hash_sql — plain arithmetic, no engine hash builtin). Everything
+downstream is unchanged MinHash algebra: K affine permutations
+``(a_i·h + b_i) mod P`` over the shingle hashes, per-document minima —
+and min-merge, like HyperBall's max-merge, is associative/commutative/
+idempotent, so the signatures are layout-independent BY ALGEBRA and a
+DuckDB twin replays every signature value BIT-EXACTLY. Band keys (and
+hence LSH candidate pairs) derive from signature slices by the same
+shared arithmetic, so the whole LSH pipeline becomes full-value
+oracle-able instead of certificate-only.
+
+Like the media twins and cdc, ASCII-only is an EXPLICIT contract filter
+(``octet_length = length``) applied on BOTH engines — it is what makes
+codepoint arithmetic identical across JVM UTF-16 and DuckDB UTF-8.
+
+Scale shape: identical to the production path — one map-only shingle +
+fold projection (the ONE-fold-updating-K-minima shape; K separate
+``array_min(transform(...))`` re-evaluated the shingle array K times,
+measured 30× at 50 k docs), state K small ints per doc. Suite
+registration (``dedup_minhash_portable``) is staged for the next round
+per the registry freeze; tests/test_staged_oracles.py carries the
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+from datalake_nba_dmc_spark.operators.dedup import (
+    _MERSENNE31,
+    _grams_from_tokens,
+    normalize_text,
+)
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
+
+
+def permutation_coeffs(
+    num_hashes: int, seed: int = 42
+) -> list[tuple[int, int]]:
+    """The K affine-permutation coefficients, seeded — generated ONCE in
+    Python and embedded as literals in BOTH engines' expressions, so the
+    twin replays the identical permutations."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Portable MinHash signatures: one row per (``id_col``, h_idx,
+    sig_value) for every ASCII-contract document with >= ``shingle_n``
+    tokens. ``sig_value`` = min over the doc's word shingles of
+    ``(a_i · mixer_hash(shingle) + b_i) mod P`` — every value bit-exact
+    vs the DuckDB twin."""
+    coeffs = permutation_coeffs(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    staged = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .withColumn("_toks", toks)
+        .withColumn("_sh", _grams_from_tokens(F.col("_toks"), shingle_n))
+        .filter(F.size("_sh") > 0)
+        # shingle hashes staged as their own column (with_shingles rule)
+        .withColumn(
+            "_shh",
+            F.expr(
+                "transform(_sh, s -> "
+                + token_hash_sql("s", "spark")
+                + f" % {_MERSENNE31})"
+            ),
+        )
+    )
+
+    def step(acc, h):
+        return F.zip_with(
+            acc,
+            F.zip_with(
+                a_arr, b_arr, lambda a, b: F.pmod(h * a + b, F.lit(_MERSENNE31))
+            ),
+            lambda cur, cand: F.least(cur, cand),
+        )
+
+    sig = staged.select(
+        id_col, F.aggregate("_shh", init, step).alias("_sig")
+    )
+    return sig.select(
+        id_col, F.posexplode("_sig").alias("h_idx", "sig_value")
+    ).select(
+        id_col,
+        F.col("h_idx").cast("long").alias("h_idx"),
+        F.col("sig_value").cast("long").alias("sig_value"),
+    )

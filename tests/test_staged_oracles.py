@@ -819,3 +819,76 @@ def test_cdc_chunks_edit_stability(spark):
     assert len(shared) >= max(1, int(0.7 * len(h1)))
     # and both docs produced several chunks, so the law is non-vacuous
     assert len(h1) >= 5
+
+
+@needs_testdata
+def test_minhash_portable_duckdb_twin(spark):
+    """minhash_portable (r11-staged) vs a DuckDB twin replaying the same
+    shingling, the same dialect-rendered mixer shingle hash, and the
+    same literal-embedded affine permutations — every signature value
+    bit-exact (the full-value oracle the xxhash64 MinHash path can never
+    have)."""
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        minhash_portable,
+        permutation_coeffs,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    K, N = 16, 3
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.doc_id, r.h_idx, r.sig_value)
+        for r in minhash_portable(docs, num_hashes=K, shingle_n=N).collect()
+    )
+    coeffs = permutation_coeffs(K)
+    th = token_hash_sql("s", "duck")
+    per_hash = ", ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MERSENNE31}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS h_idx, m{i} AS sig_value FROM mins"
+        for i in range(K)
+    )
+    sql = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= {N}
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - {N} + 2),
+                    i -> array_to_string(
+                      toks[CAST(i AS INTEGER):CAST(i + {N} - 1 AS INTEGER)],
+                      ' '))) AS s
+      FROM t2
+    ), hashed AS (
+      SELECT doc_id, ({th}) % {_MERSENNE31} AS h FROM grams
+    ), mins AS (
+      SELECT doc_id, {per_hash} FROM hashed GROUP BY doc_id
+    )
+    {rows}
+    """
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # true duplicates share full signatures: the corpus has exact dups
+    # (dedup_exact removes some), so at least one signature collision
+    # across distinct doc_ids must exist
+    from collections import Counter
+
+    sigs = {}
+    for d, i, v in got:
+        sigs.setdefault(d, []).append(v)
+    c = Counter(tuple(v) for v in sigs.values())
+    assert any(n >= 2 for n in c.values())
