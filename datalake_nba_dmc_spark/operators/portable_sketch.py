@@ -1,6 +1,6 @@
-"""Portable MinHash — near-dup signatures whose VALUES are a
+"""Portable MinHash + SimHash — near-dup signatures whose VALUES are a
 cross-engine bit-exact contract (the hll_portable treatment applied to
-the LSH dedup family).
+the LSH/SimHash dedup families).
 
 The production MinHash path (operators/dedup.minhash_signature) hashes
 shingles with ``xxhash64`` — engine-private, so its driver checks are
@@ -25,9 +25,9 @@ Scale shape: identical to the production path — one map-only shingle +
 fold projection (the ONE-fold-updating-K-minima shape; K separate
 ``array_min(transform(...))`` re-evaluated the shingle array K times,
 measured 30× at 50 k docs), state K small ints per doc. Suite
-registration (``dedup_minhash_portable``) is staged for the next round
-per the registry freeze; tests/test_staged_oracles.py carries the
-DuckDB twin.
+registrations (``dedup_minhash_portable``, ``dedup_simhash_portable``)
+are staged for the next round per the registry freeze;
+tests/test_staged_oracles.py carries both DuckDB twins.
 """
 
 from __future__ import annotations
@@ -116,4 +116,57 @@ def minhash_portable(
         id_col,
         F.col("h_idx").cast("long").alias("h_idx"),
         F.col("sig_value").cast("long").alias("sig_value"),
+    )
+
+
+def simhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Portable SimHash: one row per ASCII-contract non-empty document —
+    (``id_col``, ``simhash``), where ``simhash`` is the ``n_bits``-bit
+    sign-aggregate of mixer token hashes (every token OCCURRENCE votes
+    ±1 per bit; bit j of the signature is 1 iff the per-bit sum is
+    ≥ 0, Charikar 2002). With the dialect-rendered mixer as the token
+    hash, the whole signature — not a certificate band — replays
+    bit-exactly in DuckDB. n_bits ≤ 32 (the mixer emits 32 bits).
+
+    ONE fold updates all ``n_bits`` running sums at once (the
+    minhash_signature lesson: per-bit ``transform`` re-scans the token
+    array n_bits times). Near-dup use is the production SimHash's
+    banded-pigeonhole join, unchanged."""
+    if not 1 <= n_bits <= 32:
+        raise ValueError("n_bits must be in [1, 32]")
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    staged = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .withColumn("_toks", toks)
+        .filter(F.size("_toks") > 0)
+        .withColumn(
+            "_th",
+            F.expr(
+                "transform(_toks, tok -> " + token_hash_sql("tok", "spark") + ")"
+            ),
+        )
+    )
+    sums = F.expr(
+        f"aggregate(_th, array_repeat(CAST(0 AS BIGINT), {n_bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {n_bits - 1}), "
+        "(a, j) -> a + ((h div CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1))"
+    )
+    sig = F.expr(
+        f"aggregate(zip_with(_sums, sequence(0, {n_bits - 1}), "
+        "(s, j) -> CASE WHEN s >= 0 THEN CAST(pow(2, j) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    return (
+        staged.withColumn("_sums", sums)
+        .select(id_col, sig.alias("simhash"))
     )

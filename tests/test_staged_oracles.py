@@ -892,3 +892,59 @@ def test_minhash_portable_duckdb_twin(spark):
         sigs.setdefault(d, []).append(v)
     c = Counter(tuple(v) for v in sigs.values())
     assert any(n >= 2 for n in c.values())
+
+
+@needs_testdata
+def test_simhash_portable_duckdb_twin(spark):
+    """simhash_portable (r11-staged) vs a DuckDB twin summing the same
+    per-bit ±1 votes over the same mixer token hashes — every signature
+    bit-exact, where the xxhash64 SimHash admits only rows-only checks."""
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        simhash_portable,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    B = 32
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.doc_id, r.simhash) for r in simhash_portable(docs).collect()
+    )
+    th = token_hash_sql("tok", "duck")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h // CAST({1 << j} AS BIGINT)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(B)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for j in range(B)
+    )
+    sql = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0
+    ), hashed AS (
+      SELECT doc_id, {th} AS h FROM t2
+    ), sums AS (
+      SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+    """
+    want = sorted(
+        (int(a), int(b)) for a, b in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # exact duplicates collapse to identical signatures (collision law)
+    from collections import Counter
+
+    c = Counter(s for _, s in got)
+    assert any(n >= 2 for n in c.values())
