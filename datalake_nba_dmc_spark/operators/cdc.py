@@ -95,11 +95,22 @@ def cdc_chunks(
         )
     )
     # boundary positions (0-based token index i with hash % D == 0),
-    # then chunk (start, end) pairs from consecutive boundaries
+    # then chunk (start, end) pairs from consecutive boundaries.
+    # Index-free form (zip, then filter) rather than
+    # filter(sequence(...), i -> _th[i] ...): under default optimizer
+    # rules InferFiltersFromGenerate infers a filter below the spans
+    # explode, inlines this expression into it, and REORDERS it ahead of
+    # the emptiness filter — where _th[i] on a token-less row throws the
+    # ANSI invalid-array-index error. zip_with NULL-pads instead, so the
+    # expression is total whatever filter order the optimizer picks (the
+    # engine session excludes that rule for perf, but the operator must
+    # not DEPEND on a session conf for correctness).
     chunks = staged.withColumn(
         "_b",
         F.expr(
-            f"filter(sequence(0, size(_th) - 1), i -> _th[i] % {divisor} = 0)"
+            "filter(zip_with(_th, sequence(0, size(_th) - 1), "
+            f"(h, i) -> CASE WHEN h % {divisor} = 0 THEN i ELSE -1 END), "
+            "x -> x >= 0)"
         ),
     ).withColumn(
         "_spans",

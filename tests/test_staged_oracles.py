@@ -948,3 +948,39 @@ def test_simhash_portable_duckdb_twin(spark):
 
     c = Counter(s for _, s in got)
     assert any(n >= 2 for n in c.values())
+
+
+def test_r12_staged_ops_empty_and_degenerate_inputs(spark):
+    """Empty/degenerate-input laws for the five r12-staged operators
+    (pre-empting the empty + nulls audits they will face once
+    registered): empty in → empty out, NULL / non-ASCII / token-less
+    text filtered in-band, never a crash."""
+    from datalake_nba_dmc_spark.operators.cdc import cdc_chunks
+    from datalake_nba_dmc_spark.operators.graph import (
+        label_propagation_micro,
+    )
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        minhash_portable,
+        simhash_portable,
+    )
+    from datalake_nba_dmc_spark.operators.text import c4_line_filters
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert cdc_chunks(docs).collect() == []
+    assert minhash_portable(docs).collect() == []
+    assert simhash_portable(docs).collect() == []
+    assert c4_line_filters(docs).collect() == []
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation_micro(edges).collect() == []
+    degenerate = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " \t\n "), (4, "café \U0001d54a")],
+        ["doc_id", "text"],
+    )
+    # ASCII-contract ops drop all four rows in-band (NULL, empty,
+    # whitespace-only, non-ASCII)
+    assert cdc_chunks(degenerate).collect() == []
+    assert minhash_portable(degenerate).collect() == []
+    assert simhash_portable(degenerate).collect() == []
+    # c4 has no ASCII contract: NULL text yields a no-keep row, not a crash
+    c4 = {r.doc_id: r.c4_keep for r in c4_line_filters(degenerate).collect()}
+    assert c4[1] == 0 and c4[2] == 0
