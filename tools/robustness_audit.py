@@ -62,6 +62,15 @@ the same differential comparison on two mutated copies of the data that a
   audit FAILS ITSELF if zero bytes actually spilled (a vacuous pass —
   e.g. a future Spark renames the threshold confs).
 
+- ``codegen`` — codegen-vs-interpreted determinism (staged r11 for the
+  r12 battery): every query runs under the default whole-stage-codegen
+  evaluator and again with ``spark.sql.codegen.factoryMode=NO_CODEGEN``
+  (+ wholeStage off), and the two result sets must be bit-identical.
+  The generated and interpreted expression evaluators are independent
+  implementations — a classic Spark divergence surface — and the r10
+  janino finding proved the interpreted path can switch on SILENTLY in
+  production, so this invariant is one the suite actually relies on.
+
 - ``bytes``  — malformed-media robustness (r8): truncated IDAT, corrupt
   CRCs, lying IHDR/SOF/BMP dimension and offset fields, invalid filter
   and Huffman structures, RIFF size-field overflows, random/empty/NULL
@@ -80,6 +89,7 @@ Usage::
     python tools/robustness_audit.py bytes
     python tools/robustness_audit.py partitions [query ...]
     python tools/robustness_audit.py spill [query ...]
+    python tools/robustness_audit.py codegen [query ...]
 
 Builds the mutated dataset under ``/tmp/robustness_<mode>`` (cached — wiped
 and rebuilt when missing) from ``/root/testdata/sf0.001``, then runs the
@@ -973,6 +983,87 @@ _SPILL_CONFS = {
 #: Queries whose spill-mode divergence is triaged as contractual:
 KNOWN_SPILL: dict[str, str] = {}
 
+#: Interpreted-evaluation trial confs (all DYNAMIC): disable whole-stage
+#: codegen AND force the expression-evaluator factory to the interpreted
+#: path, so every projection/filter/aggregate runs through
+#: InterpretedUnsafeProjection instead of generated Java — the two
+#: implementations are a classic Spark divergence surface (and the r10
+#: janino finding showed interpreted fallback happens SILENTLY in
+#: production, so "interpreted equals codegen" is an invariant the suite
+#: actually relies on).
+_NO_CODEGEN_CONFS = {
+    "spark.sql.codegen.wholeStage": "false",
+    "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+}
+
+#: Queries whose codegen-mode divergence is triaged as contractual:
+KNOWN_CODEGEN: dict[str, str] = {}
+
+
+def codegen_audit(only: set[str]) -> int:
+    """Codegen-vs-interpreted determinism (staged r11 for the r12
+    battery): run every query twice in one session — default (codegen)
+    and with :data:`_NO_CODEGEN_CONFS` forcing interpreted expression
+    evaluation — and require BIT-IDENTICAL results. Catches generated-
+    vs-interpreted evaluator divergence, which the r10 janino finding
+    proved can switch on SILENTLY in production."""
+    from datalake_nba_dmc_spark.session import get_spark
+    from datalake_nba_dmc_spark.suite import load_all
+    from tools.verify_local import canonical_hash
+
+    specs = load_all()
+    spark = get_spark("robustness_codegen")
+    n_pass = n_fail = n_crash = n_known = 0
+    failures: list[str] = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        if name in KNOWN_CODEGEN:
+            print(f"KNOWN {name}: {KNOWN_CODEGEN[name]}")
+            n_known += 1
+            continue
+        results = []
+        crashed = False
+        for label, confs in (
+            ("codegen", {}),
+            ("interpreted", _NO_CODEGEN_CONFS),
+        ):
+            for k in _NO_CODEGEN_CONFS:
+                spark.conf.unset(k)
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            try:
+                pdf = spec.builder(spark, SRC).toPandas()
+                results.append((label, len(pdf), canonical_hash(pdf)))
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"CRASH {name} [{label}]: {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:160]}"
+                )
+                n_crash += 1
+                failures.append(name)
+                crashed = True
+                break
+        for k in _NO_CODEGEN_CONFS:
+            spark.conf.unset(k)
+        if crashed:
+            continue
+        if len({h for _, _, h in results}) == 1:
+            print(f"PASS {name} ({results[0][1]} rows, codegen==interpreted)")
+            n_pass += 1
+        else:
+            detail = "; ".join(f"{lbl}: {n} rows {h}" for lbl, n, h in results)
+            print(f"FAIL {name}: evaluator-dependent result — {detail}")
+            n_fail += 1
+            failures.append(name)
+    print(
+        f"\n[codegen] {n_pass} pass, {n_fail} evaluator-dependent, "
+        f"{n_crash} crash, {n_known} known"
+    )
+    if failures:
+        print("failures:", " ".join(sorted(failures)))
+    return 1 if (n_fail or n_crash) else 0
+
 
 def spill_audit(only: set[str]) -> int:
     """Memory-pressure/spill determinism (r11, VERDICT r10 ask #5): run
@@ -1212,6 +1303,8 @@ def main() -> int:
         return partitions_audit(set(sys.argv[2:]))
     if mode == "spill":
         return spill_audit(set(sys.argv[2:]))
+    if mode == "codegen":
+        return codegen_audit(set(sys.argv[2:]))
     only = set(sys.argv[2:])
     sf_dir = build_mutated(mode)
 
