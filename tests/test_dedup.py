@@ -168,6 +168,73 @@ def test_connected_components_chain_and_pair(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 7}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Star CC is bit-identical to min-label CC on crafted and seeded
+    random graphs (the registered-query equivalence law)."""
+    import random
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    crafted = [(1, 2), (2, 3), (3, 4), (6, 5), (8, 7)]
+    rng = random.Random(42)
+    cases = [crafted]
+    for n, m in [(30, 25), (50, 80), (12, 40)]:
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        want = sorted(
+            (r.id, r.comp) for r in connected_components(edges).collect()
+        )
+        got = sorted(
+            (r.id, r.comp)
+            for r in connected_components_star(edges).collect()
+        )
+        assert got == want and len(got) > 0
+
+
+def test_connected_components_star_chain_logarithmic(spark):
+    """The scale motivation, demonstrated: a 200-link chain converges
+    under star alternation within 12 rounds (O(log n)), where 12 rounds
+    of min-label propagation provably under-merge (O(diameter))."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    star = connected_components_star(edges, max_iter=12)
+    assert star.filter(F.col("comp") != 0).count() == 0
+    assert star.count() == n + 1
+    prop = connected_components(edges, max_iter=12)
+    assert prop.filter(F.col("comp") != 0).count() > 0
+
+
+def test_connected_components_star_empty_and_self_loops(spark):
+    from datalake_nba_dmc_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).collect() == []
+    loops = spark.createDataFrame(
+        [(3, 3), (4, 4), (1, 2)], "id_a long, id_b long"
+    )
+    got = sorted(
+        (r.id, r.comp) for r in connected_components_star(loops).collect()
+    )
+    assert got == [(1, 1), (2, 1)]
+
+
 def test_dedup_clusters_representatives(spark):
     from datalake_nba_dmc_spark.operators.dedup import dedup_clusters
 

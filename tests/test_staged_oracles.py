@@ -984,3 +984,55 @@ def test_r12_staged_ops_empty_and_degenerate_inputs(spark):
     # c4 has no ASCII contract: NULL text yields a no-keep row, not a crash
     c4 = {r.doc_id: r.c4_keep for r in c4_line_filters(degenerate).collect()}
     assert c4[1] == 0 and c4[2] == 0
+
+
+@needs_testdata
+def test_connected_components_duckdb_twin(spark):
+    """connected_components_star AND connected_components (r11-staged
+    registration graph_connected_components) vs a DuckDB recursive-CTE
+    twin: reach = transitive (node, reachable-id) closure over the
+    undirected derived link graph, component = MIN reachable id — an
+    exact fixpoint formulation, structurally independent of both Spark
+    loops (which never materialize the closure)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        (F.expr("doc_id div 101") % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    want = sorted(
+        (int(a), int(b))
+        for a, b in _duck()
+        .execute(
+            """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT doc_id % 101 AS s, (doc_id // 101) % 101 AS d
+          FROM documents WHERE doc_id % 101 != (doc_id // 101) % 101
+        ), und AS (
+          SELECT s AS u, d AS v FROM edges
+          UNION SELECT d, s FROM edges
+        ), reach(node, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM und)
+          UNION
+          SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.node
+        )
+        SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        """
+        )
+        .fetchall()
+    )
+    for impl in (connected_components_star, connected_components):
+        got = sorted(
+            (r.id, r.comp)
+            for r in impl(edges, src="src", dst="dst").collect()
+        )
+        assert got == want and len(got) > 0
+    # the graph actually merges (components < nodes, not the identity)
+    assert len({c for _, c in want}) < len(want)
