@@ -1,6 +1,6 @@
-"""Portable MinHash + SimHash — near-dup signatures whose VALUES are a
+"""Portable MinHash + SimHash + Count-Min — sketches whose VALUES are a
 cross-engine bit-exact contract (the hll_portable treatment applied to
-the LSH/SimHash dedup families).
+the LSH/SimHash dedup families and to frequency estimation).
 
 The production MinHash path (operators/dedup.minhash_signature) hashes
 shingles with ``xxhash64`` — engine-private, so its driver checks are
@@ -169,4 +169,131 @@ def simhash_portable(
     return (
         staged.withColumn("_sums", sums)
         .select(id_col, sig.alias("simhash"))
+    )
+
+
+def _cms_col_sql(h: str, a: int, b: int, width: int) -> str:
+    """Row hash of the Count-Min sketch: affine permutation of the mixer
+    token hash, folded to a column index. Dialect-free (the caller
+    renders ``h`` per dialect). The hash is reduced mod P BEFORE the
+    multiply — the raw mixer emits up to 2^32-1 and ``a`` runs to ~2^31,
+    whose product reaches 2^63 and overflows int64; reduced, the product
+    stays under 2^62 (the same reduction minhash_portable applies)."""
+    return f"(((({h}) % {_MERSENNE31}) * {a} + {b}) % {_MERSENNE31}) % {width}"
+
+
+def cms_counters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Portable Count-Min sketch (Cormode & Muthukrishnan 2005 — public)
+    over token OCCURRENCES: → (row_idx, col_idx, cnt), the full d×w
+    counter matrix, every count bit-exact vs the DuckDB twin.
+
+    Counter (i, j) = number of token occurrences with
+    ``((a_i·mixer(tok) + b_i) mod P) mod w = j`` — the same seeded
+    literal-embedded affine permutations as :func:`minhash_portable`.
+
+    Scale shape: tokens explode once, each occurrence fans out ``depth``
+    (row, col) keys, then ONE hash aggregation whose group count is
+    capped at d·w REGARDLESS of corpus size or token skew — a hot token
+    folds into map-side partial counts like any other (the property that
+    makes CMS the frequency sketch for 100 TB streams, vs exact
+    per-token counts whose group cardinality is the vocabulary). Shard
+    sketches merge by plain addition of counters; estimates are
+    ``min_i counter[i][h_i(t)]`` and can only OVERcount (inner-product
+    collisions add, never subtract) — the certificate law the suite
+    twin pins."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    coeffs = permutation_coeffs(depth, seed)
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    th = token_hash_sql("tok", "spark")
+    cols = ", ".join(_cms_col_sql("_h", a, b, width) for a, b in coeffs)
+    return (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .select(F.explode(toks).alias("tok"))
+        # token hash staged as a real column: the array-of-columns
+        # expression below references it depth times (with_shingles rule)
+        .withColumn("_h", F.expr(th))
+        .select(
+            F.posexplode(F.expr(f"array({cols})")).alias(
+                "row_idx", "col_idx"
+            )
+        )
+        .groupBy(
+            F.col("row_idx").cast("long").alias("row_idx"),
+            F.col("col_idx").cast("long").alias("col_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-``k`` tokens by exact count with their Count-Min estimates:
+    → (tok, true_cnt, cms_est), ordered-free output, deterministic
+    tiebreak (count DESC, token ASC) on the top-k cut.
+
+    The exact counts exist to CERTIFY the sketch: ``cms_est >= true_cnt``
+    for every row by construction (collisions only add), and the suite
+    twin replays both sides bit-exactly. At 100 TB the exact-count leg
+    is exactly the expensive vocabulary-wide aggregation the sketch
+    replaces — it is certificate scaffolding at gate scales, not part
+    of the sketch's own cost, which is the fixed d×w counter table
+    (broadcast below, never shuffled against the corpus)."""
+    coeffs = permutation_coeffs(depth, seed)
+    counters = cms_counters(df, text_col, id_col, depth, width, seed)
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    true_topk = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    th = token_hash_sql("tok", "spark")
+    cols = ", ".join(_cms_col_sql("_h", a, b, width) for a, b in coeffs)
+    probes = (
+        true_topk.withColumn("_h", F.expr(th))
+        .select(
+            "tok",
+            "true_cnt",
+            F.posexplode(F.expr(f"array({cols})")).alias(
+                "row_idx", "col_idx"
+            ),
+        )
+        .select(
+            "tok",
+            "true_cnt",
+            F.col("row_idx").cast("long").alias("row_idx"),
+            F.col("col_idx").cast("long").alias("col_idx"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(counters), on=["row_idx", "col_idx"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
     )

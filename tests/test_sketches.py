@@ -193,3 +193,72 @@ def test_hll_portable_empty_and_single(spark):
     assert r.distinct_est_micro == math.floor(
         32 * math.log(32 / 31) * 1e6 + 0.5
     )
+
+
+def test_cms_counters_merge_by_addition(spark):
+    """The shard-merge law: the CMS of a concatenated corpus equals the
+    per-shard counter matrices added cell-wise (what makes the sketch
+    mergeable across 100 TB partitions/days without re-scanning)."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        cms_counters,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran far")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "the cat returned"), (4, "a dog")],
+        "doc_id long, text string",
+    )
+    kw = dict(depth=3, width=8)
+    whole = {
+        (r.row_idx, r.col_idx): r.cnt
+        for r in cms_counters(a.union(b), **kw).collect()
+    }
+    merged: dict[tuple[int, int], int] = {}
+    for shard in (a, b):
+        for r in cms_counters(shard, **kw).collect():
+            key = (r.row_idx, r.col_idx)
+            merged[key] = merged.get(key, 0) + r.cnt
+    assert whole == merged and len(whole) > 0
+
+
+def test_cms_empty_degenerate_and_validation(spark):
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        cms_counters,
+        cms_heavy_hitters,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert cms_counters(empty).collect() == []
+    assert cms_heavy_hitters(empty).collect() == []
+    degenerate = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " \t "), (4, "café")],
+        ["doc_id", "text"],
+    )
+    # NULL/empty/whitespace/non-ASCII all drop in-band (ASCII contract)
+    assert cms_counters(degenerate).collect() == []
+    with pytest.raises(ValueError, match="depth"):
+        cms_counters(empty, depth=0)
+    with pytest.raises(ValueError, match="depth"):
+        cms_counters(empty, width=0)
+
+
+def test_cms_estimate_exact_when_no_collisions(spark):
+    """With width far above the vocabulary, estimates are exact counts
+    (the d row hashes injure nothing) — pins the probe/min plumbing."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        cms_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x x x y y z"), (2, "x w")], "doc_id long, text string"
+    )
+    got = {
+        r.tok: (r.true_cnt, r.cms_est)
+        for r in cms_heavy_hitters(df, k=4, depth=4, width=4096).collect()
+    }
+    assert got == {"x": (4, 4), "y": (2, 2), "w": (1, 1), "z": (1, 1)}

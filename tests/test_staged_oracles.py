@@ -1036,3 +1036,133 @@ def test_connected_components_duckdb_twin(spark):
         assert got == want and len(got) > 0
     # the graph actually merges (components < nodes, not the identity)
     assert len({c for _, c in want}) < len(want)
+
+
+@needs_testdata
+def test_cms_counters_duckdb_twin(spark):
+    """cms_counters (r11-staged registration sketch_cms_counters) vs a
+    DuckDB twin replaying the same tokenization, mixer token hash, and
+    literal-embedded affine row hashes — the full d×w counter matrix
+    bit-exact."""
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        cms_counters,
+        permutation_coeffs,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    D, W = 4, 64
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.row_idx, r.col_idx, r.cnt)
+        for r in cms_counters(docs, depth=D, width=W).collect()
+    )
+    th = token_hash_sql("tok", "duck")
+    expanded = " UNION ALL ".join(
+        f"SELECT {i} AS row_idx, "
+        f"(((h % {_MERSENNE31}) * {a} + {b}) % {_MERSENNE31}) % {W} "
+        "AS col_idx FROM hashed"
+        for i, (a, b) in enumerate(permutation_coeffs(D))
+    )
+    sql = rf"""
+    WITH t AS (
+      SELECT list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), hashed AS (
+      SELECT ({th}) AS h FROM t2
+    ), expanded AS ({expanded})
+    SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM expanded GROUP BY 1, 2
+    """
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # group count is bounded by d*w however large the corpus (the 100 TB
+    # frequency-sketch property), and mass is conserved: every token
+    # occurrence lands exactly once per row, so all d row-sums are equal
+    assert len(got) <= D * W
+    row_mass = {}
+    for ri, _, c in got:
+        row_mass[ri] = row_mass.get(ri, 0) + c
+    assert len(row_mass) == D and len(set(row_mass.values())) == 1
+
+
+@needs_testdata
+def test_cms_heavy_hitters_duckdb_twin(spark):
+    """cms_heavy_hitters (r11-staged registration
+    sketch_cms_heavy_hitters) vs a DuckDB twin: exact top-k token counts
+    joined to min-over-rows sketch estimates — both legs bit-exact, plus
+    the overestimate law (est >= true always; collisions only ADD)."""
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        cms_heavy_hitters,
+        permutation_coeffs,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    # width 8 on purpose: ~a hundred distinct gate-corpus tokens into 8
+    # columns forces collisions in every row, making the strict-
+    # overestimate law non-vacuous (width 64 avoids collisions here)
+    K, D, W = 20, 4, 8
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.tok, r.true_cnt, r.cms_est)
+        for r in cms_heavy_hitters(docs, k=K, depth=D, width=W).collect()
+    )
+    th = token_hash_sql("tok", "duck")
+    expanded_c = " UNION ALL ".join(
+        f"SELECT {i} AS row_idx, "
+        f"(((h % {_MERSENNE31}) * {a} + {b}) % {_MERSENNE31}) % {W} "
+        "AS col_idx FROM hashed"
+        for i, (a, b) in enumerate(permutation_coeffs(D))
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT tok, true_cnt, {i} AS row_idx, "
+        f"(((h % {_MERSENNE31}) * {a} + {b}) % {_MERSENNE31}) % {W} "
+        "AS col_idx FROM topk"
+        for i, (a, b) in enumerate(permutation_coeffs(D))
+    )
+    sql = rf"""
+    WITH t AS (
+      SELECT list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), hashed AS (
+      SELECT ({th}) AS h FROM t2
+    ), counters AS (
+      SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({expanded_c}) GROUP BY 1, 2
+    ), truec AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt, ({th}) AS h
+      FROM t2 GROUP BY tok
+    ), topk AS (
+      SELECT tok, true_cnt, h FROM truec
+      ORDER BY true_cnt DESC, tok ASC LIMIT {K}
+    )
+    SELECT p.tok, p.true_cnt, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+    FROM ({probes}) p
+    JOIN counters c USING (row_idx, col_idx)
+    GROUP BY p.tok, p.true_cnt
+    """
+    want = sorted(
+        (a, int(b), int(c)) for a, b, c in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) == K
+    # overestimate-only law, and non-vacuous (see width note above)
+    assert all(e >= t for _, t, e in got)
+    assert any(e > t for _, t, e in got)
