@@ -276,3 +276,93 @@ def label_propagation_micro(
         if t % checkpoint_every == 0 or t == n_rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts over the undirected simple graph →
+    (node, degree, triangles) for every node incident to an edge. The
+    crawl-curation signal: triangle density separates organically linked
+    hosts from link farms (spam rings are near-bipartite — high degree,
+    few triangles), and local clustering 2T/(d(d−1)) falls out of the
+    two returned columns.
+
+    Degree-ordered wedge join (Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer" — public): orient every
+    edge from the lower-ranked endpoint under the total order
+    (degree, id); each triangle is then found EXACTLY ONCE, as the wedge
+    at its minimum-rank vertex closed by the (rank-ascending) third
+    edge. The orientation is the scale story: a celebrity node with
+    degree d produces d² wedges if edges point away from it by id, but
+    ~0 when ordered by degree — out-degrees under this orientation are
+    bounded by O(sqrt(|E|)) (graph arboricity), so no single reducer
+    inherits a hot node's quadratic fan-out. Three shuffles total
+    (degree agg, wedge self-join, closing semi-equi-join) — no
+    iteration, no window, no collect.
+
+    Determinism: counts are integers over set semantics (parallel edges
+    and self-loops dropped first), so any engine agrees — the DuckDB
+    twin counts ordered i<j<k triples by a triple join, structurally
+    independent of the oriented wedge plan."""
+    c = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = c.union(c.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # orient a→b iff (deg_a, a) < (deg_b, b); carry the head's rank so
+    # the wedge filter below needs no extra join
+    ranked = (
+        c.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("_da")), on="a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("_db")), on="b")
+        .select(
+            F.when(
+                F.struct("_da", "a") < F.struct("_db", "b"), F.col("a")
+            ).otherwise(F.col("b")).alias("u"),
+            F.when(
+                F.struct("_da", "a") < F.struct("_db", "b"),
+                F.struct(F.col("_db").alias("d"), F.col("b").alias("n")),
+            ).otherwise(
+                F.struct(F.col("_da").alias("d"), F.col("a").alias("n"))
+            ).alias("_rv"),
+        )
+        .select("u", F.col("_rv.n").alias("v"), "_rv")
+    )
+    wedges = (
+        ranked.select("u", F.col("v").alias("v1"), F.col("_rv").alias("_r1"))
+        .join(
+            ranked.select(
+                F.col("u").alias("u2"),
+                F.col("v").alias("v2"),
+                F.col("_rv").alias("_r2"),
+            ),
+            F.col("u") == F.col("u2"),
+        )
+        .filter(F.col("_r1") < F.col("_r2"))
+        .select("u", "v1", "v2")
+    )
+    closing = ranked.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, on=["v1", "v2"])
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v1").alias("node")))
+        .union(tris.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, on="node", how="left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+    )

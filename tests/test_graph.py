@@ -123,3 +123,49 @@ def test_harmonic_centrality_matches_bfs_reference(spark):
 
     got4 = _harmonic_reference(edges, 4)
     assert got4[5] == SCALE + SCALE // 2 + 2 * (SCALE // 3)
+
+
+def test_triangle_count_crafted(spark):
+    from datalake_nba_dmc_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    assert sorted(
+        (r.node, r.degree, r.triangles) for r in triangle_count(k4).collect()
+    ) == [(0, 3, 3), (1, 3, 3), (2, 3, 3), (3, 3, 3)]
+    # two triangles sharing edge (2,3); self-loop and parallel/reversed
+    # duplicates must not change anything (set semantics)
+    shared = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 4), (3, 2)],
+        "src long, dst long",
+    )
+    assert sorted(
+        (r.node, r.degree, r.triangles)
+        for r in triangle_count(shared).collect()
+    ) == [(1, 2, 1), (2, 3, 2), (3, 3, 2), (4, 2, 1)]
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    out = triangle_count(chain).collect()
+    assert len(out) == 6 and all(r.triangles == 0 for r in out)
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).collect() == []
+
+
+def test_triangle_count_star_hub_emits_no_wedges(spark):
+    """The last-reducer property, observable: a 50-leaf star has zero
+    triangles AND the degree orientation points every edge AT the hub,
+    so the hub's oriented out-degree is 0 — the wedge self-join emits
+    nothing (by-id orientation at a low-id hub would emit C(50,2))."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.graph import triangle_count
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 51)], "src long, dst long"
+    )
+    got = triangle_count(star)
+    assert got.filter(F.col("triangles") != 0).count() == 0
+    assert got.count() == 51
