@@ -1222,3 +1222,26 @@ def test_triangle_count_duckdb_twin(spark):
     assert got == want and len(got) > 0
     # the derived graph actually closes triangles (non-vacuous twin)
     assert any(t > 0 for _, _, t in want)
+
+
+@needs_testdata
+def test_minhash_portable_arrow_matches_expression(spark):
+    """The two minhash_portable execution paths (numpy Arrow batch vs
+    interpreted SQL char-fold) are value-identical over the whole gate
+    corpus — the DuckDB twin above runs against the default (Arrow)
+    path, so this closes expression-path coverage too."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        minhash_portable,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    arrow = sorted(
+        (r.doc_id, r.h_idx, r.sig_value)
+        for r in minhash_portable(docs, use_arrow=True).collect()
+    )
+    expr = sorted(
+        (r.doc_id, r.h_idx, r.sig_value)
+        for r in minhash_portable(docs, use_arrow=False).collect()
+    )
+    assert arrow == expr and len(arrow) > 0
