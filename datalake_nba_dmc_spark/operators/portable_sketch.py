@@ -437,7 +437,7 @@ def cms_heavy_hitters(
     seed: int = 42,
 ) -> DataFrame:
     """Top-``k`` tokens by exact count with their Count-Min estimates:
-    → (tok, true_cnt, cms_est), ordered-free output, deterministic
+    → (tok, true_cnt, cms_est), order-free output, deterministic
     tiebreak (count DESC, token ASC) on the top-k cut.
 
     The exact counts exist to CERTIFY the sketch: ``cms_est >= true_cnt``

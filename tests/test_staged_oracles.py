@@ -1226,10 +1226,11 @@ def test_triangle_count_duckdb_twin(spark):
 
 @needs_testdata
 def test_minhash_portable_arrow_matches_expression(spark):
-    """The two minhash_portable execution paths (numpy Arrow batch vs
-    interpreted SQL char-fold) are value-identical over the whole gate
-    corpus — the DuckDB twin above runs against the default (Arrow)
-    path, so this closes expression-path coverage too."""
+    """The two minhash_portable execution paths (token-decomposed numpy
+    Arrow batch vs the default interpreted SQL char-fold) are
+    value-identical over the whole gate corpus — the DuckDB twin above
+    runs against the default expression path, so this closes
+    arrow-path coverage."""
     from datalake_nba_dmc_spark.operators.portable_sketch import (
         minhash_portable,
     )
