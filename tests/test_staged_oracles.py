@@ -1246,3 +1246,57 @@ def test_minhash_portable_arrow_matches_expression(spark):
         for r in minhash_portable(docs, use_arrow=False).collect()
     )
     assert arrow == expr and len(arrow) > 0
+
+
+@needs_testdata
+def test_second_batch_staged_ops_layout_invariant(spark):
+    """Pre-empts the partition-perturbation audit these operators will
+    face once registered (r10's first run caught pyspark.ml KMeans
+    consumers failing exactly this): every second-batch staged op must
+    return bit-identical rows under radically different physical
+    layouts — 3 vs 64 shuffle partitions AND a 1- vs 13-partition
+    input."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from datalake_nba_dmc_spark.operators.graph import triangle_count
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        cms_counters,
+        cms_heavy_hitters,
+        minhash_portable,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+
+    def edges(d):
+        return d.select(
+            (F.col("doc_id") % 101).alias("src"),
+            (F.expr("doc_id div 101") % 101).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+
+    builders = {
+        "cc_star": lambda d: connected_components_star(
+            edges(d), src="src", dst="dst"
+        ),
+        "triangles": lambda d: triangle_count(edges(d)),
+        "cms_counters": lambda d: cms_counters(d),
+        "cms_hh": lambda d: cms_heavy_hitters(d, k=10, width=8),
+        "minhash_arrow": lambda d: minhash_portable(d, use_arrow=True),
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[str, list] = {}
+    try:
+        for parts, inparts in ((3, 1), (64, 13)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            d = docs.repartition(inparts)
+            for name, b in builders.items():
+                rows = sorted(tuple(r) for r in b(d).collect())
+                assert rows, name
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name, (r1, r2) in results.items():
+        assert r1 == r2, f"{name} is layout-dependent"
