@@ -165,3 +165,174 @@ def psi_binned(
             F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
         )
     )
+
+
+#: Cumulative Poisson(1) CDF scaled to 2^32 (floor), k = 0..8 — computed
+#: once offline (math.exp) and embedded as integer literals so BOTH
+#: engines compare the same constants against the same 32-bit hash.
+_POISSON1_CDF_32 = [
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+    4294962463,
+]
+
+
+def bootstrap_weight_sql(id_expr: str, r_expr: str, seed: int, dialect: str) -> str:
+    """Dialect-rendered Poisson(1) bootstrap weight of row ``id_expr`` in
+    resample ``r_expr``: the avalanche-mixed 32-bit hash of (id, r, seed)
+    is a uniform draw, inverted through the embedded Poisson CDF ladder
+    (capped at 9 — P(X ≥ 9 | λ=1) ≈ 1.1e-8, and the cap is part of the
+    deterministic contract, not an approximation of something else).
+
+    ``r_expr`` is a COLUMN expression, not a literal: the caller explodes
+    the resample index first and evaluates ONE mixer + one CASE ladder
+    over the exploded rows. The first cut embedded the ladder per
+    resample (n_resamples × 9 mixer copies in one projection) — the
+    janino method-size blowup shape the plan census exists to catch."""
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+    u = mixer_sql(
+        f"((({id_expr}) % 2147483648) * 40503 + ({r_expr}) * 2654435761"
+        f" + {seed}) % 2147483648",
+        dialect,
+    )
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POISSON1_CDF_32)
+    )
+    return f"(CASE {branches} ELSE 9 END)"
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_resamples: int = 64,
+    seed: int = 42,
+    scale: int = 10**4,
+    alpha_pct: int = 5,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` → ONE row (n_resamples, point_micro, lo_micro,
+    hi_micro), everything exact integers (micro-units of the mean).
+
+    The metric-uncertainty primitive a 100 TB pipeline needs next to its
+    point estimates (did mean document quality MOVE, or is the delta
+    inside resampling noise?). Classic m-out-of-n bootstrap resamples
+    can't run at scale (each wants its own shuffled copy of the data);
+    the Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams" — public) replaces sampling-with-
+    replacement by an independent Poisson(1) weight per (row, resample),
+    so ALL ``n_resamples`` resamples ride ONE scan: each row explodes
+    into (r, w·x, w) contributions and a single map-side-combinable
+    aggregation leaves ``n_resamples`` groups REGARDLESS of corpus size.
+
+    Determinism contract: weights come from the avalanche-mixed integer
+    hash of (id, r, seed) through an embedded integer CDF ladder —
+    no engine RNG anywhere — so a DuckDB twin replays every weight, every
+    resample mean, and the nearest-rank percentile cut bit-exactly.
+    Resample means are integer micro-units via the suite's scaled-long
+    rule; a degenerate resample with total weight 0 contributes mean 0
+    (deterministic on both engines; at any real n the probability is
+    e^-n). Percentile = nearest-rank (ceil) over the sorted resample
+    means at alpha/2 and 1-alpha/2.
+
+    Scale notes: the shuffle after partial aggregation carries
+    n_resamples rows per partition; the final sort is over n_resamples
+    values (driver-trivial). Long sums hold while
+    n · scale·max|x| < 2^63 / 9 (weights cap at 9) — the stats-module
+    accumulator rule, same decimal(38,0) escape hatch."""
+    if n_resamples < 2:
+        raise ValueError("n_resamples must be >= 2")
+    if not 0 < alpha_pct < 100:
+        raise ValueError("alpha_pct must be in (0, 100)")
+    xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), xs.alias("_xs")
+    )
+    per_r = (
+        base.select(
+            "_id",
+            "_xs",
+            F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias(
+                "r"
+            ),
+        )
+        .withColumn(
+            "w", F.expr(bootstrap_weight_sql("_id", "r", seed, "spark"))
+        )
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("_xs")).alias("_swx"),
+            F.sum("w").alias("_sw"),
+        )
+        .select(
+            "r",
+            # floor(double/double), NOT div or /+cast: `div`/`//`
+            # disagree across engines on negative values (trunc vs
+            # floor), while int64→double casts, the IEEE divide, and
+            # floor are bit-identical everywhere (the stats-module
+            # fixed-expression-tree rule)
+            # divide FIRST, then micro-scale: swx * 10^6 overflows
+            # int64 at sf0.1 already. Both operands are exact doubles
+            # below 2^53 at gate scales; past that the rounding stays
+            # IDENTICAL on both engines (same casts, same IEEE ops)
+            F.when(
+                F.col("_sw") > 0,
+                F.floor(
+                    F.col("_swx").cast("double")
+                    / (F.col("_sw") * scale).cast("double")
+                    * F.lit(1000000.0)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_micro"),
+        )
+    )
+    # nearest-rank (ceil) indices over the sorted n_resamples means;
+    # array_sort + element_at keeps the whole cut inside one projection
+    lo_rank = max(1, -(-n_resamples * alpha_pct // 200))  # ceil
+    hi_rank = max(1, -(-n_resamples * (200 - alpha_pct) // 200))
+    point = (
+        base.agg(
+            F.sum("_xs").alias("_sx"), F.count(F.lit(1)).alias("_n")
+        )
+        .select(
+            F.when(
+                F.col("_n") > 0,
+                F.floor(
+                    F.col("_sx").cast("double")
+                    / (F.col("_n") * scale).cast("double")
+                    * F.lit(1000000.0)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("point_micro")
+        )
+    )
+    dist = (
+        per_r.agg(
+            F.array_sort(F.collect_list("mean_micro")).alias("_means")
+        )
+        # try_element_at, not element_at: empty input leaves the global
+        # agg's single row holding an empty array, and the ANSI variant
+        # would throw before the size filter drops it (totality rule)
+        .filter(F.size("_means") > 0)
+        .select(
+            F.lit(n_resamples).cast("long").alias("n_resamples"),
+            F.try_element_at("_means", F.lit(lo_rank)).alias("lo_micro"),
+            F.try_element_at("_means", F.lit(hi_rank)).alias("hi_micro"),
+        )
+    )
+    # one-row × one-row broadcast cross join (the suite's scalar-join
+    # pattern) stitches the point estimate onto the interval
+    return dist.crossJoin(F.broadcast(point)).select(
+        "n_resamples", "point_micro", "lo_micro", "hi_micro"
+    )

@@ -64,14 +64,15 @@ def query(name: str, oracle: str | None = None):
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
 _CHECK_PRIORITY: list[str] = [
-    # -- r12 plan (for the next cut): NINE staged operators carry green
+    # -- r12 plan (for the next cut): TEN staged operators carry green
     #    DuckDB twins in tests/test_staged_oracles.py and register next
     #    round per the freeze — text_c4_filters, graph_label_propagation,
     #    dedup_cdc_chunks, dedup_minhash_portable, dedup_simhash_portable,
     #    graph_connected_components (large/small-star CC),
     #    graph_triangle_count, sketch_cms_counters,
-    #    sketch_cms_heavy_hitters. Window math:
-    #    9 new + the 28 deferred r7 below + 13 of the 50 r8 cohort = 50.
+    #    sketch_cms_heavy_hitters, stat_bootstrap_ci (Poisson bootstrap).
+    #    Window math:
+    #    10 new + the 28 deferred r7 below + 12 of the 50 r8 cohort = 50.
     # -- round-11 cut. Staleness entering r11 (from CORRECTNESS_r1..r10):
     #    22×r6 (last round's documented deferred tail — VERDICT r10 ask #2
     #    says they lead), 50×r7, 50×r8, 50×r9, 50×r10. Window = 6 new

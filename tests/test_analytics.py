@@ -162,3 +162,48 @@ def test_psi_binned_survives_extreme_outliers(spark):
     assert sum(r["n_a"] + r["n_b"] for r in out) == 201
     top = [r for r in out if r["bucket"] == 9][0]
     assert top["n_a"] >= 11  # the outlier clamped into the last bin
+
+
+def test_bootstrap_ci_laws(spark):
+    """Poisson-bootstrap CI: interval brackets the point estimate on
+    well-behaved data, narrows with sample size (statistical sanity,
+    deterministic given the seeded hash weights), is seed-sensitive,
+    and validates its parameters."""
+    import random
+
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.stats import bootstrap_ci_mean
+
+    rng = random.Random(5)
+    big = spark.createDataFrame(
+        [(i, 100 + rng.gauss(0, 10)) for i in range(4000)],
+        "id long, v double",
+    )
+    small = spark.createDataFrame(
+        [(i, 100 + rng.gauss(0, 10)) for i in range(100)],
+        "id long, v double",
+    )
+    [rb] = bootstrap_ci_mean(big, "v", "id").collect()
+    [rs] = bootstrap_ci_mean(small, "v", "id").collect()
+    assert rb.lo_micro <= rb.point_micro <= rb.hi_micro
+    assert rs.lo_micro <= rs.point_micro <= rs.hi_micro
+    assert (rb.hi_micro - rb.lo_micro) < (rs.hi_micro - rs.lo_micro)
+    # deterministic: identical re-run, different under another seed
+    [rb2] = bootstrap_ci_mean(big, "v", "id").collect()
+    assert tuple(rb2) == tuple(rb)
+    [rb3] = bootstrap_ci_mean(big, "v", "id", seed=7).collect()
+    assert (rb3.lo_micro, rb3.hi_micro) != (rb.lo_micro, rb.hi_micro)
+    assert rb3.point_micro == rb.point_micro  # point is resample-free
+    with pytest.raises(ValueError, match="n_resamples"):
+        bootstrap_ci_mean(big, "v", "id", n_resamples=1)
+    with pytest.raises(ValueError, match="alpha_pct"):
+        bootstrap_ci_mean(big, "v", "id", alpha_pct=0)
+    # NULL values drop in-band; empty input yields an empty frame
+    with_null = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 12.0)], "id long, v double"
+    )
+    [rn] = bootstrap_ci_mean(with_null, "v", "id", n_resamples=8).collect()
+    assert rn.n_resamples == 8
+    empty = spark.createDataFrame([], "id long, v double")
+    assert bootstrap_ci_mean(empty, "v", "id").collect() == []

@@ -1300,3 +1300,81 @@ def test_second_batch_staged_ops_layout_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for name, (r1, r2) in results.items():
         assert r1 == r2, f"{name} is layout-dependent"
+
+
+@needs_testdata
+def test_bootstrap_ci_duckdb_twin(spark):
+    """bootstrap_ci_mean (r11-staged registration stat_bootstrap_ci) vs
+    a DuckDB twin replaying every Poisson(1) weight (mixer hash through
+    the embedded CDF ladder), every resample mean, and the nearest-rank
+    cut — the whole interval bit-exact."""
+    from datalake_nba_dmc_spark.operators.stats import (
+        bootstrap_ci_mean,
+        bootstrap_weight_sql,
+    )
+
+    M, SEED, SCALE, ALPHA = 32, 42, 10**4, 5
+    docs = __import__(
+        "datalake_nba_dmc_spark.sources", fromlist=["TableRegistry"]
+    ).TableRegistry(spark, SF)
+    orders = docs.orders
+    got = [
+        tuple(r)
+        for r in bootstrap_ci_mean(
+            orders,
+            "o_totalprice",
+            "o_orderkey",
+            n_resamples=M,
+            seed=SEED,
+            scale=SCALE,
+            alpha_pct=ALPHA,
+        ).collect()
+    ]
+    w = bootstrap_weight_sql("id", "r", SEED, "duck")
+    lo_rank = max(1, -(-M * ALPHA // 200))
+    hi_rank = max(1, -(-M * (200 - ALPHA) // 200))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(SF, 'orders.parquet')}'"
+    )
+    want = [
+        tuple(int(v) for v in row)
+        for row in con.execute(
+            f"""
+        WITH base AS (
+          SELECT o_orderkey AS id,
+                 CAST(round(o_totalprice * {SCALE}) AS BIGINT) AS xs
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), ex AS (
+          SELECT id, xs, unnest(range(0, {M})) AS r FROM base
+        ), wtab AS (
+          SELECT r, {w} AS w, xs FROM ex
+        ), agg AS (
+          SELECT r, CAST(SUM(w * xs) AS BIGINT) AS swx,
+                 CAST(SUM(w) AS BIGINT) AS sw
+          FROM wtab GROUP BY r
+        ), means AS (
+          SELECT CASE WHEN sw > 0 THEN
+            CAST(floor(CAST(swx AS DOUBLE)
+                       / CAST(sw * {SCALE} AS DOUBLE) * 1000000.0) AS BIGINT)
+            ELSE 0 END AS mean_micro
+          FROM agg
+        ), sorted AS (
+          SELECT mean_micro, ROW_NUMBER() OVER (ORDER BY mean_micro) AS rk
+          FROM means
+        ), pt AS (
+          SELECT CAST(floor(CAST(SUM(xs) AS DOUBLE)
+                      / CAST(COUNT(*) * {SCALE} AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS point_micro
+          FROM base
+        )
+        SELECT {M} AS n_resamples, pt.point_micro,
+               (SELECT mean_micro FROM sorted WHERE rk = {lo_rank}) AS lo_micro,
+               (SELECT mean_micro FROM sorted WHERE rk = {hi_rank}) AS hi_micro
+        FROM pt
+        """
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 1
+    n, pt, lo, hi = got[0]
+    assert lo <= pt <= hi
