@@ -221,6 +221,71 @@ def minhash_portable_arrow(
     return sig
 
 
+def _minhash_portable_sig(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    seed: int,
+    use_arrow: bool,
+) -> DataFrame:
+    """(``id_col``, _sig array<long>) — the shared signature frame behind
+    :func:`minhash_portable` (exploded rows) and
+    :func:`minhash_portable_clusters` (array-sliced banding)."""
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    staged = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .withColumn("_toks", toks)
+        .withColumn("_sh", _grams_from_tokens(F.col("_toks"), shingle_n))
+        .filter(F.size("_sh") > 0)
+    )
+
+    if use_arrow:
+        # the arrow path consumes raw TOKENS (1x corpus bytes) and
+        # reconstructs shingle hashes from per-token sums — _sh exists
+        # only as the emptiness filter above
+        return staged.select(
+            id_col,
+            minhash_portable_arrow(num_hashes, shingle_n, seed)(
+                F.col("_toks")
+            ).alias("_sig"),
+        )
+    coeffs = permutation_coeffs(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    # shingle hashes staged as their own column (with_shingles rule)
+    hashed = staged.withColumn(
+        "_shh",
+        F.expr(
+            "transform(_sh, s -> "
+            + token_hash_sql("s", "spark")
+            + f" % {_MERSENNE31})"
+        ),
+    )
+
+    def step(acc, h):
+        return F.zip_with(
+            acc,
+            F.zip_with(
+                a_arr,
+                b_arr,
+                lambda a, b: F.pmod(h * a + b, F.lit(_MERSENNE31)),
+            ),
+            lambda cur, cand: F.least(cur, cand),
+        )
+
+    return hashed.select(
+        id_col, F.aggregate("_shh", init, step).alias("_sig")
+    )
+
+
 def minhash_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -247,58 +312,9 @@ def minhash_portable(
     precedent): its real advantage is shipping 1x corpus bytes across
     any boundary instead of 3x materialized shingles, which matters
     when document length, not row count, dominates."""
-    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    staged = (
-        ensure_parallelism(
-            df.filter(
-                F.col(text_col).isNotNull()
-                & (F.octet_length(text_col) == F.length(text_col))
-            )
-        )
-        .withColumn("_toks", toks)
-        .withColumn("_sh", _grams_from_tokens(F.col("_toks"), shingle_n))
-        .filter(F.size("_sh") > 0)
+    sig = _minhash_portable_sig(
+        df, text_col, id_col, num_hashes, shingle_n, seed, use_arrow
     )
-
-    if use_arrow:
-        # the arrow path consumes raw TOKENS (1x corpus bytes) and
-        # reconstructs shingle hashes from per-token sums — _sh exists
-        # only as the emptiness filter above
-        sig = staged.select(
-            id_col,
-            minhash_portable_arrow(num_hashes, shingle_n, seed)(
-                F.col("_toks")
-            ).alias("_sig"),
-        )
-    else:
-        coeffs = permutation_coeffs(num_hashes, seed)
-        a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
-        b_arr = F.array(*[F.lit(b) for _, b in coeffs])
-        init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
-        # shingle hashes staged as their own column (with_shingles rule)
-        hashed = staged.withColumn(
-            "_shh",
-            F.expr(
-                "transform(_sh, s -> "
-                + token_hash_sql("s", "spark")
-                + f" % {_MERSENNE31})"
-            ),
-        )
-
-        def step(acc, h):
-            return F.zip_with(
-                acc,
-                F.zip_with(
-                    a_arr,
-                    b_arr,
-                    lambda a, b: F.pmod(h * a + b, F.lit(_MERSENNE31)),
-                ),
-                lambda cur, cand: F.least(cur, cand),
-            )
-
-        sig = hashed.select(
-            id_col, F.aggregate("_shh", init, step).alias("_sig")
-        )
     return sig.select(
         id_col, F.posexplode("_sig").alias("h_idx", "sig_value")
     ).select(
@@ -485,4 +501,97 @@ def cms_heavy_hitters(
         probes.join(F.broadcast(counters), on=["row_idx", "col_idx"])
         .groupBy("tok", "true_cnt")
         .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def minhash_portable_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """END-TO-END portable LSH dedup: signatures → bands → bucket star
+    edges → connected components → representatives, every stage a
+    cross-engine bit-exact contract. → (``id_col``, cluster_id,
+    is_representative) for every ASCII-contract tokenized document —
+    cluster_id = min doc id of its LSH-connected component, singletons
+    their own cluster.
+
+    The production pipeline (operators/dedup.minhash_dedup) can only be
+    driver-checked rows-only because xxhash64 is engine-private; with
+    the portable signatures the WHOLE near-dup decision — which docs
+    cluster together, who survives — replays in DuckDB and is full-value
+    oracle-able. That is the point of this variant: the highest-stakes
+    pipeline in a curation stack (it deletes data) gets a differential
+    oracle end to end.
+
+    Banding contract: band b = signature values [b·K/B, (b+1)·K/B),
+    keyed by the exact value tuple rendered ``v0:v1:…`` — no band-key
+    hashing, so no false buckets anywhere (at 100 TB you would hash the
+    key to keep shuffle rows narrow; the string form keeps the contract
+    collision-free and twin-trivial, and candidates here feed CC
+    directly rather than a Jaccard verify). The signature frame is
+    persisted once (MEMORY_AND_DISK — spills, never OOMs) and read by
+    banding, the CC edge build, and the final id roster: the signature
+    char-fold is the pipeline's dominant cost and must run once (at
+    100 TB: a checkpointed table — the minhash_dedup lesson). Buckets
+    emit star edges
+    (min-id → member), never within-bucket pairs — O(rows × B), the
+    skew lesson from minhash_lsh_candidates. Components via
+    :func:`~datalake_nba_dmc_spark.operators.dedup.connected_components`
+    (min-label, diameter ≤ 2 on star-edge graphs;
+    connected_components_star is the high-diameter swap-in)."""
+    from datalake_nba_dmc_spark.operators.dedup import connected_components
+
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sig = _minhash_portable_sig(
+        df, text_col, id_col, num_hashes, shingle_n, seed, use_arrow=False
+    ).persist()
+    # band keys sliced straight off the signature ARRAY — map-only, no
+    # re-aggregation of exploded rows (the first cut grouped 
+    # rows x num_hashes back into bands: one whole shuffle for nothing)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ":",
+                    F.transform(
+                        F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.min(id_col).alias("_rep")
+    )
+    edges = (
+        banded.join(buckets, on=["band_idx", "band_key"])
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        .distinct()
+    )
+    comps = connected_components(edges)
+    ids = sig.select(F.col(id_col)).distinct()
+    return (
+        ids.join(
+            comps.withColumnRenamed("id", id_col), on=id_col, how="left"
+        )
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_representative", F.col("cluster_id") == F.col(id_col)
+        )
     )

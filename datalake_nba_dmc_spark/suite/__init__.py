@@ -70,9 +70,11 @@ _CHECK_PRIORITY: list[str] = [
     #    dedup_cdc_chunks, dedup_minhash_portable, dedup_simhash_portable,
     #    graph_connected_components (large/small-star CC),
     #    graph_triangle_count, sketch_cms_counters,
-    #    sketch_cms_heavy_hitters, stat_bootstrap_ci (Poisson bootstrap).
+    #    sketch_cms_heavy_hitters, stat_bootstrap_ci (Poisson bootstrap),
+    #    dedup_minhash_portable_clusters (the END-TO-END portable LSH
+    #    pipeline — signatures to representatives, full-value oracle).
     #    Window math:
-    #    10 new + the 28 deferred r7 below + 12 of the 50 r8 cohort = 50.
+    #    11 new + the 28 deferred r7 below + 11 of the 50 r8 cohort = 50.
     # -- round-11 cut. Staleness entering r11 (from CORRECTNESS_r1..r10):
     #    22×r6 (last round's documented deferred tail — VERDICT r10 ask #2
     #    says they lead), 50×r7, 50×r8, 50×r9, 50×r10. Window = 6 new

@@ -1266,6 +1266,7 @@ def test_second_batch_staged_ops_layout_invariant(spark):
         cms_counters,
         cms_heavy_hitters,
         minhash_portable,
+        minhash_portable_clusters,
     )
     from datalake_nba_dmc_spark.sources import TableRegistry
 
@@ -1285,6 +1286,11 @@ def test_second_batch_staged_ops_layout_invariant(spark):
         "cms_counters": lambda d: cms_counters(d),
         "cms_hh": lambda d: cms_heavy_hitters(d, k=10, width=8),
         "minhash_arrow": lambda d: minhash_portable(d, use_arrow=True),
+        "minhash_clusters": lambda d: minhash_portable_clusters(d),
+        "bootstrap_ci": lambda d: __import__(
+            "datalake_nba_dmc_spark.operators.stats",
+            fromlist=["bootstrap_ci_mean"],
+        ).bootstrap_ci_mean(d, "doc_id", "doc_id", n_resamples=16),
     }
     old = spark.conf.get("spark.sql.shuffle.partitions")
     results: dict[str, list] = {}
@@ -1378,3 +1384,102 @@ def test_bootstrap_ci_duckdb_twin(spark):
     assert got == want and len(got) == 1
     n, pt, lo, hi = got[0]
     assert lo <= pt <= hi
+
+
+@needs_testdata
+def test_minhash_portable_clusters_duckdb_twin(spark):
+    """minhash_portable_clusters (r11-staged registration
+    dedup_minhash_portable_clusters) vs a DuckDB twin replaying the
+    WHOLE pipeline — signatures, value-tuple banding, bucket star
+    edges, recursive-CTE connected components, representative flags.
+    The near-dup KEEP/DROP decision itself is the oracle contract here,
+    not a certificate."""
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        minhash_portable_clusters,
+        permutation_coeffs,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    K, B, N = 16, 4, 3
+    docs = TableRegistry(spark, SF).documents
+    got = sorted(
+        (r.doc_id, r.cluster_id, r.is_representative)
+        for r in minhash_portable_clusters(
+            docs, num_hashes=K, bands=B, shingle_n=N
+        ).collect()
+    )
+    coeffs = permutation_coeffs(K)
+    th = token_hash_sql("s", "duck")
+    per_hash = ", ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MERSENNE31}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    sigrows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS h_idx, m{i} AS sig_value FROM mins"
+        for i in range(K)
+    )
+    rpb = K // B
+    sql = rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= {N}
+      UNION ALL
+      SELECT doc_id, toks FROM t WHERE len(toks) BETWEEN 1 AND {N - 1}
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {N}
+               THEN list_transform(range(1, len(toks) - {N} + 2),
+                    i -> array_to_string(
+                      toks[CAST(i AS INTEGER):CAST(i + {N} - 1 AS INTEGER)],
+                      ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t2
+    ), hashed AS (
+      SELECT doc_id, ({th}) % {_MERSENNE31} AS h FROM grams
+    ), mins AS (
+      SELECT doc_id, {per_hash} FROM hashed GROUP BY doc_id
+    ), sigrows AS ({sigrows}),
+    banded AS (
+      SELECT doc_id, h_idx // {rpb} AS band_idx,
+             string_agg(CAST(sig_value AS VARCHAR), ':' ORDER BY h_idx)
+               AS band_key
+      FROM sigrows GROUP BY doc_id, h_idx // {rpb}
+    ), buckets AS (
+      SELECT band_idx, band_key, MIN(doc_id) AS rep
+      FROM banded GROUP BY 1, 2
+    ), edges AS (
+      SELECT DISTINCT bu.rep AS a, ba.doc_id AS b
+      FROM banded ba JOIN buckets bu USING (band_idx, band_key)
+      WHERE ba.doc_id != bu.rep
+    ), und AS (
+      SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+    ), reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS c FROM reach GROUP BY node
+    )
+    SELECT m.doc_id, COALESCE(comp.c, m.doc_id) AS cluster_id,
+           (COALESCE(comp.c, m.doc_id) = m.doc_id) AS is_representative
+    FROM mins m LEFT JOIN comp ON m.doc_id = comp.node
+    """
+    want = sorted(
+        (int(a), int(b), bool(c))
+        for a, b, c in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the pipeline actually merges documents (exact dups exist in the
+    # corpus) AND keeps exactly one representative per cluster
+    assert any(not rep for _, _, rep in got)
+    reps = {c for _, c, rep in got if rep}
+    assert reps == {c for _, c, _ in got}
