@@ -486,14 +486,26 @@ def connected_components_star(
     )
     if cur.isEmpty():
         return cur.select(F.col("u").alias("id"), F.col("u").alias("comp"))
+    converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         # exact fixed-point test: both sides are DISTINCT sets, so equal
         # counts + empty one-sided difference ⇔ set equality
         if nxt.count() == cur.count() and nxt.subtract(cur).isEmpty():
             cur = nxt
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # an exhausted loop is not "slightly stale" here: a non-star
+        # edge set would emit MULTIPLE label rows per node. O(log n)
+        # convergence means the default 50 rounds covers any n < 2^50 —
+        # hitting this is a bug or an absurd max_iter, so fail loudly
+        # (the propagation CC above degrades gracefully instead because
+        # its per-node labels stay unique at every round)
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
     # fixed point = star forest oriented (child > root): labels are the
     # edges themselves plus one self-label per root
     roots = cur.select(F.col("v").alias("id")).distinct()

@@ -81,30 +81,6 @@ def _mixer_np(x: np.ndarray) -> np.ndarray:
     return h.astype(np.int64)
 
 
-def _pw_token_hash_np(strings: list[str]) -> np.ndarray:
-    """Vectorized portable token hash: mixer(Σ ord(c_j)·j mod 2^31) per
-    string — bit-equal to operators/cdc.token_hash_sql for the ASCII-
-    contract strings the callers feed it (the contract filter runs
-    BEFORE the UDF; ASCII makes bytes == codepoints). One concatenated
-    byte buffer + one np.add.reduceat, no per-string Python loop."""
-    n = len(strings)
-    if n == 0:
-        return np.empty(0, dtype=np.int64)
-    bs = [s.encode("ascii") for s in strings]
-    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
-    if int(lens.sum()) == 0:
-        return _mixer_np(np.zeros(n, dtype=np.int64))
-    flat = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.int64)
-    starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)[:-1]])
-    weights = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens) + 1
-    sums = np.add.reduceat(flat * weights, starts)
-    # reduceat on a zero-length segment returns the NEXT element instead
-    # of zero — empty strings (callers filter them, but stay total) get
-    # their sum pinned back to 0
-    sums = np.where(lens == 0, 0, sums)
-    return _mixer_np(sums % _M31)
-
-
 def _token_sums_np(strings: list[str]):
     """Per-string (position-weighted codepoint sum, plain codepoint sum,
     length) for ASCII-contract strings — one concatenated byte buffer,

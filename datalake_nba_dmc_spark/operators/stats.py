@@ -197,9 +197,12 @@ def bootstrap_weight_sql(id_expr: str, r_expr: str, seed: int, dialect: str) -> 
     janino method-size blowup shape the plan census exists to catch."""
     from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
 
+    # double-mod wrap: % is sign-of-dividend in BOTH engines, and the
+    # mixer's input contract is non-negative — negative ids must not
+    # leak a negative base into it
     u = mixer_sql(
-        f"((({id_expr}) % 2147483648) * 40503 + ({r_expr}) * 2654435761"
-        f" + {seed}) % 2147483648",
+        f"((((({id_expr}) % 2147483648) + 2147483648) % 2147483648)"
+        f" * 40503 + ({r_expr}) * 2654435761 + {seed}) % 2147483648",
         dialect,
     )
     branches = " ".join(

@@ -207,3 +207,18 @@ def test_bootstrap_ci_laws(spark):
     assert rn.n_resamples == 8
     empty = spark.createDataFrame([], "id long, v double")
     assert bootstrap_ci_mean(empty, "v", "id").collect() == []
+
+
+def test_bootstrap_ci_negative_ids_total(spark):
+    """Negative resampling-unit ids must not leak a negative base into
+    the mixer (both engines' % is sign-of-dividend): the weight hash is
+    double-mod wrapped, so the CI is well-defined and deterministic."""
+    from datalake_nba_dmc_spark.operators.stats import bootstrap_ci_mean
+
+    df = spark.createDataFrame(
+        [(-i, 10.0 + (i % 5)) for i in range(1, 200)], "id long, v double"
+    )
+    [r1] = bootstrap_ci_mean(df, "v", "id", n_resamples=16).collect()
+    [r2] = bootstrap_ci_mean(df, "v", "id", n_resamples=16).collect()
+    assert tuple(r1) == tuple(r2)
+    assert r1.lo_micro <= r1.point_micro <= r1.hi_micro
