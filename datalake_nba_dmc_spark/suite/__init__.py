@@ -573,10 +573,15 @@ _CHECK_PRIORITY: list[str] = [
 
 
 
-def load_all() -> dict[str, QuerySpec]:
+def load_all(include_staged: bool = False) -> dict[str, QuerySpec]:
     """Import every suite module so registrations run; return the registry
     reordered so the driver's capped correctness window hits the queries
-    that most need a row this round (see _CHECK_PRIORITY)."""
+    that most need a row this round (see _CHECK_PRIORITY).
+
+    ``include_staged=True`` (robustness audits only — never the driver or
+    the verify gate) appends the staged next-round registrations from
+    suite/staged.py so they face the audit batteries before they ever
+    hold a driver slot."""
     from datalake_nba_dmc_spark.suite import (  # noqa: F401
         analytics,
         classic,
@@ -599,4 +604,10 @@ def load_all() -> dict[str, QuerySpec]:
 
     ordered = {n: QUERIES[n] for n in _CHECK_PRIORITY if n in QUERIES}
     ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
+    if include_staged:
+        from datalake_nba_dmc_spark.suite.staged import staged_specs
+
+        for n, spec in staged_specs().items():
+            assert n not in ordered, f"staged name already registered: {n}"
+            ordered[n] = spec
     return ordered

@@ -145,3 +145,33 @@ def test_bench_final_line_fits_tail_window():
         f"compact FINAL line worst case is {len(line)} bytes — too close "
         f"to the driver's ~{bench._FINAL_LINE_BUDGET}-byte tail window"
     )
+
+
+def test_staged_specs_disjoint_and_planned():
+    """Staged specs (suite/staged.py) must never leak into the driver's
+    registry, and must exactly match the r12 slate the registry head
+    plans (the audit batteries run over precisely these names)."""
+    from datalake_nba_dmc_spark.suite import load_all
+    from datalake_nba_dmc_spark.suite.staged import staged_specs
+
+    registered = set(load_all())
+    staged = staged_specs()
+    assert set(staged) == {
+        "text_c4_filters",
+        "graph_label_propagation",
+        "dedup_cdc_chunks",
+        "dedup_minhash_portable",
+        "dedup_simhash_portable",
+        "graph_connected_components",
+        "graph_triangle_count",
+        "sketch_cms_counters",
+        "sketch_cms_heavy_hitters",
+        "stat_bootstrap_ci",
+        "dedup_minhash_portable_clusters",
+    }
+    assert not (set(staged) & registered)
+    # the audit view appends them; the driver view must not contain them
+    with_staged = load_all(include_staged=True)
+    assert set(with_staged) == registered | set(staged)
+    for spec in staged.values():
+        assert spec.oracle is None and callable(spec.builder)

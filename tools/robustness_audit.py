@@ -909,7 +909,7 @@ def partitions_audit(only: set[str]) -> int:
     from datalake_nba_dmc_spark.suite import load_all
     from tools.verify_local import canonical_hash
 
-    specs = load_all()
+    specs = load_all(include_staged=True)
     spark = get_spark("robustness_partitions")
     n_pass = n_fail = n_crash = n_known = 0
     failures: list[str] = []
@@ -1011,7 +1011,7 @@ def codegen_audit(only: set[str]) -> int:
     from datalake_nba_dmc_spark.suite import load_all
     from tools.verify_local import canonical_hash
 
-    specs = load_all()
+    specs = load_all(include_staged=True)
     spark = get_spark("robustness_codegen")
     n_pass = n_fail = n_crash = n_known = 0
     failures: list[str] = []
@@ -1105,7 +1105,7 @@ def spill_audit(only: set[str]) -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
-    specs = load_all()
+    specs = load_all(include_staged=True)
     n_pass = n_fail = n_crash = n_known = 0
     failures: list[str] = []
     for name, spec in sorted(specs.items()):
@@ -1316,7 +1316,7 @@ def main() -> int:
     from datalake_nba_dmc_spark.suite import load_all
     from tools.verify_local import canonical_hash
 
-    specs = load_all()
+    specs = load_all(include_staged=True)
     spark = get_spark(f"robustness_{mode}")
     con = duckdb.connect()
     for t in TABLES:
