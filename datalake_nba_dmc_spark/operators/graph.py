@@ -36,7 +36,7 @@ next round per the registry freeze.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators.util import ensure_parallelism
@@ -365,4 +365,75 @@ def triangle_count(
             F.col("degree").cast("long").alias("degree"),
             F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
         )
+    )
+
+
+def coreness_micro(
+    edges: DataFrame,
+    n_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """k-core decomposition by synchronous h-index iteration (Lü, Zhou,
+    Zhang & Stanley 2016, "The H-index of a network node and its relation
+    to degree and coreness" — public): c_0(v) = degree(v);
+    c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}), the largest h such that at
+    least h neighbors carry value ≥ h. The fixed point is exactly the
+    coreness (k-core number) — the curation signal that separates
+    densely-embedded hosts from peripheral chains better than raw degree
+    (a 10^6-degree hub whose neighbors are all leaves has coreness 1).
+
+    Like label propagation, the CONTRACT is the state after exactly
+    ``n_rounds`` synchronous rounds: an integer function of the edge set
+    that a DuckDB twin unrolling the same rounds reproduces BIT-EXACTLY,
+    converged or not (h-index iteration is monotonically non-increasing
+    and reaches coreness in O(graph-dependent) rounds; the registered
+    round count is chosen so the micro graph HAS converged, pinned by a
+    pytest law against an exact sequential peel).
+
+    The h-index of a node's neighbor multiset is computed as
+    ``max(least(rank, value))`` over the neighbor values ranked
+    descending — one neighbor-join plus one degree-bounded window per
+    round. The window partitions by node, so a celebrity node
+    concentrates its neighbor rows in one partition; at 100 TB swap the
+    exact window for the bucketed-histogram h-index (two hash-aggs: cap
+    values at degree, count per (node, value), running-sum scan over ≤
+    max-degree buckets) — same fixed point, no per-node ordering."""
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    und = (
+        e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.groupBy(F.col("_u").alias("node")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("_nbr_of").orderBy(
+        F.col("c").desc(), F.col("node").asc()
+    )
+    for t in range(1, n_rounds + 1):
+        neighbor_vals = und.join(
+            labels.select(F.col("node"), "c"),
+            und._v == F.col("node"),
+        ).select(
+            F.col("_u").alias("_nbr_of"), "node", "c"
+        )
+        labels = (
+            neighbor_vals.withColumn("_rn", F.row_number().over(w))
+            .groupBy(F.col("_nbr_of").alias("node"))
+            .agg(F.max(F.least(F.col("_rn"), F.col("c"))).alias("c"))
+        )
+        if t % checkpoint_every == 0 or t == n_rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        "node", F.col("c").cast("long").alias("coreness")
     )

@@ -72,9 +72,13 @@ _CHECK_PRIORITY: list[str] = [
     #    graph_triangle_count, sketch_cms_counters,
     #    sketch_cms_heavy_hitters, stat_bootstrap_ci (Poisson bootstrap),
     #    dedup_minhash_portable_clusters (the END-TO-END portable LSH
-    #    pipeline — signatures to representatives, full-value oracle).
+    #    pipeline — signatures to representatives, full-value oracle),
+    #    graph_coreness (h-index iteration k-core decomposition).
+    #    The slate is mirrored 1:1 by suite/staged.py, which the
+    #    robustness audits load (include_staged=True) so every name
+    #    above is already seven-mode audit-green BEFORE it registers.
     #    Window math:
-    #    11 new + the 28 deferred r7 below + 11 of the 50 r8 cohort = 50.
+    #    12 new + the 28 deferred r7 below + 10 of the 50 r8 cohort = 50.
     # -- round-11 cut. Staleness entering r11 (from CORRECTNESS_r1..r10):
     #    22×r6 (last round's documented deferred tail — VERDICT r10 ask #2
     #    says they lead), 50×r7, 50×r8, 50×r9, 50×r10. Window = 6 new

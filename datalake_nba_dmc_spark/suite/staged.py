@@ -128,6 +128,12 @@ def _dedup_minhash_portable_clusters(
     return minhash_portable_clusters(_docs(spark, sf_dir))
 
 
+def _graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.graph import coreness_micro
+
+    return coreness_micro(_edges(spark, sf_dir), n_rounds=8)
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r12 registration slate as audit-runnable specs."""
     builders = {
@@ -142,5 +148,6 @@ def staged_specs() -> dict[str, QuerySpec]:
         "sketch_cms_heavy_hitters": _sketch_cms_heavy_hitters,
         "stat_bootstrap_ci": _stat_bootstrap_ci,
         "dedup_minhash_portable_clusters": _dedup_minhash_portable_clusters,
+        "graph_coreness": _graph_coreness,
     }
     return {n: QuerySpec(n, b, None) for n, b in builders.items()}

@@ -169,3 +169,81 @@ def test_triangle_count_star_hub_emits_no_wedges(spark):
     got = triangle_count(star)
     assert got.filter(F.col("triangles") != 0).count() == 0
     assert got.count() == 51
+
+
+def test_coreness_crafted_and_exact_peel(spark):
+    """h-index iteration reaches the true coreness (exact sequential
+    peel reference) on crafted and seeded random graphs."""
+    import random
+
+    from datalake_nba_dmc_spark.operators.graph import coreness_micro
+
+    def exact_coreness(pairs):
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        core: dict[int, int] = {}
+        k = 0
+        remaining = set(adj)
+        while remaining:
+            v = min(remaining, key=lambda x: (deg[x], x))
+            k = max(k, deg[v])
+            core[v] = k
+            remaining.discard(v)
+            for u in adj[v]:
+                if u in remaining:
+                    deg[u] -= 1
+        return core
+
+    rng = random.Random(11)
+    cases = [
+        [(a, b) for a in range(4) for b in range(4) if a < b],  # K4
+        [(i, i + 1) for i in range(6)],  # chain
+        [(1, 2), (2, 3), (1, 3), (3, 4)],  # triangle + tail
+    ]
+    for n, m in [(20, 40), (30, 90)]:
+        cases.append(
+            list({(min(a, b), max(a, b)) for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ) if a != b})
+        )
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        got = {
+            r.node: r.coreness
+            for r in coreness_micro(edges, n_rounds=16).collect()
+        }
+        assert got == exact_coreness(pairs)
+
+
+def test_coreness_hub_vs_embedded(spark):
+    """The signal the docstring sells: a 50-leaf star hub has huge
+    degree but coreness 1, while every K5 member has coreness 4."""
+    from datalake_nba_dmc_spark.operators.graph import coreness_micro
+
+    star = [(0, i) for i in range(1, 51)]
+    k5 = [(a, b) for a in range(100, 105) for b in range(100, 105) if a < b]
+    edges = spark.createDataFrame(star + k5, "src long, dst long")
+    got = {
+        r.node: r.coreness
+        for r in coreness_micro(edges, n_rounds=12).collect()
+    }
+    assert got[0] == 1 and all(got[i] == 1 for i in range(1, 51))
+    assert all(got[i] == 4 for i in range(100, 105))
+
+
+def test_coreness_empty_and_validation(spark):
+    import pytest
+
+    from datalake_nba_dmc_spark.operators.graph import coreness_micro
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert coreness_micro(empty, 2).collect() == []
+    with pytest.raises(ValueError, match="n_rounds"):
+        coreness_micro(empty, -1)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        coreness_micro(empty, 2, checkpoint_every=0)

@@ -1483,3 +1483,55 @@ def test_minhash_portable_clusters_duckdb_twin(spark):
     assert any(not rep for _, _, rep in got)
     reps = {c for _, c, rep in got if rep}
     assert reps == {c for _, c, _ in got}
+
+
+@needs_testdata
+def test_coreness_duckdb_twin(spark):
+    """coreness_micro (r11-staged registration graph_coreness) vs a
+    DuckDB twin unrolling the same synchronous h-index rounds
+    (ROW_NUMBER ranked by value desc, max(least(rank, value)) per node)
+    — every coreness value bit-exact."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.graph import coreness_micro
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    T = 8
+    docs = TableRegistry(spark, SF).documents
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        (F.expr("doc_id div 101") % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    got = sorted(
+        (r.node, r.coreness)
+        for r in coreness_micro(edges, n_rounds=T).collect()
+    )
+    ctes = [
+        "edges AS (SELECT DISTINCT doc_id % 101 AS s, (doc_id // 101) % 101 "
+        "AS d FROM documents WHERE doc_id % 101 != (doc_id // 101) % 101)",
+        "und AS (SELECT DISTINCT u, v FROM (SELECT s AS u, d AS v FROM edges "
+        "UNION ALL SELECT d, s FROM edges))",
+        "l0 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM und GROUP BY u)",
+    ]
+    for t in range(1, T + 1):
+        ctes.append(
+            f"v{t} AS (SELECT und.u AS nbr_of, l.node, l.c FROM und "
+            f"JOIN l{t - 1} l ON und.v = l.node)"
+        )
+        ctes.append(
+            f"l{t} AS (SELECT nbr_of AS node, "
+            "CAST(MAX(LEAST(rn, c)) AS BIGINT) AS c FROM ("
+            "SELECT nbr_of, c, ROW_NUMBER() OVER (PARTITION BY nbr_of "
+            f"ORDER BY c DESC, node ASC) AS rn FROM v{t}) GROUP BY nbr_of)"
+        )
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, c AS coreness FROM l{T}"
+    )
+    want = sorted(
+        (int(a), int(b)) for a, b in _duck().execute(sql).fetchall()
+    )
+    assert got == want and len(got) == 101
+    # the graph is not coreness-uniform (non-vacuous)
+    assert len({c for _, c in want}) > 1

@@ -168,6 +168,7 @@ def test_staged_specs_disjoint_and_planned():
         "sketch_cms_heavy_hitters",
         "stat_bootstrap_ci",
         "dedup_minhash_portable_clusters",
+        "graph_coreness",
     }
     assert not (set(staged) & registered)
     # the audit view appends them; the driver view must not contain them
