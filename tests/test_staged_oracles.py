@@ -1287,6 +1287,10 @@ def test_second_batch_staged_ops_layout_invariant(spark):
         "cms_hh": lambda d: cms_heavy_hitters(d, k=10, width=8),
         "minhash_arrow": lambda d: minhash_portable(d, use_arrow=True),
         "minhash_clusters": lambda d: minhash_portable_clusters(d),
+        "coreness": lambda d: __import__(
+            "datalake_nba_dmc_spark.operators.graph",
+            fromlist=["coreness_micro"],
+        ).coreness_micro(edges(d), n_rounds=4),
         "bootstrap_ci": lambda d: __import__(
             "datalake_nba_dmc_spark.operators.stats",
             fromlist=["bootstrap_ci_mean"],
