@@ -1539,3 +1539,73 @@ def test_coreness_duckdb_twin(spark):
     assert got == want and len(got) == 101
     # the graph is not coreness-uniform (non-vacuous)
     assert len({c for _, c in want}) > 1
+
+
+@needs_testdata
+def test_second_batch_staged_ops_duplication_laws(spark):
+    """Scale laws under 100% duplicated input (the dup audit gives
+    staged ops only a rows-only gate; these pin the real invariants):
+    set-semantics operators (star CC, triangles, coreness, LSH clusters,
+    heavy-hitter ranking identity) are BIT-IDENTICAL, occurrence
+    counters (CMS) double EXACTLY, and the bootstrap CI is bit-identical
+    (per-id weights repeat, so every resample mean's numerator and
+    denominator double together)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from datalake_nba_dmc_spark.operators.graph import (
+        coreness_micro,
+        triangle_count,
+    )
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        cms_counters,
+        cms_heavy_hitters,
+        minhash_portable_clusters,
+    )
+    from datalake_nba_dmc_spark.operators.stats import bootstrap_ci_mean
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    reg = TableRegistry(spark, SF)
+    docs, orders = reg.documents, reg.orders
+    ddocs, dorders = docs.union(docs), orders.union(orders)
+
+    def edges(d):
+        return d.select(
+            (F.col("doc_id") % 101).alias("src"),
+            (F.expr("doc_id div 101") % 101).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # set-semantics: bit-identical under duplication
+    assert rows(connected_components_star(edges(docs), "src", "dst")) == rows(
+        connected_components_star(edges(ddocs), "src", "dst")
+    )
+    assert rows(triangle_count(edges(docs))) == rows(
+        triangle_count(edges(ddocs))
+    )
+    assert rows(coreness_micro(edges(docs), 8)) == rows(
+        coreness_micro(edges(ddocs), 8)
+    )
+    assert rows(minhash_portable_clusters(docs)) == rows(
+        minhash_portable_clusters(ddocs)
+    )
+    # occurrence counters: every cell exactly 2x
+    single = {
+        (r.row_idx, r.col_idx): r.cnt for r in cms_counters(docs).collect()
+    }
+    doubled = {
+        (r.row_idx, r.col_idx): r.cnt for r in cms_counters(ddocs).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in single.items()}
+    # heavy hitters: same tokens, true and estimate both exactly 2x
+    hh1 = {r.tok: (r.true_cnt, r.cms_est) for r in cms_heavy_hitters(docs).collect()}
+    hh2 = {r.tok: (r.true_cnt, r.cms_est) for r in cms_heavy_hitters(ddocs).collect()}
+    assert hh2 == {t: (2 * a, 2 * b) for t, (a, b) in hh1.items()}
+    # bootstrap CI: ratio statistic, bit-identical
+    assert rows(
+        bootstrap_ci_mean(orders, "o_totalprice", "o_orderkey")
+    ) == rows(bootstrap_ci_mean(dorders, "o_totalprice", "o_orderkey"))
