@@ -299,9 +299,11 @@ def triangle_count(
     degree d produces d² wedges if edges point away from it by id, but
     ~0 when ordered by degree — out-degrees under this orientation are
     bounded by O(sqrt(|E|)) (graph arboricity), so no single reducer
-    inherits a hot node's quadratic fan-out. Three shuffles total
-    (degree agg, wedge self-join, closing semi-equi-join) — no
-    iteration, no window, no collect.
+    inherits a hot node's quadratic fan-out. No iteration, no window,
+    no collect; the heavy step is the wedge self-join, and everything
+    else is hash-agg/equi-join shuffles keyed on node ids (the two
+    degree-attach joins broadcast when the degree table fits — it is
+    O(nodes), two longs wide).
 
     Determinism: counts are integers over set semantics (parallel edges
     and self-loops dropped first), so any engine agrees — the DuckDB

@@ -1609,3 +1609,24 @@ def test_second_batch_staged_ops_duplication_laws(spark):
     assert rows(
         bootstrap_ci_mean(orders, "o_totalprice", "o_orderkey")
     ) == rows(bootstrap_ci_mean(dorders, "o_totalprice", "o_orderkey"))
+
+
+@needs_testdata
+def test_coreness_converged_at_registered_rounds(spark):
+    """The registered round count (8) has CONVERGED on the derived
+    micro graph — doubling the rounds changes nothing — so the
+    fixed-round contract equals the true coreness there, not a
+    mid-iteration snapshot."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.graph import coreness_micro
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    docs = TableRegistry(spark, SF).documents
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        (F.expr("doc_id div 101") % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    assert sorted(
+        tuple(r) for r in coreness_micro(edges, 8).collect()
+    ) == sorted(tuple(r) for r in coreness_micro(edges, 16).collect())
