@@ -210,28 +210,30 @@ def _minhash_portable_sig(
     :func:`minhash_portable` (exploded rows) and
     :func:`minhash_portable_clusters` (array-sliced banding)."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    staged = (
-        ensure_parallelism(
-            df.filter(
-                F.col(text_col).isNotNull()
-                & (F.octet_length(text_col) == F.length(text_col))
-            )
+    base = ensure_parallelism(
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.octet_length(text_col) == F.length(text_col))
         )
-        .withColumn("_toks", toks)
-        .withColumn("_sh", _grams_from_tokens(F.col("_toks"), shingle_n))
-        .filter(F.size("_sh") > 0)
-    )
+    ).withColumn("_toks", toks)
 
     if use_arrow:
         # the arrow path consumes raw TOKENS (1x corpus bytes) and
-        # reconstructs shingle hashes from per-token sums — _sh exists
-        # only as the emptiness filter above
-        return staged.select(
+        # reconstructs shingle hashes from per-token sums. Emptiness is
+        # filtered on the TOKEN array: for non-null token arrays
+        # size(_sh) > 0 iff size(_toks) > 0 (_grams_from_tokens emits the
+        # whole-text window for 1..n-1 tokens), and building _sh here
+        # would materialize every shingle string in the JVM — exactly the
+        # 3x-bytes cost this path exists to avoid (r11 ADVICE finding)
+        return base.filter(F.size("_toks") > 0).select(
             id_col,
             minhash_portable_arrow(num_hashes, shingle_n, seed)(
                 F.col("_toks")
             ).alias("_sig"),
         )
+    staged = base.withColumn(
+        "_sh", _grams_from_tokens(F.col("_toks"), shingle_n)
+    ).filter(F.size("_sh") > 0)
     coeffs = permutation_coeffs(num_hashes, seed)
     a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
     b_arr = F.array(*[F.lit(b) for _, b in coeffs])
@@ -513,7 +515,14 @@ def minhash_portable_clusters(
     persisted once (MEMORY_AND_DISK — spills, never OOMs) and read by
     banding, the CC edge build, and the final id roster: the signature
     char-fold is the pipeline's dominant cost and must run once (at
-    100 TB: a checkpointed table — the minhash_dedup lesson). Buckets
+    100 TB: a checkpointed table — the minhash_dedup lesson). The
+    persist is DELIBERATELY not unpersisted here (r11 ADVICE): this
+    builder returns a lazy frame, so eager cleanup would have to
+    materialize-then-release inside the builder, and repeated suite/
+    audit invocations intentionally re-hit the cached plan (the PERF.md
+    steady-state receipt relies on exactly that plan-cache match);
+    storage-level MEMORY_AND_DISK + the executor LRU bound the cost —
+    stale entries evict under pressure instead of OOMing. Buckets
     emit star edges
     (min-id → member), never within-bucket pairs — O(rows × B), the
     skew lesson from minhash_lsh_candidates. Components via

@@ -194,15 +194,30 @@ def bootstrap_weight_sql(id_expr: str, r_expr: str, seed: int, dialect: str) -> 
     the resample index first and evaluates ONE mixer + one CASE ladder
     over the exploded rows. The first cut embedded the ladder per
     resample (n_resamples × 9 mixer copies in one projection) — the
-    janino method-size blowup shape the plan census exists to catch."""
+    janino method-size blowup shape the plan census exists to catch.
+
+    The id enters through BOTH 31-bit halves (low bits direct, high bits
+    pre-mixed), so 64-bit keys congruent mod 2^31 get independent weights
+    instead of aliasing into fully-correlated resamples (r11 ADVICE: the
+    old fold dropped the high bits, silently narrowing the CI whenever
+    distinct ids shared low words). Residual collisions are the
+    pseudorandom 31-bit birthday kind, not congruence classes; ids
+    congruent mod 2^62 still alias — beyond any real key space."""
     from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
 
     # double-mod wrap: % is sign-of-dividend in BOTH engines, and the
     # mixer's input contract is non-negative — negative ids must not
-    # leak a negative base into it
+    # leak a negative base into it. The wrap runs at 2^62 BEFORE the
+    # half-split so hi/lo derive from a non-negative value, where
+    # Spark `div` (trunc) and DuckDB `//` (floor) agree.
+    nn = (
+        f"((((({id_expr}) % 4611686018427387904) + 4611686018427387904)"
+        f" % 4611686018427387904))"
+    )
+    hi_mixed = mixer_sql(f"({nn} div 2147483648)" if dialect == "spark" else f"({nn} // 2147483648)", dialect)
     u = mixer_sql(
-        f"((((({id_expr}) % 2147483648) + 2147483648) % 2147483648)"
-        f" * 40503 + ({r_expr}) * 2654435761 + {seed}) % 2147483648",
+        f"((({hi_mixed} * 40503 + ({nn} % 2147483648)) % 2147483648)"
+        f" + ({r_expr}) * 2654435761 + {seed}) % 2147483648",
         dialect,
     )
     branches = " ".join(
@@ -255,9 +270,13 @@ def bootstrap_ci_mean(
     if not 0 < alpha_pct < 100:
         raise ValueError("alpha_pct must be in (0, 100)")
     xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    base = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), xs.alias("_xs")
-    )
+    # NULL ids are excluded from the BASE too, not just the weight leg:
+    # a NULL id yields a NULL weight, so such a row would enter the point
+    # estimate yet vanish from every resample mean — point and interval
+    # describing different populations (r11 ADVICE finding)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("_id"), xs.alias("_xs"))
     per_r = (
         base.select(
             "_id",

@@ -612,6 +612,10 @@ def load_all(include_staged: bool = False) -> dict[str, QuerySpec]:
         from datalake_nba_dmc_spark.suite.staged import staged_specs
 
         for n, spec in staged_specs().items():
-            assert n not in ordered, f"staged name already registered: {n}"
+            # ValueError, not assert: compiled away under python -O, a
+            # staged spec could silently shadow a registered query in
+            # the audit batteries (r11 ADVICE finding)
+            if n in ordered:
+                raise ValueError(f"staged name already registered: {n}")
             ordered[n] = spec
     return ordered

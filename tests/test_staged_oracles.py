@@ -1354,7 +1354,8 @@ def test_bootstrap_ci_duckdb_twin(spark):
         WITH base AS (
           SELECT o_orderkey AS id,
                  CAST(round(o_totalprice * {SCALE}) AS BIGINT) AS xs
-          FROM orders WHERE o_totalprice IS NOT NULL
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
         ), ex AS (
           SELECT id, xs, unnest(range(0, {M})) AS r FROM base
         ), wtab AS (
