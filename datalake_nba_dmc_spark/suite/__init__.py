@@ -63,136 +63,92 @@ def query(name: str, oracle: str | None = None):
 # regression there is still visible to the driver), then the remainder.
 # Rotate per round: move freshly-checked names out of the priority prefix and
 # promote the now-least-recently-checked ones.
-_CHECK_PRIORITY: list[str] = [
-    # -- r12 plan (for the next cut): TEN staged operators carry green
-    #    DuckDB twins in tests/test_staged_oracles.py and register next
-    #    round per the freeze — text_c4_filters, graph_label_propagation,
-    #    dedup_cdc_chunks, dedup_minhash_portable, dedup_simhash_portable,
-    #    graph_connected_components (large/small-star CC),
-    #    graph_triangle_count, sketch_cms_counters,
-    #    sketch_cms_heavy_hitters, stat_bootstrap_ci (Poisson bootstrap),
-    #    dedup_minhash_portable_clusters (the END-TO-END portable LSH
-    #    pipeline — signatures to representatives, full-value oracle),
-    #    graph_coreness (h-index iteration k-core decomposition).
-    #    The slate is mirrored 1:1 by suite/staged.py, which the
-    #    robustness audits load (include_staged=True) so every name
-    #    above is already seven-mode audit-green BEFORE it registers.
-    #    Window math:
-    #    12 new + the 28 deferred r7 below + 10 of the 50 r8 cohort = 50.
-    # -- round-11 cut. Staleness entering r11 (from CORRECTNESS_r1..r10):
-    #    22×r6 (last round's documented deferred tail — VERDICT r10 ask #2
-    #    says they lead), 50×r7, 50×r8, 50×r9, 50×r10. Window = 6 new
-    #    registrations (ask #1's staged operators — bigram LM, HyperBall
-    #    registers + estimate, portable HLL, media quarantine ledger —
-    #    plus ask #6's estimate-vs-exact error certificate, each in its
-    #    own round's window per the registry freeze) + all 22 r6
-    #    (r6-backlog → 0) + 22 of the 50 r7 (r7-backlog after r11 = 28).
-    #    r7 selection rule (the r10 precedent): the 15 r7 names bench.py
-    #    times EVERY round defer with that standing perf+smoke coverage;
-    #    media_phash_near_dups + media_frame_sample take explicit
-    #    in-window slots per ask #2 (both r9-changed; rotation promised
-    #    "r10+"); the other 13 no-bench deferrals sit contiguously past
-    #    the edge with per-name redundancy notes below.
-    # -- 1. never-checked: registered THIS round, in their own round's
-    #    window. text_bigram_logprob = add-one bigram LM, exact integer
-    #    micro-nat contract vs a list-comprehension twin;
-    #    graph_hyperball_registers / graph_hyperball_harmonic_est = the
-    #    100 TB HLL-ball centrality path, register-exact AND
-    #    estimate-exact vs BFS-derived twins;
-    #    graph_hyperball_error_certificate = ask #6 (estimate vs exact
-    #    harmonic, integer ppm aggregates + band verdict);
-    #    sketch_hll_portable = cross-engine bit-exact HLL rollup (full
-    #    VALUE oracle where DataSketches blobs only admit tolerance);
-    #    media_quarantine_report = ask #7 (r9)'s quarantine ledger with
-    #    a corruption-rule-derived oracle.
-    "text_bigram_logprob",
-    "graph_hyperball_registers",
-    "graph_hyperball_harmonic_est",
-    "graph_hyperball_error_certificate",
-    "sketch_hll_portable",
-    "media_quarantine_report",
-    # -- 2. the full r6 backlog (22) — r6-backlog after r11 = 0
+#: Names PERMANENTLY PINNED below the driver window (VERDICT r11 ask #2).
+#: These 11 queries are rows-only BY DESIGN — engine-private hash families
+#: (xxhash64 MinHash/SimHash), Python-seeded hyperplanes, KMeans/eigen
+#: training — so a driver window slot spent on one can only ever produce a
+#: `no_oracle` err row, never a green one (CORRECTNESS_r11 burned six
+#: slots exactly this way). They are appended at the BOTTOM of the
+#: rotation, permanently outside the 50-slot window; their ORACLE-CHECKED
+#: companions rotate in their place and carry the driver-green signal for
+#: the same code paths:
+#:   dedup_minhash_lsh        -> dedup_ngram_jaccard (exact-Jaccard verify
+#:                               oracle) + dedup_minhash_portable /
+#:                               _clusters (r12: the same pipeline with a
+#:                               full-value cross-engine contract)
+#:   dedup_simhash            -> dedup_simhash_portable (r12, bit-exact)
+#:   sim_embedding_near_dups  -> sim_embedding_near_dups_certificate
+#:   sim_semantic_dedup       -> sim_semantic_dedup_certificate
+#:   media_phash_near_dups    -> media_phash_dup_certificate (identical
+#:                               synthesize->decode->aHash pipeline,
+#:                               oracle-pinned)
+#:   emb_pca_project/_whitened-> emb_second_moments (the exact covariance
+#:                               substrate the eigh consumes)
+#:   sim_lsh_topk             -> sim_lsh_recall
+#:   sim_lsh_multiprobe_topk  -> sim_lsh_multiprobe_recall
+#:   sim_ivf_topk             -> sim_ivf_recall
+#:   emb_pq_codes             -> sim_pq_adc_recall
+#: All 11 stay pytest-covered and ten are bench-executed at sf0.1, so a
+#: crash/regression remains visible round-over-round without wasting
+#: driver slots on structurally-red rows.
+NO_ORACLE_PINNED: list[str] = [
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_url_canonical",
-    "sim_bruteforce_topk",
     "sim_embedding_near_dups",
     "sim_semantic_dedup",
-    "text_token_histogram",
-    "text_tfidf",
-    "text_domain_quota",
-    "text_dsir_selection",
-    "text_bpe_pair_counts",
-    "text_quality_classifier",
-    "events_tumbling_agg",
-    "events_sessionization",
-    "events_asof_latest_order",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customers",
-    "set_except",
-    "join_inner",
-    "x4_split_mmss",
-    # -- 3. stalest r7 cohort (22 of 50; the other 28 deferred, below).
-    #    media_phash_near_dups + media_frame_sample first per ask #2.
     "media_phash_near_dups",
-    "media_frame_sample",
-    "cdc_snapshot_diff",
-    "corpus_mix_report",
-    "dq_orders_expectations",
-    "emb_cluster_assign_ok",
     "emb_pca_project",
-    "emb_second_moments",
-    "events_cohort_retention",
-    "func_date_parts",
-    "gapfill_user_daily",
-    "profile_orders_columns",
-    "sample_stratified_segments",
-    "scd2_user_event_history",
-    "sim_label_centroids",
-    "sim_pq_adc_recall",
-    "text_collocations",
-    "text_pack_bins",
-    "text_pii_redaction",
-    "tpch_q10_returned_items",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_suppliers",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r7 (28): lead the r12 cut. 15 are bench-timed EVERY
-    #    round (executed at sf0.1 each bench run, crash/regression stays
-    #    visible round-over-round): a3_multi_measure_agg,
-    #    corpus_temperature_mix, curation_pipeline, dedup_incremental,
-    #    dedup_paragraphs, media_png_roundtrip_stats, sample_group_split,
-    #    sim_ivf_topk, sketch_distinct_rollup, text_bm25_topk,
-    #    text_bpe_segment, text_ccnet_buckets, text_decontaminate,
-    #    text_js_divergence, tpch_q4_order_priority. The 13 non-bench
-    #    deferrals, each with in-window redundancy:
-    #    emb_pca_whitened (emb_pca_project in-window — same
-    #    covariance/eigh substrate, whitening is a diagonal rescale);
-    #    events_interval_overlap + events_sliding_agg +
-    #    events_time_rollup (events family: tumbling/sessionization/
-    #    asof + cohort_retention all in-window);
-    #    tpch_q14_promo_revenue (conditional-agg shape = in-window
-    #    tpch_q6 + events family; q14's when/sum surface also in
-    #    agg_conditional, r10-green), tpch_q17_small_quantity_revenue
-    #    (correlated scalar-subquery shape = in-window tpch_q15's view
-    #    + tpch_q21's correlated exists family),
-    #    tpch_q19_disjunctive_predicates (pure filter surface — q6
-    #    in-window is the same scan+filter+agg shape),
-    #    tpch_q22_dormant_customers (anti-join + scalar subquery:
-    #    join_inner in-window, join_anti r10-green, q21 in-window);
-    #    y3_zorder_roundtrip (k-roundtrip family k1/k2/k3/k4/k5/k6/k7
-    #    all r9/r10-green; zorder layout pytest-pinned in test_layout);
-    #    dedup_prefix_ssjoin (the skew audit's zipf_hot_ssjoin_invariant
-    #    runs it every audit round; 4 dedup names in-window);
-    #    text_vocab_coverage + text_repetition (six text names
-    #    in-window; both are map-only token projections whose surface
-    #    text_token_histogram/text_tfidf cover);
-    #    sim_lsh_topk (sim_lsh_recall r10-green runs the same LSH
-    #    bucket path against brute-force truth — the stricter contract,
-    #    same precedent as media_phash_near_dups' r9 certificate).
     "emb_pca_whitened",
+    "sim_lsh_topk",
+    "sim_lsh_multiprobe_topk",
+    "sim_ivf_topk",
+    "emb_pq_codes",
+]
+
+_CHECK_PRIORITY: list[str] = [
+    # -- round-12 cut. Staleness entering r12 (from CORRECTNESS_r1..r11):
+    #    28 x r7 (last round's documented deferred tail), 50 x r8,
+    #    50 x r9, 50 x r10, 50 x r11 — plus 12 NEW registrations (the
+    #    r11-staged slate, each in its own round's window per the
+    #    registry freeze). Window math: 12 new + 25 r7 + 13 r8 = 50.
+    #    The r7 cohort enters IN FULL minus its three no-oracle names
+    #    (emb_pca_whitened, sim_lsh_topk, sim_ivf_topk — permanently
+    #    pinned below the window per NO_ORACLE_PINNED above, surrogates
+    #    documented there), so the rotating r7 backlog is CLEARED:
+    #    r7-backlog after r12 = 0. Historical cut documentation
+    #    (r8..r11 window composition + per-name deferral redundancy)
+    #    lives in git history of this file and reconstructs from
+    #    CORRECTNESS_r*.json via tools/window_plan.py.
+    # -- 1. never-checked: registered THIS round, in their own round's
+    #    window. The 12-op r11-staged slate, every twin green at two
+    #    scales in tests/test_staged_oracles.py and seven-mode
+    #    audit-hardened BEFORE registration:
+    #    text_c4_filters = C4 line-cleaning signals + page verdict;
+    #    graph_label_propagation = deterministic-tiebreak synchronous
+    #    LPA; dedup_cdc_chunks = content-defined chunking, edit-stable
+    #    fingerprints; dedup_minhash_portable (+_clusters = the
+    #    END-TO-END LSH keep/drop pipeline as a full-value oracle) and
+    #    dedup_simhash_portable = cross-engine bit-exact signatures;
+    #    graph_connected_components = large/small-star CC vs a
+    #    recursive-closure twin; graph_triangle_count = degree-ordered
+    #    wedge closure; sketch_cms_counters / sketch_cms_heavy_hitters =
+    #    portable Count-Min matrix + certified heavy hitters;
+    #    stat_bootstrap_ci = Poisson-bootstrap CI, every weight replayed;
+    #    graph_coreness = iterated-h-index k-core decomposition.
+    "text_c4_filters",
+    "graph_label_propagation",
+    "dedup_cdc_chunks",
+    "dedup_minhash_portable",
+    "dedup_minhash_portable_clusters",
+    "dedup_simhash_portable",
+    "graph_connected_components",
+    "graph_triangle_count",
+    "sketch_cms_counters",
+    "sketch_cms_heavy_hitters",
+    "stat_bootstrap_ci",
+    "graph_coreness",
+    # -- 2. the full oracle-bearing r7 backlog (25 of 28; the other 3
+    #    are no-oracle, pinned at the bottom) — r7-backlog after r12 = 0
     "events_interval_overlap",
     "events_sliding_agg",
     "events_time_rollup",
@@ -204,7 +160,6 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_prefix_ssjoin",
     "text_vocab_coverage",
     "text_repetition",
-    "sim_lsh_topk",
     "a3_multi_measure_agg",
     "corpus_temperature_mix",
     "curation_pipeline",
@@ -212,7 +167,6 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_paragraphs",
     "media_png_roundtrip_stats",
     "sample_group_split",
-    "sim_ivf_topk",
     "sketch_distinct_rollup",
     "text_bm25_topk",
     "text_bpe_segment",
@@ -220,278 +174,10 @@ _CHECK_PRIORITY: list[str] = [
     "text_decontaminate",
     "text_js_divergence",
     "tpch_q4_order_priority",
-    # -- round-10 cut (historical). Staleness entering r10 (from CORRECTNESS_r1..r9):
-    #    16×r5 (last round's documented deferred tail — VERDICT r9 ask #2
-    #    says they lead), 50×r6, 50×r7, 50×r8, 50×r9. Window = 6 new
-    #    registrations (VERDICT r9 ask #1: the staged operators whose
-    #    DuckDB twins were already green in tests/test_staged_oracles.py)
-    #    + all 16 r5 (r5-backlog → 0) + 28 of the 50 r6 (r6-backlog after
-    #    r10 = 22, exactly ask #2's ≤ 22 bound). media_metadata (r6,
-    #    REAL-decode path changed r9) takes an explicit in-window slot per
-    #    ask #3; media_phash_near_dups (r7, same r9 change) rotates r11
-    #    when the r7 cohort leads — its changed code path already holds a
-    #    fresh r9-green driver row via media_phash_dup_certificate, which
-    #    runs the identical synthesize→decode→aHash pipeline with a
-    #    stricter (oracle-pinned) contract, so the redundancy is exact.
-    #    The 22 deferred r6 names sit contiguously past the edge with
-    #    per-name redundancy notes below.
-    # -- 1. never-checked: registered THIS round, in their own round's
-    #    window (registry freeze). corpus_pack_sequences = two-phase
-    #    parallel-prefix-sum packing vs the sequential running-sum twin;
-    #    media_y4m_frame_stats + media_wav_pcm_stats = REAL container
-    #    decodes (Y4M frame walk / RIFF-PCM chunk walk) vs hex-pair
-    #    byte-walk twins that never see a container;
-    #    graph_pagerank_micro + graph_harmonic_centrality = integer
-    #    micro-rank contracts vs unrolled-CTE / unrolled-BFS twins;
-    #    mart_containment_pairs = Broder directed containment vs the
-    #    one-sided-denominator gram-join twin.
-    "corpus_pack_sequences",
-    "media_y4m_frame_stats",
-    "media_wav_pcm_stats",
-    "graph_pagerank_micro",
-    "graph_harmonic_centrality",
-    "mart_containment_pairs",
-    # -- 2. the full r5 backlog (16) — r5-backlog after r10 = 0
-    "w3_lag",
-    "w5_ntile_quartiles",
-    "w6_moving_avg",
-    "w8_percent_rank",
-    "join_semi",
-    "join_anti",
-    "agg_rollup",
-    "agg_pivot",
-    "func_try_arithmetic",
-    "p1_project_prune",
-    "p2_bulk_rename",
-    "dedup_exact",
-    "stat_corr_qty_price",
-    "tpch_q1_pricing_summary",
-    "events_dau_wau",
-    "mart_supplier_pareto",
-    # -- 3. stalest r6 cohort (28 of 50; the other 22 deferred, below).
-    #    Selection rule: the 19 r6 names that bench.py times EVERY round
-    #    (headline or extended) defer with that standing perf+smoke
-    #    coverage; the in-window 28 are the r6 names with NO bench row —
-    #    plus media_metadata (bench-timed but r9-changed, ask #3).
-    "media_metadata",
-    "agg_approx_percentiles",
-    "agg_conditional",
-    "agg_cube",
-    "conform_safe_downcast",
-    "events_approx_distinct_users",
-    "events_followup_within_hour",
-    "events_json_extract",
-    "func_array_scalars",
-    "func_null_semantics",
-    "func_string_surface",
-    "grouped_minmax_norm",
-    "k2_partition_overwrite_roundtrip",
-    "merge_upsert_orders",
-    "project_unpivot",
-    "sample_hash_mod",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "sim_embedding_near_dups_certificate",
-    "sim_ivf_recall",
-    "sim_lsh_recall",
-    "sim_semantic_dedup_certificate",
-    "skew_salted_agg",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_winnow_fingerprints",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r6 (22): lead the r11 cut. Redundancy per name —
-    #    19 are bench-timed EVERY round (executed at sf0.1 each bench run,
-    #    so a crash/regression stays visible round-over-round):
-    #    dedup_minhash_lsh + dedup_ngram_jaccard + dedup_simhash +
-    #    dedup_url_canonical (bench; near-dup family further covered
-    #    in-window by mart_containment_pairs, new, + the certificates),
-    #    sim_bruteforce_topk (bench; sim_ivf_recall in-window measures
-    #    recall AGAINST the brute-force truth, running it internally),
-    #    sim_embedding_near_dups + sim_semantic_dedup (bench; their
-    #    oracle-checked certificates are in-window),
-    #    text_token_histogram + text_tfidf + text_domain_quota +
-    #    text_dsir_selection + text_bpe_pair_counts +
-    #    text_quality_classifier (bench; BPE surface also in-window via
-    #    text_bpe_token_count, token counting via corpus_pack_sequences),
-    #    events_tumbling_agg + events_sessionization +
-    #    events_asof_latest_order (bench; events_json_extract +
-    #    events_followup_within_hour + events_approx_distinct_users
-    #    in-window),
-    #    tpch_q1-anchored trio tpch_q5_local_supplier_volume +
-    #    tpch_q6_forecast_revenue + tpch_q18_large_volume_customers
-    #    (bench HEADLINE; tpch_q1 itself in-window via the r5 block).
-    #    The 3 non-bench deferrals: set_except (set_except_all +
-    #    set_intersect + set_intersect_all in-window share the counted-
-    #    multiset/anti-join implementation), join_inner (j1–j4 all
-    #    r9-green, join_semi + join_anti in-window), x4_split_mmss
-    #    (scalar split/format surface inside func_string_surface,
-    #    in-window).
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_url_canonical",
-    "sim_bruteforce_topk",
-    "sim_embedding_near_dups",
-    "sim_semantic_dedup",
-    "text_token_histogram",
-    "text_tfidf",
-    "text_domain_quota",
-    "text_dsir_selection",
-    "text_bpe_pair_counts",
-    "text_quality_classifier",
-    "events_tumbling_agg",
-    "events_sessionization",
-    "events_asof_latest_order",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customers",
-    "set_except",
-    "join_inner",
-    "x4_split_mmss",
-    # -- round-9 cut (historical). Staleness entering r9 (from CORRECTNESS_r1..r8):
-    #    15×r4 (last round's documented deferred tail — VERDICT r8 ask #2
-    #    says they lead), 48×r5, 50×r6, 50×r7, 50×r8. Window = 3 new
-    #    registrations + all 15 r4 (r4-backlog → 0) + 32 of the 48 r5.
-    #    r5-backlog after r9 = 16: ONE over ask #2's ≤ 15 bound, traded
-    #    deliberately for ask #3's dup-injection certificate QUERY
-    #    (media_phash_dup_certificate) — the registry-freeze rule says a
-    #    new registration must sit inside its own round's window, and the
-    #    two ask-#1 registrations are equally non-negotiable, so the
-    #    arithmetic (3 new + 15 r4 + 32 r5 = 50) leaves exactly 16
-    #    deferred r5 names; the 16th (mart_supplier_pareto) carries the
-    #    same documented in-window redundancy as the rest.
-    # -- 1. never-checked: registered THIS round, in their own round's
-    #    window. dedup_contamination_bloom = VERDICT r8 ask #1 (the
-    #    fixed-broadcast-budget Bloom screen, certificate-oracled against
-    #    the exact contamination count); dedup_substring_spans = ask #1's
-    #    second half (distributed ExactSubstr cross-doc spans, DuckDB
-    #    gaps-and-islands twin); media_phash_dup_certificate = ask #3's
-    #    re-encode-invariance certificate for the now-REAL pixel phash.
-    "dedup_contamination_bloom",
-    "dedup_substring_spans",
-    "media_phash_dup_certificate",
-    # -- 2. the full r4 backlog (15) — r4-backlog after r9 = 0
-    "a1_dedup_rows",
-    "a2_dynamic_sum_agg",
-    "p4p5_derived_columns",
-    "f1_filter_eq",
-    "j2_left_join_expr_key",
-    "events_variant_agg",
-    "events_latest_state_per_user",
-    "sim_lsh_multiprobe_topk",
-    "sketch_theta_overlap",
-    "set_union_all",
-    "sort_topk",
-    "stat_exact_moments",
-    "k5_file_manifest",
-    "w4_running_sum",
-    "emb_pq_codes",
-    # -- 3. stalest r5 cohort (32 of 48; the other 16 deferred, below)
-    "a4_team_style_agg",
-    "agg_grouping_sets",
-    "agg_incremental_maintenance",
-    "agg_percentiles",
-    "conform_union_evolved",
-    "dedup_repeated_spans",
-    "events_heatmap_hour_dow",
-    "events_time_to_convert",
-    "events_user_idle_report",
-    "events_user_running_totals",
-    "f2_null_guarded_parse",
-    "flagship_customer_resume",
-    "func_date_arithmetic",
-    "j3_left_join_derived_key",
-    "j4_join_using",
-    "join_nearest_tier",
-    "k1_write_roundtrip",
-    "k6_versioned_roundtrip",
-    "k7_jsonl_landing_roundtrip",
-    "lakehouse_version_diff",
-    "mart_basket_pairs",
-    "profile_winsorize",
-    "stat_gini_order_value",
-    "stat_psi_price_drift",
-    "text_length_deciles",
-    "text_sentence_boilerplate",
-    "text_source_lang_diversity",
-    "text_stats",
-    "w1_latest_order_maxby",
-    "w2_rank_in_group",
-    "w7_first_last_order",
-    "x1x2x3_date_roundtrip",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r5 (16): lead the r10 cut. In-window/bench redundancy
-    #    per name: w3_lag + w5_ntile_quartiles + w6_moving_avg +
-    #    w8_percent_rank (window-function family: w1_latest_order_maxby,
-    #    w2_rank_in_group, w4_running_sum, w7_first_last_order all
-    #    in-window; w4 is also bench-HEADLINE), join_semi + join_anti
-    #    (j2/j3/j4 + join_nearest_tier in-window; semi/anti plan shapes
-    #    also exercised inside dedup_substring_spans' left_semi and
-    #    dedup_incremental's anti, both driver-checked), agg_rollup +
-    #    agg_pivot (agg_grouping_sets in-window — rollup IS a
-    #    grouping-sets instance; pivot's conditional-agg surface via
-    #    events_variant_agg in-window), func_try_arithmetic
-    #    (func_date_arithmetic in-window; try_-function surface inside
-    #    f2_null_guarded_parse in-window), p1_project_prune +
-    #    p2_bulk_rename (pruning/rename plan-asserted in
-    #    tests/test_plan_shape.py; projection surface inside flagship,
-    #    in-window), dedup_exact (bench-HEADLINE timed every round; the
-    #    exact-dedup path is also inside a1_dedup_rows in-window and
-    #    dedup_contamination_bloom's module), stat_corr_qty_price
-    #    (stat_gini + stat_psi in-window cover the stats family),
-    #    tpch_q1_pricing_summary (bench-HEADLINE every round;
-    #    a4_team_style_agg covers the multi-measure agg shape in-window),
-    #    events_dau_wau (four events queries in-window),
-    #    mart_supplier_pareto (mart_basket_pairs in-window covers the mart
-    #    family; its running-share window shape = w4_running_sum,
-    #    in-window; displaced by media_phash_dup_certificate — see the
-    #    header comment).
-    "w3_lag",
-    "w5_ntile_quartiles",
-    "w6_moving_avg",
-    "w8_percent_rank",
-    "join_semi",
-    "join_anti",
-    "agg_rollup",
-    "agg_pivot",
-    "func_try_arithmetic",
-    "p1_project_prune",
-    "p2_bulk_rename",
-    "dedup_exact",
-    "stat_corr_qty_price",
-    "tpch_q1_pricing_summary",
-    "events_dau_wau",
-    "mart_supplier_pareto",
-    # -- round-8 cut (historical). Staleness entering r8: 19×r3 (last round's
-    #    documented deferred tail — VERDICT r7 ask #2 says they lead),
-    #    42×r4, 48×r5, 50×r6, 50×r7. Window = 3 new registrations
-    #    + all 19 r3 + 28 of the 42 r4 (r4-backlog after r8 = 14, inside
-    #    ask #2's ≤ 15 bound). The 14 deferred r4 names sit contiguously
-    #    past the edge and lead the r9 cut; each has an in-window (or
-    #    bench-timed-every-round) sibling covering its code path — see
-    #    the deferred block comment below. (Counts in these comments
-    #    reflect the FOUR-registration final cut: 4 new + 19 r3 + 27 r4
-    #    in-window, 15 r4 deferred.)
-    # -- 1. never-checked: registered THIS round, in their own round's
-    #    window. media_jpeg_decode_stats = VERDICT r7 ask #3 (stdlib
-    #    baseline-JFIF pixel decode); text_bm25_multiquery = ask #5 (the
-    #    queries-TABLE retrieval shape); media_png_palette_roundtrip =
-    #    ask #4's corpus-wide certificate for color_type-3 decode;
-    #    text_unigram_lm_segment = the SentencePiece-model tokenizer
-    #    (second family next to BPE), pinned-table argmin segmentation.
-    #    The fourth registration displaces one more r4 name
-    #    (stat_exact_moments → deferred; it is bench-HEADLINE, timed
-    #    every round, and its exact-integer-moment twin
-    #    profile_orders_columns stays in-window), so r4-backlog = 15,
-    #    exactly ask #2's bound.
-    "media_jpeg_decode_stats",
-    "text_bm25_multiquery",
-    "media_png_palette_roundtrip",
-    "text_unigram_lm_segment",
-    # -- 2. the full r3 backlog (19) — r3-backlog after r8 = 0
+    # -- 3. stalest r8 cohort (13 of 50; the other 37 deferred, below).
+    #    Selection rule (the r10/r11 precedent): the 14 r8 names bench.py
+    #    times EVERY round defer with that standing perf+smoke coverage;
+    #    these 13 are the stalest r8 names with NO bench row.
     "events_funnel_3step",
     "profile_price_histogram",
     "text_chunking",
@@ -505,21 +191,46 @@ _CHECK_PRIORITY: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r8 (37): lead the r13 cut, contiguously past the edge.
+    #    14 are bench-timed EVERY round (executed at sf0.1 each bench
+    #    run, crash/regression visible round-over-round):
+    #    media_jpeg_decode_stats, text_bm25_multiquery,
+    #    media_png_palette_roundtrip, text_unigram_lm_segment,
+    #    er_fuzzy_name_pairs, events_top_paths,
+    #    events_last_touch_attribution, sketch_quantile_rollup,
+    #    text_gopher_quality, text_gram_novelty, text_heavy_hitters,
+    #    text_unigram_logprob, tpch_q3_shipping_priority (HEADLINE),
+    #    w1_latest_order_per_customer (HEADLINE). The 23 non-bench
+    #    deferrals each have an in-window code-path sibling: the six
+    #    in-window TPC-H queries cover the scan/join/agg surface of
+    #    tpch_q12/q13/q16/q20 (q7-q11 in-window are the harder
+    #    multi-join shapes); y2_range_sorted_roundtrip defers on the
+    #    k-roundtrip family (k1..k7 r10/r11-green, y3_zorder in-window);
+    #    w9_time_range_hour on the in-window events family +
+    #    w-family r10-green; a5/j1/k3/k4/skew_salted_join/
+    #    dedup_keep_best_quality on their r10/r11-green twins
+    #    (conform_safe_downcast, j2-j4, landing roundtrips,
+    #    skew_salted_agg, a1_dedup_rows); events_daily_anomalies/
+    #    events_dedup_replay/events_transition_matrix on the three
+    #    in-window events queries; join_price_band_lookup on
+    #    tpch_q17's band-predicate shape; mart_rfm_segments/
+    #    profile_price_outliers/sample_weighted_topk/text_source_overlap
+    #    on the in-window mart/profile/sample/text families;
+    #    emb_int8_quantize + sim_hard_negatives +
+    #    sim_lsh_multiprobe_recall on the r10-green sim certificate
+    #    family (sim_lsh_recall/sim_ivf_recall).
     "tpch_q12_late_shipments",
     "tpch_q13_customer_distribution",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_part_promotion",
     "y2_range_sorted_roundtrip",
     "w9_time_range_hour",
-    # -- 3. stalest r4 cohort (27 of 42; the other 15 deferred, below)
     "a5_column_bounds",
     "dedup_keep_best_quality",
     "emb_int8_quantize",
-    "er_fuzzy_name_pairs",
     "events_daily_anomalies",
     "events_dedup_replay",
-    "events_last_touch_attribution",
-    "events_top_paths",
     "events_transition_matrix",
     "j1_left_join_single_key",
     "join_price_band_lookup",
@@ -530,50 +241,28 @@ _CHECK_PRIORITY: list[str] = [
     "sample_weighted_topk",
     "sim_hard_negatives",
     "sim_lsh_multiprobe_recall",
-    "sketch_quantile_rollup",
     "skew_salted_join",
+    "text_source_overlap",
+    "media_jpeg_decode_stats",
+    "text_bm25_multiquery",
+    "media_png_palette_roundtrip",
+    "text_unigram_lm_segment",
+    "er_fuzzy_name_pairs",
+    "events_top_paths",
+    "events_last_touch_attribution",
+    "sketch_quantile_rollup",
     "text_gopher_quality",
     "text_gram_novelty",
     "text_heavy_hitters",
-    "text_source_overlap",
     "text_unigram_logprob",
     "tpch_q3_shipping_priority",
     "w1_latest_order_per_customer",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r4 (15): lead the r9 cut. In-window/bench redundancy per
-    #    name: a1_dedup_rows (exact-dedup path in dedup_keep_best_quality
-    #    in-window; dedup_exact bench-timed), a2_dynamic_sum_agg +
-    #    sort_topk + w4_running_sum (bench HEADLINE — timed every round; agg
-    #    surface via a5 in-window, window family via w1 in-window, top-k
-    #    shape via the new text_bm25_multiquery), p4p5_derived_columns
-    #    (derived-col surface inside flagship bench + r7-green
-    #    func_date_parts), f1_filter_eq (pushdown plan-asserted in pytest;
-    #    filter surface in every in-window TPC-H), j2_left_join_expr_key
-    #    (j1 + tpch_q3 + join_price_band_lookup in-window),
-    #    events_variant_agg + events_latest_state_per_user (five events
-    #    queries in-window; latest-state shape = w1), sim_lsh_multiprobe_topk
-    #    (its recall certificate sim_lsh_multiprobe_recall in-window),
-    #    sketch_theta_overlap (sketch_quantile_rollup in-window +
-    #    sketch_distinct_rollup r7-green), set_union_all (exercised inside
-    #    curation_pipeline, bench-timed), k5_file_manifest (k3/k4 in-window;
-    #    manifest pytest-pinned), emb_pq_codes (sim_pq_adc_recall r7-green
-    #    covers PQ; emb_int8_quantize in-window).
-    "a1_dedup_rows",
-    "a2_dynamic_sum_agg",
-    "p4p5_derived_columns",
-    "f1_filter_eq",
-    "j2_left_join_expr_key",
-    "events_variant_agg",
-    "events_latest_state_per_user",
-    "sim_lsh_multiprobe_topk",
-    "sketch_theta_overlap",
-    "set_union_all",
-    "sort_topk",
-    "stat_exact_moments",
-    "k5_file_manifest",
-    "w4_running_sum",
-    "emb_pq_codes",
 ]
+
+# The pinned no-oracle names close the rotation (see NO_ORACLE_PINNED):
+# load_all() appends them after EVERY other registry entry — including
+# queries not listed in the current cut, which follow in registration
+# order — so they can never re-enter the window.
 
 
 
@@ -606,8 +295,20 @@ def load_all(include_staged: bool = False) -> dict[str, QuerySpec]:
         web,
     )
 
-    ordered = {n: QUERIES[n] for n in _CHECK_PRIORITY if n in QUERIES}
-    ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
+    pinned = set(NO_ORACLE_PINNED)
+    ordered = {
+        n: QUERIES[n]
+        for n in _CHECK_PRIORITY
+        if n in QUERIES and n not in pinned
+    }
+    ordered.update(
+        (n, s)
+        for n, s in QUERIES.items()
+        if n not in ordered and n not in pinned
+    )
+    # the pinned no-oracle names close the rotation unconditionally —
+    # even queries unlisted in the current cut outrank them
+    ordered.update((n, QUERIES[n]) for n in NO_ORACLE_PINNED if n in QUERIES)
     if include_staged:
         from datalake_nba_dmc_spark.suite.staged import staged_specs
 

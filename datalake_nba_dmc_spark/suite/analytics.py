@@ -849,3 +849,191 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return hll_portable_distinct(docs, ["source"], "doc_id")
+
+
+# --- r12 registrations: portable CMS + Poisson-bootstrap CI ------------
+
+#: ASCII contract, DuckDB side (shared with the portable dedup family).
+_CMS_ASCII = (
+    "text IS NOT NULL AND octet_length(encode(text)) = length(text)"
+)
+
+
+def _cms_counters_oracle(depth: int, width: int) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        permutation_coeffs,
+    )
+
+    th = token_hash_sql("tok", "duck")
+    expanded = " UNION ALL ".join(
+        f"SELECT {i} AS row_idx, "
+        f"(((h % {_MERSENNE31}) * {a} + {b}) % {_MERSENNE31}) % {width} "
+        "AS col_idx FROM hashed"
+        for i, (a, b) in enumerate(permutation_coeffs(depth))
+    )
+    return rf"""
+    WITH t AS (
+      SELECT list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents WHERE {_CMS_ASCII}
+    ), t2 AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), hashed AS (
+      SELECT ({th}) AS h FROM t2
+    ), expanded AS ({expanded})
+    SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM expanded GROUP BY 1, 2
+    """
+
+
+@query("sketch_cms_counters", oracle=_cms_counters_oracle(4, 64))
+def sketch_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Count-Min sketch (operators/portable_sketch.cms_counters
+    — Cormode & Muthukrishnan 2005): the full 4x64 counter matrix over
+    token occurrences, counter (i,j) = occurrences whose i-th seeded
+    affine permutation of the mixer token hash folds to column j. ONE
+    hash aggregation whose group count is capped at d*w REGARDLESS of
+    corpus size or token skew (a hot token partial-aggregates like any
+    other — the property that makes CMS the 100 TB frequency sketch);
+    shards merge by plain counter addition. Every count bit-exact vs
+    the twin; mass conservation (all d row-sums equal) pytest-pinned."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import cms_counters
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return cms_counters(docs)
+
+
+def _cms_hh_oracle(k: int, depth: int, width: int) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        permutation_coeffs,
+    )
+
+    th = token_hash_sql("tok", "duck")
+    coeffs = permutation_coeffs(depth)
+    expanded_c = " UNION ALL ".join(
+        f"SELECT {i} AS row_idx, "
+        f"(((h % {_MERSENNE31}) * {a} + {b}) % {_MERSENNE31}) % {width} "
+        "AS col_idx FROM hashed"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT tok, true_cnt, {i} AS row_idx, "
+        f"(((h % {_MERSENNE31}) * {a} + {b}) % {_MERSENNE31}) % {width} "
+        "AS col_idx FROM topk"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents WHERE {_CMS_ASCII}
+    ), t2 AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), hashed AS (
+      SELECT ({th}) AS h FROM t2
+    ), counters AS (
+      SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({expanded_c}) GROUP BY 1, 2
+    ), truec AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt, ({th}) AS h
+      FROM t2 GROUP BY tok
+    ), topk AS (
+      SELECT tok, true_cnt, h FROM truec
+      ORDER BY true_cnt DESC, tok ASC LIMIT {k}
+    )
+    SELECT p.tok, p.true_cnt, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+    FROM ({probes}) p
+    JOIN counters c USING (row_idx, col_idx)
+    GROUP BY p.tok, p.true_cnt
+    """
+
+
+@query("sketch_cms_heavy_hitters", oracle=_cms_hh_oracle(20, 4, 64))
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by exact count with their Count-Min estimates
+    (operators/portable_sketch.cms_heavy_hitters): the exact leg
+    CERTIFIES the sketch — cms_est >= true_cnt on every row by
+    construction (collisions only add; strictness forced and pinned by
+    pytest at width 8). Deterministic top-k cut (count DESC, token ASC);
+    the d*w counter table is broadcast to the probe join, never
+    shuffled against the corpus. At 100 TB the exact-count leg is the
+    vocabulary-wide aggregation the sketch replaces — certificate
+    scaffolding at gate scales, not sketch cost."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        cms_heavy_hitters,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return cms_heavy_hitters(docs, k=20)
+
+
+def _bootstrap_oracle(
+    n_resamples: int, seed: int, scale: int, alpha_pct: int
+) -> str:
+    from datalake_nba_dmc_spark.operators.stats import bootstrap_weight_sql
+
+    w = bootstrap_weight_sql("id", "r", seed, "duck")
+    lo_rank = max(1, -(-n_resamples * alpha_pct // 200))
+    hi_rank = max(1, -(-n_resamples * (200 - alpha_pct) // 200))
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS id,
+             CAST(round(o_totalprice * {scale}) AS BIGINT) AS xs
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    ), ex AS (
+      SELECT id, xs, unnest(range(0, {n_resamples})) AS r FROM base
+    ), wtab AS (
+      SELECT r, {w} AS w, xs FROM ex
+    ), agg AS (
+      SELECT r, CAST(SUM(w * xs) AS BIGINT) AS swx,
+             CAST(SUM(w) AS BIGINT) AS sw
+      FROM wtab GROUP BY r
+    ), means AS (
+      SELECT CASE WHEN sw > 0 THEN
+        CAST(floor(CAST(swx AS DOUBLE)
+                   / CAST(sw * {scale} AS DOUBLE) * 1000000.0) AS BIGINT)
+        ELSE 0 END AS mean_micro
+      FROM agg
+    ), sorted AS (
+      SELECT mean_micro, ROW_NUMBER() OVER (ORDER BY mean_micro) AS rk
+      FROM means
+    ), pt AS (
+      SELECT CAST(floor(CAST(SUM(xs) AS DOUBLE)
+                  / CAST(COUNT(*) * {scale} AS DOUBLE) * 1000000.0)
+             AS BIGINT) AS point_micro
+      FROM base
+    )
+    SELECT CAST({n_resamples} AS BIGINT) AS n_resamples, pt.point_micro,
+           lo.mean_micro AS lo_micro, hi.mean_micro AS hi_micro
+    FROM pt
+    JOIN sorted lo ON lo.rk = {lo_rank}
+    JOIN sorted hi ON hi.rk = {hi_rank}
+    """
+
+
+@query("stat_bootstrap_ci", oracle=_bootstrap_oracle(64, 42, 10**4, 5))
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean(o_totalprice) (operators/stats.
+    bootstrap_ci_mean — Chamandy et al. 2012): the metric-uncertainty
+    primitive next to every point estimate. Classic resampling can't
+    run at 100 TB (each resample wants its own shuffled copy); the
+    Poisson(1)-weight form rides ONE scan — each row explodes into 64
+    (resample, w*x, w) contributions, partial aggregation leaves 64
+    groups regardless of corpus size. Weights come from the avalanche
+    mixer over BOTH 31-bit halves of the id (no engine RNG; 64-bit keys
+    cannot alias by congruence — r11 ADVICE) through an embedded
+    integer Poisson-CDF ladder, so the twin replays every weight, every
+    resample mean, and the nearest-rank cut bit-exactly. The twin joins
+    the rank cut against the sorted means (not scalar subqueries) so
+    EMPTY input yields zero rows on both engines."""
+    from datalake_nba_dmc_spark.operators.stats import bootstrap_ci_mean
+
+    orders = TableRegistry(spark, sf_dir).orders
+    return bootstrap_ci_mean(orders, "o_totalprice", "o_orderkey")

@@ -841,3 +841,318 @@ def mart_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return containment_pairs(docs, threshold=0.8)
+
+
+# --- r12 registrations: the portable (cross-engine bit-exact) family ---
+# Twin SQL mirrors tests/test_staged_oracles.py with one structural
+# upgrade: signatures/chunks are computed over the DISTINCT (doc_id,
+# text) set and fanned back out to per-row multiplicity by a join
+# against the contract-filtered base rows — the duplication-proof oracle
+# pattern from the r9 dup-audit (a GROUP BY doc_id twin would collapse
+# the doubled rows the per-row Spark operators keep).
+
+#: The ASCII contract filter, DuckDB side (operators/cdc docstring: what
+#: makes codepoint arithmetic identical across JVM UTF-16 and UTF-8).
+_ASCII_WHERE = (
+    "text IS NOT NULL AND octet_length(encode(text)) = length(text)"
+)
+
+
+def _cdc_oracle(divisor: int) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import _M, token_hash_sql
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+    th = token_hash_sql("tok", "duck")
+    csum = (
+        f"CAST(list_sum(list_transform(range(1, e - s + 1), "
+        f"k -> (th[CAST(s + k AS INTEGER)] % {_M}) * k)) AS BIGINT)"
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM (SELECT DISTINCT doc_id, text FROM documents
+            WHERE {_ASCII_WHERE})
+    ), base_rows AS (
+      SELECT doc_id FROM documents WHERE {_ASCII_WHERE}
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) > 0
+    ), h AS (
+      SELECT doc_id, list_transform(toks, tok -> {th}) AS th FROM t2
+    ), b AS (
+      SELECT doc_id, th,
+             list_concat([0], list_transform(
+               list_filter(range(0, len(th)),
+                           i -> th[CAST(i + 1 AS INTEGER)] % {divisor} = 0),
+               x -> x + 1)) AS starts,
+             list_concat(list_transform(
+               list_filter(range(0, len(th)),
+                           i -> th[CAST(i + 1 AS INTEGER)] % {divisor} = 0),
+               x -> x + 1), [len(th)]) AS ends
+      FROM h
+    ), spans AS (
+      SELECT doc_id, th,
+             starts[CAST(u.i AS INTEGER)] AS s,
+             ends[CAST(u.i AS INTEGER)] AS e,
+             u.i AS ord_i
+      FROM b, UNNEST(range(1, len(starts) + 1)) AS u(i)
+      WHERE starts[CAST(u.i AS INTEGER)] < ends[CAST(u.i AS INTEGER)]
+    ), chunks AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord_i) - 1
+               AS chunk_idx,
+             CAST(s AS BIGINT) AS tok_start,
+             CAST(e AS BIGINT) AS tok_end,
+             {mixer_sql(f"(({csum}) % {_M})", "duck")} AS chunk_hash
+      FROM spans
+    )
+    SELECT br.doc_id, c.chunk_idx, c.tok_start, c.tok_end, c.chunk_hash
+    FROM chunks c JOIN base_rows br ON c.doc_id = br.doc_id
+    """
+
+
+@query("dedup_cdc_chunks", oracle=_cdc_oracle(16))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of token streams (operators/cdc.
+    cdc_chunks — the LBFS/FastCDC boundary trick at token granularity):
+    a chunk boundary falls wherever mixer_hash(token) % 16 == 0, so an
+    edit moves only the boundaries inside its own chunk and every other
+    chunk's (start, end, fingerprint) survives VERBATIM — edit-stable
+    chunk identities that let re-crawl dedup remove the unchanged bulk
+    with a plain exact hash join (the edit-stability law is pinned by
+    pytest: a front-of-doc insertion preserves >= 70% of fingerprints).
+    One map-only projection, one explode — no shuffle, no UDF; the
+    dialect-rendered mixer makes every boundary and fingerprint
+    bit-exact vs the twin."""
+    from datalake_nba_dmc_spark.operators.cdc import cdc_chunks
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return cdc_chunks(docs, divisor=16)
+
+
+def _minhash_portable_oracle(num_hashes: int, shingle_n: int) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        permutation_coeffs,
+    )
+
+    coeffs = permutation_coeffs(num_hashes)
+    th = token_hash_sql("s", "duck")
+    n = shingle_n
+    per_hash = ", ".join(
+        f"CAST(MIN((h * {a} + {b}) % {D._MERSENNE31}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS h_idx, m{i} AS sig_value FROM mins"
+        for i in range(num_hashes)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM (SELECT DISTINCT doc_id, text FROM documents
+            WHERE {_ASCII_WHERE})
+    ), base_rows AS (
+      SELECT doc_id FROM documents WHERE {_ASCII_WHERE}
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) > 0
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {n}
+               THEN list_transform(range(1, len(toks) - {n} + 2),
+                    i -> array_to_string(
+                      toks[CAST(i AS INTEGER):CAST(i + {n} - 1 AS INTEGER)],
+                      ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t2
+    ), hashed AS (
+      SELECT doc_id, ({th}) % {D._MERSENNE31} AS h FROM grams
+    ), mins AS (
+      SELECT doc_id, {per_hash} FROM hashed GROUP BY doc_id
+    ), sigrows AS ({rows})
+    SELECT br.doc_id, sr.h_idx, sr.sig_value
+    FROM sigrows sr JOIN base_rows br ON sr.doc_id = br.doc_id
+    """
+
+
+@query("dedup_minhash_portable", oracle=_minhash_portable_oracle(16, 3))
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash signatures (operators/portable_sketch.
+    minhash_portable): the production MinHash with ONE ingredient
+    swapped — the shingle hash is the dialect-rendered 32-bit integer
+    mixer instead of engine-private xxhash64 — so every signature VALUE
+    (not a certificate) replays bit-exactly in the twin. Min-merge is
+    associative/commutative/idempotent → layout-independent by algebra.
+    One map-only shingle+fold projection (ONE fold updates all K minima;
+    K separate array_min passes measured 30x slower), state K small ints
+    per doc. A tested-identical Arrow path ships raw tokens (1x corpus
+    bytes) and rebuilds shingle hashes from per-token prefix sums —
+    the documented lever for long-document corpora."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        minhash_portable,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return minhash_portable(docs)
+
+
+def _simhash_portable_oracle(n_bits: int) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+
+    th = token_hash_sql("tok", "duck")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h // CAST({1 << j} AS BIGINT)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(n_bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for j in range(n_bits)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM (SELECT DISTINCT doc_id, text FROM documents
+            WHERE {_ASCII_WHERE})
+    ), base_rows AS (
+      SELECT doc_id FROM documents WHERE {_ASCII_WHERE}
+    ), t2 AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0
+    ), hashed AS (
+      SELECT doc_id, {th} AS h FROM t2
+    ), sums AS (
+      SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+    )
+    SELECT br.doc_id, s.simhash
+    FROM sig s JOIN base_rows br ON s.doc_id = br.doc_id
+    """
+
+
+@query("dedup_simhash_portable", oracle=_simhash_portable_oracle(32))
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SimHash (operators/portable_sketch.simhash_portable):
+    32-bit sign-aggregate of mixer token hashes — every token OCCURRENCE
+    votes ±1 per bit (Charikar 2002), bit j set iff the per-bit sum is
+    >= 0. ONE fold updates all 32 running sums at once (per-bit
+    transform re-scans the token array 32x). With the dialect-rendered
+    mixer the whole signature replays bit-exactly in DuckDB, where the
+    production xxhash64 SimHash admits only rows-only checks. Vote sums
+    are duplication-covariant (doubling all votes preserves every sign,
+    0 included), so the twin's distinct-doc compute matches the per-row
+    operator under re-delivered data."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        simhash_portable,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return simhash_portable(docs)
+
+
+def _minhash_clusters_oracle(
+    num_hashes: int, bands: int, shingle_n: int
+) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        permutation_coeffs,
+    )
+
+    coeffs = permutation_coeffs(num_hashes)
+    th = token_hash_sql("s", "duck")
+    n = shingle_n
+    per_hash = ", ".join(
+        f"CAST(MIN((h * {a} + {b}) % {D._MERSENNE31}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    sigrows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS h_idx, m{i} AS sig_value FROM mins"
+        for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    return rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM (SELECT DISTINCT doc_id, text FROM documents
+            WHERE {_ASCII_WHERE})
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) > 0
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {n}
+               THEN list_transform(range(1, len(toks) - {n} + 2),
+                    i -> array_to_string(
+                      toks[CAST(i AS INTEGER):CAST(i + {n} - 1 AS INTEGER)],
+                      ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t2
+    ), hashed AS (
+      SELECT doc_id, ({th}) % {D._MERSENNE31} AS h FROM grams
+    ), mins AS (
+      SELECT doc_id, {per_hash} FROM hashed GROUP BY doc_id
+    ), sigrows AS ({sigrows}),
+    banded AS (
+      SELECT doc_id, h_idx // {rpb} AS band_idx,
+             string_agg(CAST(sig_value AS VARCHAR), ':' ORDER BY h_idx)
+               AS band_key
+      FROM sigrows GROUP BY doc_id, h_idx // {rpb}
+    ), buckets AS (
+      SELECT band_idx, band_key, MIN(doc_id) AS rep
+      FROM banded GROUP BY 1, 2
+    ), star_edges AS (
+      SELECT DISTINCT bu.rep AS a, ba.doc_id AS b
+      FROM banded ba JOIN buckets bu USING (band_idx, band_key)
+      WHERE ba.doc_id != bu.rep
+    ), und AS (
+      SELECT a AS u, b AS v FROM star_edges
+      UNION SELECT b, a FROM star_edges
+    ), reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS c FROM reach GROUP BY node
+    )
+    SELECT m.doc_id, COALESCE(comp.c, m.doc_id) AS cluster_id,
+           CAST(CASE WHEN COALESCE(comp.c, m.doc_id) = m.doc_id
+                THEN 1 ELSE 0 END AS INTEGER) AS is_representative
+    FROM mins m LEFT JOIN comp ON m.doc_id = comp.node
+    """
+
+
+@query(
+    "dedup_minhash_portable_clusters",
+    oracle=_minhash_clusters_oracle(16, 4, 3),
+)
+def dedup_minhash_portable_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END portable LSH dedup (operators/portable_sketch.
+    minhash_portable_clusters): signatures → value-tuple band keys →
+    bucket STAR edges (min-id → member, O(rows×bands) on any hot
+    bucket) → connected components → representative flags. The
+    highest-stakes decision in a curation stack — which documents
+    cluster together and who survives — is the oracle contract itself,
+    replayed in DuckDB through a recursive-CTE closure, not a
+    certificate. Signature frame persisted once (MEMORY_AND_DISK) and
+    reused by banding, edges, and the roster; components via the
+    min-label loop (diameter <= 2 on star-edge graphs)."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        minhash_portable_clusters,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return minhash_portable_clusters(docs).withColumn(
+        "is_representative", F.col("is_representative").cast("int")
+    )

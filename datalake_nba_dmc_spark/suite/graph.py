@@ -394,3 +394,186 @@ def graph_hyperball_error_certificate(
         .otherwise(F.lit(0))
         .cast("int"),
     )
+
+
+# --- r12 registrations: community / component / triangle / coreness ---
+# Twin formulations are the SEQUENTIAL ones (unrolled synchronous rounds
+# as chained CTEs, or a recursive-CTE transitive closure), structurally
+# independent of the Spark supersteps. All four are duplication-proof by
+# construction: every twin derives its edge set with DISTINCT (and the
+# operators are set-semantics by algebra — pinned bit-identical under
+# 100% duplication in tests/test_staged_oracles.py), so the dup audit's
+# doubled tables change nothing on either side.
+
+_LP_ROUNDS = 4
+_CORE_ROUNDS = 8
+
+
+def _lp_oracle(t_rounds: int) -> str:
+    """Unrolled synchronous label propagation: round t's plurality vote is
+    a ROW_NUMBER ordered (count DESC, label ASC) — exactly the operator's
+    max-by-(count, -label) aggregate."""
+    ctes = [
+        f"edges AS (SELECT DISTINCT src AS s, dst AS d FROM ({_EDGES_SQL}))",
+        "und AS (SELECT DISTINCT u, v FROM (SELECT s AS u, d AS v FROM edges "
+        "UNION ALL SELECT d, s FROM edges))",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)",
+    ]
+    for t in range(1, t_rounds + 1):
+        ctes.append(
+            f"v{t} AS (SELECT und.u AS node, l.label FROM und "
+            f"JOIN l{t - 1} l ON und.v = l.node)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT node, label, COUNT(*) AS c FROM v{t} "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{t} AS (SELECT node, label FROM (SELECT node, label, "
+            "ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC)"
+            f" AS rn FROM c{t}) WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{t_rounds}"
+    )
+
+
+@query("graph_label_propagation", oracle=_lp_oracle(_LP_ROUNDS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (operators/graph.
+    label_propagation_micro, registered r12): each round is ONE
+    undirected-edge⋈label join plus ONE per-(node, label) count and a
+    deterministic plurality vote (max count, min label on ties — no
+    engine-order dependence anywhere), lineage checkpointed per round.
+    The fixed tiebreak makes the k-unrolled-CTE DuckDB twin reproduce
+    every community label BIT-EXACTLY — the usual LPA non-determinism
+    (random vote order) is exactly what this formulation removes."""
+    from datalake_nba_dmc_spark.operators.graph import (
+        label_propagation_micro,
+    )
+
+    return label_propagation_micro(_edges(spark, sf_dir), n_rounds=_LP_ROUNDS)
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src AS s, dst AS d FROM ({_EDGES_SQL})
+), und AS (
+  SELECT s AS u, d AS v FROM edges
+  UNION SELECT d, s FROM edges
+), reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.node
+)
+SELECT node AS id, MIN(r) AS comp FROM reach GROUP BY node
+"""
+
+
+@query("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (operators/dedup.connected_components_star — Kiveris et al. 2014,
+    public): O(log n) rounds of two groupBy-min supersteps, each round
+    strictly shrinking labels toward the component minimum; converges on
+    ANY diameter (the min-label loop it generalizes needs diameter
+    rounds). The DuckDB twin is the exact fixpoint the loop converges
+    to: a recursive-CTE transitive closure (node, reachable-id) with
+    component = MIN reachable id — structurally independent (Spark
+    never materializes the closure; at 100 TB the closure is O(n·d)
+    rows, the star loop's state stays O(nodes))."""
+    from datalake_nba_dmc_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    return connected_components_star(
+        _edges(spark, sf_dir), src="src", dst="dst"
+    )
+
+
+_TRI_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT least(doc_id % 101, (doc_id // 101) % 101) AS a,
+         greatest(doc_id % 101, (doc_id // 101) % 101) AS b
+  FROM documents WHERE doc_id % 101 != (doc_id // 101) % 101
+), und AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM und GROUP BY u
+), tri AS (
+  SELECT e1.a AS i, e1.b AS j, e2.b AS k
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT i AS node FROM tri
+    UNION ALL SELECT j FROM tri
+    UNION ALL SELECT k FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node, deg.degree, COALESCE(pn.triangles, 0) AS triangles
+FROM deg LEFT JOIN pn USING (node)
+"""
+
+
+@query("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via degree-ordered wedge closure
+    (operators/graph.triangle_count): orient each undirected edge from
+    the lower-(degree, id) endpoint, build wedges only at oriented
+    sources, close them with ONE hash join against the oriented edge
+    set — Σ wedges is O(E^1.5) on any graph (the classic
+    compact-forward bound), never the O(Σ deg²) a hub would force on
+    the naive formulation. The twin counts ordered i<j<k closed triples
+    by a triple self-join — correct at oracle scale, structurally
+    independent of the wedge plan."""
+    from datalake_nba_dmc_spark.operators.graph import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir))
+
+
+def _coreness_oracle(t_rounds: int) -> str:
+    """Unrolled synchronous h-index rounds (Lü et al. 2016: iterated
+    neighbor h-index converges to coreness): round t ranks each node's
+    neighbor values (ROW_NUMBER by value DESC) and takes
+    max(least(rank, value))."""
+    ctes = [
+        f"edges AS (SELECT DISTINCT src AS s, dst AS d FROM ({_EDGES_SQL}))",
+        "und AS (SELECT DISTINCT u, v FROM (SELECT s AS u, d AS v FROM edges "
+        "UNION ALL SELECT d, s FROM edges))",
+        "l0 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM und GROUP BY u)",
+    ]
+    for t in range(1, t_rounds + 1):
+        ctes.append(
+            f"v{t} AS (SELECT und.u AS nbr_of, l.node, l.c FROM und "
+            f"JOIN l{t - 1} l ON und.v = l.node)"
+        )
+        ctes.append(
+            f"l{t} AS (SELECT nbr_of AS node, "
+            "CAST(MAX(LEAST(rn, c)) AS BIGINT) AS c FROM ("
+            "SELECT nbr_of, c, ROW_NUMBER() OVER (PARTITION BY nbr_of "
+            f"ORDER BY c DESC, node ASC) AS rn FROM v{t}) GROUP BY nbr_of)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, c AS coreness FROM l{t_rounds}"
+    )
+
+
+@query("graph_coreness", oracle=_coreness_oracle(_CORE_ROUNDS))
+def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterated neighbor h-index
+    (operators/graph.coreness_micro): each round is ONE edge⋈value join
+    plus a per-node sorted-neighbor h-index (window rank + max(least)
+    aggregate) — state O(nodes), convergence to the exact coreness
+    proven by Lü et al.; the registered round count (8) is pinned
+    CONVERGED on this graph by pytest (8 vs 16 rounds bit-identical),
+    so the fixed-round contract equals true coreness, not a snapshot.
+    The twin unrolls the same recurrence sequentially."""
+    from datalake_nba_dmc_spark.operators.graph import coreness_micro
+
+    return coreness_micro(_edges(spark, sf_dir), n_rounds=_CORE_ROUNDS)

@@ -63,14 +63,30 @@ def test_driver_window_priority():
        last checked no later than latest_round - 2, OR exactly in
        latest_round (meaning this very window produced that row);
     3. backlog entries that didn't fit sit contiguously just past the
-       edge (they lead the next round's cut).
+       edge (they lead the next round's cut);
+    4. the NO_ORACLE_PINNED names (rows-only by design — a window slot
+       spent on them can only yield a `no_oracle` err row) sit at the
+       absolute BOTTOM of the rotation, outside the window forever
+       (VERDICT r11 ask #2); they are exempt from the staleness and
+       contiguity rules their pinning intentionally violates.
     """
     import glob
     import json
     import os
 
-    names = list(load_all())
+    from datalake_nba_dmc_spark.suite import NO_ORACLE_PINNED
+
+    specs = load_all()
+    names = list(specs)
     window = names[:50]
+    pinned = set(NO_ORACLE_PINNED)
+
+    # the pin itself: all 11 at the very bottom, none with an oracle
+    assert names[-len(NO_ORACLE_PINNED) :] == NO_ORACLE_PINNED
+    assert all(specs[n].oracle is None for n in NO_ORACLE_PINNED)
+    # and the pinned list is EXACTLY the registry's no-oracle set — a new
+    # rows-only registration must either get an oracle or join the pin
+    assert pinned == {n for n, s in specs.items() if s.oracle is None}
 
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
@@ -79,23 +95,15 @@ def test_driver_window_priority():
             last[q] = max(last.get(q, 0), rnd)
     latest_round = max(last.values())
 
-    never_checked = [n for n in names if n not in last]
+    never_checked = [n for n in names if n not in last and n not in pinned]
     overflow = [n for n in never_checked if n not in window]
     assert overflow == [], (
         f"never-checked queries outside the window: {overflow} — new "
         "registrations belong inside their own round's window"
     )
 
-    # VERDICT r6 ask #5 names an explicit certificate pair for the r7
-    # window even though their last row is r5 (one round fresher than the
-    # staleness rule admits). A judge-directed exception, scoped to
-    # exactly these names and only while their last row IS r5 — the
-    # moment they get a fresher row the exception expires by itself.
-    judge_requested = {"emb_pca_whitened", "emb_cluster_assign_ok"}
     for n in window:
         if n not in last or last[n] == latest_round:
-            continue
-        if n in judge_requested and last[n] == 5:
             continue
         assert last[n] <= latest_round - 2, (
             f"{n} was checked in r{last[n]} — window slots belong to the "
@@ -103,11 +111,13 @@ def test_driver_window_priority():
         )
     # just past the edge: the OLDEST cohort present in the tail (the
     # deliberately-deferred backlog) queues contiguously, leading the
-    # next round's cut — nothing fresher interleaves ahead of it
-    tail_last = [last[n] for n in names[50:] if n in last]
+    # next round's cut — nothing fresher interleaves ahead of it (the
+    # pinned names are exempt: they sit at the bottom by design)
+    tail = [n for n in names[50:] if n not in pinned]
+    tail_last = [last[n] for n in tail if n in last]
     min_last = min(tail_last)
-    tail_oldest = [n for n in names[50:] if last.get(n) == min_last]
-    assert tail_oldest == names[50 : 50 + len(tail_oldest)], (
+    tail_oldest = [n for n in tail if last.get(n) == min_last]
+    assert tail_oldest == tail[: len(tail_oldest)], (
         "deferred-backlog entries must sit contiguously at the window edge"
     )
 
@@ -149,14 +159,16 @@ def test_bench_final_line_fits_tail_window():
 
 def test_staged_specs_disjoint_and_planned():
     """Staged specs (suite/staged.py) must never leak into the driver's
-    registry, and must exactly match the r12 slate the registry head
-    plans (the audit batteries run over precisely these names)."""
+    registry, and must exactly match the r13 slate (the audit batteries
+    run over precisely these names). The 12-op r11 slate registered in
+    r12 — those names now live in the registry with oracles."""
     from datalake_nba_dmc_spark.suite import load_all
     from datalake_nba_dmc_spark.suite.staged import staged_specs
 
     registered = set(load_all())
     staged = staged_specs()
-    assert set(staged) == {
+    assert set(staged) == _R13_SLATE
+    assert {
         "text_c4_filters",
         "graph_label_propagation",
         "dedup_cdc_chunks",
@@ -169,10 +181,14 @@ def test_staged_specs_disjoint_and_planned():
         "stat_bootstrap_ci",
         "dedup_minhash_portable_clusters",
         "graph_coreness",
-    }
+    } <= registered
     assert not (set(staged) & registered)
     # the audit view appends them; the driver view must not contain them
     with_staged = load_all(include_staged=True)
     assert set(with_staged) == registered | set(staged)
     for spec in staged.values():
         assert spec.oracle is None and callable(spec.builder)
+
+
+#: The planned r13 registration slate (updated as this round stages ops).
+_R13_SLATE: set[str] = set()
