@@ -141,6 +141,27 @@ EXTENDED = [
     "graph_hyperball_error_certificate",
     "sketch_hll_portable",
     "media_quarantine_report",
+    # r12 registrations (first same-harness baseline: BENCH_r12; staged
+    # pre-baselines from the r11 session, same host/sf0.1, PERF.md
+    # "r12-staged pre-baselines": c4 0.27 s steady, label_prop 5.7 s
+    # end-to-end @4 rounds, cdc 2.6-5.6 s, minhash_portable 4.38 s,
+    # simhash_portable 0.85 s, coreness 2.4 s @8 rounds, clusters
+    # 2.6-2.9 s steady (plan-cache reuse of the persisted signatures —
+    # the documented deliberate design), CC 2.2 s steady, triangles
+    # 0.85 s, cms_counters 0.96 s, cms_heavy_hitters 1.17 s,
+    # bootstrap_ci 1.44 s steady @64 resamples)
+    "text_c4_filters",
+    "graph_label_propagation",
+    "dedup_cdc_chunks",
+    "dedup_minhash_portable",
+    "dedup_minhash_portable_clusters",
+    "dedup_simhash_portable",
+    "graph_connected_components",
+    "graph_triangle_count",
+    "sketch_cms_counters",
+    "sketch_cms_heavy_hitters",
+    "stat_bootstrap_ci",
+    "graph_coreness",
 ]
 
 #: The r6-era extended membership (first 24 names) — used only to emit the
@@ -205,6 +226,20 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # r12 (VERDICT r11 ask #4): the two windowed-events headliners
+    # (events_tumbling_agg, events_sessionization) flagged `unstable` in
+    # the r11 driver run — their first timed pass was paying the events
+    # scan + the one-time JIT of the window/session-window aggregate
+    # classes that no other warmup touches. Warm both plan shapes on a
+    # tiny slice so pass 1 starts from the same steady state as pass 3.
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.write.format("noop").mode("overwrite").save()
+    ev.limit(2048).groupBy(
+        F.window("ts", "1 hour"), "event_type"
+    ).count().write.format("noop").mode("overwrite").save()
+    ev.limit(2048).groupBy(
+        F.session_window("ts", "10 minutes"), "user_id"
+    ).count().write.format("noop").mode("overwrite").save()
 
     specs = load_all()
     dfs = {name: specs[name].builder(spark, sf_dir) for name in HEADLINE}
@@ -229,6 +264,16 @@ def main() -> None:
         "graph_hyperball_registers",
         "graph_hyperball_harmonic_est",
         "graph_hyperball_error_certificate",
+        # r12: the three eager-checkpoint iterative graph loops (the
+        # hyperball precedent — their builders materialize every round
+        # eagerly, so pre-building would bill only the final noop).
+        # dedup_minhash_portable_clusters is deliberately NOT here: its
+        # persisted-signature plan-cache reuse across passes IS the
+        # documented steady-state contract (operators/portable_sketch
+        # docstring + PERF.md receipt).
+        "graph_label_propagation",
+        "graph_connected_components",
+        "graph_coreness",
     }
 
     samples: dict[str, list[float]] = {}
