@@ -62,14 +62,24 @@ the same differential comparison on two mutated copies of the data that a
   audit FAILS ITSELF if zero bytes actually spilled (a vacuous pass —
   e.g. a future Spark renames the threshold confs).
 
-- ``codegen`` — codegen-vs-interpreted determinism (staged r11 for the
-  r12 battery): every query runs under the default whole-stage-codegen
-  evaluator and again with ``spark.sql.codegen.factoryMode=NO_CODEGEN``
-  (+ wholeStage off), and the two result sets must be bit-identical.
-  The generated and interpreted expression evaluators are independent
-  implementations — a classic Spark divergence surface — and the r10
-  janino finding proved the interpreted path can switch on SILENTLY in
-  production, so this invariant is one the suite actually relies on.
+- ``codegen`` — codegen-vs-interpreted determinism (standing battery
+  member since r12; first full run recorded r11): every query runs under
+  the default whole-stage-codegen evaluator and again with
+  ``spark.sql.codegen.factoryMode=NO_CODEGEN`` (+ wholeStage off), and
+  the two result sets must be bit-identical. The generated and
+  interpreted expression evaluators are independent implementations — a
+  classic Spark divergence surface — and the r10 janino finding proved
+  the interpreted path can switch on SILENTLY in production, so this
+  invariant is one the suite actually relies on.
+
+- ``retry`` — task-retry determinism (r12, VERDICT r11 ask #5): every
+  query runs clean and again with every result-stage task failing its
+  FIRST attempt (injected ``TaskContext.attemptNumber()==0`` raise under
+  a ``local[N,3]`` master), and the two result sets must be
+  bit-identical. Retried tasks re-execute their whole pipelined stage,
+  catching non-idempotent accumulators and seed-per-attempt bugs that
+  every run-once mode is structurally blind to; a canary job proves the
+  injection engages (vacuous-pass guard).
 
 - ``bytes``  — malformed-media robustness (r8): truncated IDAT, corrupt
   CRCs, lying IHDR/SOF/BMP dimension and offset fields, invalid filter
@@ -90,6 +100,7 @@ Usage::
     python tools/robustness_audit.py partitions [query ...]
     python tools/robustness_audit.py spill [query ...]
     python tools/robustness_audit.py codegen [query ...]
+    python tools/robustness_audit.py retry [query ...]
 
 Builds the mutated dataset under ``/tmp/robustness_<mode>`` (cached — wiped
 and rebuilt when missing) from ``/root/testdata/sf0.001``, then runs the
@@ -999,6 +1010,128 @@ _NO_CODEGEN_CONFS = {
 #: Queries whose codegen-mode divergence is triaged as contractual:
 KNOWN_CODEGEN: dict[str, str] = {}
 
+#: Queries whose retry-mode divergence is triaged as contractual:
+KNOWN_RETRY: dict[str, str] = {}
+
+
+def retry_audit(only: set[str]) -> int:
+    """Task-retry determinism (r12, VERDICT r11 ask #5): every query runs
+    clean, then again with EVERY result-stage task failing its first
+    attempt (an injected ``TaskContext.attemptNumber() == 0`` raise under
+    a ``local[N,3]`` master, so the scheduler retries instead of failing
+    the job) — and the two result sets must be BIT-IDENTICAL. A retried
+    task re-executes its whole pipelined stage (for map-only plans that
+    is the entire query; for shuffled plans the final stage re-reads the
+    deterministic shuffle output), catching non-idempotent accumulator
+    use, seed-per-attempt randomness, and attempt-dependent state that no
+    other mode can see — every other audit runs each task exactly once.
+
+    Efficacy receipt: a canary job first proves the injection engages
+    (every surviving task reports attemptNumber >= 1); if the canary ever
+    sees a clean first attempt the audit FAILS itself as vacuous."""
+    from pyspark.sql import SparkSession
+
+    from datalake_nba_dmc_spark.session import apply_runtime_confs
+    from datalake_nba_dmc_spark.suite import load_all
+    from tools.verify_local import canonical_hash
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # local[N, 3]: the third slot is maxFailures — plain local[N] fails
+    # the whole job on the FIRST task failure, so retries need their own
+    # session (the spill-audit custom-session precedent)
+    spark = apply_runtime_confs(
+        SparkSession.builder.appName("robustness_retry")
+        .master(f"local[{cpus},3]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+        )
+        .getOrCreate()
+    )
+    # OFF, not ERROR: every injected failure logs a full executor stack
+    # trace by design — thousands of them would bury the audit output.
+    # Real failures still surface as Python exceptions (CRASH rows).
+    spark.sparkContext.setLogLevel("OFF")
+
+    def fail_once(rows):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError("robustness_retry: injected task failure")
+        yield from rows
+
+    # canary: injection must actually engage (vacuous-pass guard)
+    attempts = (
+        spark.sparkContext.parallelize(range(8), 4)
+        .mapPartitions(fail_once)
+        .map(lambda _: 1)
+        .collect()
+    )
+    probe = (
+        spark.sparkContext.parallelize(range(4), 4)
+        .mapPartitions(
+            lambda it: [
+                __import__("pyspark").TaskContext.get().attemptNumber()
+            ]
+        )
+        .collect()
+    )
+    # the probe has no injection — attempt 0 everywhere proves
+    # attemptNumber is live; the canary surviving proves retries work
+    if len(attempts) != 8 or any(a != 0 for a in probe):
+        print("CONF-INEFFECTIVE: retry injection canary failed")
+        return 1
+
+    specs = load_all(include_staged=True)
+    n_pass = n_fail = n_crash = n_known = 0
+    failures: list[str] = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        if name in KNOWN_RETRY:
+            print(f"KNOWN {name}: {KNOWN_RETRY[name]}")
+            n_known += 1
+            continue
+        try:
+            df = spec.builder(spark, SRC)
+            clean = df.toPandas()
+            retried_rows = df.rdd.mapPartitions(
+                fail_once, preservesPartitioning=True
+            )
+            retried = spark.createDataFrame(retried_rows, df.schema).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"CRASH {name}: {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:160]}"
+            )
+            n_crash += 1
+            failures.append(name)
+            continue
+        if len(clean) == len(retried) and canonical_hash(
+            clean
+        ) == canonical_hash(retried):
+            print(f"PASS {name} ({len(clean)} rows, clean==retried)")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL {name}: retry-dependent result — "
+                f"clean {len(clean)} rows {canonical_hash(clean)}; "
+                f"retried {len(retried)} rows {canonical_hash(retried)}"
+            )
+            n_fail += 1
+            failures.append(name)
+    print(
+        f"\n[retry] {n_pass} pass, {n_fail} retry-dependent, "
+        f"{n_crash} crash, {n_known} known"
+    )
+    if failures:
+        print("failures:", " ".join(sorted(failures)))
+    return 1 if (n_fail or n_crash) else 0
+
 
 def codegen_audit(only: set[str]) -> int:
     """Codegen-vs-interpreted determinism (staged r11 for the r12
@@ -1305,6 +1438,8 @@ def main() -> int:
         return spill_audit(set(sys.argv[2:]))
     if mode == "codegen":
         return codegen_audit(set(sys.argv[2:]))
+    if mode == "retry":
+        return retry_audit(set(sys.argv[2:]))
     only = set(sys.argv[2:])
     sf_dir = build_mutated(mode)
 
