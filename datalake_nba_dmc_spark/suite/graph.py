@@ -225,10 +225,10 @@ def _hb_score_ctes(t_rounds: int, m: int) -> list[str]:
     return ctes
 
 
-def _hb_registers_oracle(t_rounds: int) -> str:
+def _hb_registers_oracle(t_rounds: int, m: int | None = None) -> str:
     from datalake_nba_dmc_spark.operators.hyperball import M_REGISTERS
 
-    m = M_REGISTERS
+    m = M_REGISTERS if m is None else m
     ctes = _hb_score_ctes(t_rounds, m)
     return (
         "WITH "
@@ -243,10 +243,10 @@ def _hb_registers_oracle(t_rounds: int) -> str:
     )
 
 
-def _hb_estimate_oracle(t_rounds: int) -> str:
+def _hb_estimate_oracle(t_rounds: int, m: int | None = None) -> str:
     from datalake_nba_dmc_spark.operators.hyperball import M_REGISTERS
 
-    ctes = _hb_score_ctes(t_rounds, M_REGISTERS)
+    ctes = _hb_score_ctes(t_rounds, M_REGISTERS if m is None else m)
     return (
         "WITH "
         + ",\n".join(ctes)
