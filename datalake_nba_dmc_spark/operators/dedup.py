@@ -1512,3 +1512,55 @@ def cross_doc_substring_spans(
         .drop("_isl")
         .select(id_col, "span_start", "span_end")
     )
+
+
+def substring_span_suppress(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """APPLY the ExactSubstr cut list (the step after
+    :func:`cross_doc_substring_spans` finds it — Lee et al. 2022 actually
+    delete the shared bytes before training): per tokenized document,
+    how many tokens the merged cross-doc spans remove and how many
+    survive. → (``id_col``, n_tokens, cut_tokens, kept_tokens), one row
+    per non-empty tokenized document; ``cut_tokens`` = Σ(span_end −
+    span_start) over the document's maximal merged spans (maximal ⇒
+    disjoint, so the sum IS the covered-token count — no inclusion-
+    exclusion needed), 0 for documents with no shared span.
+
+    This is the curation accounting every suppression run needs before
+    committing a cut: corpus-level kept/cut totals are one aggregation
+    away, and a doc whose kept_tokens collapses toward 0 is boilerplate
+    to DROP outright rather than surgically trim. Scale shape: the span
+    finder's own shape (O(tokens) window rows, (hash, doc) shuffle, per-
+    doc sparse islands) plus one per-doc sum and one LEFT join of two
+    doc-grained frames — nothing new shuffles at corpus grain."""
+    spans = cross_doc_substring_spans(
+        df, text_col, id_col, window_tokens, min_docs
+    )
+    cut = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_cut")
+    )
+    counts = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    return (
+        counts.join(cut, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("_cut", F.lit(0)).cast("long").alias("cut_tokens"),
+            (F.col("n_tokens") - F.coalesce("_cut", F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

@@ -358,3 +358,111 @@ def bootstrap_ci_mean(
     return dist.crossJoin(F.broadcast(point)).select(
         "n_resamples", "point_micro", "lo_micro", "hi_micro"
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    split_col: Column,
+    scale: int = 100,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the rows
+    where ``split_col`` is true (cohort A) and false (cohort B) → ONE
+    row ``(n_a, n_b, ks_num, ks_d_micro)`` — the sup-norm companion to
+    :func:`psi_binned`: PSI reports WHERE binned mass moved, KS is the
+    distribution-free hypothesis statistic D = sup_x |F_a(x) − F_b(x)|,
+    computed EXACTLY (no binning, no approximation).
+
+    Integer contract (cross-engine bit-exact): values are scaled to
+    longs (``round(x·scale)`` — the suite's scaled-long rule), and D is
+    carried as the integer numerator ``ks_num = max |cum_a·n_b −
+    cum_b·n_a|`` over the merged value grid (cross-multiplied ECDFs —
+    no division anywhere in the max, so no float ties);
+    ``ks_d_micro = ks_num·10^6 div (n_a·n_b)`` is exact integer floor
+    division on both engines. Valid while ``n_a·n_b·10^6 < 2^63``
+    (~3M×3M rows); past that carry ks_num/denominator separately or
+    switch the product to decimal — the stats-module accumulator rule.
+
+    Scale shape: ONE scan → per-distinct-value conditional counts
+    (map-side combined, O(V) groups) → the pack_sequences two-phase
+    parallel prefix sum over the value grid (order-preserving bucket
+    split; the only unpartitioned window runs over ≤ ``num_buckets``
+    rows, never the grid) → one global max. The textbook formulation
+    (ECDF via an unpartitioned ORDER BY window) would single-task the
+    grid at 100 TB; this never does. Rows with a NULL value or NULL
+    split are excluded from BOTH cohorts explicitly (the psi_binned
+    rule: an unknown period cannot vote on drift)."""
+    from pyspark.sql import Window
+
+    xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull() & split_col.isNotNull()
+    ).select(xs.alias("_xs"), split_col.cast("long").alias("_ia"))
+    g = base.groupBy("_xs").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(1 - F.col("_ia")).alias("_cb"),
+    )
+    # order-preserving bucket split of the VALUE domain (monotone in
+    # _xs; the pack_sequences min-shifted double form, same tolerance
+    # of precision-merged adjacent buckets)
+    rng = g.agg(
+        F.min("_xs").cast("double").alias("_mn"),
+        (F.max("_xs").cast("double") - F.min("_xs").cast("double") + 1).alias(
+            "_span"
+        ),
+    )
+    bucketed = g.crossJoin(F.broadcast(rng)).withColumn(
+        "_b",
+        (
+            (F.col("_xs").cast("double") - F.col("_mn"))
+            / F.col("_span")
+            * num_buckets
+        ).cast("long"),
+    )
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.sum("_ca").alias("_ba"), F.sum("_cb").alias("_bb"))
+        .withColumn("_offa", F.coalesce(F.sum("_ba").over(w_b), F.lit(0)))
+        .withColumn("_offb", F.coalesce(F.sum("_bb").over(w_b), F.lit(0)))
+        .select("_b", "_offa", "_offb")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("_xs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), on="_b")
+        .withColumn("_cuma", F.sum("_ca").over(w_in) + F.col("_offa"))
+        .withColumn("_cumb", F.sum("_cb").over(w_in) + F.col("_offb"))
+    )
+    totals = base.agg(
+        F.sum("_ia").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("_ia")).alias("n_b"),
+    )
+    stat = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("_cuma") * F.col("n_b")
+                    - F.col("_cumb") * F.col("n_a")
+                )
+            ).alias("ks_num"),
+        )
+        # empty input: the global agg still emits one all-NULL row on
+        # BOTH engines — drop it so empty in → empty out (totality rule)
+        .filter(F.col("n_a").isNotNull())
+    )
+    return stat.select(
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.expr("(ks_num * 1000000) div greatest(n_a * n_b, 1)").alias(
+            "ks_d_micro"
+        ),
+    )

@@ -1148,3 +1148,80 @@ def c4_line_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
             "c4_keep": F.coalesce(c4_keep, F.lit(False)).cast("int"),
         }
     ).drop("_lines", "_kept")
+
+
+def hashed_tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009 — public)
+    TF-IDF vectorization: every token occurrence folds into one of
+    ``num_buckets`` feature buckets via the dialect-rendered mixer hash,
+    so the feature space is FIXED-WIDTH regardless of vocabulary — the
+    property that makes it the 100 TB text vectorizer (plain TF-IDF's
+    feature dimension is the vocabulary: unbounded, skew-prone, and
+    needing a global vocab build; hashed features need no vocabulary
+    pass at all and collisions are the documented accuracy trade).
+
+    → one row per (``id_col``, bucket) with ``tf`` (occurrences),
+    ``bucket_df`` (distinct docs hitting the bucket), and
+    ``tfidf_micro = tf · round(ln((N+1)/(bucket_df+1)) · 10^6)`` —
+    exact int64 end to end (the bigram_logprob micro-nat contract; no
+    float column anywhere, so the DuckDB twin hash-matches bit-exactly,
+    where plain-TF-IDF twins need the 6-dp rounding rule). N counts
+    DISTINCT contract documents with ≥ 1 token, so re-delivered
+    (duplicated) corpora change tf uniformly without corrupting the IDF
+    table. ASCII contract as in cms_counters (codepoint arithmetic must
+    agree across UTF-16/UTF-8).
+
+    Scale shape: one explode → ONE (doc, bucket) hash-agg (map-side
+    combined; per-doc group count capped at num_buckets) → a ≤
+    num_buckets-row IDF table re-aggregated from that frame and
+    BROADCAST back. No vocabulary shuffle, no global sort."""
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import normalize_text
+
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    th = token_hash_sql("tok", "spark")
+    per_doc_bucket = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .select(F.col(id_col), F.explode(toks).alias("tok"))
+        .select(
+            id_col,
+            (F.expr(th) % num_buckets).cast("long").alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = per_doc_bucket.groupBy("bucket").agg(
+        F.countDistinct(id_col).alias("bucket_df")
+    )
+    n_docs = per_doc_bucket.agg(
+        F.countDistinct(id_col).alias("_n_docs")
+    )
+    return (
+        per_doc_bucket.join(F.broadcast(idf), on="bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "bucket",
+            "tf",
+            "bucket_df",
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(round(ln(CAST(_n_docs + 1 AS DOUBLE) "
+                    "/ CAST(bucket_df + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)"
+                )
+            ).alias("tfidf_micro"),
+        )
+    )

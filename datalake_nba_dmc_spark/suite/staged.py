@@ -46,7 +46,56 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("src") != F.col("dst"))
 
 
+def _stat_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    return ks_two_sample(
+        TableRegistry(spark, sf_dir).orders,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+    )
+
+
+def _text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.text import hashed_tfidf
+
+    return hashed_tfidf(_docs(spark, sf_dir))
+
+
+def _dedup_span_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.dedup import (
+        substring_span_suppress,
+    )
+
+    return substring_span_suppress(
+        _docs(spark, sf_dir), window_tokens=8, min_docs=2
+    )
+
+
+def _graph_hyperball_m64_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        hyperball_harmonic_estimate,
+    )
+
+    return hyperball_harmonic_estimate(
+        _edges(spark, sf_dir), n_rounds=3, m=64
+    )
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r13 registration slate as audit-runnable specs."""
-    builders: dict = {}
+    builders = {
+        # exact two-sample KS drift (sup-norm companion to stat_psi),
+        # two-phase-prefix-sum ECDF, integer cross-multiplied contract
+        "stat_ks_drift": _stat_ks_drift,
+        # hashing-trick TF-IDF: fixed-width vocab-free features,
+        # integer micro-nat contract end to end
+        "text_hashed_tfidf": _text_hashed_tfidf,
+        # ExactSubstr cut-list APPLICATION: per-doc kept/cut accounting
+        "dedup_span_suppress": _dedup_span_suppress,
+        # the m>32 HyperBall path as a standing driver query (VERDICT
+        # r11 ask #6 — m=64 twin pinned in tests/test_hyperball.py)
+        "graph_hyperball_m64_est": _graph_hyperball_m64_est,
+    }
     return {n: QuerySpec(n, b, None) for n, b in builders.items()}

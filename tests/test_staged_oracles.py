@@ -1631,3 +1631,349 @@ def test_coreness_converged_at_registered_rounds(spark):
     assert sorted(
         tuple(r) for r in coreness_micro(edges, 8).collect()
     ) == sorted(tuple(r) for r in coreness_micro(edges, 16).collect())
+
+
+# --- r12-staged slate (registers r13): KS drift, hashed TF-IDF, span
+# suppression. Each twin runs at BOTH gate scales (the two-scale bar).
+
+_KS_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+), g AS (
+  SELECT xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY xs
+), c AS (
+  SELECT xs,
+         CAST(SUM(ca) OVER (ORDER BY xs ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY xs ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_b
+  FROM g
+), n AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+  FROM base
+)
+SELECT n.n_a, n.n_b,
+       CAST(MAX(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)) * 1000000
+            // GREATEST(n.n_a * n.n_b, 1) AS BIGINT) AS ks_d_micro
+FROM c CROSS JOIN n
+GROUP BY n.n_a, n.n_b
+HAVING COUNT(*) > 0
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_ks_drift_duckdb_twin(spark, sf):
+    """ks_two_sample (r12-staged, registers r13 as stat_ks_drift) vs a
+    DuckDB twin using the SEQUENTIAL formulation (one unpartitioned
+    running-sum window over the value grid) — structurally independent
+    of the operator's two-phase parallel prefix sum; every integer
+    (including the cross-multiplied sup-norm numerator) bit-exact."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    orders = TableRegistry(spark, sfd).orders
+    got = [
+        tuple(r)
+        for r in ks_two_sample(
+            orders,
+            "o_totalprice",
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+        ).collect()
+    ]
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(sfd, 'orders.parquet')}'"
+    )
+    want = [
+        tuple(int(v) for v in row)
+        for row in con.execute(_KS_ORACLE).fetchall()
+    ]
+    assert got == want and len(got) == 1
+    n_a, n_b, ks_num, ks_micro = got[0]
+    assert 0 <= ks_micro <= 1_000_000 and ks_num <= n_a * n_b
+    # drift actually measured (non-vacuous): both cohorts populated
+    assert n_a > 0 and n_b > 0
+
+
+def _hashed_tfidf_oracle(num_buckets: int) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+
+    th = token_hash_sql("tok", "duck")
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), pb AS (
+      SELECT doc_id, ({th}) % {num_buckets} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t2 GROUP BY 1, 2
+    ), idf AS (
+      SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS bucket_df
+      FROM pb GROUP BY bucket
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS nd FROM pb
+    )
+    SELECT pb.doc_id, pb.bucket, pb.tf, idf.bucket_df,
+           CAST(pb.tf * CAST(round(ln(CAST(nd + 1 AS DOUBLE)
+                / CAST(bucket_df + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+                AS BIGINT) AS tfidf_micro
+    FROM pb JOIN idf USING (bucket) CROSS JOIN n
+    """
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_hashed_tfidf_duckdb_twin(spark, sf):
+    """hashed_tfidf (r12-staged, registers r13 as text_hashed_tfidf) vs
+    a DuckDB twin replaying the same mixer bucket fold and the same
+    integer micro-nat IDF — every value bit-exact (the bigram_logprob
+    contract; no float column anywhere)."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.text import hashed_tfidf
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    docs = TableRegistry(spark, sfd).documents
+    got = sorted(
+        (r.doc_id, r.bucket, r.tf, r.bucket_df, r.tfidf_micro)
+        for r in hashed_tfidf(docs).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in con.execute(_hashed_tfidf_oracle(256)).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the feature space is actually FIXED-WIDTH (the hashing trick's
+    # whole point): distinct buckets bounded by 256 however many tokens
+    assert len({b for _, b, _, _, _ in got}) <= 256
+    # and idf actually differentiates (not all buckets equally common)
+    assert len({d for _, _, _, d, _ in got}) > 1
+
+
+_SUPPRESS_ORACLE = r"""
+WITH toks_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + 7], ' ') AS w
+  FROM toks_t, LATERAL unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+), shared AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+), occ AS (
+  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM shared)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM occ
+), sp AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span_id
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM sp GROUP BY doc_id, span_id
+), cut AS (
+  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cut_tokens
+  FROM spans GROUP BY doc_id
+), counts AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM toks_t WHERE len(toks) > 0
+)
+SELECT c.doc_id, c.n_tokens,
+       COALESCE(cut.cut_tokens, 0) AS cut_tokens,
+       c.n_tokens - COALESCE(cut.cut_tokens, 0) AS kept_tokens
+FROM counts c LEFT JOIN cut ON c.doc_id = cut.doc_id
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_span_suppress_duckdb_twin(spark, sf):
+    """substring_span_suppress (r12-staged, registers r13 as
+    dedup_span_suppress) vs a DuckDB twin re-deriving the cut list from
+    window STRINGS (the dedup_substring_spans oracle chain) and the
+    same per-doc coverage arithmetic — bit-exact, and the kept+cut
+    partition law holds on every row."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        substring_span_suppress,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    docs = TableRegistry(spark, sfd).documents
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.cut_tokens, r.kept_tokens)
+        for r in substring_span_suppress(docs).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in con.execute(_SUPPRESS_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # partition law + non-vacuity: something was actually cut (the
+    # corpus has exact dups, so shared 8-grams exist), nothing negative
+    assert all(n == c + k and c >= 0 and k >= 0 for _, n, c, k in got)
+    assert any(c > 0 for _, _, c, _ in got)
+
+
+def test_r13_staged_ops_empty_and_laws(spark):
+    """Empty/degenerate laws + duplication scale laws for the r13 slate
+    (pre-empting the audit batteries): empty in → empty out; under 100%
+    duplication KS is BIT-IDENTICAL (numerator and denominator both 4x),
+    hashed-TFIDF doubles tf/tfidf exactly with an UNCHANGED IDF table,
+    and span suppression doubles rows with bit-identical values (spans
+    are distinct-doc-gated, so a re-delivered corpus cuts nothing new)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        substring_span_suppress,
+    )
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample
+    from datalake_nba_dmc_spark.operators.text import hashed_tfidf
+
+    split = F.col("d") < F.lit("1998-01-01").cast("date")
+    empty_o = spark.createDataFrame([], "v double, d date")
+    assert ks_two_sample(empty_o, "v", split).collect() == []
+    empty_d = spark.createDataFrame([], "doc_id long, text string")
+    assert hashed_tfidf(empty_d).collect() == []
+    assert substring_span_suppress(empty_d).collect() == []
+    degenerate = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " \t "), (4, "café \U0001d54a")],
+        ["doc_id", "text"],
+    )
+    assert hashed_tfidf(degenerate).collect() == []  # ASCII contract
+    # suppression has NO ascii contract (xxhash64 handles any unicode):
+    # NULL/empty/whitespace rows drop, the tokenized unicode row stays
+    sup = substring_span_suppress(degenerate).collect()
+    assert [(r.doc_id, r.n_tokens, r.cut_tokens) for r in sup] == [(4, 2, 0)]
+
+    rows = [
+        (float(i % 37) + (0.5 if i % 2 else 0.0), f"199{(i % 9)}-01-01")
+        for i in range(200)
+    ]
+    orders = spark.createDataFrame(rows, ["v", "ds"]).select(
+        "v", F.col("ds").cast("date").alias("d")
+    )
+    dorders = orders.union(orders)
+    one = ks_two_sample(orders, "v", split).collect()
+    two = ks_two_sample(dorders, "v", split).collect()
+    assert len(one) == len(two) == 1
+    assert (
+        two[0].n_a == 2 * one[0].n_a
+        and two[0].n_b == 2 * one[0].n_b
+        and two[0].ks_num == 4 * one[0].ks_num
+        and two[0].ks_d_micro == one[0].ks_d_micro
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta " * 3) for i in range(12)],
+        ["doc_id", "text"],
+    )
+    ddocs = docs.union(docs)
+    h1 = {(r.doc_id, r.bucket): (r.tf, r.bucket_df, r.tfidf_micro)
+          for r in hashed_tfidf(docs).collect()}
+    h2 = {(r.doc_id, r.bucket): (r.tf, r.bucket_df, r.tfidf_micro)
+          for r in hashed_tfidf(ddocs).collect()}
+    assert h2 == {k: (2 * tf, df, 2 * tm) for k, (tf, df, tm) in h1.items()}
+
+    s1 = sorted(tuple(r) for r in substring_span_suppress(docs).collect())
+    s2 = sorted(tuple(r) for r in substring_span_suppress(ddocs).collect())
+    assert s2 == sorted(s1 + s1)
+
+
+@needs_testdata
+def test_r13_staged_ops_layout_invariant(spark):
+    """Pre-empts the partition-perturbation audit for the r13 slate:
+    bit-identical rows under 3 vs 64 shuffle partitions AND a 1- vs
+    13-partition input (the established staged-bar pin)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import (
+        substring_span_suppress,
+    )
+    from datalake_nba_dmc_spark.operators.hyperball import (
+        hyperball_harmonic_estimate,
+    )
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample
+    from datalake_nba_dmc_spark.operators.text import hashed_tfidf
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    reg = TableRegistry(spark, SF)
+    docs, orders = reg.documents, reg.orders
+
+    def edges(d):
+        return d.select(
+            (F.col("doc_id") % 101).alias("src"),
+            (F.expr("doc_id div 101") % 101).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+
+    builders = {
+        "ks": lambda d, o: ks_two_sample(
+            o, "o_totalprice",
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+        ),
+        "htfidf": lambda d, o: hashed_tfidf(d),
+        "suppress": lambda d, o: substring_span_suppress(d),
+        "hb64": lambda d, o: hyperball_harmonic_estimate(
+            edges(d), n_rounds=3, m=64
+        ),
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[str, list] = {}
+    try:
+        for parts, inparts in ((3, 1), (64, 13)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            d, o = docs.repartition(inparts), orders.repartition(inparts)
+            for name, b in builders.items():
+                rows = sorted(tuple(r) for r in b(d, o).collect())
+                assert rows, name
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name, (r1, r2) in results.items():
+        assert r1 == r2, f"{name} is layout-dependent"
