@@ -1120,7 +1120,17 @@ def c4_line_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
     # 7.4 s → ~1 s at sf0.1 for this exact projection).
     staged = df.withColumn(
         "_lines",
-        F.filter(F.transform(F.split(c, "\n"), F.trim), lambda l: l != ""),
+        # explicit lambda, NEVER bare F.trim: pyspark dispatches HOF
+        # callables on ARITY, and F.trim's optional second parameter
+        # (col, trim=None) makes transform call it as trim(elem, idx) —
+        # which strips literal '0'/'1'/... characters per line INDEX
+        # instead of trimming whitespace (r12 nulls-audit finding on the
+        # edge-string fixture; the clean corpus has no padded lines, so
+        # every clean-data twin was blind to it)
+        F.filter(
+            F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ),
     ).withColumn(
         "_kept",
         F.filter(
