@@ -78,6 +78,12 @@ BNLJ_AUDITED = {
     "text_tfidf",                 # one-row doc-count total
     "text_unigram_logprob",       # one-row token grand total
     "text_vocab_coverage",        # one-row token grand total
+    "stat_bootstrap_ci",          # one-row point-estimate broadcast onto
+                                  # the one-row interval (r12)
+    "stat_ks_drift",              # one-row (n_a, n_b) totals broadcast +
+                                  # one-row bucket-range broadcast (r13 slate)
+    "text_hashed_tfidf",          # one-row distinct-doc-count broadcast
+                                  # (r13 slate)
     "tpch_q11_important_stock",   # one-row global-value threshold
     "corpus_pack_sequences",      # one-row (min_id, id_span) broadcast for
                                   # the order-preserving bucket split (r10;
