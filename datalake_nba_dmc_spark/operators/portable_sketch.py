@@ -580,3 +580,239 @@ def minhash_portable_clusters(
             "is_representative", F.col("cluster_id") == F.col(id_col)
         )
     )
+
+
+def kmv_theta_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Portable KMV/theta distinct-vocabulary sketch per group (Bar-Yossef
+    et al. 2002's k-minimum-values / the theta-sketch family — public):
+    keep the ``k`` smallest DISTINCT mixer token hashes per group; the
+    k-th smallest is the threshold θ and the distinct-count estimate is
+    ``(k−1)·P/θ`` (exact ``n_kept`` when the group holds fewer than k
+    distinct hashes — the sketch then IS the set). → one row per group:
+    (``group_col``, n_kept, theta, distinct_est_micro, exact_distinct).
+
+    Unlike HLL (registered: hll_portable/hyperball), KMV sketches
+    support SET OPERATIONS — see :func:`kmv_theta_vocab_overlap` for the
+    intersection/union estimates over the same sketches; that is why a
+    curation stack carries both. Distinct-ness is in HASH space (mod P):
+    the contract the twin replays exactly; 1/P ≈ 5e-10 collision rate is
+    part of the estimator's error budget, not a correctness caveat.
+
+    Integer contract: hashes are the dialect-rendered mixer over
+    position-weighted codepoint sums (no engine hash builtin), θ and
+    n_kept are exact integers, and the estimate is
+    ``floor((k−1)·P·10^6 / θ)`` — int64-safe (k·P·10^6 < 2^58) and
+    bit-exact in DuckDB. ASCII contract as in cms_counters.
+
+    Scale shape: explode → DISTINCT (group, h) hash-agg → top-k-per-
+    group window whose rank<=k filter compiles to WindowGroupLimit
+    (partial group-limit prunes map-side BEFORE the shuffle, the
+    text_domain_quota plan shape) → k-row-per-group aggregate. The
+    exact_distinct column is certificate scaffolding (it is the
+    vocabulary-wide count the sketch replaces at 100 TB — the
+    cms_heavy_hitters accounting)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    th = token_hash_sql("tok", "spark")
+    distinct_h = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .select(F.col(group_col), F.explode(toks).alias("tok"))
+        .select(
+            group_col,
+            (F.expr(th) % _MERSENNE31).cast("long").alias("_h"),
+        )
+        .groupBy(group_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_h")
+    topk = distinct_h.withColumn(
+        "_rk", F.row_number().over(w)
+    ).filter(F.col("_rk") <= k)
+    exact = distinct_h.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    per_group = topk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("_maxh"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept") * F.lit(1_000_000)
+    ).otherwise(
+        # pre-multiplied BIGINT literal: (k-1)*P*10^6 as INT literals
+        # overflows under ANSI before widening
+        F.expr(f"CAST({(k - 1) * _MERSENNE31 * 1_000_000} AS BIGINT) div _maxh")
+    )
+    return (
+        per_group.join(exact, on=group_col)
+        .select(
+            group_col,
+            "n_kept",
+            # theta = P when the sketch holds the whole set (every hash
+            # "kept" — the standard KMV small case)
+            F.when(F.col("n_kept") < k, F.lit(_MERSENNE31))
+            .otherwise(F.col("_maxh"))
+            .cast("long")
+            .alias("theta"),
+            est.cast("long").alias("distinct_est_micro"),
+            "exact_distinct",
+        )
+    )
+
+
+def kmv_theta_vocab_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch SET OPERATIONS over :func:`kmv_theta_vocab`'s
+    sketches: for every UNORDERED pair of groups, estimate the shared
+    and combined distinct vocabulary — the curation question ("how much
+    of source B's vocabulary is already in A?") that mergeable HLL
+    counters cannot answer (HLL unions; it cannot intersect without
+    inclusion-exclusion blowup). → one row per pair (source_a <
+    source_b): theta_min, n_common (shared kept hashes below θ∩),
+    n_union (distinct kept hashes below θ∩), inter_est_micro,
+    union_est_micro — every value replayed bit-exactly by the twin.
+
+    Estimator (Dasgupta et al. 2016, theta-sketch framework — public):
+    θ∩ = min(θ_a, θ_b); any hash < θ∩ is a uniform sample of the
+    combined hash space at rate θ∩/P, so |{kept ∩ both} < θ∩|·P/θ∩
+    estimates the intersection and the same scaling of the union-kept
+    count estimates the union. Scale shape: the per-group sketches are
+    k rows each — the pair join runs over sketch rows, never corpus
+    rows (groups² · k is dashboard-sized; the corpus is scanned
+    once by the sketch build)."""
+    sk = kmv_theta_vocab(df, text_col, group_col, k)
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    th = token_hash_sql("tok", "spark")
+    distinct_h = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .select(F.col(group_col), F.explode(toks).alias("tok"))
+        .select(
+            group_col,
+            (F.expr(th) % _MERSENNE31).cast("long").alias("_h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("_h")
+    kept = distinct_h.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    thetas = sk.select(group_col, "theta")
+    a = kept.select(
+        F.col(group_col).alias("source_a"), F.col("_h").alias("_ha")
+    ).join(
+        thetas.select(
+            F.col(group_col).alias("source_a"),
+            F.col("theta").alias("_ta"),
+        ),
+        on="source_a",
+    )
+    b = kept.select(
+        F.col(group_col).alias("source_b"), F.col("_h").alias("_hb")
+    ).join(
+        thetas.select(
+            F.col(group_col).alias("source_b"),
+            F.col("theta").alias("_tb"),
+        ),
+        on="source_b",
+    )
+    pairs = (
+        a.join(b, on=(F.col("_ha") == F.col("_hb")))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .filter(
+            F.col("_ha") < F.least(F.col("_ta"), F.col("_tb"))
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.least(F.col("_ta"), F.col("_tb"))).alias(
+                "theta_min"
+            ),
+        )
+    )
+    # union side: all kept hashes below theta_min per pair, distinct
+    pair_names = (
+        thetas.select(F.col(group_col).alias("source_a"), F.col("theta").alias("_ta"))
+        .crossJoin(
+            thetas.select(
+                F.col(group_col).alias("source_b"),
+                F.col("theta").alias("_tb"),
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.least("_ta", "_tb").alias("theta_min"),
+        )
+    )
+    union_side = (
+        pair_names.join(
+            kept.select(
+                F.col(group_col).alias("source_a"), F.col("_h")
+            ),
+            on="source_a",
+        )
+        .select("source_a", "source_b", "theta_min", "_h")
+        .union(
+            pair_names.join(
+                kept.select(
+                    F.col(group_col).alias("source_b"), F.col("_h")
+                ),
+                on="source_b",
+            ).select("source_a", "source_b", "theta_min", "_h")
+        )
+        .filter(F.col("_h") < F.col("theta_min"))
+        .groupBy("source_a", "source_b", "theta_min")
+        .agg(F.countDistinct("_h").alias("n_union"))
+    )
+    out = (
+        union_side.join(
+            pairs.select("source_a", "source_b", "n_common"),
+            on=["source_a", "source_b"],
+            how="left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "theta_min",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            "n_union",
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "theta_min",
+        "n_common",
+        F.col("n_union").cast("long").alias("n_union"),
+        # full-precision micro estimate: n <= 2k, so n*P*10^6 < 2^58
+        F.expr(
+            f"(n_common * {_MERSENNE31} * 1000000) div greatest(theta_min, 1)"
+        ).alias("inter_est_micro"),
+        F.expr(
+            f"(n_union * {_MERSENNE31} * 1000000) div greatest(theta_min, 1)"
+        ).alias("union_est_micro"),
+    )

@@ -393,6 +393,48 @@ def ks_two_sample(
     grid at 100 TB; this never does. Rows with a NULL value or NULL
     split are excluded from BOTH cohorts explicitly (the psi_binned
     rule: an unknown period cannot vote on drift)."""
+    cum, totals = _cohort_value_cum(
+        df, value_col, split_col, scale, num_buckets
+    )
+    stat = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("_cuma") * F.col("n_b")
+                    - F.col("_cumb") * F.col("n_a")
+                )
+            ).alias("ks_num"),
+        )
+        # empty input: the global agg still emits one all-NULL row on
+        # BOTH engines — drop it so empty in → empty out (totality rule)
+        .filter(F.col("n_a").isNotNull())
+    )
+    return stat.select(
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.expr("(ks_num * 1000000) div greatest(n_a * n_b, 1)").alias(
+            "ks_d_micro"
+        ),
+    )
+
+
+def _cohort_value_cum(
+    df: DataFrame,
+    value_col: str,
+    split_col: Column,
+    scale: int,
+    num_buckets: int,
+):
+    """Shared substrate of the rank/ECDF statistics (:func:`ks_two_sample`,
+    :func:`mann_whitney_u`): per-distinct-scaled-value conditional counts
+    (_xs, _ca, _cb) with INCLUSIVE cumulative counts (_cuma, _cumb) via
+    the pack_sequences two-phase parallel prefix sum — the only
+    unpartitioned window runs over ≤ ``num_buckets`` rows, never the
+    value grid — plus the broadcastable cohort totals (n_a, n_b)."""
     from pyspark.sql import Window
 
     xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
@@ -442,27 +484,72 @@ def ks_two_sample(
         F.sum("_ia").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("_ia")).alias("n_b"),
     )
+    return cum, totals
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    split_col: Column,
+    scale: int = 100,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) between the rows where
+    ``split_col`` is true (cohort A) and false (cohort B) → ONE row
+    ``(n_a, n_b, u2_a, u2_b, auc_micro)`` — the rank companion to
+    :func:`ks_two_sample`: KS asks "did the distribution CHANGE shape
+    anywhere", U asks "did one cohort stochastically DOMINATE" (its
+    normalization U_a/(n_a·n_b) is exactly the AUC / common-language
+    effect size — the probability a random A value exceeds a random B
+    value, ties counted half).
+
+    Integer contract: ranks are handled as DOUBLED midranks so ties
+    never produce fractions — for a distinct scaled value with total
+    count c and cumulative-before count cb (both cohorts),
+    ``midrank2 = 2·cb + c + 1``; then ``u2_a = 2·U_a = Σ ca·midrank2 −
+    n_a(n_a+1)``, ``u2_b = 2·n_a·n_b − u2_a`` (the exact U-sum law, a
+    pinned invariant), and ``auc_micro = u2_a·10^6 div (2·n_a·n_b)``.
+    Every quantity is exact int64 on both engines; same overflow bound
+    as KS (n_a·n_b·10^6 < 2^63).
+
+    Scale shape: identical to KS — the shared
+    :func:`_cohort_value_cum` substrate (O(V) grouped counts, two-phase
+    parallel prefix sum, ≤ num_buckets-row global window), then one
+    map-side-combinable weighted sum. Never sorts the corpus, never
+    single-partitions the grid."""
+    cum, totals = _cohort_value_cum(
+        df, value_col, split_col, scale, num_buckets
+    )
+    # inclusive cums -> per-value (count, cumulative-before) pairs
+    per_v = cum.select(
+        "_ca",
+        ((F.col("_cuma") + F.col("_cumb"))
+         - (F.col("_ca") + F.col("_cb"))).alias("_cball"),
+        (F.col("_ca") + F.col("_cb")).alias("_call"),
+    )
+    r2a = per_v.agg(
+        F.sum(
+            F.col("_ca") * (2 * F.col("_cball") + F.col("_call") + 1)
+        ).alias("_r2a")
+    )
     stat = (
-        cum.crossJoin(F.broadcast(totals))
-        .agg(
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-            F.max(
-                F.abs(
-                    F.col("_cuma") * F.col("n_b")
-                    - F.col("_cumb") * F.col("n_a")
-                )
-            ).alias("ks_num"),
-        )
-        # empty input: the global agg still emits one all-NULL row on
-        # BOTH engines — drop it so empty in → empty out (totality rule)
+        r2a.crossJoin(F.broadcast(totals))
         .filter(F.col("n_a").isNotNull())
+        .select(
+            "n_a",
+            "n_b",
+            (F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)).alias(
+                "u2_a"
+            ),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "u2_a",
+            (2 * F.col("n_a") * F.col("n_b") - F.col("u2_a")).alias("u2_b"),
+            F.expr(
+                "(u2_a * 1000000) div greatest(2 * n_a * n_b, 1)"
+            ).alias("auc_micro"),
+        )
     )
-    return stat.select(
-        "n_a",
-        "n_b",
-        "ks_num",
-        F.expr("(ks_num * 1000000) div greatest(n_a * n_b, 1)").alias(
-            "ks_d_micro"
-        ),
-    )
+    return stat

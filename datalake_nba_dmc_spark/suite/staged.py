@@ -83,9 +83,47 @@ def _graph_hyperball_m64_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    return mann_whitney_u(
+        TableRegistry(spark, sf_dir).orders,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+    )
+
+
+def _sketch_theta_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab,
+    )
+
+    return kmv_theta_vocab(_docs(spark, sf_dir), k=16)
+
+
+def _sketch_theta_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab_overlap,
+    )
+
+    return kmv_theta_vocab_overlap(_docs(spark, sf_dir), k=16)
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r13 registration slate as audit-runnable specs."""
     builders = {
+        # exact Mann-Whitney U / AUC (doubled-midrank integer contract,
+        # same two-phase prefix-sum substrate as stat_ks_drift)
+        "stat_mann_whitney": _stat_mann_whitney,
+        # portable KMV/theta distinct-vocabulary sketch per source
+        # (k=16 < per-source vocab so the theta estimator path is live)
+        "sketch_theta_vocab": _sketch_theta_vocab,
+        # theta set operations: pairwise shared/union vocabulary
+        # estimates — what mergeable HLL counters cannot answer
+        "sketch_theta_vocab_overlap": _sketch_theta_vocab_overlap,
         # exact two-sample KS drift (sup-norm companion to stat_psi),
         # two-phase-prefix-sum ECDF, integer cross-multiplied contract
         "stat_ks_drift": _stat_ks_drift,

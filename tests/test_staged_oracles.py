@@ -1952,11 +1952,23 @@ def test_r13_staged_ops_layout_invariant(spark):
             (F.expr("doc_id div 101") % 101).alias("dst"),
         ).filter(F.col("src") != F.col("dst"))
 
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab,
+        kmv_theta_vocab_overlap,
+    )
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u
+
     builders = {
         "ks": lambda d, o: ks_two_sample(
             o, "o_totalprice",
             F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
         ),
+        "mw": lambda d, o: mann_whitney_u(
+            o, "o_totalprice",
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+        ),
+        "theta": lambda d, o: kmv_theta_vocab(d, k=16),
+        "theta_overlap": lambda d, o: kmv_theta_vocab_overlap(d, k=16),
         "htfidf": lambda d, o: hashed_tfidf(d),
         "suppress": lambda d, o: substring_span_suppress(d),
         "hb64": lambda d, o: hyperball_harmonic_estimate(
@@ -1977,3 +1989,318 @@ def test_r13_staged_ops_layout_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for name, (r1, r2) in results.items():
         assert r1 == r2, f"{name} is layout-dependent"
+
+
+def _kmv_topk_ctes(k: int) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+
+    th = token_hash_sql("tok", "duck")
+    return rf"""
+    t AS (
+      SELECT source,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT source, unnest(toks) AS tok FROM t
+    ), dh AS (
+      SELECT DISTINCT source, ({th}) % {_MERSENNE31} AS h FROM t2
+    ), rk AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+      FROM dh
+    ), topk AS (SELECT * FROM rk WHERE r <= {k})
+    """
+
+
+_KMV_K = 16
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_kmv_theta_vocab_duckdb_twin(spark, sf):
+    """kmv_theta_vocab (r12-staged, registers r13 as
+    sketch_theta_vocab) vs a DuckDB twin replaying the same mixer
+    hashes, per-group k-minimum ranks, θ, and the (k−1)·P/θ estimate —
+    bit-exact, with the exact-distinct certificate column on both
+    sides. k=16 < per-source vocabulary, so the θ-division estimator
+    path is EXERCISED, not just the holds-the-whole-set small case."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab,
+    )
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    docs = spark.read.parquet(os.path.join(sfd, "documents.parquet"))
+    K = _KMV_K
+    got = sorted(
+        (r.source, r.n_kept, r.theta, r.distinct_est_micro, r.exact_distinct)
+        for r in kmv_theta_vocab(docs, k=K).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    sql = rf"""
+    WITH {_kmv_topk_ctes(K)},
+    pg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS maxh
+      FROM topk GROUP BY source
+    ), ex AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      FROM dh GROUP BY source
+    )
+    SELECT pg.source, pg.n_kept,
+           CAST(CASE WHEN pg.n_kept < {K} THEN {_MERSENNE31}
+                ELSE pg.maxh END AS BIGINT) AS theta,
+           CAST(CASE WHEN pg.n_kept < {K} THEN pg.n_kept * 1000000
+                ELSE {(K - 1) * _MERSENNE31 * 1_000_000} // pg.maxh
+                END AS BIGINT) AS distinct_est_micro,
+           ex.exact_distinct
+    FROM pg JOIN ex USING (source)
+    """
+    want = sorted(
+        (a, int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in con.execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the estimator path is exercised (theta < P somewhere) AND sane
+    assert any(t < _MERSENNE31 for _, _, t, _, _ in got)
+    for _, nk, _, est, ex in got:
+        if nk == K and ex >= K:
+            assert 0.4 * ex <= est / 1e6 <= 2.5 * ex
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_kmv_theta_overlap_duckdb_twin(spark, sf):
+    """kmv_theta_vocab_overlap (r12-staged, registers r13 as
+    sketch_theta_vocab_overlap) vs a DuckDB twin: pairwise θ∩, the
+    shared/union kept-hash counts below θ∩, and both micro estimates —
+    bit-exact. The theta set-op surface is the thing mergeable HLL
+    counters cannot provide."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab_overlap,
+    )
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    docs = spark.read.parquet(os.path.join(sfd, "documents.parquet"))
+    K = _KMV_K
+    got = sorted(
+        tuple(r) for r in kmv_theta_vocab_overlap(docs, k=K).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    sql = rf"""
+    WITH {_kmv_topk_ctes(K)},
+    pg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS maxh
+      FROM topk GROUP BY source
+    ), thetas AS (
+      SELECT source,
+             CAST(CASE WHEN n_kept < {K} THEN {_MERSENNE31}
+                  ELSE maxh END AS BIGINT) AS theta
+      FROM pg
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             LEAST(a.theta, b.theta) AS theta_min
+      FROM thetas a JOIN thetas b ON a.source < b.source
+    ), common AS (
+      SELECT p.source_a, p.source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN topk ka ON ka.source = p.source_a AND ka.h < p.theta_min
+      JOIN topk kb ON kb.source = p.source_b AND kb.h = ka.h
+      GROUP BY 1, 2
+    ), uni AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_union
+      FROM (
+        SELECT p.source_a, p.source_b, ka.h
+        FROM pairs p JOIN topk ka
+          ON ka.source = p.source_a AND ka.h < p.theta_min
+        UNION ALL
+        SELECT p.source_a, p.source_b, kb.h
+        FROM pairs p JOIN topk kb
+          ON kb.source = p.source_b AND kb.h < p.theta_min
+      ) GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.theta_min,
+           COALESCE(c.n_common, 0) AS n_common, u.n_union,
+           (COALESCE(c.n_common, 0) * {_MERSENNE31} * 1000000)
+             // GREATEST(p.theta_min, 1) AS inter_est_micro,
+           (u.n_union * {_MERSENNE31} * 1000000)
+             // GREATEST(p.theta_min, 1) AS union_est_micro
+    FROM pairs p
+    JOIN uni u USING (source_a, source_b)
+    LEFT JOIN common c USING (source_a, source_b)
+    """
+    want = sorted(
+        (a, b, int(c), int(d), int(e), int(f), int(g))
+        for a, b, c, d, e, f, g in con.execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # set-algebra sanity on every pair: common <= union <= 2k,
+    # inter <= union estimates
+    for _, _, tm, nc, nu, ie, ue in got:
+        assert 0 <= nc <= nu <= 2 * K and ie <= ue
+
+
+def test_kmv_and_mw_empty_degenerate_and_dup_laws(spark):
+    """Empty/degenerate + duplication laws for the KMV and Mann-Whitney
+    staged ops: empty in → empty out; ASCII contract drops degenerate
+    text; KMV sketches are DISTINCT-based (bit-identical under 100%
+    duplication); MW's pairwise U scales EXACTLY 4x under duplication
+    while the AUC normalization is bit-identical."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab,
+        kmv_theta_vocab_overlap,
+    )
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u
+
+    empty_d = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert kmv_theta_vocab(empty_d).collect() == []
+    assert kmv_theta_vocab_overlap(empty_d).collect() == []
+    degenerate = spark.createDataFrame(
+        [(1, "s", None), (2, "s", ""), (3, "s", "café \U0001d54a")],
+        ["doc_id", "source", "text"],
+    )
+    assert kmv_theta_vocab(degenerate).collect() == []
+    empty_o = spark.createDataFrame([], "v double, s boolean")
+    assert mann_whitney_u(empty_o, "v", F.col("s")).collect() == []
+    with pytest.raises(ValueError, match="k must"):
+        kmv_theta_vocab(empty_d, k=1)
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"tok{i % 7} tok{(i * 3) % 11} common")
+         for i in range(60)],
+        ["doc_id", "source", "text"],
+    )
+    ddocs = docs.union(docs)
+    r1 = sorted(tuple(r) for r in kmv_theta_vocab(docs, k=4).collect())
+    r2 = sorted(tuple(r) for r in kmv_theta_vocab(ddocs, k=4).collect())
+    assert r1 == r2 and len(r1) == 3
+    o1 = sorted(tuple(r) for r in kmv_theta_vocab_overlap(docs, k=4).collect())
+    o2 = sorted(tuple(r) for r in kmv_theta_vocab_overlap(ddocs, k=4).collect())
+    assert o1 == o2 and len(o1) == 3
+
+    rows = [(float(i % 13), i % 2 == 0) for i in range(100)]
+    orders = spark.createDataFrame(rows, ["v", "s"])
+    dorders = orders.union(orders)
+    [m1] = mann_whitney_u(orders, "v", F.col("s")).collect()
+    [m2] = mann_whitney_u(dorders, "v", F.col("s")).collect()
+    assert (m2.n_a, m2.n_b) == (2 * m1.n_a, 2 * m1.n_b)
+    assert m2.u2_a == 4 * m1.u2_a and m2.u2_b == 4 * m1.u2_b
+    assert m2.auc_micro == m1.auc_micro
+    # U-sum law on both
+    for m in (m1, m2):
+        assert m.u2_a + m.u2_b == 2 * m.n_a * m.n_b
+
+
+_MW_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+), g AS (
+  SELECT xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY xs
+), c AS (
+  SELECT xs, ca, cb,
+         CAST(SUM(ca + cb) OVER (ORDER BY xs ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cumall
+  FROM g
+), r AS (
+  SELECT CAST(SUM(ca * (2 * (cumall - (ca + cb)) + (ca + cb) + 1))
+              AS BIGINT) AS r2a
+  FROM c
+), n AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+  FROM base
+)
+SELECT n.n_a, n.n_b,
+       r.r2a - n.n_a * (n.n_a + 1) AS u2_a,
+       2 * n.n_a * n.n_b - (r.r2a - n.n_a * (n.n_a + 1)) AS u2_b,
+       (r.r2a - n.n_a * (n.n_a + 1)) * 1000000
+         // GREATEST(2 * n.n_a * n.n_b, 1) AS auc_micro
+FROM r CROSS JOIN n WHERE r.r2a IS NOT NULL
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_mann_whitney_duckdb_twin(spark, sf):
+    """mann_whitney_u (r12-staged, registers r13 as stat_mann_whitney)
+    vs a DuckDB twin using the sequential running-sum window over the
+    value grid — structurally independent of the two-phase prefix-sum
+    operator; doubled midranks keep ties integer-exact, so every value
+    (including the AUC normalization) is bit-exact. A tie-heavy hand
+    case (A=[1,2,2], B=[2,3] → U_a=1, AUC=1/6) is pinned in the laws
+    test below; the integer contract's tie handling equals the
+    classical midrank definition."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    orders = TableRegistry(spark, sfd).orders
+    got = [
+        tuple(r)
+        for r in mann_whitney_u(
+            orders,
+            "o_totalprice",
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+        ).collect()
+    ]
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(sfd, 'orders.parquet')}'"
+    )
+    want = [
+        tuple(int(v) for v in row)
+        for row in con.execute(_MW_ORACLE).fetchall()
+    ]
+    assert got == want and len(got) == 1
+    n_a, n_b, u2a, u2b, auc = got[0]
+    assert u2a + u2b == 2 * n_a * n_b and 0 <= auc <= 1_000_000
+
+
+def test_mann_whitney_tie_hand_case(spark):
+    """Classical midrank hand case with ties: A=[1,2,2], B=[2,3] →
+    U_a = #(a>b) + 0.5·#(a=b) = 1.0 → u2_a = 2, u2_b = 10, AUC = 1/6."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u
+
+    sm = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (2.0, True), (2.0, False), (3.0, False)],
+        ["v", "s"],
+    )
+    [r] = mann_whitney_u(sm, "v", F.col("s")).collect()
+    assert (r.n_a, r.n_b, r.u2_a, r.u2_b, r.auc_micro) == (3, 2, 2, 10, 166666)

@@ -193,7 +193,10 @@ def test_staged_specs_disjoint_and_planned():
 #: The planned r13 registration slate (updated as this round stages ops).
 _R13_SLATE: set[str] = {
     "stat_ks_drift",
+    "stat_mann_whitney",
     "text_hashed_tfidf",
     "dedup_span_suppress",
     "graph_hyperball_m64_est",
+    "sketch_theta_vocab",
+    "sketch_theta_vocab_overlap",
 }
