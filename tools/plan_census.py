@@ -82,8 +82,13 @@ BNLJ_AUDITED = {
                                   # the one-row interval (r12)
     "stat_ks_drift",              # one-row (n_a, n_b) totals broadcast +
                                   # one-row bucket-range broadcast (r13 slate)
+    "stat_mann_whitney",          # same one-row totals/range broadcasts
+                                  # (shared _cohort_value_cum substrate)
     "text_hashed_tfidf",          # one-row distinct-doc-count broadcast
                                   # (r13 slate)
+    "sketch_theta_vocab_overlap", # groups x groups pair grid of two
+                                  # theta frames (<= |groups| rows each —
+                                  # sketch rows, never corpus rows)
     "tpch_q11_important_stock",   # one-row global-value threshold
     "corpus_pack_sequences",      # one-row (min_id, id_span) broadcast for
                                   # the order-preserving bucket split (r10;
