@@ -106,7 +106,7 @@ NO_ORACLE_PINNED: list[str] = [
 ]
 
 _CHECK_PRIORITY: list[str] = [
-    # -- r13 plan (for the next cut): SEVEN staged operators carry green
+    # -- r13 plan (for the next cut): EIGHT staged operators carry green
     #    DuckDB twins (tests/test_staged_oracles.py + the m=64 twin in
     #    tests/test_hyperball.py) and register next round per the
     #    freeze — stat_ks_drift (exact two-sample KS, two-phase
@@ -117,11 +117,13 @@ _CHECK_PRIORITY: list[str] = [
     #    graph_hyperball_m64_est (the m>32 path as a standing query —
     #    REBUILD_EACH_PASS at registration), sketch_theta_vocab +
     #    sketch_theta_vocab_overlap (portable KMV/theta distinct-vocab
-    #    sketches + the set-operation estimates HLL cannot provide).
+    #    sketches + the set-operation estimates HLL cannot provide),
+    #    dedup_cdc_reuse (re-crawl chunk-reuse accounting — the query
+    #    that cashes in CDC's edit-stability promise end to end).
     #    The slate is mirrored 1:1 by suite/staged.py (audits load it
     #    via include_staged=True), eight-mode audit-green, laws pinned,
     #    sf0.1 pre-baselines in PERF.md. Window math for r13:
-    #    7 new + 37 deferred r8 (below the edge) + 6 of the r9 cohort
+    #    8 new + 37 deferred r8 (below the edge) + 5 of the r9 cohort
     #    = 50.
     # -- round-12 cut. Staleness entering r12 (from CORRECTNESS_r1..r11):
     #    28 x r7 (last round's documented deferred tail), 50 x r8,

@@ -112,6 +112,12 @@ def _sketch_theta_vocab_overlap(
     return kmv_theta_vocab_overlap(_docs(spark, sf_dir), k=16)
 
 
+def _dedup_cdc_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.cdc import cdc_reuse_report
+
+    return cdc_reuse_report(_docs(spark, sf_dir), divisor=16, edit_every=3)
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r13 registration slate as audit-runnable specs."""
     builders = {
@@ -124,6 +130,9 @@ def staged_specs() -> dict[str, QuerySpec]:
         # theta set operations: pairwise shared/union vocabulary
         # estimates — what mergeable HLL counters cannot answer
         "sketch_theta_vocab_overlap": _sketch_theta_vocab_overlap,
+        # re-crawl chunk-reuse accounting: the query that cashes in
+        # CDC's edit-stability promise end to end (set semantics)
+        "dedup_cdc_reuse": _dedup_cdc_reuse,
         # exact two-sample KS drift (sup-norm companion to stat_psi),
         # two-phase-prefix-sum ECDF, integer cross-multiplied contract
         "stat_ks_drift": _stat_ks_drift,

@@ -1969,6 +1969,10 @@ def test_r13_staged_ops_layout_invariant(spark):
         ),
         "theta": lambda d, o: kmv_theta_vocab(d, k=16),
         "theta_overlap": lambda d, o: kmv_theta_vocab_overlap(d, k=16),
+        "cdc_reuse": lambda d, o: __import__(
+            "datalake_nba_dmc_spark.operators.cdc",
+            fromlist=["cdc_reuse_report"],
+        ).cdc_reuse_report(d),
         "htfidf": lambda d, o: hashed_tfidf(d),
         "suppress": lambda d, o: substring_span_suppress(d),
         "hb64": lambda d, o: hyperball_harmonic_estimate(
@@ -2304,3 +2308,142 @@ def test_mann_whitney_tie_hand_case(spark):
     )
     [r] = mann_whitney_u(sm, "v", F.col("s")).collect()
     assert (r.n_a, r.n_b, r.u2_a, r.u2_b, r.auc_micro) == (3, 2, 2, 10, 166666)
+
+
+def _cdc_chain(prefix: str, src_cte: str, divisor: int) -> str:
+    """One CDC chunking CTE chain over ``src_cte`` (doc_id, text rows),
+    names prefixed — lets a twin chunk two snapshots in one query."""
+    from datalake_nba_dmc_spark.operators.cdc import _M, token_hash_sql
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+    th = token_hash_sql("tok", "duck")
+    csum = (
+        f"CAST(list_sum(list_transform(range(1, e - s + 1), "
+        f"k -> (th[CAST(s + k AS INTEGER)] % {_M}) * k)) AS BIGINT)"
+    )
+    p = prefix
+    return rf"""
+    {p}t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM {src_cte}
+    ), {p}t2 AS (
+      SELECT doc_id, toks FROM {p}t WHERE len(toks) > 0
+    ), {p}h AS (
+      SELECT doc_id, list_transform(toks, tok -> {th}) AS th FROM {p}t2
+    ), {p}b AS (
+      SELECT doc_id, th,
+             list_concat([0], list_transform(
+               list_filter(range(0, len(th)),
+                           i -> th[CAST(i + 1 AS INTEGER)] % {divisor} = 0),
+               x -> x + 1)) AS starts,
+             list_concat(list_transform(
+               list_filter(range(0, len(th)),
+                           i -> th[CAST(i + 1 AS INTEGER)] % {divisor} = 0),
+               x -> x + 1), [len(th)]) AS ends
+      FROM {p}h
+    ), {p}spans AS (
+      SELECT doc_id, th,
+             starts[CAST(u.i AS INTEGER)] AS s,
+             ends[CAST(u.i AS INTEGER)] AS e
+      FROM {p}b, UNNEST(range(1, len(starts) + 1)) AS u(i)
+      WHERE starts[CAST(u.i AS INTEGER)] < ends[CAST(u.i AS INTEGER)]
+    ), {p}chunks AS (
+      SELECT doc_id,
+             {mixer_sql(f"(({csum}) % {_M})", "duck")} AS chunk_hash
+      FROM {p}spans
+    )
+    """
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_cdc_reuse_report_duckdb_twin(spark, sf):
+    """cdc_reuse_report (r12-staged, registers r13 as
+    dedup_cdc_reuse) vs a DuckDB twin chunking BOTH snapshots through
+    the shared dialect-rendered chain and replaying the per-doc
+    exact-fingerprint reuse counts — bit-exact; plus the contract laws:
+    unedited docs reuse everything, edited docs reuse MOST (the
+    edit-stability property fixed-size chunking lacks)."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.cdc import cdc_reuse_report
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    docs = spark.read.parquet(os.path.join(sfd, "documents.parquet"))
+    D, E = 16, 3
+    got = sorted(
+        (r.doc_id, r.edited, r.n_chunks, r.n_reused, r.reused_ppm)
+        for r in cdc_reuse_report(docs, divisor=D, edit_every=E).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    sql = rf"""
+    WITH base AS (
+      SELECT DISTINCT doc_id, text FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), v2src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {E} = 0 THEN 'recrawl ' || text
+                  ELSE text END AS text
+      FROM base
+    ), {_cdc_chain("v1_", "base", D)},
+    {_cdc_chain("v2_", "v2src", D)},
+    v1set AS (SELECT DISTINCT doc_id, chunk_hash FROM v1_chunks),
+    counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM v2_chunks GROUP BY doc_id
+    ), reused AS (
+      SELECT v2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_reused
+      FROM v2_chunks v2
+      WHERE EXISTS (SELECT 1 FROM v1set v1
+                    WHERE v1.doc_id = v2.doc_id
+                      AND v1.chunk_hash = v2.chunk_hash)
+      GROUP BY v2.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(CASE WHEN c.doc_id % {E} = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS edited,
+           c.n_chunks,
+           COALESCE(r.n_reused, 0) AS n_reused,
+           (COALESCE(r.n_reused, 0) * 1000000) // GREATEST(c.n_chunks, 1)
+             AS reused_ppm
+    FROM counts c LEFT JOIN reused r ON c.doc_id = r.doc_id
+    """
+    want = sorted(
+        tuple(int(v) for v in row) for row in con.execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # contract laws: unedited docs reuse EVERYTHING; edited docs reuse
+    # most of their chunks in aggregate (front edit, CDC re-syncs)
+    unedited = [(n, r) for _, e, n, r, _ in got if e == 0]
+    edited = [(n, r) for _, e, n, r, _ in got if e == 1]
+    assert unedited and all(n == r for n, r in unedited)
+    assert edited and sum(r for _, r in edited) >= 0.5 * sum(
+        n for n, _ in edited
+    )
+
+
+def test_cdc_reuse_report_empty_and_dup_laws(spark):
+    from datalake_nba_dmc_spark.operators.cdc import cdc_reuse_report
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert cdc_reuse_report(empty).collect() == []
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 17 + j) % 97}" for j in range(200)))
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+    # set semantics: bit-identical under 100% duplication (the report's
+    # grain is the document — re-delivered rows must not double counts)
+    one = sorted(tuple(r) for r in cdc_reuse_report(docs).collect())
+    two = sorted(
+        tuple(r) for r in cdc_reuse_report(docs.union(docs)).collect()
+    )
+    assert one == two and len(one) == 12

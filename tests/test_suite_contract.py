@@ -199,4 +199,5 @@ _R13_SLATE: set[str] = {
     "graph_hyperball_m64_est",
     "sketch_theta_vocab",
     "sketch_theta_vocab_overlap",
+    "dedup_cdc_reuse",
 }
