@@ -694,11 +694,14 @@ def kmv_theta_vocab_overlap(
     estimates the intersection and the same scaling of the union-kept
     count estimates the union. Scale shape: the per-group sketches are
     k rows each — the pair join runs over sketch rows, never corpus
-    rows (groups² · k is dashboard-sized; the corpus is scanned
-    once by the sketch build)."""
-    sk = kmv_theta_vocab(df, text_col, group_col, k)
+    rows (groups² · k is dashboard-sized; the corpus is scanned ONCE:
+    thetas derive from the same kept frame instead of a second
+    :func:`kmv_theta_vocab` pass, which would tokenize everything
+    twice)."""
     from pyspark.sql import Window
 
+    if k < 2:
+        raise ValueError("k must be >= 2")
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
     th = token_hash_sql("tok", "spark")
     distinct_h = (
@@ -719,7 +722,14 @@ def kmv_theta_vocab_overlap(
     kept = distinct_h.withColumn("_rk", F.row_number().over(w)).filter(
         F.col("_rk") <= k
     )
-    thetas = sk.select(group_col, "theta")
+    # theta from the kept frame itself (the kmv_theta_vocab rule: the
+    # k-th smallest, or P when the group holds its whole set)
+    thetas = kept.groupBy(group_col).agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(_MERSENNE31))
+        .otherwise(F.max("_h"))
+        .cast("long")
+        .alias("theta")
+    )
     a = kept.select(
         F.col(group_col).alias("source_a"), F.col("_h").alias("_ha")
     ).join(
