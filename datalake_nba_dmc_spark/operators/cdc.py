@@ -171,10 +171,15 @@ def cdc_reuse_report(
     content-defined at all); edited documents lose only the chunks the
     edit actually touches (the pytest edit-stability law: most
     fingerprints survive a front edit — with fixed-size chunking the
-    reuse would be ZERO). Input is deduplicated to DISTINCT (id, text)
-    first: the report's grain is the document, so re-delivered rows
-    must not double the chunk counts (set semantics — bit-identical
-    under the dup audit, like minhash_portable_clusters).
+    reuse would be ZERO). Set semantics live at CHUNK grain, not row
+    grain: re-delivered rows chunk to IDENTICAL (id, idx, hash)
+    triples, which the chunk-level distincts collapse, so the report
+    keeps its document grain bit-identically under the dup audit (like
+    minhash_portable_clusters) WITHOUT ever shuffling the text column.
+    The contract assumes each id maps to one text per delivery (the
+    documents-table invariant); a feed that ships two DIFFERENT texts
+    under one id needs an upstream (id, text) resolution first —
+    chunk-grain distinct would merge any triples the variants share.
 
     Scale shape: two map-only chunking projections over one scan's
     worth of data, one (doc, hash)-grained LEFT SEMI join (chunk rows,

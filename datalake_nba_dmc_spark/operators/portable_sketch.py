@@ -634,8 +634,7 @@ def kmv_theta_vocab(
             group_col,
             (F.expr(th) % _MERSENNE31).cast("long").alias("_h"),
         )
-        .groupBy(group_col, "_h")
-        .agg(F.count(F.lit(1)).alias("_occ"))
+        .distinct()
     )
     w = Window.partitionBy(group_col).orderBy("_h")
     topk = distinct_h.withColumn(

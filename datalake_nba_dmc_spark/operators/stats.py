@@ -360,6 +360,36 @@ def bootstrap_ci_mean(
     )
 
 
+#: Largest product that may be multiplied by 10^6 inside int64 — the
+#: validity bound the rank/ECDF statistics' docstrings promise. Guarded
+#: at runtime (r12 ADVICE): past the bound the micro divisions would
+#: silently WRAP under non-ANSI mode, producing plausible-looking wrong
+#: statistics exactly at the 100 TB posture the operators advertise.
+_MICRO_I64_BOUND = ((1 << 63) - 1) // 1_000_000
+
+
+def _i64_guard(fn: str, *conds: Column) -> Column:
+    """A 0-valued long column that RAISES when any int64-validity bound
+    is exceeded: ``assert_true`` yields NULL while every bound holds
+    (coalesced to 0 and ADDED to the guarded expression, so the check
+    rides the existing projection — no extra scan, no driver action)
+    and throws loudly the moment a cohort outgrows the contract."""
+    ok = conds[0]
+    for c in conds[1:]:
+        ok = ok & c
+    return F.coalesce(
+        F.assert_true(
+            ok,
+            F.lit(
+                f"{fn}: cohort sizes exceed the int64 micro-division "
+                "validity bound (n_a*n_b*10^6 < 2^63) — shard the "
+                "cohorts or switch the micro division to decimal"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
@@ -381,7 +411,9 @@ def ks_two_sample(
     no division anywhere in the max, so no float ties);
     ``ks_d_micro = ks_num·10^6 div (n_a·n_b)`` is exact integer floor
     division on both engines. Valid while ``n_a·n_b·10^6 < 2^63``
-    (~3M×3M rows); past that carry ks_num/denominator separately or
+    (~3M×3M rows) — GUARDED at runtime (an in-plan ``assert_true``
+    riding the final projection raises loudly past the bound instead
+    of wrapping); past it carry ks_num/denominator separately or
     switch the product to decimal — the stats-module accumulator rule.
 
     Scale shape: ONE scan → per-distinct-value conditional counts
@@ -412,13 +444,21 @@ def ks_two_sample(
         # BOTH engines — drop it so empty in → empty out (totality rule)
         .filter(F.col("n_a").isNotNull())
     )
+    # n_a <= bound div n_b  <=>  n_a*n_b <= bound, without the guard
+    # condition itself being able to wrap (ks_num <= n_a*n_b, so this
+    # bounds the 10^6-scaled numerator too)
+    guard = _i64_guard(
+        "ks_two_sample",
+        F.col("n_a")
+        <= F.expr(f"{_MICRO_I64_BOUND} div greatest(n_b, 1)"),
+    )
     return stat.select(
         "n_a",
         "n_b",
         "ks_num",
-        F.expr("(ks_num * 1000000) div greatest(n_a * n_b, 1)").alias(
-            "ks_d_micro"
-        ),
+        (
+            F.expr("(ks_num * 1000000) div greatest(n_a * n_b, 1)") + guard
+        ).alias("ks_d_micro"),
     )
 
 
@@ -509,8 +549,11 @@ def mann_whitney_u(
     ``midrank2 = 2·cb + c + 1``; then ``u2_a = 2·U_a = Σ ca·midrank2 −
     n_a(n_a+1)``, ``u2_b = 2·n_a·n_b − u2_a`` (the exact U-sum law, a
     pinned invariant), and ``auc_micro = u2_a·10^6 div (2·n_a·n_b)``.
-    Every quantity is exact int64 on both engines; same overflow bound
-    as KS (n_a·n_b·10^6 < 2^63).
+    Every quantity is exact int64 on both engines; overflow bounds are
+    GUARDED at runtime like KS (an in-plan ``assert_true`` raises
+    loudly instead of wrapping): ``2·n_a·n_b·10^6 < 2^63`` for the AUC
+    numerator AND ``n_a+n_b < 2^31`` for the doubled-rank sum ``r2a ≤
+    n_a·(2·(n_a+n_b)+1)`` — the tighter of the two binds.
 
     Scale shape: identical to KS — the shared
     :func:`_cohort_value_cum` substrate (O(V) grouped counts, two-phase
@@ -547,8 +590,19 @@ def mann_whitney_u(
             "n_b",
             "u2_a",
             (2 * F.col("n_a") * F.col("n_b") - F.col("u2_a")).alias("u2_b"),
-            F.expr(
-                "(u2_a * 1000000) div greatest(2 * n_a * n_b, 1)"
+            (
+                F.expr("(u2_a * 1000000) div greatest(2 * n_a * n_b, 1)")
+                + _i64_guard(
+                    "mann_whitney_u",
+                    # u2_a <= 2*n_a*n_b: bound the 10^6-scaled numerator
+                    F.col("n_a")
+                    <= F.expr(
+                        f"{_MICRO_I64_BOUND // 2} div greatest(n_b, 1)"
+                    ),
+                    # r2a <= n_a*(2*(n_a+n_b)+1): keep the doubled-rank
+                    # sum itself inside int64
+                    F.col("n_a") + F.col("n_b") < F.lit(1 << 31),
+                )
             ).alias("auc_micro"),
         )
     )

@@ -1026,9 +1026,13 @@ def retry_audit(only: set[str]) -> int:
     use, seed-per-attempt randomness, and attempt-dependent state that no
     other mode can see — every other audit runs each task exactly once.
 
-    Efficacy receipt: a canary job first proves the injection engages
-    (every surviving task reports attemptNumber >= 1); if the canary ever
-    sees a clean first attempt the audit FAILS itself as vacuous."""
+    Efficacy receipt: a canary job first proves the injection engages —
+    the injected canary job only SURVIVES if the scheduler actually
+    retried every failed first attempt, and an uninjected probe then
+    confirms attemptNumber is live (reads 0 everywhere without
+    injection). The argument is probe + survival, not a per-task
+    attempt census; if either leg fails the audit FAILS itself as
+    vacuous."""
     from pyspark.sql import SparkSession
 
     from datalake_nba_dmc_spark.session import apply_runtime_confs
