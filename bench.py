@@ -162,6 +162,33 @@ EXTENDED = [
     "sketch_cms_heavy_hitters",
     "stat_bootstrap_ci",
     "graph_coreness",
+    # r13 registrations (first same-harness baseline: BENCH_r13; staged
+    # pre-baselines from the r12 sessions, same host/sf0.1, PERF.md
+    # "r13-staged pre-baselines": ks_drift 1.42 s steady, mann_whitney
+    # 1.74 s, hashed_tfidf 1.58-2.0 s, span_suppress 1.41-1.75 s,
+    # hyperball_m64 6.4-8.1 s (REBUILD_EACH_PASS, ~2x the m=32 query —
+    # the expected cost of doubling the register count), theta_vocab
+    # 1.51 s, theta_vocab_overlap 2.09-2.76 s, cdc_reuse 5.4-6.0 s)
+    "stat_ks_drift",
+    "stat_mann_whitney",
+    "text_hashed_tfidf",
+    "dedup_span_suppress",
+    "graph_hyperball_m64_est",
+    "sketch_theta_vocab",
+    "sketch_theta_vocab_overlap",
+    "dedup_cdc_reuse",
+]
+
+#: Bench rows that ride another query's PERSISTED/cached intermediate by
+#: documented design, so their per-pass second count is a CACHE-HIT
+#: receipt, not the operator's independent cost (PERF.md carries the
+#: independent numbers). Emitted in the FINAL line as `cache_ridden` so
+#: a bare BENCH reader can't mistake the row for a speedup claim
+#: (VERDICT r12 "what's wrong" #2).
+CACHE_RIDDEN = [
+    # rides dedup_minhash_portable_clusters' persisted signature frame
+    # (independent cost ~4 s; the 0.08 s row is the plan-cache hit)
+    "dedup_minhash_portable",
 ]
 
 #: The r6-era extended membership (first 24 names) — used only to emit the
@@ -240,6 +267,26 @@ def main() -> None:
     ev.limit(2048).groupBy(
         F.session_window("ts", "10 minutes"), "user_id"
     ).count().write.format("noop").mode("overwrite").save()
+    # r13 (VERDICT r12 "what's wrong" #1): events_asof_latest_order was
+    # the one `unstable` flag in the r12 record run — the same
+    # first-pass-JIT class as the r11 windowed pair above. Warm the
+    # as-of union-merge plan shape (tagged union + partitioned sort +
+    # last(struct, ignorenulls) carry) on a tiny slice.
+    from datalake_nba_dmc_spark.operators.temporal import asof_join
+
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    asof_join(
+        ev.limit(2048).select("event_id", "user_id", "ts"),
+        od.limit(2048).select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ot"),
+            "o_orderkey",
+        ).groupBy("user_id", "ot").agg(F.max("o_orderkey").alias("o_orderkey")),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ot",
+        right_cols=["o_orderkey"],
+    ).write.format("noop").mode("overwrite").save()
 
     specs = load_all()
     dfs = {name: specs[name].builder(spark, sf_dir) for name in HEADLINE}
@@ -274,6 +321,9 @@ def main() -> None:
         "graph_label_propagation",
         "graph_connected_components",
         "graph_coreness",
+        # r13: the m=64 HyperBall estimate is the same eager-checkpoint
+        # iterative builder as the m=32 trio above
+        "graph_hyperball_m64_est",
     }
 
     samples: dict[str, list[float]] = {}
@@ -347,6 +397,7 @@ def main() -> None:
         # samples still disagreed >20% after the extra passes
         "idle_wait_s": idle_wait,
         "unstable": still_unstable,
+        "cache_ridden": [n for n in CACHE_RIDDEN if n in ext_timings],
     }
     # Full per-query detail: printed first, and persisted to the repo so the
     # per-query history survives even when the driver's tail capture window
@@ -391,6 +442,9 @@ def main() -> None:
                 },
                 "idle_wait_s": idle_wait,
                 "unstable": still_unstable,
+                # cache-hit receipts, not speedup claims (see
+                # CACHE_RIDDEN + PERF.md for the independent costs)
+                "cache_ridden": [n for n in CACHE_RIDDEN if n in ext_timings],
             }
         )
     )

@@ -106,139 +106,39 @@ NO_ORACLE_PINNED: list[str] = [
 ]
 
 _CHECK_PRIORITY: list[str] = [
-    # -- r13 plan (for the next cut): EIGHT staged operators carry green
-    #    DuckDB twins (tests/test_staged_oracles.py + the m=64 twin in
-    #    tests/test_hyperball.py) and register next round per the
-    #    freeze — stat_ks_drift (exact two-sample KS, two-phase
-    #    prefix-sum ECDF), stat_mann_whitney (doubled-midrank U/AUC on
-    #    the same substrate), text_hashed_tfidf (hashing-trick
-    #    fixed-width features, integer micro-nat contract),
-    #    dedup_span_suppress (ExactSubstr cut-list application),
-    #    graph_hyperball_m64_est (the m>32 path as a standing query —
-    #    REBUILD_EACH_PASS at registration), sketch_theta_vocab +
-    #    sketch_theta_vocab_overlap (portable KMV/theta distinct-vocab
-    #    sketches + the set-operation estimates HLL cannot provide),
-    #    dedup_cdc_reuse (re-crawl chunk-reuse accounting — the query
-    #    that cashes in CDC's edit-stability promise end to end).
-    #    The slate is mirrored 1:1 by suite/staged.py (audits load it
-    #    via include_staged=True), eight-mode audit-green, laws pinned,
-    #    sf0.1 pre-baselines in PERF.md. Window math for r13:
-    #    8 new + 37 deferred r8 (below the edge) + 5 of the r9 cohort
-    #    = 50.
-    # -- round-12 cut. Staleness entering r12 (from CORRECTNESS_r1..r11):
-    #    28 x r7 (last round's documented deferred tail), 50 x r8,
-    #    50 x r9, 50 x r10, 50 x r11 — plus 12 NEW registrations (the
-    #    r11-staged slate, each in its own round's window per the
-    #    registry freeze). Window math: 12 new + 25 r7 + 13 r8 = 50.
-    #    The r7 cohort enters IN FULL minus its three no-oracle names
-    #    (emb_pca_whitened, sim_lsh_topk, sim_ivf_topk — permanently
-    #    pinned below the window per NO_ORACLE_PINNED above, surrogates
-    #    documented there), so the rotating r7 backlog is CLEARED:
-    #    r7-backlog after r12 = 0. Historical cut documentation
-    #    (r8..r11 window composition + per-name deferral redundancy)
+    # -- round-13 cut. Staleness entering r13 (from CORRECTNESS_r1..r12):
+    #    37 x r8 (last round's documented deferred tail), 48 rotating
+    #    r9, 50 x r10, 50 x r11, 50 x r12 — plus 8 NEW registrations
+    #    (the r12-staged slate, each in its own round's window per the
+    #    registry freeze). Window math: 8 new + 37 r8 + 5 r9 = 50.
+    #    The r8 cohort enters IN FULL, so the rotating r8 backlog is
+    #    CLEARED: r8-backlog after r13 = 0. Historical cut documentation
+    #    (r8..r12 window composition + per-name deferral redundancy)
     #    lives in git history of this file and reconstructs from
     #    CORRECTNESS_r*.json via tools/window_plan.py.
     # -- 1. never-checked: registered THIS round, in their own round's
-    #    window. The 12-op r11-staged slate, every twin green at two
-    #    scales in tests/test_staged_oracles.py and seven-mode
-    #    audit-hardened BEFORE registration:
-    #    text_c4_filters = C4 line-cleaning signals + page verdict;
-    #    graph_label_propagation = deterministic-tiebreak synchronous
-    #    LPA; dedup_cdc_chunks = content-defined chunking, edit-stable
-    #    fingerprints; dedup_minhash_portable (+_clusters = the
-    #    END-TO-END LSH keep/drop pipeline as a full-value oracle) and
-    #    dedup_simhash_portable = cross-engine bit-exact signatures;
-    #    graph_connected_components = large/small-star CC vs a
-    #    recursive-closure twin; graph_triangle_count = degree-ordered
-    #    wedge closure; sketch_cms_counters / sketch_cms_heavy_hitters =
-    #    portable Count-Min matrix + certified heavy hitters;
-    #    stat_bootstrap_ci = Poisson-bootstrap CI, every weight replayed;
-    #    graph_coreness = iterated-h-index k-core decomposition.
-    "text_c4_filters",
-    "graph_label_propagation",
-    "dedup_cdc_chunks",
-    "dedup_minhash_portable",
-    "dedup_minhash_portable_clusters",
-    "dedup_simhash_portable",
-    "graph_connected_components",
-    "graph_triangle_count",
-    "sketch_cms_counters",
-    "sketch_cms_heavy_hitters",
-    "stat_bootstrap_ci",
-    "graph_coreness",
-    # -- 2. the full oracle-bearing r7 backlog (25 of 28; the other 3
-    #    are no-oracle, pinned at the bottom) — r7-backlog after r12 = 0
-    "events_interval_overlap",
-    "events_sliding_agg",
-    "events_time_rollup",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q22_dormant_customers",
-    "y3_zorder_roundtrip",
-    "dedup_prefix_ssjoin",
-    "text_vocab_coverage",
-    "text_repetition",
-    "a3_multi_measure_agg",
-    "corpus_temperature_mix",
-    "curation_pipeline",
-    "dedup_incremental",
-    "dedup_paragraphs",
-    "media_png_roundtrip_stats",
-    "sample_group_split",
-    "sketch_distinct_rollup",
-    "text_bm25_topk",
-    "text_bpe_segment",
-    "text_ccnet_buckets",
-    "text_decontaminate",
-    "text_js_divergence",
-    "tpch_q4_order_priority",
-    # -- 3. stalest r8 cohort (13 of 50; the other 37 deferred, below).
-    #    Selection rule (the r10/r11 precedent): the 14 r8 names bench.py
-    #    times EVERY round defer with that standing perf+smoke coverage;
-    #    these 13 are the stalest r8 names with NO bench row.
-    "events_funnel_3step",
-    "profile_price_histogram",
-    "text_chunking",
-    "corpus_resample_balanced",
-    "dedup_clusters_assign",
-    "text_lang_confusion",
-    "text_char_entropy",
-    "media_audio_stats",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r8 (37): lead the r13 cut, contiguously past the edge.
-    #    14 are bench-timed EVERY round (executed at sf0.1 each bench
-    #    run, crash/regression visible round-over-round):
-    #    media_jpeg_decode_stats, text_bm25_multiquery,
-    #    media_png_palette_roundtrip, text_unigram_lm_segment,
-    #    er_fuzzy_name_pairs, events_top_paths,
-    #    events_last_touch_attribution, sketch_quantile_rollup,
-    #    text_gopher_quality, text_gram_novelty, text_heavy_hitters,
-    #    text_unigram_logprob, tpch_q3_shipping_priority (HEADLINE),
-    #    w1_latest_order_per_customer (HEADLINE). The 23 non-bench
-    #    deferrals each have an in-window code-path sibling: the six
-    #    in-window TPC-H queries cover the scan/join/agg surface of
-    #    tpch_q12/q13/q16/q20 (q7-q11 in-window are the harder
-    #    multi-join shapes); y2_range_sorted_roundtrip defers on the
-    #    k-roundtrip family (k1..k7 r10/r11-green, y3_zorder in-window);
-    #    w9_time_range_hour on the in-window events family +
-    #    w-family r10-green; a5/j1/k3/k4/skew_salted_join/
-    #    dedup_keep_best_quality on their r10/r11-green twins
-    #    (conform_safe_downcast, j2-j4, landing roundtrips,
-    #    skew_salted_agg, a1_dedup_rows); events_daily_anomalies/
-    #    events_dedup_replay/events_transition_matrix on the three
-    #    in-window events queries; join_price_band_lookup on
-    #    tpch_q17's band-predicate shape; mart_rfm_segments/
-    #    profile_price_outliers/sample_weighted_topk/text_source_overlap
-    #    on the in-window mart/profile/sample/text families;
-    #    emb_int8_quantize + sim_hard_negatives +
-    #    sim_lsh_multiprobe_recall on the r10-green sim certificate
-    #    family (sim_lsh_recall/sim_ivf_recall).
+    #    window. The 8-op r12-staged slate, every twin green at two
+    #    scales (tests/test_staged_oracles.py + the m=64 twin in
+    #    tests/test_hyperball.py) and nine-mode audit-hardened BEFORE
+    #    registration: stat_ks_drift = exact two-sample KS via the
+    #    two-phase prefix-sum ECDF; stat_mann_whitney = doubled-midrank
+    #    U/AUC on the same substrate; text_hashed_tfidf = hashing-trick
+    #    fixed-width features, integer micro-nat contract;
+    #    dedup_span_suppress = ExactSubstr cut-list application;
+    #    graph_hyperball_m64_est = the m>32 HyperBall path as a
+    #    standing query (REBUILD_EACH_PASS); sketch_theta_vocab +
+    #    sketch_theta_vocab_overlap = portable KMV/theta distinct-vocab
+    #    sketches + the set-operation estimates HLL cannot provide;
+    #    dedup_cdc_reuse = re-crawl chunk-reuse accounting.
+    "stat_ks_drift",
+    "stat_mann_whitney",
+    "text_hashed_tfidf",
+    "dedup_span_suppress",
+    "graph_hyperball_m64_est",
+    "sketch_theta_vocab",
+    "sketch_theta_vocab_overlap",
+    "dedup_cdc_reuse",
+    # -- 2. the FULL deferred-r8 tail (37) — r8-backlog after r13 = 0
     "tpch_q12_late_shipments",
     "tpch_q13_customer_distribution",
     "tpch_q16_supplier_part_counts",
@@ -276,6 +176,90 @@ _CHECK_PRIORITY: list[str] = [
     "text_unigram_logprob",
     "tpch_q3_shipping_priority",
     "w1_latest_order_per_customer",
+    # -- 3. stalest r9 cohort (5 of 48; the other 43 deferred, below).
+    #    Selection rule (the r10-r12 precedent): r9 names bench.py times
+    #    EVERY round defer with that standing perf+smoke coverage; these
+    #    5 are the stalest r9 names with NO bench row.
+    "w7_first_last_order",
+    "agg_grouping_sets",
+    "stat_gini_order_value",
+    "p4p5_derived_columns",
+    "f1_filter_eq",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r9 (43): lead the r14 cut, contiguously past the edge.
+    #    15 are bench-timed EVERY round (executed at sf0.1 each bench
+    #    run, crash/regression visible round-over-round):
+    #    flagship_customer_resume (HEADLINE), a2_dynamic_sum_agg
+    #    (HEADLINE), w4_running_sum (HEADLINE), sort_topk (HEADLINE),
+    #    stat_exact_moments (HEADLINE), text_stats (HEADLINE),
+    #    sketch_theta_overlap, agg_incremental_maintenance,
+    #    stat_psi_price_drift, mart_basket_pairs,
+    #    lakehouse_version_diff, dedup_repeated_spans,
+    #    dedup_contamination_bloom, dedup_substring_spans,
+    #    media_phash_dup_certificate. The 28 non-bench deferrals each
+    #    have an in-window code-path sibling: f2_null_guarded_parse /
+    #    x1x2x3_date_roundtrip / func_date_arithmetic /
+    #    conform_union_evolved / profile_winsorize on the in-window
+    #    conform+function family (p4p5_derived_columns, f1_filter_eq,
+    #    profile_price_outliers); j2-j4 / a1_dedup_rows /
+    #    a4_team_style_agg / w1_latest_order_maxby / w2_rank_in_group /
+    #    set_union_all / agg_percentiles on the in-window join/agg/
+    #    window surface (j1, tpch_q12/q13/q16/q20 multi-join shapes,
+    #    w1_latest_order_per_customer, w7_first_last_order,
+    #    agg_grouping_sets); events_latest_state_per_user /
+    #    events_variant_agg / events_user_idle_report /
+    #    events_user_running_totals / events_time_to_convert /
+    #    events_heatmap_hour_dow / join_nearest_tier on the four
+    #    in-window events queries + join_price_band_lookup;
+    #    k1_write_roundtrip / k5_file_manifest / k6_versioned_roundtrip
+    #    / k7_jsonl_landing_roundtrip on the in-window k-roundtrip
+    #    family (k3_orc, k4_csv, y2_range_sorted);
+    #    text_sentence_boilerplate / text_source_lang_diversity /
+    #    text_length_deciles on the in-window text family
+    #    (text_source_overlap, text_gopher_quality, text_heavy_hitters).
+    "flagship_customer_resume",
+    "a2_dynamic_sum_agg",
+    "w4_running_sum",
+    "sort_topk",
+    "stat_exact_moments",
+    "text_stats",
+    "sketch_theta_overlap",
+    "agg_incremental_maintenance",
+    "stat_psi_price_drift",
+    "mart_basket_pairs",
+    "lakehouse_version_diff",
+    "dedup_repeated_spans",
+    "dedup_contamination_bloom",
+    "dedup_substring_spans",
+    "media_phash_dup_certificate",
+    "f2_null_guarded_parse",
+    "x1x2x3_date_roundtrip",
+    "func_date_arithmetic",
+    "conform_union_evolved",
+    "profile_winsorize",
+    "j2_left_join_expr_key",
+    "j3_left_join_derived_key",
+    "j4_join_using",
+    "a1_dedup_rows",
+    "a4_team_style_agg",
+    "w1_latest_order_maxby",
+    "w2_rank_in_group",
+    "set_union_all",
+    "agg_percentiles",
+    "events_latest_state_per_user",
+    "events_variant_agg",
+    "events_user_idle_report",
+    "events_user_running_totals",
+    "events_time_to_convert",
+    "events_heatmap_hour_dow",
+    "join_nearest_tier",
+    "k1_write_roundtrip",
+    "k5_file_manifest",
+    "k6_versioned_roundtrip",
+    "k7_jsonl_landing_roundtrip",
+    "text_sentence_boilerplate",
+    "text_source_lang_diversity",
+    "text_length_deciles",
 ]
 
 # The pinned no-oracle names close the rotation (see NO_ORACLE_PINNED):

@@ -1037,3 +1037,267 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = TableRegistry(spark, sf_dir).orders
     return bootstrap_ci_mean(orders, "o_totalprice", "o_orderkey")
+
+
+_KS_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+), g AS (
+  SELECT xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY xs
+), c AS (
+  SELECT xs,
+         CAST(SUM(ca) OVER (ORDER BY xs ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY xs ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_b
+  FROM g
+), n AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+  FROM base
+)
+SELECT n.n_a, n.n_b,
+       CAST(MAX(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)) * 1000000
+            // GREATEST(n.n_a * n.n_b, 1) AS BIGINT) AS ks_d_micro
+FROM c CROSS JOIN n
+GROUP BY n.n_a, n.n_b
+HAVING COUNT(*) > 0
+"""
+
+
+@query("stat_ks_drift", oracle=_KS_ORACLE)
+def stat_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic
+    (operators/stats.ks_two_sample, registered r13): D = sup_x
+    |F_a(x) - F_b(x)| between pre-1998 and 1998+ order totals — the
+    distribution-free sup-norm companion to stat_psi_price_drift (PSI
+    reports WHERE binned mass moved; KS is the hypothesis statistic,
+    computed exactly, no binning). Integer contract: values scaled to
+    longs, D carried as the cross-multiplied numerator max|cum_a*n_b -
+    cum_b*n_a| (no division in the max, no float ties), micro division
+    floor-exact on both engines and int64-GUARDED in-plan (r12
+    ADVICE). The twin is the SEQUENTIAL formulation (one unpartitioned
+    running-sum window over the value grid); the operator never builds
+    that window — per-distinct-value conditional counts (O(V) groups,
+    map-side combined) feed the pack_sequences two-phase parallel
+    prefix sum, so the only global window runs over <=256 bucket rows
+    however large the corpus."""
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample
+
+    orders = TableRegistry(spark, sf_dir).orders
+    return ks_two_sample(
+        orders,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+    )
+
+
+_MW_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+), g AS (
+  SELECT xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY xs
+), c AS (
+  SELECT xs, ca, cb,
+         CAST(SUM(ca + cb) OVER (ORDER BY xs ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cumall
+  FROM g
+), r AS (
+  SELECT CAST(SUM(ca * (2 * (cumall - (ca + cb)) + (ca + cb) + 1))
+              AS BIGINT) AS r2a
+  FROM c
+), n AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+  FROM base
+)
+SELECT n.n_a, n.n_b,
+       r.r2a - n.n_a * (n.n_a + 1) AS u2_a,
+       2 * n.n_a * n.n_b - (r.r2a - n.n_a * (n.n_a + 1)) AS u2_b,
+       (r.r2a - n.n_a * (n.n_a + 1)) * 1000000
+         // GREATEST(2 * n.n_a * n.n_b, 1) AS auc_micro
+FROM r CROSS JOIN n WHERE r.r2a IS NOT NULL
+"""
+
+
+@query("stat_mann_whitney", oracle=_MW_ORACLE)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U / AUC between the same two date cohorts
+    (operators/stats.mann_whitney_u, registered r13): KS asks "did the
+    distribution change shape anywhere"; U asks "does one cohort
+    stochastically DOMINATE" — its normalization U_a/(n_a*n_b) is the
+    AUC / common-language effect size. Integer contract: DOUBLED
+    midranks so ties never produce fractions (midrank2 = 2*cb + c + 1
+    per distinct scaled value), u2_a + u2_b == 2*n_a*n_b is a pinned
+    law, the AUC micro division is int64-GUARDED in-plan. Shares
+    ks_two_sample's _cohort_value_cum substrate — O(V) grouped counts
+    + the two-phase parallel prefix sum; never sorts the corpus, never
+    single-partitions the value grid. The tie-heavy hand case
+    (A=[1,2,2], B=[2,3] -> U_a=1, AUC=1/6) is pytest-pinned."""
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u
+
+    orders = TableRegistry(spark, sf_dir).orders
+    return mann_whitney_u(
+        orders,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+    )
+
+
+_KMV_K = 16
+
+
+def _kmv_topk_ctes(k: int) -> str:
+    """Shared CTE chain of the KMV/theta twins: per-source DISTINCT
+    mixer token hashes (mod P) and their k smallest (rank <= k)."""
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+
+    th = token_hash_sql("tok", "duck")
+    return rf"""
+    t AS (
+      SELECT source,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents WHERE {_CMS_ASCII}
+    ), t2 AS (
+      SELECT source, unnest(toks) AS tok FROM t
+    ), dh AS (
+      SELECT DISTINCT source, ({th}) % {_MERSENNE31} AS h FROM t2
+    ), rk AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+      FROM dh
+    ), topk AS (SELECT * FROM rk WHERE r <= {k})
+    """
+
+
+def _kmv_vocab_oracle(k: int) -> str:
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+
+    return rf"""
+    WITH {_kmv_topk_ctes(k)},
+    pg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS maxh
+      FROM topk GROUP BY source
+    ), ex AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      FROM dh GROUP BY source
+    )
+    SELECT pg.source, pg.n_kept,
+           CAST(CASE WHEN pg.n_kept < {k} THEN {_MERSENNE31}
+                ELSE pg.maxh END AS BIGINT) AS theta,
+           CAST(CASE WHEN pg.n_kept < {k} THEN pg.n_kept * 1000000
+                ELSE {(k - 1) * _MERSENNE31 * 1_000_000} // pg.maxh
+                END AS BIGINT) AS distinct_est_micro,
+           ex.exact_distinct
+    FROM pg JOIN ex USING (source)
+    """
+
+
+@query("sketch_theta_vocab", oracle=_kmv_vocab_oracle(_KMV_K))
+def sketch_theta_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable KMV/theta distinct-vocabulary sketch per source
+    (operators/portable_sketch.kmv_theta_vocab — Bar-Yossef et al.
+    2002, registered r13): keep the k=16 smallest DISTINCT mixer token
+    hashes per source; the k-th smallest is theta and the estimate is
+    floor((k-1)*P*10^6/theta) — k < per-source vocabulary here, so the
+    theta-division estimator path is LIVE, not the holds-the-whole-set
+    small case. Unlike HLL (sketch_hll_portable), KMV sketches support
+    SET OPERATIONS — sketch_theta_vocab_overlap cashes that in. Scale
+    shape: explode -> DISTINCT (source, hash) hash-agg -> top-k-per-
+    group rank<=k filter (WindowGroupLimit: partial group-limit prunes
+    map-side BEFORE the shuffle) -> k-row-per-group aggregate; the
+    exact_distinct column is the certificate leg the sketch replaces
+    at 100 TB (the cms_heavy_hitters accounting)."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return kmv_theta_vocab(docs, k=_KMV_K)
+
+
+def _kmv_overlap_oracle(k: int) -> str:
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+
+    return rf"""
+    WITH {_kmv_topk_ctes(k)},
+    pg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS maxh
+      FROM topk GROUP BY source
+    ), thetas AS (
+      SELECT source,
+             CAST(CASE WHEN n_kept < {k} THEN {_MERSENNE31}
+                  ELSE maxh END AS BIGINT) AS theta
+      FROM pg
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             LEAST(a.theta, b.theta) AS theta_min
+      FROM thetas a JOIN thetas b ON a.source < b.source
+    ), common AS (
+      SELECT p.source_a, p.source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN topk ka ON ka.source = p.source_a AND ka.h < p.theta_min
+      JOIN topk kb ON kb.source = p.source_b AND kb.h = ka.h
+      GROUP BY 1, 2
+    ), uni AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_union
+      FROM (
+        SELECT p.source_a, p.source_b, ka.h
+        FROM pairs p JOIN topk ka
+          ON ka.source = p.source_a AND ka.h < p.theta_min
+        UNION ALL
+        SELECT p.source_a, p.source_b, kb.h
+        FROM pairs p JOIN topk kb
+          ON kb.source = p.source_b AND kb.h < p.theta_min
+      ) GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.theta_min,
+           COALESCE(c.n_common, 0) AS n_common, u.n_union,
+           (COALESCE(c.n_common, 0) * {_MERSENNE31} * 1000000)
+             // GREATEST(p.theta_min, 1) AS inter_est_micro,
+           (u.n_union * {_MERSENNE31} * 1000000)
+             // GREATEST(p.theta_min, 1) AS union_est_micro
+    FROM pairs p
+    JOIN uni u USING (source_a, source_b)
+    LEFT JOIN common c USING (source_a, source_b)
+    """
+
+
+@query("sketch_theta_vocab_overlap", oracle=_kmv_overlap_oracle(_KMV_K))
+def sketch_theta_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS over sketch_theta_vocab's sketches
+    (operators/portable_sketch.kmv_theta_vocab_overlap — Dasgupta et
+    al. 2016's theta framework, registered r13): for every unordered
+    source pair, shared/union distinct-vocabulary estimates below
+    theta_min = min(theta_a, theta_b) — the curation question ("how
+    much of B's vocabulary is already in A?") that mergeable HLL
+    counters cannot answer without inclusion-exclusion blowup. Any
+    hash < theta_min samples the combined hash space at rate
+    theta_min/P, so kept-count * P/theta_min estimates each set op.
+    Scale shape: the corpus is scanned ONCE (thetas derive from the
+    same kept frame); the pair join runs over <= k*groups sketch rows,
+    never corpus rows — groups^2*k is dashboard-sized at any corpus
+    scale. Set-algebra laws (n_common <= n_union <= 2k, inter <=
+    union) pytest-pinned."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab_overlap,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return kmv_theta_vocab_overlap(docs, k=_KMV_K)

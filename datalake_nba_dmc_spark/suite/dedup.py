@@ -1156,3 +1156,179 @@ def dedup_minhash_portable_clusters(
     return minhash_portable_clusters(docs).withColumn(
         "is_representative", F.col("is_representative").cast("int")
     )
+
+
+_SUPPRESS_ORACLE = r"""
+WITH toks_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + 7], ' ') AS w
+  FROM toks_t, LATERAL unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+), shared AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+), occ AS (
+  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM shared)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM occ
+), sp AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span_id
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM sp GROUP BY doc_id, span_id
+), cut AS (
+  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cut_tokens
+  FROM spans GROUP BY doc_id
+), counts AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM toks_t WHERE len(toks) > 0
+)
+SELECT c.doc_id, c.n_tokens,
+       COALESCE(cut.cut_tokens, 0) AS cut_tokens,
+       c.n_tokens - COALESCE(cut.cut_tokens, 0) AS kept_tokens
+FROM counts c LEFT JOIN cut ON c.doc_id = cut.doc_id
+"""
+
+
+@query("dedup_span_suppress", oracle=_SUPPRESS_ORACLE)
+def dedup_span_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cut-list APPLICATION (operators/dedup.
+    substring_span_suppress — the second half of Lee et al. 2022's
+    exact-substring dedup, registered r13): 8-token rolling-hash
+    windows shared by >= 2 DISTINCT documents become cut spans
+    (overlapping occurrences merged per document by the
+    dedup_substring_spans island construction), and each document
+    reports (n_tokens, cut_tokens, kept_tokens) — the per-doc
+    kept/cut accounting a corpus-suppression pass ships. The
+    kept+cut == n_tokens partition law holds on every row
+    (pytest-pinned, with the duplication law: a re-delivered corpus
+    cuts nothing new because spans are distinct-doc-gated). Scale
+    shape: rolling 64-bit window hashes (map-only), shared-window
+    detection as a hash-agg on the hash (never window STRINGS — the
+    twin re-derives from strings to stay structurally independent),
+    island merge inside per-doc partitioned windows, one doc-grained
+    left join back. k rows per shared span, no all-pairs anywhere."""
+    from datalake_nba_dmc_spark.operators.dedup import (
+        substring_span_suppress,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return substring_span_suppress(docs, window_tokens=8, min_docs=2)
+
+
+def _cdc_chain(prefix: str, src_cte: str, divisor: int) -> str:
+    """One CDC chunking CTE chain over ``src_cte`` (doc_id, text rows),
+    names prefixed — the reuse twin chunks two snapshots in one query."""
+    from datalake_nba_dmc_spark.operators.cdc import _M, token_hash_sql
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+    th = token_hash_sql("tok", "duck")
+    csum = (
+        f"CAST(list_sum(list_transform(range(1, e - s + 1), "
+        f"k -> (th[CAST(s + k AS INTEGER)] % {_M}) * k)) AS BIGINT)"
+    )
+    p = prefix
+    return rf"""
+    {p}t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM {src_cte}
+    ), {p}t2 AS (
+      SELECT doc_id, toks FROM {p}t WHERE len(toks) > 0
+    ), {p}h AS (
+      SELECT doc_id, list_transform(toks, tok -> {th}) AS th FROM {p}t2
+    ), {p}b AS (
+      SELECT doc_id, th,
+             list_concat([0], list_transform(
+               list_filter(range(0, len(th)),
+                           i -> th[CAST(i + 1 AS INTEGER)] % {divisor} = 0),
+               x -> x + 1)) AS starts,
+             list_concat(list_transform(
+               list_filter(range(0, len(th)),
+                           i -> th[CAST(i + 1 AS INTEGER)] % {divisor} = 0),
+               x -> x + 1), [len(th)]) AS ends
+      FROM {p}h
+    ), {p}spans AS (
+      SELECT doc_id, th,
+             starts[CAST(u.i AS INTEGER)] AS s,
+             ends[CAST(u.i AS INTEGER)] AS e
+      FROM {p}b, UNNEST(range(1, len(starts) + 1)) AS u(i)
+      WHERE starts[CAST(u.i AS INTEGER)] < ends[CAST(u.i AS INTEGER)]
+    ), {p}chunks AS (
+      SELECT doc_id,
+             {mixer_sql(f"(({csum}) % {_M})", "duck")} AS chunk_hash
+      FROM {p}spans
+    )
+    """
+
+
+def _cdc_reuse_oracle(divisor: int, edit_every: int) -> str:
+    return rf"""
+    WITH base AS (
+      SELECT DISTINCT doc_id, text FROM documents
+      WHERE {_ASCII_WHERE}
+    ), v2src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {edit_every} = 0 THEN 'recrawl ' || text
+                  ELSE text END AS text
+      FROM base
+    ), {_cdc_chain("v1_", "base", divisor)},
+    {_cdc_chain("v2_", "v2src", divisor)},
+    v1set AS (SELECT DISTINCT doc_id, chunk_hash FROM v1_chunks),
+    counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM v2_chunks GROUP BY doc_id
+    ), reused AS (
+      SELECT v2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_reused
+      FROM v2_chunks v2
+      WHERE EXISTS (SELECT 1 FROM v1set v1
+                    WHERE v1.doc_id = v2.doc_id
+                      AND v1.chunk_hash = v2.chunk_hash)
+      GROUP BY v2.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(CASE WHEN c.doc_id % {edit_every} = 0 THEN 1 ELSE 0
+                END AS INTEGER) AS edited,
+           c.n_chunks,
+           COALESCE(r.n_reused, 0) AS n_reused,
+           (COALESCE(r.n_reused, 0) * 1000000) // GREATEST(c.n_chunks, 1)
+             AS reused_ppm
+    FROM counts c LEFT JOIN reused r ON c.doc_id = r.doc_id
+    """
+
+
+@query("dedup_cdc_reuse", oracle=_cdc_reuse_oracle(16, 3))
+def dedup_cdc_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl chunk-reuse accounting (operators/cdc.cdc_reuse_report,
+    registered r13) — the query that cashes in dedup_cdc_chunks'
+    edit-stability promise end to end: a deterministic second snapshot
+    (every 3rd doc gets one token PREPENDED — the front edit that
+    shifts every fixed-size boundary) is chunked alongside v1 and each
+    v2 chunk is checked for an exact-fingerprint match in the same
+    document's v1 set. Contract laws (pytest-pinned): unedited docs
+    reuse EVERYTHING; edited docs reuse most chunks (CDC re-syncs
+    after the edit — fixed-size chunking would reuse ZERO). Scale
+    shape: two map-only chunking folds, set semantics AT CHUNK GRAIN
+    (distinct over narrow (doc, idx, hash) int triples — the measured
+    40%-cheaper replacement for a full-text distinct shuffle), one
+    (doc, hash)-grained LEFT SEMI join over chunk rows, one per-doc
+    aggregate. At 100 TB v1 is the persisted previous-crawl chunk
+    table; here it derives in-plan so the query is twin-able."""
+    from datalake_nba_dmc_spark.operators.cdc import cdc_reuse_report
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return cdc_reuse_report(docs, divisor=16, edit_every=3)

@@ -1642,3 +1642,57 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("has_brace", F.lit(0)).alias("has_brace"),
         "c4_keep",
     )
+
+
+def _hashed_tfidf_oracle(num_buckets: int) -> str:
+    from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+
+    th = token_hash_sql("tok", "duck")
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x != '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), t2 AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), pb AS (
+      SELECT doc_id, ({th}) % {num_buckets} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t2 GROUP BY 1, 2
+    ), idf AS (
+      SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS bucket_df
+      FROM pb GROUP BY bucket
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS nd FROM pb
+    )
+    SELECT pb.doc_id, pb.bucket, pb.tf, idf.bucket_df,
+           CAST(pb.tf * CAST(round(ln(CAST(nd + 1 AS DOUBLE)
+                / CAST(bucket_df + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+                AS BIGINT) AS tfidf_micro
+    FROM pb JOIN idf USING (bucket) CROSS JOIN n
+    """
+
+
+@query("text_hashed_tfidf", oracle=_hashed_tfidf_oracle(256))
+def text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF (operators/text.hashed_tfidf — Weinberger
+    et al. 2009's feature hashing, registered r13): tokens fold into a
+    FIXED 256-bucket feature space via the dialect-rendered mixer hash,
+    so the feature schema never depends on the vocabulary — the
+    property that lets a 100 TB corpus featurize without a vocabulary
+    build or a driver-side dictionary (contrast text_tfidf, whose
+    exact vocabulary IS the point). Integer micro-nat contract end to
+    end: idf_micro = round(ln((N+1)/(df+1))*10^6) as a bigint, tfidf =
+    tf * idf_micro — bit-exact in DuckDB (the bigram_logprob rule; no
+    float column anywhere). Scale shape: one explode + one
+    (doc, bucket) hash-agg (map-side combined), the <=256-row IDF
+    table broadcasts back; duplication law (tf doubles, IDF table
+    unchanged) pytest-pinned."""
+    from datalake_nba_dmc_spark.operators.text import hashed_tfidf
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return hashed_tfidf(docs)

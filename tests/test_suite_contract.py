@@ -149,6 +149,7 @@ def test_bench_final_line_fits_tail_window():
         },
         "idle_wait_s": 120.0,
         "unstable": list(bench.HEADLINE),  # worst case: ALL unstable
+        "cache_ridden": list(bench.CACHE_RIDDEN),
     }
     line = json.dumps(worst)
     assert len(line) <= bench._FINAL_LINE_BUDGET - 200, (
@@ -159,28 +160,24 @@ def test_bench_final_line_fits_tail_window():
 
 def test_staged_specs_disjoint_and_planned():
     """Staged specs (suite/staged.py) must never leak into the driver's
-    registry, and must exactly match the r13 slate (the audit batteries
-    run over precisely these names). The 12-op r11 slate registered in
-    r12 — those names now live in the registry with oracles."""
+    registry, and must exactly match the r14 slate (the audit batteries
+    run over precisely these names). The 8-op r12 slate registered in
+    r13 — those names now live in the registry with oracles."""
     from datalake_nba_dmc_spark.suite import load_all
     from datalake_nba_dmc_spark.suite.staged import staged_specs
 
     registered = set(load_all())
     staged = staged_specs()
-    assert set(staged) == _R13_SLATE
+    assert set(staged) == _R14_SLATE
     assert {
-        "text_c4_filters",
-        "graph_label_propagation",
-        "dedup_cdc_chunks",
-        "dedup_minhash_portable",
-        "dedup_simhash_portable",
-        "graph_connected_components",
-        "graph_triangle_count",
-        "sketch_cms_counters",
-        "sketch_cms_heavy_hitters",
-        "stat_bootstrap_ci",
-        "dedup_minhash_portable_clusters",
-        "graph_coreness",
+        "stat_ks_drift",
+        "stat_mann_whitney",
+        "text_hashed_tfidf",
+        "dedup_span_suppress",
+        "graph_hyperball_m64_est",
+        "sketch_theta_vocab",
+        "sketch_theta_vocab_overlap",
+        "dedup_cdc_reuse",
     } <= registered
     assert not (set(staged) & registered)
     # the audit view appends them; the driver view must not contain them
@@ -190,14 +187,5 @@ def test_staged_specs_disjoint_and_planned():
         assert spec.oracle is None and callable(spec.builder)
 
 
-#: The planned r13 registration slate (updated as this round stages ops).
-_R13_SLATE: set[str] = {
-    "stat_ks_drift",
-    "stat_mann_whitney",
-    "text_hashed_tfidf",
-    "dedup_span_suppress",
-    "graph_hyperball_m64_est",
-    "sketch_theta_vocab",
-    "sketch_theta_vocab_overlap",
-    "dedup_cdc_reuse",
-}
+#: The planned r14 registration slate (updated as this round stages ops).
+_R14_SLATE: set[str] = set()
