@@ -825,3 +825,112 @@ def kmv_theta_vocab_overlap(
             f"(n_union * {_MERSENNE31} * 1000000) div greatest(theta_min, 1)"
         ).alias("union_est_micro"),
     )
+
+
+def kmv_theta_vocab_difference(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch set DIFFERENCE over :func:`kmv_theta_vocab`'s
+    sketches — the third theta set operation (Dasgupta et al. 2016),
+    completing union/intersection (:func:`kmv_theta_vocab_overlap`):
+    for every ORDERED pair of groups (a != b — difference is
+    asymmetric), estimate |vocab(a) \\ vocab(b)|, the curation question
+    "how many terms does source A add that B lacks?" that decides
+    whether ingesting A next to B buys new coverage. → one row per
+    ordered pair: (source_a, source_b, theta_min, n_a_only,
+    diff_est_micro).
+
+    Estimator: below theta_min = min(theta_a, theta_b), each group's
+    kept hashes are a uniform rate-theta_min/P sample of its set, so
+    the kept-a hashes NOT kept by b — both sides restricted below
+    theta_min, where each sketch is complete for its own set — count
+    the difference sample; n_a_only * P/theta_min estimates the
+    difference. Same one-scan shape as the overlap: sketches are k
+    rows per group; the pair join and the anti-membership check run
+    over sketch rows only (a LEFT anti-style null-check join on the
+    hash), never corpus rows."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    th = token_hash_sql("tok", "spark")
+    distinct_h = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .select(F.col(group_col), F.explode(toks).alias("tok"))
+        .select(
+            group_col,
+            (F.expr(th) % _MERSENNE31).cast("long").alias("_h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("_h")
+    kept = distinct_h.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    thetas = kept.groupBy(group_col).agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(_MERSENNE31))
+        .otherwise(F.max("_h"))
+        .cast("long")
+        .alias("theta")
+    )
+    pair_names = (
+        thetas.select(
+            F.col(group_col).alias("source_a"), F.col("theta").alias("_ta")
+        )
+        .crossJoin(
+            thetas.select(
+                F.col(group_col).alias("source_b"),
+                F.col("theta").alias("_tb"),
+            )
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.least("_ta", "_tb").alias("theta_min"),
+        )
+    )
+    a_below = pair_names.join(
+        kept.select(F.col(group_col).alias("source_a"), "_h"),
+        on="source_a",
+    ).filter(F.col("_h") < F.col("theta_min"))
+    b_kept = kept.select(
+        F.col(group_col).alias("_bsrc"), F.col("_h").alias("_hb")
+    )
+    only = (
+        a_below.join(
+            b_kept,
+            on=[
+                a_below["source_b"] == b_kept["_bsrc"],
+                a_below["_h"] == b_kept["_hb"],
+            ],
+            how="left",
+        )
+        .filter(F.col("_hb").isNull())
+        .groupBy("source_a", "source_b", "theta_min")
+        .agg(F.count(F.lit(1)).alias("n_a_only"))
+    )
+    # pairs where EVERY below-theta a-hash is shared (or a has none
+    # below theta) must still emit a zero row — left join the pair grid
+    out = pair_names.join(
+        only, on=["source_a", "source_b", "theta_min"], how="left"
+    ).select(
+        "source_a",
+        "source_b",
+        "theta_min",
+        F.coalesce("n_a_only", F.lit(0)).cast("long").alias("n_a_only"),
+        F.expr(
+            f"(coalesce(n_a_only, 0) * {_MERSENNE31} * 1000000)"
+            " div greatest(theta_min, 1)"
+        ).alias("diff_est_micro"),
+    )
+    return out

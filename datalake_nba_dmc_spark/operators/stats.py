@@ -607,3 +607,191 @@ def mann_whitney_u(
         )
     )
     return stat
+
+
+def _cohort_value_cum_by(
+    df: DataFrame,
+    by_col: str,
+    value_col: str,
+    split_col: Column,
+    scale: int,
+    num_buckets: int,
+):
+    """Per-SEGMENT generalization of :func:`_cohort_value_cum` (the
+    shared rank/ECDF substrate): identical two-phase parallel prefix
+    sum, with every grouping, bucket split, and window additionally
+    keyed by ``by_col`` — so each segment gets its own value grid and
+    its own <= ``num_buckets``-row offset scan, and a hot segment
+    parallelizes across its (segment, bucket) pairs exactly like the
+    global form. Rows with a NULL value, NULL split, or NULL segment
+    are excluded (an unknown segment cannot vote on any segment's
+    drift — the psi_binned rule)."""
+    from pyspark.sql import Window
+
+    xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & split_col.isNotNull()
+        & F.col(by_col).isNotNull()
+    ).select(F.col(by_col), xs.alias("_xs"), split_col.cast("long").alias("_ia"))
+    g = base.groupBy(by_col, "_xs").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(1 - F.col("_ia")).alias("_cb"),
+    )
+    rng = g.groupBy(by_col).agg(
+        F.min("_xs").cast("double").alias("_mn"),
+        (F.max("_xs").cast("double") - F.min("_xs").cast("double") + 1).alias(
+            "_span"
+        ),
+    )
+    # segments are dashboard-cardinality (the operator's contract);
+    # their (min, span) frame broadcasts like the global scalar did
+    bucketed = g.join(F.broadcast(rng), on=by_col).withColumn(
+        "_b",
+        (
+            (F.col("_xs").cast("double") - F.col("_mn"))
+            / F.col("_span")
+            * num_buckets
+        ).cast("long"),
+    )
+    w_b = (
+        Window.partitionBy(by_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy(by_col, "_b")
+        .agg(F.sum("_ca").alias("_ba"), F.sum("_cb").alias("_bb"))
+        .withColumn("_offa", F.coalesce(F.sum("_ba").over(w_b), F.lit(0)))
+        .withColumn("_offb", F.coalesce(F.sum("_bb").over(w_b), F.lit(0)))
+        .select(by_col, "_b", "_offa", "_offb")
+    )
+    w_in = (
+        Window.partitionBy(by_col, "_b")
+        .orderBy("_xs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), on=[by_col, "_b"])
+        .withColumn("_cuma", F.sum("_ca").over(w_in) + F.col("_offa"))
+        .withColumn("_cumb", F.sum("_cb").over(w_in) + F.col("_offb"))
+    )
+    totals = base.groupBy(by_col).agg(
+        F.sum("_ia").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("_ia")).alias("n_b"),
+    )
+    return cum, totals
+
+
+def ks_two_sample_by(
+    df: DataFrame,
+    by_col: str,
+    value_col: str,
+    split_col: Column,
+    scale: int = 100,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Per-segment exact two-sample KS — the drift SCAN a curation stack
+    runs after the global :func:`ks_two_sample` fires ("WHICH segment
+    drifted?"): one row per ``by_col`` value, (``by_col``, n_a, n_b,
+    ks_num, ks_d_micro), same integer contract (cross-multiplied ECDF
+    numerator, floor micro division, in-plan int64 guard). Segments
+    with an empty cohort still report (ks degenerates to 0 only when a
+    side is empty AND the other never accumulates — the cross-multiplied
+    form handles n_a=0 or n_b=0 without division anywhere).
+
+    Scale shape: the per-segment substrate — every window keyed by
+    (segment, bucket), so segment count multiplies PARALLELISM, not any
+    single task's row count; the final per-segment max is one hash-agg."""
+    cum, totals = _cohort_value_cum_by(
+        df, by_col, value_col, split_col, scale, num_buckets
+    )
+    stat = (
+        cum.join(F.broadcast(totals), on=by_col)
+        .groupBy(by_col)
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("_cuma") * F.col("n_b")
+                    - F.col("_cumb") * F.col("n_a")
+                )
+            ).alias("ks_num"),
+        )
+    )
+    guard = _i64_guard(
+        "ks_two_sample_by",
+        F.col("n_a")
+        <= F.expr(f"{_MICRO_I64_BOUND} div greatest(n_b, 1)"),
+    )
+    return stat.select(
+        by_col,
+        "n_a",
+        "n_b",
+        "ks_num",
+        (
+            F.expr("(ks_num * 1000000) div greatest(n_a * n_b, 1)") + guard
+        ).alias("ks_d_micro"),
+    )
+
+
+def mann_whitney_u_by(
+    df: DataFrame,
+    by_col: str,
+    value_col: str,
+    split_col: Column,
+    scale: int = 100,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Per-segment exact Mann-Whitney U / AUC — the stochastic-dominance
+    scan next to :func:`ks_two_sample_by`: one row per segment,
+    (``by_col``, n_a, n_b, u2_a, u2_b, auc_micro), doubled-midrank
+    integer contract with the U-sum law u2_a + u2_b == 2*n_a*n_b
+    holding PER SEGMENT, int64 bounds guarded in-plan. Same
+    per-segment substrate; the weighted rank sum is one map-side-
+    combinable hash-agg per segment."""
+    cum, totals = _cohort_value_cum_by(
+        df, by_col, value_col, split_col, scale, num_buckets
+    )
+    per_v = cum.select(
+        by_col,
+        "_ca",
+        ((F.col("_cuma") + F.col("_cumb"))
+         - (F.col("_ca") + F.col("_cb"))).alias("_cball"),
+        (F.col("_ca") + F.col("_cb")).alias("_call"),
+    )
+    r2a = per_v.groupBy(by_col).agg(
+        F.sum(
+            F.col("_ca") * (2 * F.col("_cball") + F.col("_call") + 1)
+        ).alias("_r2a")
+    )
+    return (
+        r2a.join(F.broadcast(totals), on=by_col)
+        .select(
+            by_col,
+            "n_a",
+            "n_b",
+            (F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)).alias(
+                "u2_a"
+            ),
+        )
+        .select(
+            by_col,
+            "n_a",
+            "n_b",
+            "u2_a",
+            (2 * F.col("n_a") * F.col("n_b") - F.col("u2_a")).alias("u2_b"),
+            (
+                F.expr("(u2_a * 1000000) div greatest(2 * n_a * n_b, 1)")
+                + _i64_guard(
+                    "mann_whitney_u_by",
+                    F.col("n_a")
+                    <= F.expr(
+                        f"{_MICRO_I64_BOUND // 2} div greatest(n_b, 1)"
+                    ),
+                    F.col("n_a") + F.col("n_b") < F.lit(1 << 31),
+                )
+            ).alias("auc_micro"),
+        )
+    )

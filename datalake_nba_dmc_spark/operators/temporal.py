@@ -88,6 +88,58 @@ def asof_join(
     )
 
 
+def asof_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: str = "interval 7 days",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """:func:`asof_join` with a MAX-STALENESS tolerance (pandas
+    ``merge_asof(tolerance=...)`` / kdb window-join semantics): the
+    carried right row only counts if it is no older than ``tolerance``
+    before the left timestamp — older matches are nulled out, exactly
+    as if no right row governed.
+
+    Correctness rides the as-of invariant: the carried row is THE
+    latest right row <= left_ts, so if IT is outside the tolerance,
+    every other candidate is older still — one post-filter on the
+    carried timestamp is a complete implementation, no second join.
+    Cost is therefore identical to :func:`asof_join` (one union-merge
+    exchange + sort) plus a map-side conditional; the tolerance never
+    touches the shuffle.
+
+    The right timestamp is carried inside the same struct as the
+    payload columns (the all-from-one-row rule), compared, then
+    dropped; ``right_cols`` must not already contain ``right_ts``."""
+    if right_ts in right_cols:
+        raise ValueError("right_ts is carried implicitly; remove it "
+                         "from right_cols")
+    carried = asof_join(
+        left,
+        right,
+        key=key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        right_cols=[right_ts, *right_cols],
+        prefix=prefix,
+    )
+    within = F.col(f"{prefix}{right_ts}") >= (
+        F.col(left_ts) - F.expr(tolerance)
+    )
+    return carried.select(
+        *[c for c in left.columns],
+        *[
+            F.when(within, F.col(f"{prefix}{c}"))
+            .alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+
+
 def gap_fill(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -46,8 +46,114 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("src") != F.col("dst"))
 
 
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    return TableRegistry(spark, sf_dir).orders
+
+
+def _graph_coreness_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.graph import (
+        coreness_micro_bucketed,
+    )
+
+    return coreness_micro_bucketed(_edges(spark, sf_dir), n_rounds=8)
+
+
+def _dedup_exactsubstr_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.dedup import mask_repeated_spans
+
+    return mask_repeated_spans(
+        _docs(spark, sf_dir), n=8, min_count=2
+    ).select("doc_id", "masked_text", "n_tokens_removed")
+
+
+def _split(F_):
+    return F_.col("o_orderdate") < F_.lit("1998-01-01").cast("date")
+
+
+def _stat_ks_drift_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample_by
+
+    return ks_two_sample_by(
+        _orders(spark, sf_dir), "o_orderpriority", "o_totalprice", _split(F)
+    )
+
+
+def _stat_mann_whitney_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u_by
+
+    return mann_whitney_u_by(
+        _orders(spark, sf_dir), "o_orderpriority", "o_totalprice", _split(F)
+    )
+
+
+def _sketch_theta_vocab_difference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab_difference,
+    )
+
+    return kmv_theta_vocab_difference(_docs(spark, sf_dir), k=16)
+
+
+def _events_asof_within_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.temporal import asof_join_within
+    from datalake_nba_dmc_spark.operators.windows import top1_per_group
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    t = TableRegistry(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts")
+    purch = top1_per_group(
+        t.events.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("pt"),
+            F.col("event_id").alias("purchase_event_id"),
+        ),
+        ["user_id", "pt"],
+        [F.col("purchase_event_id").desc()],
+    )
+    return asof_join_within(
+        ev,
+        purch,
+        key="user_id",
+        left_ts="ts",
+        right_ts="pt",
+        right_cols=["purchase_event_id"],
+        tolerance="interval 1 hour",
+    )
+
+
 def staged_specs() -> dict[str, QuerySpec]:
-    """The r14 registration slate as audit-runnable specs (filled as
-    this round stages operators)."""
-    builders: dict = {}
+    """The r14 registration slate as audit-runnable specs."""
+    builders = {
+        # the skew-safe bucketed-histogram h-index coreness — the
+        # executed 100 TB path (VERDICT r12 ask #3), bit-equal to the
+        # windowed path per round (pytest law at two scales)
+        "graph_coreness_bucketed": _graph_coreness_bucketed,
+        # ExactSubstr generation -> cut-list -> suppression as ONE
+        # pipeline emitting the masked corpus (VERDICT r12 ask #7)
+        "dedup_exactsubstr_pipeline": _dedup_exactsubstr_pipeline,
+        # per-segment drift scan: exact KS per o_orderpriority on the
+        # per-segment two-phase prefix-sum substrate
+        "stat_ks_drift_by_segment": _stat_ks_drift_by_segment,
+        # per-segment stochastic dominance: exact U/AUC per segment,
+        # U-sum law per segment
+        "stat_mann_whitney_by_segment": _stat_mann_whitney_by_segment,
+        # theta set DIFFERENCE |A \\ B| — completes the theta algebra
+        # (union/intersection registered r13)
+        "sketch_theta_vocab_difference": _sketch_theta_vocab_difference,
+        # as-of join with max-staleness tolerance (pandas merge_asof /
+        # kdb wj semantics): time-since-last-purchase capped at 1 hour
+        "events_asof_within_tolerance": _events_asof_within_tolerance,
+    }
     return {n: QuerySpec(n, b, None) for n, b in builders.items()}

@@ -2447,3 +2447,628 @@ def test_cdc_reuse_report_empty_and_dup_laws(spark):
         tuple(r) for r in cdc_reuse_report(docs.union(docs)).collect()
     )
     assert one == two and len(one) == 12
+
+
+# --- r13-staged slate (registers r14): bucketed coreness, ExactSubstr
+# end-to-end pipeline, per-segment KS/MW, theta difference, as-of
+# tolerance. Each twin runs at BOTH gate scales (the two-scale bar).
+
+_NORM13 = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_EXACTSUBSTR_ORACLE = rf"""
+WITH toks_t AS (
+  SELECT doc_id, text,
+         list_filter(string_split({_NORM13}, ' '), x -> x != '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + 7], ' ') AS gram
+  FROM toks_t, LATERAL unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+), occ AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt
+        FROM grams)
+  WHERE cnt >= 2
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM occ
+), sp AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span_id
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM sp GROUP BY doc_id, span_id
+), pos_tok AS (
+  SELECT DISTINCT doc_id, u.i - 1 AS pos, toks[CAST(u.i AS INTEGER)] AS tok
+  FROM toks_t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM pos_tok p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.pos >= s.s AND p.pos < s.e)
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS mt,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE COALESCE(a.mt, '') END AS masked_text,
+       CASE WHEN t.text IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+       END AS n_tokens_removed
+FROM toks_t t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_exactsubstr_pipeline_duckdb_twin(spark, sf):
+    """mask_repeated_spans end-to-end (r13-staged, registers r14 as
+    dedup_exactsubstr_pipeline — VERDICT r12 ask #7: generation ->
+    cut-list -> suppression as ONE query emitting the masked corpus) vs
+    a DuckDB twin re-deriving spans from gram STRINGS and re-joining
+    the surviving tokens — every masked text byte-identical."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.dedup import mask_repeated_spans
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    docs = TableRegistry(spark, sfd).documents
+    got = sorted(
+        (r.doc_id, r.masked_text, r.n_tokens_removed)
+        for r in mask_repeated_spans(docs, n=8, min_count=2)
+        .select("doc_id", "masked_text", "n_tokens_removed")
+        .collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    want = sorted(
+        (int(a), b, int(c))
+        for a, b, c in con.execute(_EXACTSUBSTR_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # non-vacuous (the corpus HAS cross-doc duplication) and the
+    # partition law: masked tokens + removed == original tokens
+    assert any(c > 0 for _, _, c in got)
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import normalize_text
+
+    orig = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(normalize_text("text"), " "),
+                    lambda t: t != "",
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    for d, mt, c in got:
+        kept = len([t for t in (mt or "").split(" ") if t != ""])
+        assert kept + c == max(orig[d] or 0, 0)
+
+
+_KS_BY_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+), g AS (
+  SELECT seg, xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY seg, xs
+), c AS (
+  SELECT seg, xs,
+         CAST(SUM(ca) OVER (PARTITION BY seg ORDER BY xs
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (PARTITION BY seg ORDER BY xs
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+  FROM g
+), n AS (
+  SELECT seg, CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+  FROM base GROUP BY seg
+)
+SELECT n.seg AS o_orderpriority, n.n_a, n.n_b,
+       CAST(MAX(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)) * 1000000
+            // GREATEST(n.n_a * n.n_b, 1) AS BIGINT) AS ks_d_micro
+FROM c JOIN n ON c.seg = n.seg
+GROUP BY n.seg, n.n_a, n.n_b
+"""
+
+_MW_BY_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+), g AS (
+  SELECT seg, xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY seg, xs
+), c AS (
+  SELECT seg, xs, ca, cb,
+         CAST(SUM(ca + cb) OVER (PARTITION BY seg ORDER BY xs
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumall
+  FROM g
+), r AS (
+  SELECT seg, CAST(SUM(ca * (2 * (cumall - (ca + cb)) + (ca + cb) + 1))
+              AS BIGINT) AS r2a
+  FROM c GROUP BY seg
+), n AS (
+  SELECT seg, CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+  FROM base GROUP BY seg
+)
+SELECT n.seg AS o_orderpriority, n.n_a, n.n_b,
+       r.r2a - n.n_a * (n.n_a + 1) AS u2_a,
+       2 * n.n_a * n.n_b - (r.r2a - n.n_a * (n.n_a + 1)) AS u2_b,
+       (r.r2a - n.n_a * (n.n_a + 1)) * 1000000
+         // GREATEST(2 * n.n_a * n.n_b, 1) AS auc_micro
+FROM r JOIN n ON r.seg = n.seg
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_ks_by_segment_duckdb_twin(spark, sf):
+    """ks_two_sample_by (r13-staged, registers r14 as
+    stat_ks_drift_by_segment) vs the sequential per-segment
+    running-sum twin — the drift SCAN next to the global registered
+    stat_ks_drift; every per-segment integer bit-exact."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample_by
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    orders = TableRegistry(spark, sfd).orders
+    got = sorted(
+        tuple(r)
+        for r in ks_two_sample_by(
+            orders,
+            "o_orderpriority",
+            "o_totalprice",
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+        ).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(sfd, 'orders.parquet')}'"
+    )
+    want = sorted(
+        (a, int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in con.execute(_KS_BY_ORACLE).fetchall()
+    )
+    assert got == want and len(got) == 5
+    for _, n_a, n_b, ks_num, ks_micro in got:
+        assert 0 <= ks_micro <= 1_000_000 and ks_num <= n_a * n_b
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_mw_by_segment_duckdb_twin(spark, sf):
+    """mann_whitney_u_by (r13-staged, registers r14 as
+    stat_mann_whitney_by_segment) vs the sequential per-segment twin;
+    the U-sum law u2_a + u2_b == 2*n_a*n_b holds PER SEGMENT."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u_by
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    orders = TableRegistry(spark, sfd).orders
+    got = sorted(
+        tuple(r)
+        for r in mann_whitney_u_by(
+            orders,
+            "o_orderpriority",
+            "o_totalprice",
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+        ).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(sfd, 'orders.parquet')}'"
+    )
+    want = sorted(
+        (a, int(b), int(c), int(d), int(e), int(f))
+        for a, b, c, d, e, f in con.execute(_MW_BY_ORACLE).fetchall()
+    )
+    assert got == want and len(got) == 5
+    for _, n_a, n_b, u2a, u2b, auc in got:
+        assert u2a + u2b == 2 * n_a * n_b and 0 <= auc <= 1_000_000
+
+
+def _theta_diff_oracle(k: int) -> str:
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+
+    return rf"""
+    WITH {_kmv_topk_ctes(k)},
+    pg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS maxh
+      FROM topk GROUP BY source
+    ), thetas AS (
+      SELECT source,
+             CAST(CASE WHEN n_kept < {k} THEN {_MERSENNE31}
+                  ELSE maxh END AS BIGINT) AS theta
+      FROM pg
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             LEAST(a.theta, b.theta) AS theta_min
+      FROM thetas a JOIN thetas b ON a.source != b.source
+    ), abelow AS (
+      SELECT p.source_a, p.source_b, p.theta_min, ka.h
+      FROM pairs p JOIN topk ka
+        ON ka.source = p.source_a AND ka.h < p.theta_min
+    ), aonly AS (
+      SELECT source_a, source_b, theta_min,
+             CAST(COUNT(*) AS BIGINT) AS n_a_only
+      FROM abelow ab
+      WHERE NOT EXISTS (SELECT 1 FROM topk kb
+                        WHERE kb.source = ab.source_b AND kb.h = ab.h)
+      GROUP BY 1, 2, 3
+    )
+    SELECT p.source_a, p.source_b, p.theta_min,
+           COALESCE(o.n_a_only, 0) AS n_a_only,
+           (COALESCE(o.n_a_only, 0) * {_MERSENNE31} * 1000000)
+             // GREATEST(p.theta_min, 1) AS diff_est_micro
+    FROM pairs p
+    LEFT JOIN aonly o USING (source_a, source_b, theta_min)
+    """
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_theta_difference_duckdb_twin(spark, sf):
+    """kmv_theta_vocab_difference (r13-staged, registers r14 as
+    sketch_theta_vocab_difference) vs a DuckDB twin: per ORDERED source
+    pair, the below-theta_min kept-a hashes absent from b's sketch and
+    the scaled |A \\ B| estimate — bit-exact; completes the theta set
+    algebra next to the registered overlap query."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab_difference,
+    )
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    docs = spark.read.parquet(os.path.join(sfd, "documents.parquet"))
+    K = _KMV_K
+    got = sorted(
+        tuple(r) for r in kmv_theta_vocab_difference(docs, k=K).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    want = sorted(
+        (a, b, int(c), int(d), int(e))
+        for a, b, c, d, e in con.execute(_theta_diff_oracle(K)).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # ordered-pair grid is complete (g*(g-1) rows) and bounded:
+    # n_a_only <= k on every row
+    groups = {a for a, *_ in got}
+    assert len(got) == len(groups) * (len(groups) - 1)
+    assert all(0 <= d <= K for _, _, _, d, _ in got)
+
+
+_ASOF_WITHIN_ORACLE = """
+WITH p AS (
+  SELECT * FROM (
+    SELECT user_id AS k, ts AS pt, event_id AS purchase_event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN e.ts IS NOT NULL
+                 AND p.pt >= e.ts - INTERVAL 1 HOUR
+            THEN p.purchase_event_id END AS asof_purchase_event_id
+FROM events e
+ASOF LEFT JOIN p ON e.user_id = p.k AND e.ts >= p.pt
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_asof_within_duckdb_twin(spark, sf):
+    """asof_join_within (r13-staged, registers r14 as
+    events_asof_within_tolerance): time-since-last-purchase capped at
+    1 hour — the pandas merge_asof(tolerance)/kdb window-join
+    semantics, implemented as ONE union-merge as-of pass plus a
+    map-side staleness mask (the carried row is THE latest <= ts, so
+    if it is stale every candidate is). The DuckDB twin uses native
+    ASOF LEFT JOIN with the same tolerance CASE — every match and
+    every nulled-stale row identical."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import asof_join_within
+    from datalake_nba_dmc_spark.operators.windows import top1_per_group
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    t = TableRegistry(spark, sfd)
+    ev = t.events.select("event_id", "user_id", "ts")
+    purch = top1_per_group(
+        t.events.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("pt"),
+            F.col("event_id").alias("purchase_event_id"),
+        ),
+        ["user_id", "pt"],
+        [F.col("purchase_event_id").desc()],
+    )
+    got = sorted(
+        (r.event_id, r.user_id, str(r.ts), r.asof_purchase_event_id)
+        for r in asof_join_within(
+            ev,
+            purch,
+            key="user_id",
+            left_ts="ts",
+            right_ts="pt",
+            right_cols=["purchase_event_id"],
+            tolerance="interval 1 hour",
+        ).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(sfd, 'events.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b), str(c), (int(d) if d is not None else None))
+        for a, b, c, d in con.execute(_ASOF_WITHIN_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the tolerance BITES both ways: some matches survive, some
+    # as-of matches were nulled as stale
+    n_match = sum(1 for r in got if r[3] is not None)
+    assert 0 < n_match < len(got)
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_coreness_bucketed_duckdb_twin(spark, sf):
+    """coreness_micro_bucketed (r13-staged, registers r14 as
+    graph_coreness_bucketed — the VERDICT r12 ask #3 skew-safe
+    histogram h-index, EXECUTED) vs the registered coreness twin (the
+    unrolled sequential h-index recurrence): the bucketed form computes
+    the same per-round values, so the same oracle pins it bit-exactly."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.graph import (
+        coreness_micro_bucketed,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+    from datalake_nba_dmc_spark.suite.graph import _coreness_oracle
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    from pyspark.sql import functions as F
+
+    docs = TableRegistry(spark, sfd).documents
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        (F.expr("doc_id div 101") % 101).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    got = sorted(
+        tuple(r) for r in coreness_micro_bucketed(edges, n_rounds=8).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b))
+        for a, b in con.execute(_coreness_oracle(8)).fetchall()
+    )
+    assert got == want and len(got) == 101
+
+
+def test_r14_staged_ops_empty_degenerate_and_dup_laws(spark):
+    """Empty/degenerate + duplication laws for the r14 slate: empty in
+    -> empty out everywhere; per-segment KS/MW scale 4x in numerator
+    with bit-identical micro under duplication (per segment); theta
+    difference and bucketed coreness are distinct-based (bit-identical
+    under dup); as-of tolerance doubles left rows identically; the
+    ExactSubstr pipeline's masked text under dup can only REMOVE MORE
+    (every gram of a duplicated doc becomes corpus-repeated)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.dedup import mask_repeated_spans
+    from datalake_nba_dmc_spark.operators.graph import (
+        coreness_micro_bucketed,
+    )
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab_difference,
+    )
+    from datalake_nba_dmc_spark.operators.stats import (
+        ks_two_sample_by,
+        mann_whitney_u_by,
+    )
+    from datalake_nba_dmc_spark.operators.temporal import asof_join_within
+
+    split = F.col("d") < F.lit("1998-01-01").cast("date")
+    empty_o = spark.createDataFrame([], "seg string, v double, d date")
+    assert ks_two_sample_by(empty_o, "seg", "v", split).collect() == []
+    assert mann_whitney_u_by(empty_o, "seg", "v", split).collect() == []
+    empty_d = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    assert kmv_theta_vocab_difference(empty_d).collect() == []
+    assert (
+        mask_repeated_spans(empty_d.select("doc_id", "text")).collect() == []
+    )
+    empty_e = spark.createDataFrame([], "src long, dst long")
+    assert coreness_micro_bucketed(empty_e, 2).collect() == []
+    empty_l = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
+    empty_r = spark.createDataFrame([], "user_id long, pt timestamp, x long")
+    assert (
+        asof_join_within(
+            empty_l, empty_r, key="user_id", left_ts="ts",
+            right_ts="pt", right_cols=["x"],
+        ).collect()
+        == []
+    )
+    with pytest.raises(ValueError, match="right_ts"):
+        asof_join_within(
+            empty_l, empty_r, key="user_id", left_ts="ts",
+            right_ts="pt", right_cols=["pt", "x"],
+        )
+
+    rows = [
+        (f"s{i % 3}", float(i % 37) + (0.5 if i % 2 else 0.0),
+         f"199{(i % 9)}-01-01")
+        for i in range(300)
+    ]
+    orders = spark.createDataFrame(rows, ["seg", "v", "ds"]).select(
+        "seg", "v", F.col("ds").cast("date").alias("d")
+    )
+    dorders = orders.union(orders)
+    k1 = {r.seg: r for r in ks_two_sample_by(orders, "seg", "v", split).collect()}
+    k2 = {r.seg: r for r in ks_two_sample_by(dorders, "seg", "v", split).collect()}
+    assert set(k1) == set(k2) == {"s0", "s1", "s2"}
+    for s in k1:
+        assert (k2[s].n_a, k2[s].n_b, k2[s].ks_num, k2[s].ks_d_micro) == (
+            2 * k1[s].n_a, 2 * k1[s].n_b, 4 * k1[s].ks_num,
+            k1[s].ks_d_micro,
+        )
+    m1 = {r.seg: r for r in mann_whitney_u_by(orders, "seg", "v", split).collect()}
+    m2 = {r.seg: r for r in mann_whitney_u_by(dorders, "seg", "v", split).collect()}
+    for s in m1:
+        assert (m2[s].u2_a, m2[s].u2_b, m2[s].auc_micro) == (
+            4 * m1[s].u2_a, 4 * m1[s].u2_b, m1[s].auc_micro
+        )
+        assert m1[s].u2_a + m1[s].u2_b == 2 * m1[s].n_a * m1[s].n_b
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"tok{i % 7} tok{(i * 3) % 11} common x{i % 5}")
+         for i in range(60)],
+        ["doc_id", "source", "text"],
+    )
+    ddocs = docs.union(docs)
+    d1 = sorted(tuple(r) for r in kmv_theta_vocab_difference(docs, k=4).collect())
+    d2 = sorted(tuple(r) for r in kmv_theta_vocab_difference(ddocs, k=4).collect())
+    assert d1 == d2 and len(d1) == 3 * 2
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "src long, dst long",
+    )
+    c1 = sorted(tuple(r) for r in coreness_micro_bucketed(k4, 4).collect())
+    c2 = sorted(
+        tuple(r) for r in coreness_micro_bucketed(k4.union(k4), 4).collect()
+    )
+    assert c1 == c2 == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+    # as-of tolerance: doubled left rows -> doubled identical output
+    lrows = [(i, i % 5, f"2024-01-01 00:{i % 60:02d}:00") for i in range(60)]
+    rrows = [(u, "2024-01-01 00:30:00", 100 + u) for u in range(5)]
+    left = spark.createDataFrame(lrows, ["event_id", "user_id", "tss"]).select(
+        "event_id", "user_id", F.col("tss").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(rrows, ["user_id", "pts", "x"]).select(
+        "user_id", F.col("pts").cast("timestamp").alias("pt"), "x"
+    )
+    a1 = sorted(
+        tuple(map(str, r))
+        for r in asof_join_within(
+            left, right, key="user_id", left_ts="ts", right_ts="pt",
+            right_cols=["x"], tolerance="interval 10 minutes",
+        ).collect()
+    )
+    a2 = sorted(
+        tuple(map(str, r))
+        for r in asof_join_within(
+            left.union(left), right, key="user_id", left_ts="ts",
+            right_ts="pt", right_cols=["x"],
+            tolerance="interval 10 minutes",
+        ).collect()
+    )
+    assert a2 == sorted(a1 + a1) and len(a1) == 60
+    # tolerance bites: matches only in [00:30, 00:40]
+    matched = [r for r in a1 if r[3] != "None"]
+    assert 0 < len(matched) < 60
+
+    # ExactSubstr under dup: every doc's removal can only grow (its own
+    # grams now repeat corpus-wide), rows double identically
+    s1 = {r.doc_id: r.n_tokens_removed
+          for r in mask_repeated_spans(docs.select("doc_id", "text"), n=3,
+                                       min_count=2).collect()}
+    dup_rows = mask_repeated_spans(
+        docs.select("doc_id", "text").union(docs.select("doc_id", "text")),
+        n=3, min_count=2,
+    ).collect()
+    assert len(dup_rows) == 2 * len(s1)
+    for r in dup_rows:
+        assert r.n_tokens_removed >= s1[r.doc_id]
+
+
+@needs_testdata
+def test_r14_staged_ops_layout_invariant(spark):
+    """Pre-empts the partition-perturbation audit for the r14 slate:
+    bit-identical rows under 3 vs 64 shuffle partitions (the full 1- vs
+    13-partition INPUT perturbation runs in the robustness battery,
+    which re-reads mutated fixtures with perturbed layouts)."""
+    from datalake_nba_dmc_spark.suite.staged import staged_specs
+
+    specs = staged_specs()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[str, list] = {}
+    try:
+        for parts in (3, 64):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            for name, spec in specs.items():
+                df = spec.builder(spark, SF)
+                rows = sorted(
+                    tuple(str(v) for v in r) for r in df.collect()
+                )
+                assert rows, name
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name, (r1, r2) in results.items():
+        assert r1 == r2, f"{name} is layout-dependent"

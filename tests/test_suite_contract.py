@@ -188,4 +188,11 @@ def test_staged_specs_disjoint_and_planned():
 
 
 #: The planned r14 registration slate (updated as this round stages ops).
-_R14_SLATE: set[str] = set()
+_R14_SLATE: set[str] = {
+    "graph_coreness_bucketed",
+    "dedup_exactsubstr_pipeline",
+    "stat_ks_drift_by_segment",
+    "stat_mann_whitney_by_segment",
+    "sketch_theta_vocab_difference",
+    "events_asof_within_tolerance",
+}
