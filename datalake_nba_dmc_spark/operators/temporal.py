@@ -366,3 +366,95 @@ def nearest_value_join(
         *lcols,
         *[chosen.getField(c).alias(f"{prefix}{c}") for c in rcols],
     )
+
+
+def trailing_window_agg(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    window: str = "interval 1 hour",
+    scale: int = 100,
+    prefix: str = "win_",
+) -> DataFrame:
+    """Windowed-join aggregate (kdb ``wj`` / the time-windowed feature
+    join every event-driven training pipeline needs): for each left
+    row, the COUNT and scaled-long SUM of right rows whose timestamp
+    falls in the trailing window ``(left_ts − window, left_ts]`` for
+    the same ``key`` — "purchases in the last hour", computed exactly.
+
+    Shape: the classic range join explodes |L|·|R per window| rows and
+    a per-left-row window aggregate re-sorts the union per left row.
+    This instead DIFFERENCES PREFIX SUMS: right collapses to one row
+    per (key, ts) carrying running (count, scaled-sum) per key — the
+    per-key cumulative table — and each left row reads the cumulative
+    at ``left_ts`` and at ``left_ts − window`` via TWO as-of passes
+    (:func:`asof_join`, one union-merge exchange + sort each); the
+    trailing-window aggregate is their difference. Cost: two sorts
+    over |L|+|R per key| rows, NO range explosion, no per-row window
+    re-scan — the same reason HDR/ECDF stats use prefix sums. Ties at
+    one timestamp pre-aggregate so the as-of right side is unique per
+    (key, ts) as its contract requires.
+
+    Values are scaled to longs (``round(v·scale)``, the suite rule) so
+    counts AND sums are exact integers on any engine and partitioning;
+    a NULL left timestamp yields (0, 0) — no window, nothing in it."""
+    from pyspark.sql import Window
+
+    per_ts = (
+        right.filter(
+            F.col(right_ts).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(key), F.col(right_ts).alias("_rt"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.round(F.col(value_col) * scale).cast("long")).alias(
+                "_s"
+            ),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy("_rt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_ts.select(
+        key,
+        "_rt",
+        F.sum("_c").over(w_cum).alias("cum_c"),
+        F.sum("_s").over(w_cum).alias("cum_s"),
+    )
+    at_ts = asof_join(
+        left,
+        cum,
+        key=key,
+        left_ts=left_ts,
+        right_ts="_rt",
+        right_cols=["cum_c", "cum_s"],
+        prefix="_hi_",
+    )
+    shifted = at_ts.withColumn(
+        "_lo_ts", F.col(left_ts) - F.expr(window)
+    )
+    both = asof_join(
+        shifted,
+        cum,
+        key=key,
+        left_ts="_lo_ts",
+        right_ts="_rt",
+        right_cols=["cum_c", "cum_s"],
+        prefix="_lo_",
+    )
+    cnt = F.coalesce("_hi_cum_c", F.lit(0)) - F.coalesce(
+        "_lo_cum_c", F.lit(0)
+    )
+    ssum = F.coalesce("_hi_cum_s", F.lit(0)) - F.coalesce(
+        "_lo_cum_s", F.lit(0)
+    )
+    return both.select(
+        *left.columns,
+        cnt.cast("long").alias(f"{prefix}count"),
+        ssum.cast("long").alias(f"{prefix}sum_scaled"),
+    )

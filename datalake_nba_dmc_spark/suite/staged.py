@@ -133,6 +133,30 @@ def _events_asof_within_tolerance(
     )
 
 
+def _events_trailing_window_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    t = TableRegistry(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts")
+    purch = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return trailing_window_agg(
+        ev,
+        purch,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="value",
+        window="interval 1 hour",
+    )
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r14 registration slate as audit-runnable specs."""
     builders = {
@@ -155,5 +179,9 @@ def staged_specs() -> dict[str, QuerySpec]:
         # as-of join with max-staleness tolerance (pandas merge_asof /
         # kdb wj semantics): time-since-last-purchase capped at 1 hour
         "events_asof_within_tolerance": _events_asof_within_tolerance,
+        # windowed-join aggregate (kdb wj): purchases-in-the-last-hour
+        # per event via prefix-sum differencing (two as-of passes,
+        # NO range explosion, no per-left-row window re-scan)
+        "events_trailing_window_features": _events_trailing_window_features,
     }
     return {n: QuerySpec(n, b, None) for n, b in builders.items()}

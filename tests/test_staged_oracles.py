@@ -3072,3 +3072,131 @@ def test_r14_staged_ops_layout_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for name, (r1, r2) in results.items():
         assert r1 == r2, f"{name} is layout-dependent"
+
+
+_TRAILING_WINDOW_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS pt, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(COUNT(p.pt) AS BIGINT) AS win_count,
+       CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS win_sum_scaled
+FROM events e
+LEFT JOIN p ON p.user_id = e.user_id
+           AND p.pt > e.ts - INTERVAL 1 HOUR AND p.pt <= e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_trailing_window_agg_duckdb_twin(spark, sf):
+    """trailing_window_agg (r13-staged, registers r14 as
+    events_trailing_window_features — the kdb wj / time-windowed
+    feature join): purchases-in-the-last-hour count + scaled-sum per
+    event, computed by PREFIX-SUM DIFFERENCING (two as-of passes, no
+    range explosion) vs a DuckDB twin that materializes the range join
+    directly — every count and sum bit-exact."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    t = TableRegistry(spark, sfd)
+    ev = t.events.select("event_id", "user_id", "ts")
+    purch = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    got = sorted(
+        (r.event_id, r.user_id, str(r.ts), r.win_count, r.win_sum_scaled)
+        for r in trailing_window_agg(
+            ev,
+            purch,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            value_col="value",
+            window="interval 1 hour",
+        ).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(sfd, 'events.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b), str(c), int(d), int(e))
+        for a, b, c, d, e in con.execute(_TRAILING_WINDOW_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the window BITES: some events have purchases in their trailing
+    # hour, most don't
+    nz = sum(1 for r in got if r[3] > 0)
+    assert 0 < nz < len(got)
+    # sum is 0 exactly when count is 0 on self-purchases aside — weak
+    # coupling law: count 0 => sum 0
+    assert all(s == 0 for _, _, _, c, s in got if c == 0)
+
+
+def test_trailing_window_agg_empty_and_hand_case(spark):
+    """Empty in -> empty out; a pinned hand case covering the exact
+    window edges ((t-w, t] — left edge EXCLUSIVE, right edge
+    INCLUSIVE) and NULL left timestamps (no window, zero counts)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg,
+    )
+
+    empty_l = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp"
+    )
+    empty_r = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    assert (
+        trailing_window_agg(
+            empty_l, empty_r, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", window="interval 1 hour",
+        ).collect()
+        == []
+    )
+    left = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 12:00:00"),
+            (2, 7, None),
+            (3, 8, "2024-01-01 12:00:00"),
+        ],
+        ["event_id", "user_id", "tss"],
+    ).select(
+        "event_id", "user_id",
+        F.col("tss").cast("timestamp").alias("ts"),
+    )
+    right = spark.createDataFrame(
+        [
+            (7, "2024-01-01 11:00:00", 1.0),   # exactly t-w: EXCLUDED
+            (7, "2024-01-01 11:00:01", 2.0),   # inside
+            (7, "2024-01-01 12:00:00", 4.0),   # exactly t: INCLUDED
+            (7, "2024-01-01 12:00:01", 8.0),   # after t: excluded
+            (9, "2024-01-01 11:30:00", 16.0),  # other user
+        ],
+        ["user_id", "tss", "value"],
+    ).select(
+        "user_id", F.col("tss").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        r.event_id: (r.win_count, r.win_sum_scaled)
+        for r in trailing_window_agg(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", window="interval 1 hour",
+        ).collect()
+    }
+    assert got == {1: (2, 600), 2: (0, 0), 3: (0, 0)}

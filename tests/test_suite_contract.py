@@ -195,4 +195,5 @@ _R14_SLATE: set[str] = {
     "stat_mann_whitney_by_segment",
     "sketch_theta_vocab_difference",
     "events_asof_within_tolerance",
+    "events_trailing_window_features",
 }
