@@ -935,3 +935,183 @@ def test_y4m_roundtrip_property(data, n, h, w, cs):
     for i, off in offs:
         y = np.frombuffer(p, dtype=np.uint8, count=w * h, offset=off).reshape(h, w)
         assert np.array_equal(y, frames[i])
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # value (scaled int)
+            st.booleans(),                             # cohort A?
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_mann_whitney_matches_bruteforce_pair_count(spark, vals):
+    """mann_whitney_u's doubled-midrank prefix-sum form equals the
+    DEFINITION: u2_a = 2·#(a>b) + #(a==b) over all cross pairs, for
+    any tie structure hypothesis invents (both cohorts non-empty)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u
+
+    a = [v for v, s in vals if s]
+    b = [v for v, s in vals if not s]
+    if not a or not b:
+        return
+    df = spark.createDataFrame(
+        [(float(v), s) for v, s in vals], "v double, s boolean"
+    )
+    [r] = mann_whitney_u(df, "v", F.col("s"), scale=1).collect()
+    u2_brute = sum(
+        2 if x > y else (1 if x == y else 0) for x in a for y in b
+    )
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert r.u2_a == u2_brute
+    assert r.u2_a + r.u2_b == 2 * len(a) * len(b)
+    assert r.auc_micro == (u2_brute * 1_000_000) // (2 * len(a) * len(b))
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_ks_matches_bruteforce_ecdf_sup(spark, vals):
+    """ks_two_sample's cross-multiplied prefix-sum numerator equals the
+    DEFINITION: max over the merged grid of |#(A<=x)·n_b − #(B<=x)·n_a|
+    (both cohorts non-empty)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample
+
+    a = [v for v, s in vals if s]
+    b = [v for v, s in vals if not s]
+    if not a or not b:
+        return
+    df = spark.createDataFrame(
+        [(float(v), s) for v, s in vals], "v double, s boolean"
+    )
+    [r] = ks_two_sample(df, "v", F.col("s"), scale=1).collect()
+    grid = sorted(set(a) | set(b))
+    brute = max(
+        abs(
+            sum(1 for x in a if x <= g) * len(b)
+            - sum(1 for y in b if y <= g) * len(a)
+        )
+        for g in grid
+    )
+    assert (r.n_a, r.n_b, r.ks_num) == (len(a), len(b), brute)
+    assert r.ks_d_micro == (brute * 1_000_000) // (len(a) * len(b))
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q", "r"]),           # segment
+            st.integers(min_value=-30, max_value=30),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_segmented_stats_equal_global_stats_per_segment(spark, vals):
+    """The per-segment generalizations are EXACTLY the global operators
+    applied per segment: for every segment present, ks_two_sample_by /
+    mann_whitney_u_by rows equal running the global operator on that
+    segment's rows alone."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import (
+        ks_two_sample,
+        ks_two_sample_by,
+        mann_whitney_u,
+        mann_whitney_u_by,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), s) for g, v, s in vals], "g string, v double, s boolean"
+    )
+    ks_by = {
+        r.g: (r.n_a, r.n_b, r.ks_num, r.ks_d_micro)
+        for r in ks_two_sample_by(df, "g", "v", F.col("s"), scale=1).collect()
+    }
+    mw_by = {
+        r.g: (r.n_a, r.n_b, r.u2_a, r.u2_b, r.auc_micro)
+        for r in mann_whitney_u_by(df, "g", "v", F.col("s"), scale=1).collect()
+    }
+    segs = {g for g, _, _ in vals}
+    assert set(ks_by) == set(mw_by) == segs
+    for g in segs:
+        sub = df.filter(F.col("g") == g)
+        [kr] = ks_two_sample(sub, "v", F.col("s"), scale=1).collect()
+        assert ks_by[g] == (kr.n_a, kr.n_b, kr.ks_num, kr.ks_d_micro)
+        [mr] = mann_whitney_u(sub, "v", F.col("s"), scale=1).collect()
+        assert mw_by[g] == (mr.n_a, mr.n_b, mr.u2_a, mr.u2_b, mr.auc_micro)
+
+
+@SLOW
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 120)),  # (key, minute)
+        min_size=1,
+        max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 120), st.integers(-20, 20)
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    win=st.integers(min_value=1, max_value=40),
+)
+def test_trailing_window_agg_matches_bruteforce(spark, lefts, rights, win):
+    """trailing_window_agg's prefix-sum-difference form equals the
+    DEFINITION: count/sum of right rows with key match and timestamp in
+    (t−w, t], for arbitrary keys, ties, and window widths."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (i, k, base + datetime.timedelta(minutes=m))
+            for i, (k, m) in enumerate(lefts)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, base + datetime.timedelta(minutes=m), float(v))
+            for k, m, v in rights
+        ],
+        "user_id long, ts timestamp, value double",
+    ) if rights else spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: (r.win_count, r.win_sum_scaled)
+        for r in trailing_window_agg(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", window=f"interval {win} minutes",
+            scale=1,
+        ).collect()
+    }
+    for i, (k, m) in enumerate(lefts):
+        inside = [
+            v for rk, rm, v in rights if rk == k and m - win < rm <= m
+        ]
+        assert got[i] == (len(inside), sum(inside)), (i, k, m, win)
