@@ -752,3 +752,41 @@ def test_hll_portable_estimate_stays_staged(spark):
             "estimate expression fused into the aggregate output method "
             "(janino 64 KB risk):\n" + section[:800]
         )
+
+
+@needs_testdata
+def test_theta_vocab_partial_group_limit_and_broadcast(spark):
+    """sketch_theta_vocab's rank<=k filter must compile to
+    WindowGroupLimit with the PARTIAL map-side pass present (the
+    pre-shuffle prune that keeps the top-k sketch cheap at corpus
+    scale), and the per-group exact/sketch join must broadcast."""
+    plan = plan_of(spark, "sketch_theta_vocab")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_hashed_tfidf_idf_broadcasts(spark):
+    """text_hashed_tfidf's <=256-row IDF table must come back as a
+    broadcast join (never a sort-merge of corpus-grained rows against
+    a dashboard-sized table), and the corpus-total join is the one-row
+    broadcast scalar pattern."""
+    plan = plan_of(spark, "text_hashed_tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_ks_substrate_no_sort_merge_no_cartesian(spark):
+    """stat_ks_drift (and by substrate-sharing stat_mann_whitney): the
+    two-phase prefix sum's scalar frames (value range, bucket offsets,
+    cohort totals) must all ride broadcasts — no sort-merge join, no
+    CartesianProduct anywhere in the plan (the crossJoins are one-row
+    broadcast scalars, compiled to BroadcastNestedLoopJoin)."""
+    for name in ("stat_ks_drift", "stat_mann_whitney"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
