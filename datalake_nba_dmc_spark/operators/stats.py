@@ -795,3 +795,108 @@ def mann_whitney_u_by(
             ).alias("auc_micro"),
         )
     )
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    by_col: str,
+    value_col: str,
+    probs_pct: Sequence[int] = (25, 50, 75),
+    scale: int = 100,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """EXACT nearest-rank quantiles per segment WITHOUT sorting the
+    corpus — the exact counterpart to ``percentile_approx`` for the
+    cases where a drift gate or an SLA needs the true value, not a
+    sketch bound. → one row per (segment, prob):
+    (``by_col``, p_pct, n, q_scaled) with q_scaled the scaled-long
+    value at nearest rank ``ceil(p·n/100)`` (the classic Type-1 /
+    inverted-ECDF definition — every output is an ACTUAL data value).
+
+    Scale shape: the rank/ECDF substrate again — per-(segment, value)
+    counts (one hash-agg, map-side combined, O(V) groups), the
+    per-segment two-phase parallel prefix sum (every window keyed by
+    (segment, bucket); nothing ever sorts rows), then the quantile
+    probe is a RANK-CUT FILTER over the cumulative grid: the row
+    containing rank r is the unique one with cum−cnt < r ≤ cum, so
+    each requested prob selects exactly one grid row per segment — a
+    map-side predicate against broadcast totals, no join explosion,
+    probs ride a literal explode. Empty segments yield no rows (rank
+    cut, never a scalar subquery — the r12 registration rule).
+
+    Integer contract: values are scaled longs, ranks are exact
+    integers — ``ceil(p·n/100)`` as ``(p·n + 99) div 100``, the
+    positive-operand form that is identical under BOTH truncating
+    division (Spark ``div``, DuckDB ``//``) and floor division; the
+    tempting ``-((-a) div b)`` ceiling trick silently degrades to
+    FLOOR under truncation and is exactly the cross-engine division
+    trap the suite's standing rules warn about."""
+    from pyspark.sql import Window
+
+    probs = sorted(set(int(p) for p in probs_pct))
+    if not probs or probs[0] < 1 or probs[-1] > 100:
+        raise ValueError("probs_pct must be integers in [1, 100]")
+    xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(by_col).isNotNull()
+    ).select(F.col(by_col), xs.alias("_xs"))
+    g = base.groupBy(by_col, "_xs").agg(F.count(F.lit(1)).alias("_c"))
+    rng = g.groupBy(by_col).agg(
+        F.min("_xs").cast("double").alias("_mn"),
+        (F.max("_xs").cast("double") - F.min("_xs").cast("double") + 1).alias(
+            "_span"
+        ),
+    )
+    bucketed = g.join(F.broadcast(rng), on=by_col).withColumn(
+        "_b",
+        (
+            (F.col("_xs").cast("double") - F.col("_mn"))
+            / F.col("_span")
+            * num_buckets
+        ).cast("long"),
+    )
+    w_b = (
+        Window.partitionBy(by_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy(by_col, "_b")
+        .agg(F.sum("_c").alias("_bc"))
+        .withColumn("_off", F.coalesce(F.sum("_bc").over(w_b), F.lit(0)))
+        .select(by_col, "_b", "_off")
+    )
+    w_in = (
+        Window.partitionBy(by_col, "_b")
+        .orderBy("_xs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), on=[by_col, "_b"])
+        .withColumn("_cum", F.sum("_c").over(w_in) + F.col("_off"))
+    )
+    totals = base.groupBy(by_col).agg(F.count(F.lit(1)).alias("n"))
+    probed = (
+        cum.join(F.broadcast(totals), on=by_col)
+        .select(
+            by_col,
+            "n",
+            "_xs",
+            "_c",
+            "_cum",
+            F.explode(
+                F.array(*[F.lit(p) for p in probs])
+            ).alias("p_pct"),
+        )
+        .withColumn("_rank", F.expr("(p_pct * n + 99) div 100"))
+        .filter(
+            (F.col("_cum") >= F.col("_rank"))
+            & (F.col("_cum") - F.col("_c") < F.col("_rank"))
+        )
+    )
+    return probed.select(
+        by_col,
+        F.col("p_pct").cast("int").alias("p_pct"),
+        F.col("n").cast("long").alias("n"),
+        F.col("_xs").cast("long").alias("q_scaled"),
+    )

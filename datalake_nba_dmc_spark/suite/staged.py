@@ -157,6 +157,19 @@ def _events_trailing_window_features(
     )
 
 
+def _stat_exact_quantiles_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.stats import exact_quantiles_by
+
+    return exact_quantiles_by(
+        _orders(spark, sf_dir),
+        "o_orderpriority",
+        "o_totalprice",
+        probs_pct=(25, 50, 75, 90, 99),
+    )
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r14 registration slate as audit-runnable specs."""
     builders = {
@@ -183,5 +196,9 @@ def staged_specs() -> dict[str, QuerySpec]:
         # per event via prefix-sum differencing (two as-of passes,
         # NO range explosion, no per-left-row window re-scan)
         "events_trailing_window_features": _events_trailing_window_features,
+        # exact nearest-rank quantiles per segment WITHOUT sorting the
+        # corpus (rank-cut over the per-segment prefix-sum grid) — the
+        # exact counterpart to percentile_approx
+        "stat_exact_quantiles_by_segment": _stat_exact_quantiles_by_segment,
     }
     return {n: QuerySpec(n, b, None) for n, b in builders.items()}

@@ -3200,3 +3200,116 @@ def test_trailing_window_agg_empty_and_hand_case(spark):
         ).collect()
     }
     assert got == {1: (2, 600), 2: (0, 0), 3: (0, 0)}
+
+
+_QUANTILES_BY_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xs
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), g AS (
+  SELECT seg, xs, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY seg, xs
+), cgrid AS (
+  SELECT seg, xs, c,
+         CAST(SUM(c) OVER (PARTITION BY seg ORDER BY xs
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM g
+), n AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY seg
+), probs AS (SELECT unnest([25, 50, 75, 90, 99]) AS p_pct)
+SELECT c.seg AS o_orderpriority, CAST(p.p_pct AS INTEGER) AS p_pct, n.n,
+       c.xs AS q_scaled
+FROM cgrid c JOIN n USING (seg) CROSS JOIN probs p
+WHERE c.cum >= ((p.p_pct * n.n + 99) // 100)
+  AND c.cum - c.c < ((p.p_pct * n.n + 99) // 100)
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_exact_quantiles_by_duckdb_twin(spark, sf):
+    """exact_quantiles_by (r13-staged, registers r14 as
+    stat_exact_quantiles_by_segment): exact nearest-rank quantiles per
+    segment via a rank-cut over the per-segment prefix-sum grid — no
+    corpus sort, no percentile_approx sketch — vs the sequential
+    running-sum twin, PLUS a brute-force sorted-list cross-check of
+    every returned value (the check that caught the truncating-vs-
+    floor division ceiling trap during staging: Spark `div` and DuckDB
+    `//` truncate toward zero, so ceil must be (a+99) div 100, never
+    -((-a) div 100))."""
+    import math
+
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.stats import exact_quantiles_by
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    orders = TableRegistry(spark, sfd).orders
+    got = sorted(
+        tuple(r)
+        for r in exact_quantiles_by(
+            orders,
+            "o_orderpriority",
+            "o_totalprice",
+            probs_pct=(25, 50, 75, 90, 99),
+        ).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(sfd, 'orders.parquet')}'"
+    )
+    want = sorted(
+        (a, int(b), int(c), int(d))
+        for a, b, c, d in con.execute(_QUANTILES_BY_ORACLE).fetchall()
+    )
+    assert got == want and len(got) == 25  # 5 segments x 5 probs
+    # brute-force: every value IS the ceil(p*n/100)-th smallest
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) "
+        "FROM orders WHERE o_totalprice IS NOT NULL "
+        "AND o_orderpriority IS NOT NULL"
+    ).fetchall()
+    segs: dict = {}
+    for s, v in rows:
+        segs.setdefault(s, []).append(v)
+    for s in segs:
+        segs[s].sort()
+    for s, p, n, q in got:
+        assert n == len(segs[s])
+        assert q == segs[s][math.ceil(p * n / 100) - 1], (s, p)
+    # quantiles are monotone in p within every segment
+    by_seg: dict = {}
+    for s, p, _, q in got:
+        by_seg.setdefault(s, []).append((p, q))
+    for s, pq in by_seg.items():
+        qs = [q for _, q in sorted(pq)]
+        assert qs == sorted(qs), s
+
+
+def test_exact_quantiles_by_empty_dup_and_validation(spark):
+    """Empty in -> empty out; duplication law (n doubles, quantile
+    VALUES bit-identical — rank and cum double together); prob
+    validation."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datalake_nba_dmc_spark.operators.stats import exact_quantiles_by
+
+    empty = spark.createDataFrame([], "seg string, v double")
+    assert exact_quantiles_by(empty, "seg", "v").collect() == []
+    with pytest.raises(ValueError, match="probs_pct"):
+        exact_quantiles_by(empty, "seg", "v", probs_pct=(0, 50))
+    with pytest.raises(ValueError, match="probs_pct"):
+        exact_quantiles_by(empty, "seg", "v", probs_pct=())
+    rows = [(f"s{i % 2}", float((i * 7) % 23)) for i in range(46)]
+    df = spark.createDataFrame(rows, ["seg", "v"])
+    one = {(r.seg, r.p_pct): (r.n, r.q_scaled)
+           for r in exact_quantiles_by(df, "seg", "v").collect()}
+    two = {(r.seg, r.p_pct): (r.n, r.q_scaled)
+           for r in exact_quantiles_by(df.union(df), "seg", "v").collect()}
+    assert set(one) == set(two)
+    for k, (n, q) in one.items():
+        assert two[k] == (2 * n, q)

@@ -196,4 +196,5 @@ _R14_SLATE: set[str] = {
     "sketch_theta_vocab_difference",
     "events_asof_within_tolerance",
     "events_trailing_window_features",
+    "stat_exact_quantiles_by_segment",
 }
