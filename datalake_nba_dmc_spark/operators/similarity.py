@@ -1128,3 +1128,93 @@ def _semantic_edges(
     for part in big_parts[1:]:
         big_edges = big_edges.unionByName(part)
     return edges.unionByName(big_edges.distinct())
+
+
+def int8_dot_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_queries: int = 8,
+) -> DataFrame:
+    """Exact top-k by INT8-quantized dot product — the first similarity
+    query whose VALUES carry a full cross-engine oracle (every other
+    sim query is rows-only or certificate-checked, because float32
+    cosine accumulation order is engine-private). Symmetric per-vector
+    int8 quantization (the standard serving trick: code_j =
+    round(x_j·127/max|x|), one scale per vector) turns every score
+    into an exact int64 dot product of small integers — order-free,
+    partitioning-free, bit-identical in DuckDB — while ranking quality
+    matches the float path to ~1e-2 relative (the emb_int8_quantize
+    contract). → (q_id, rank, c_id, dot): deterministic (dot DESC,
+    c_id ASC) top-``k`` for the ``n_queries`` smallest-id vectors.
+
+    Float determinism: float32 → double promotion is exact; max|x| is
+    order-independent; round(x·127/ma) is one fixed IEEE expression
+    both engines evaluate identically (the suite's scaled-long rule).
+    Zero vectors quantize to all-zero codes rather than dividing by
+    zero.
+
+    Scale shape: the query side is a bounded broadcast (``n_queries``
+    rows — the sim_bruteforce_topk contract: this IS the exact
+    baseline; the corpus-scale path is the registered LSH/IVF/PQ
+    family), the corpus is scanned once, scores are one
+    zip_with+aggregate fold per (query, candidate), and the top-k cut
+    is the rank<=k filter that compiles to WindowGroupLimit (partial
+    map-side prune before the shuffle)."""
+    from pyspark.sql import Window
+
+    if k < 1 or n_queries < 1:
+        raise ValueError("k and n_queries must be >= 1")
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), e.alias("_e")
+    )
+    ma = F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x)))
+    codes = (
+        base.withColumn("_ma", ma)
+        .withColumn(
+            "_c",
+            F.when(
+                F.col("_ma") == 0.0,
+                F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")),
+            ).otherwise(
+                F.transform(
+                    F.col("_e"),
+                    lambda x: F.round(x * 127.0 / F.col("_ma")).cast(
+                        "long"
+                    ),
+                )
+            ),
+        )
+        .select(id_col, "_c")
+    )
+    q = (
+        codes.orderBy(id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("q_id"), F.col("_c").alias("_qc"))
+    )
+    pairs = codes.join(
+        F.broadcast(q), on=F.col(id_col) != F.col("q_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qc"), F.col("_c"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "q_id", F.col(id_col).alias("c_id"), dot.alias("dot")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            "c_id",
+            "dot",
+        )
+    )

@@ -170,6 +170,15 @@ def _stat_exact_quantiles_by_segment(
     )
 
 
+def _sim_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.similarity import int8_dot_topk
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    return int8_dot_topk(
+        TableRegistry(spark, sf_dir).embeddings, k=5, n_queries=8
+    )
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r14 registration slate as audit-runnable specs."""
     builders = {
@@ -200,5 +209,9 @@ def staged_specs() -> dict[str, QuerySpec]:
         # corpus (rank-cut over the per-segment prefix-sum grid) — the
         # exact counterpart to percentile_approx
         "stat_exact_quantiles_by_segment": _stat_exact_quantiles_by_segment,
+        # exact int8-quantized dot-product top-k: the first similarity
+        # query with a FULL-VALUE cross-engine oracle (int64 dots of
+        # per-vector symmetric int8 codes — no float accumulation)
+        "sim_int8_dot_topk": _sim_int8_dot_topk,
     }
     return {n: QuerySpec(n, b, None) for n, b in builders.items()}

@@ -3313,3 +3313,121 @@ def test_exact_quantiles_by_empty_dup_and_validation(spark):
     assert set(one) == set(two)
     for k, (n, q) in one.items():
         assert two[k] == (2 * n, q)
+
+
+_INT8_TOPK_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+), m AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS ma
+  FROM base
+), codes AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0
+              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(round(x * 127.0 / ma)
+                                               AS BIGINT)) END AS c
+  FROM m
+), q AS (
+  SELECT vec_id AS q_id, c AS qc FROM codes ORDER BY vec_id LIMIT 8
+), dots AS (
+  SELECT q.q_id, cd.vec_id AS c_id,
+         CAST(list_sum(list_transform(range(1, len(cd.c) + 1),
+              j -> q.qc[CAST(j AS INTEGER)] * cd.c[CAST(j AS INTEGER)]))
+              AS BIGINT) AS dot
+  FROM q JOIN codes cd ON cd.vec_id != q.q_id
+), r AS (
+  SELECT q_id, c_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dot DESC, c_id ASC) AS rnk
+  FROM dots
+)
+SELECT q_id, CAST(rnk AS BIGINT) AS rank, c_id, dot
+FROM r WHERE rnk <= 5
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_int8_dot_topk_duckdb_twin(spark, sf):
+    """int8_dot_topk (r13-staged, registers r14 as sim_int8_dot_topk —
+    the first similarity query with a FULL-VALUE cross-engine oracle):
+    symmetric per-vector int8 quantization turns every score into an
+    exact int64 dot product, so the DuckDB twin replays quantization,
+    every dot, and the deterministic (dot DESC, id ASC) top-k
+    bit-exactly — where float32 cosine can only ever be
+    certificate-checked."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.similarity import int8_dot_topk
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    emb = TableRegistry(spark, sfd).embeddings
+    got = sorted(
+        tuple(r) for r in int8_dot_topk(emb, k=5, n_queries=8).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{os.path.join(sfd, 'embeddings.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d in con.execute(_INT8_TOPK_ORACLE).fetchall()
+    )
+    assert got == want and len(got) == 8 * 5
+    # ranks are 1..5 per query, dots non-increasing in rank, and the
+    # quantized ranking is informative (not all-equal scores)
+    by_q: dict = {}
+    for qid, rnk, cid, dot in got:
+        by_q.setdefault(qid, []).append((rnk, dot))
+    assert len(by_q) == 8
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
+        dots = [d for _, d in rows]
+        assert dots == sorted(dots, reverse=True)
+    assert len({d for _, _, _, d in got}) > 1
+
+
+def test_int8_dot_topk_laws(spark):
+    """Empty/validation/zero-vector/self-exclusion laws + a pinned hand
+    case: the query vector's best match is the parallel vector (2x
+    itself quantizes to the SAME codes — scale invariance of symmetric
+    int8 quantization), not the orthogonal one."""
+    from datalake_nba_dmc_spark.operators.similarity import int8_dot_topk
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert int8_dot_topk(empty).collect() == []
+    with pytest.raises(ValueError, match="k and n_queries"):
+        int8_dot_topk(empty, k=0)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # parallel to q0, 2x scale
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel
+        (4, [0.0, 0.0, 0.0]),   # zero vector: all-zero codes, no crash
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id",
+        __import__("pyspark.sql.functions", fromlist=["col"])
+        .col("embedding")
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    got = {
+        (r.q_id, r.rank): (r.c_id, r.dot)
+        for r in int8_dot_topk(df, k=4, n_queries=1).collect()
+    }
+    # q0 codes [127,0,0]; candidates: v1 [127,0,0] dot 16129,
+    # v2 [0,127,0] dot 0, v3 [-127,0,0] dot -16129, v4 [0,0,0] dot 0
+    assert got[(0, 1)] == (1, 127 * 127)
+    assert got[(0, 2)] == (2, 0)   # tie with v4 broken by id ASC
+    assert got[(0, 3)] == (4, 0)
+    assert got[(0, 4)] == (3, -127 * 127)

@@ -197,4 +197,5 @@ _R14_SLATE: set[str] = {
     "events_asof_within_tolerance",
     "events_trailing_window_features",
     "stat_exact_quantiles_by_segment",
+    "sim_int8_dot_topk",
 }
