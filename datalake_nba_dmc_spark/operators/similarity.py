@@ -1144,16 +1144,21 @@ def int8_dot_topk(
     int8 quantization (the standard serving trick: code_j =
     round(x_j·127/max|x|), one scale per vector) turns every score
     into an exact int64 dot product of small integers — order-free,
-    partitioning-free, bit-identical in DuckDB — while ranking quality
-    matches the float path to ~1e-2 relative (the emb_int8_quantize
-    contract). → (q_id, rank, c_id, dot): deterministic (dot DESC,
-    c_id ASC) top-``k`` for the ``n_queries`` smallest-id vectors.
+    partitioning-free, bit-identical in DuckDB. The serving score
+    multiplies the two scales BACK (the llama.cpp/FAISS SQ8 rule:
+    score = dot·ma_q·ma_c/127², here rounded to micro units in ONE
+    fixed IEEE expression), so the ranking approximates the RAW float
+    dot product — quantization loses rounding, never the metric
+    (agreement law pinned in pytest). → (q_id, rank, c_id, dot,
+    score_micro): deterministic (score_micro DESC, c_id ASC) top-``k``
+    for the ``n_queries`` smallest-id vectors.
 
     Float determinism: float32 → double promotion is exact; max|x| is
-    order-independent; round(x·127/ma) is one fixed IEEE expression
-    both engines evaluate identically (the suite's scaled-long rule).
-    Zero vectors quantize to all-zero codes rather than dividing by
-    zero.
+    order-independent; round(x·127/ma) and the left-associated
+    score_micro expression are fixed IEEE trees both engines evaluate
+    identically (the suite's scaled-long rule; int64 dot < 2^53 casts
+    to double exactly). Zero vectors quantize to all-zero codes rather
+    than dividing by zero.
 
     Scale shape: the query side is a bounded broadcast (``n_queries``
     rows — the sim_bruteforce_topk contract: this IS the exact
@@ -1187,12 +1192,16 @@ def int8_dot_topk(
                 )
             ),
         )
-        .select(id_col, "_c")
+        .select(id_col, "_c", "_ma")
     )
     q = (
         codes.orderBy(id_col)
         .limit(n_queries)
-        .select(F.col(id_col).alias("q_id"), F.col("_c").alias("_qc"))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("_c").alias("_qc"),
+            F.col("_ma").alias("_maq"),
+        )
     )
     pairs = codes.join(
         F.broadcast(q), on=F.col(id_col) != F.col("q_id")
@@ -1203,10 +1212,23 @@ def int8_dot_topk(
         lambda acc, x: acc + x,
     )
     scored = pairs.select(
-        "q_id", F.col(id_col).alias("c_id"), dot.alias("dot")
+        "q_id",
+        F.col(id_col).alias("c_id"),
+        dot.alias("dot"),
+        # the descaled serving score, rounded to micro in one fixed
+        # left-associated IEEE tree (identical text in the twin)
+        F.round(
+            dot.cast("double")
+            * F.col("_maq")
+            * F.col("_ma")
+            * F.lit(1000000.0)
+            / F.lit(16129.0)
+        )
+        .cast("long")
+        .alias("score_micro"),
     )
     w = Window.partitionBy("q_id").orderBy(
-        F.col("dot").desc(), F.col("c_id").asc()
+        F.col("score_micro").desc(), F.col("c_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1216,5 +1238,6 @@ def int8_dot_topk(
             F.col("rank").cast("long").alias("rank"),
             "c_id",
             "dot",
+            "score_micro",
         )
     )

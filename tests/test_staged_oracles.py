@@ -3324,27 +3324,34 @@ WITH base AS (
          list_max(list_transform(e, x -> abs(x))) AS ma
   FROM base
 ), codes AS (
-  SELECT vec_id,
+  SELECT vec_id, ma,
          CASE WHEN ma = 0
               THEN list_transform(e, x -> CAST(0 AS BIGINT))
               ELSE list_transform(e, x -> CAST(round(x * 127.0 / ma)
                                                AS BIGINT)) END AS c
   FROM m
 ), q AS (
-  SELECT vec_id AS q_id, c AS qc FROM codes ORDER BY vec_id LIMIT 8
+  SELECT vec_id AS q_id, c AS qc, ma AS maq
+  FROM codes ORDER BY vec_id LIMIT 8
 ), dots AS (
   SELECT q.q_id, cd.vec_id AS c_id,
          CAST(list_sum(list_transform(range(1, len(cd.c) + 1),
               j -> q.qc[CAST(j AS INTEGER)] * cd.c[CAST(j AS INTEGER)]))
-              AS BIGINT) AS dot
+              AS BIGINT) AS dot,
+         q.maq, cd.ma
   FROM q JOIN codes cd ON cd.vec_id != q.q_id
-), r AS (
+), sc AS (
   SELECT q_id, c_id, dot,
-         ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY dot DESC, c_id ASC) AS rnk
+         CAST(round(CAST(dot AS DOUBLE) * maq * ma * 1000000.0
+                    / 16129.0) AS BIGINT) AS score_micro
   FROM dots
+), r AS (
+  SELECT q_id, c_id, dot, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score_micro DESC, c_id ASC) AS rnk
+  FROM sc
 )
-SELECT q_id, CAST(rnk AS BIGINT) AS rank, c_id, dot
+SELECT q_id, CAST(rnk AS BIGINT) AS rank, c_id, dot, score_micro
 FROM r WHERE rnk <= 5
 """
 
@@ -3376,22 +3383,22 @@ def test_int8_dot_topk_duckdb_twin(spark, sf):
         f"CREATE VIEW embeddings AS SELECT * FROM '{os.path.join(sfd, 'embeddings.parquet')}'"
     )
     want = sorted(
-        (int(a), int(b), int(c), int(d))
-        for a, b, c, d in con.execute(_INT8_TOPK_ORACLE).fetchall()
+        (int(a), int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in con.execute(_INT8_TOPK_ORACLE).fetchall()
     )
     assert got == want and len(got) == 8 * 5
-    # ranks are 1..5 per query, dots non-increasing in rank, and the
+    # ranks are 1..5 per query, scores non-increasing in rank, and the
     # quantized ranking is informative (not all-equal scores)
     by_q: dict = {}
-    for qid, rnk, cid, dot in got:
-        by_q.setdefault(qid, []).append((rnk, dot))
+    for qid, rnk, cid, dot, sm in got:
+        by_q.setdefault(qid, []).append((rnk, sm))
     assert len(by_q) == 8
     for qid, rows in by_q.items():
         rows.sort()
         assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
-        dots = [d for _, d in rows]
-        assert dots == sorted(dots, reverse=True)
-    assert len({d for _, _, _, d in got}) > 1
+        sms = [s for _, s in rows]
+        assert sms == sorted(sms, reverse=True)
+    assert len({s for _, _, _, _, s in got}) > 1
 
 
 def test_int8_dot_topk_laws(spark):
@@ -3422,12 +3429,50 @@ def test_int8_dot_topk_laws(spark):
         .alias("embedding"),
     )
     got = {
-        (r.q_id, r.rank): (r.c_id, r.dot)
+        (r.q_id, r.rank): (r.c_id, r.dot, r.score_micro)
         for r in int8_dot_topk(df, k=4, n_queries=1).collect()
     }
-    # q0 codes [127,0,0]; candidates: v1 [127,0,0] dot 16129,
-    # v2 [0,127,0] dot 0, v3 [-127,0,0] dot -16129, v4 [0,0,0] dot 0
-    assert got[(0, 1)] == (1, 127 * 127)
-    assert got[(0, 2)] == (2, 0)   # tie with v4 broken by id ASC
-    assert got[(0, 3)] == (4, 0)
-    assert got[(0, 4)] == (3, -127 * 127)
+    # q0 codes [127,0,0]; candidates: v1 [127,0,0] dot 16129, descaled
+    # score = 16129*1.0*2.0/16129 = 2.0 -> 2_000_000 micro (the RAW
+    # float dot, scale multiplied back); v2 orthogonal 0; v3
+    # anti-parallel -1.0; v4 zero vector 0 (tie with v2, id ASC)
+    assert got[(0, 1)] == (1, 127 * 127, 2_000_000)
+    assert got[(0, 2)] == (2, 0, 0)
+    assert got[(0, 3)] == (4, 0, 0)
+    assert got[(0, 4)] == (3, -127 * 127, -1_000_000)
+
+
+@needs_testdata
+def test_int8_dot_topk_agrees_with_float_cosine_ranking(spark):
+    """The quantization-quality certificate for sim_int8_dot_topk: the
+    descaled score multiplies the per-vector scales back (the SQ8
+    serving rule), so the int8 top-5 per query must overlap the RAW
+    float dot-product top-5 in >= 4 of 5 positions on average —
+    quantization loses only rounding, never the metric. (The
+    full-value oracle pins the scores exactly; this law pins that
+    they track the float metric they compress.)"""
+    from datalake_nba_dmc_spark.operators.similarity import int8_dot_topk
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    emb = TableRegistry(spark, "/root/testdata/sf0.001").embeddings
+    got: dict = {}
+    for r in int8_dot_topk(emb, k=5, n_queries=8).collect():
+        got.setdefault(r.q_id, set()).add(r.c_id)
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    qids = sorted(vecs)[:8]
+    overlap = 0
+    for q in qids:
+        qv = vecs[q]
+        dots = sorted(
+            (
+                (-sum(a * b for a, b in zip(qv, vecs[c])), c)
+                for c in vecs
+                if c != q
+            ),
+        )[:5]
+        float_top = {c for _, c in dots}
+        overlap += len(float_top & got[q])
+    assert overlap >= 4 * len(qids), overlap
