@@ -934,3 +934,64 @@ def kmv_theta_vocab_difference(
         ).alias("diff_est_micro"),
     )
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment — the split every
+    training pipeline should use instead of a per-document hash: a
+    per-doc split leaks whenever two near-duplicates land in different
+    splits (the eval set silently contains paraphrases of training
+    rows — the contamination mode document-level decontamination
+    cannot see, because the leak is WITHIN the corpus). Splitting by
+    the LSH CLUSTER id makes leakage impossible BY CONSTRUCTION: every
+    member of a near-dup cluster shares its cluster's split.
+
+    → (``id_col``, cluster_id, split_bucket, split) per ASCII-contract
+    tokenized document: cluster_id from
+    :func:`minhash_portable_clusters` (full-value oracle-able LSH →
+    star edges → connected components), split_bucket = the avalanche
+    mixer of the cluster id folded to 0..99 (the suite's engine-free
+    hash — deterministic, engine-portable, and independent of document
+    COUNT so re-crawls keep their split), split = train/val/test by
+    the (100−val−test, val, test) percent bands.
+
+    Scale shape: everything is the clusters pipeline (one corpus scan,
+    banded star edges, component loop) plus one map-side mixer
+    projection — the split adds ZERO shuffles. The no-leakage law
+    (#distinct (cluster, split) == #distinct cluster) is structural;
+    pytest pins it anyway as the certificate."""
+    from datalake_nba_dmc_spark.operators.cdc import _M
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ValueError("val_pct/test_pct must be >= 0 and sum < 100")
+    clusters = minhash_portable_clusters(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    bucket = (
+        F.expr(mixer_sql(f"(cluster_id % {_M})", "spark")) % 100
+    ).cast("int")
+    train_hi = 100 - val_pct - test_pct
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        bucket.alias("split_bucket"),
+        F.when(F.col("split_bucket") < train_hi, F.lit("train"))
+        .when(F.col("split_bucket") < train_hi + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

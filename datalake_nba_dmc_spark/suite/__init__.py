@@ -106,19 +106,20 @@ NO_ORACLE_PINNED: list[str] = [
 ]
 
 _CHECK_PRIORITY: list[str] = [
-    # -- r14 plan (for the next cut): NINE staged operators carry green
+    # -- r14 plan (for the next cut): TEN staged operators carry green
     #    DuckDB twins (tests/test_staged_oracles.py r14 block) and
     #    register next round per the freeze — graph_coreness_bucketed
     #    (skew-safe histogram h-index, REBUILD_EACH_PASS),
     #    dedup_exactsubstr_pipeline, stat_ks_drift_by_segment,
     #    stat_mann_whitney_by_segment, sketch_theta_vocab_difference,
     #    events_asof_within_tolerance, events_trailing_window_features,
-    #    stat_exact_quantiles_by_segment, sim_int8_dot_topk. The slate
-    #    is mirrored 1:1 by suite/staged.py (audits load it via
-    #    include_staged=True), eight-mode audit-green, laws pinned,
-    #    sf0.1 pre-baselines in PERF.md. Window math for r14:
-    #    9 new + 41 of the 43 deferred r9 (below the edge) = 50,
-    #    leaving 2 r9 + the r10 cohort for r15.
+    #    stat_exact_quantiles_by_segment, sim_int8_dot_topk,
+    #    sample_leakage_safe_split. The slate is mirrored 1:1 by
+    #    suite/staged.py (audits load it via include_staged=True),
+    #    eight-mode audit-green, laws pinned, sf0.1 pre-baselines in
+    #    PERF.md. Window math for r14: 10 new + 40 of the 43 deferred
+    #    r9 (below the edge) = 50, leaving 3 r9 + the r10 cohort for
+    #    r15.
     # -- round-13 cut. Staleness entering r13 (from CORRECTNESS_r1..r12):
     #    37 x r8 (last round's documented deferred tail), 48 rotating
     #    r9, 50 x r10, 50 x r11, 50 x r12 — plus 8 NEW registrations

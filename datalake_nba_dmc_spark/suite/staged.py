@@ -179,6 +179,16 @@ def _sim_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        leakage_safe_split,
+    )
+
+    return leakage_safe_split(_docs(spark, sf_dir))
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r14 registration slate as audit-runnable specs."""
     builders = {
@@ -213,5 +223,9 @@ def staged_specs() -> dict[str, QuerySpec]:
         # query with a FULL-VALUE cross-engine oracle (int64 dots of
         # per-vector symmetric int8 codes — no float accumulation)
         "sim_int8_dot_topk": _sim_int8_dot_topk,
+        # near-dup-aware train/val/test split: split by LSH CLUSTER id
+        # so near-duplicates can never straddle an eval boundary —
+        # leakage impossible by construction, split adds zero shuffles
+        "sample_leakage_safe_split": _sample_leakage_safe_split,
     }
     return {n: QuerySpec(n, b, None) for n, b in builders.items()}

@@ -3476,3 +3476,102 @@ def test_int8_dot_topk_agrees_with_float_cosine_ranking(spark):
         float_top = {c for _, c in dots}
         overlap += len(float_top & got[q])
     assert overlap >= 4 * len(qids), overlap
+
+
+def _leakage_split_oracle() -> str:
+    from datalake_nba_dmc_spark.operators.cdc import _M
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+    from datalake_nba_dmc_spark.suite.dedup import _minhash_clusters_oracle
+
+    mix = mixer_sql(f"(cluster_id % {_M})", "duck")
+    return f"""
+    SELECT doc_id, cluster_id,
+           CAST(({mix}) % 100 AS INTEGER) AS split_bucket,
+           CASE WHEN ({mix}) % 100 < 80 THEN 'train'
+                WHEN ({mix}) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ({_minhash_clusters_oracle(16, 4, 3)}) c
+    """
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_leakage_safe_split_duckdb_twin(spark, sf):
+    """leakage_safe_split (r13-staged, registers r14 as
+    sample_leakage_safe_split): near-dup-aware train/val/test
+    assignment — split by the avalanche mixer of the LSH CLUSTER id,
+    so near-duplicates can never straddle an eval boundary. The DuckDB
+    twin replays the whole clusters pipeline (the registered
+    dedup_minhash_portable_clusters oracle) plus the same mixer split
+    — every assignment bit-exact; the no-leakage law and the ~80/10/10
+    proportions are asserted on the result."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        leakage_safe_split,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    docs = TableRegistry(spark, sfd).documents
+    got = sorted(tuple(r) for r in leakage_safe_split(docs).collect())
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.execute(_leakage_split_oracle()).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # no-leakage law: every cluster lives in exactly one split
+    pairs = {(c, s) for _, c, _, s in got}
+    assert len(pairs) == len({c for _, c, _, _ in got})
+    # all three splits populated, train the large one (80/10/10 bands)
+    counts: dict = {}
+    for _, _, _, s in got:
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # the guard BITES: at least one multi-doc cluster exists (the
+    # corpus has near-dups), and its members share a split by the law
+    from collections import Counter
+
+    csize = Counter(c for _, c, _, _ in got)
+    assert any(n >= 2 for n in csize.values())
+
+
+def test_leakage_safe_split_laws(spark):
+    """Empty/validation/duplication laws + the leakage scenario itself:
+    two near-duplicate documents (one token edited) MUST land in the
+    same split — the per-document hash split they replace puts ~20% of
+    such pairs across the eval boundary."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        leakage_safe_split,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert leakage_safe_split(empty).collect() == []
+    with pytest.raises(ValueError, match="val_pct"):
+        leakage_safe_split(empty, val_pct=60, test_pct=50)
+    body = " ".join(f"w{(i * 13) % 89}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body + " extraterm"),       # near-dup of 1
+            (3, "completely different words " * 20),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: (r.cluster_id, r.split)
+            for r in leakage_safe_split(docs).collect()}
+    assert rows[1][0] == rows[2][0] == 1  # clustered together
+    assert rows[1][1] == rows[2][1]       # SAME split — no leakage
+    # set semantics: bit-identical under 100% duplication
+    one = sorted(tuple(r) for r in leakage_safe_split(docs).collect())
+    two = sorted(
+        tuple(r) for r in leakage_safe_split(docs.union(docs)).collect()
+    )
+    assert one == two

@@ -198,4 +198,5 @@ _R14_SLATE: set[str] = {
     "events_trailing_window_features",
     "stat_exact_quantiles_by_segment",
     "sim_int8_dot_topk",
+    "sample_leakage_safe_split",
 }
