@@ -582,6 +582,58 @@ def minhash_portable_clusters(
     )
 
 
+def _kmv_kept_hashes(
+    df: DataFrame, text_col: str, group_col: str, k: int
+):
+    """Shared KMV substrate of the theta-vocabulary family
+    (:func:`kmv_theta_vocab` / ``_overlap`` / ``_difference`` — one
+    definition so the tokenize → ASCII gate → mixer hash → DISTINCT →
+    top-k chain can never silently diverge between the estimators):
+    returns (distinct_h, kept) where distinct_h is the DISTINCT
+    (group, hash mod P) frame and kept its per-group k smallest
+    (rank <= k compiles to WindowGroupLimit — partial map-side prune
+    before the shuffle)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda t: t != ""
+    )
+    th = token_hash_sql("tok", "spark")
+    distinct_h = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.octet_length(text_col) == F.length(text_col))
+            )
+        )
+        .select(F.col(group_col), F.explode(toks).alias("tok"))
+        .select(
+            group_col,
+            (F.expr(th) % _MERSENNE31).cast("long").alias("_h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("_h")
+    kept = distinct_h.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    return distinct_h, kept
+
+
+def _kmv_thetas(kept: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Per-group theta from the kept frame: the k-th smallest hash, or
+    P when the group holds its whole set (n_kept < k — the sketch then
+    IS the set, the standard KMV small case)."""
+    return kept.groupBy(group_col).agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(_MERSENNE31))
+        .otherwise(F.max("_h"))
+        .cast("long")
+        .alias("theta")
+    )
+
+
 def kmv_theta_vocab(
     df: DataFrame,
     text_col: str = "text",
@@ -616,30 +668,7 @@ def kmv_theta_vocab(
     exact_distinct column is certificate scaffolding (it is the
     vocabulary-wide count the sketch replaces at 100 TB — the
     cms_heavy_hitters accounting)."""
-    from pyspark.sql import Window
-
-    if k < 2:
-        raise ValueError("k must be >= 2")
-    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    th = token_hash_sql("tok", "spark")
-    distinct_h = (
-        ensure_parallelism(
-            df.filter(
-                F.col(text_col).isNotNull()
-                & (F.octet_length(text_col) == F.length(text_col))
-            )
-        )
-        .select(F.col(group_col), F.explode(toks).alias("tok"))
-        .select(
-            group_col,
-            (F.expr(th) % _MERSENNE31).cast("long").alias("_h"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy(group_col).orderBy("_h")
-    topk = distinct_h.withColumn(
-        "_rk", F.row_number().over(w)
-    ).filter(F.col("_rk") <= k)
+    distinct_h, topk = _kmv_kept_hashes(df, text_col, group_col, k)
     exact = distinct_h.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("exact_distinct")
     )
@@ -697,38 +726,10 @@ def kmv_theta_vocab_overlap(
     thetas derive from the same kept frame instead of a second
     :func:`kmv_theta_vocab` pass, which would tokenize everything
     twice)."""
-    from pyspark.sql import Window
-
-    if k < 2:
-        raise ValueError("k must be >= 2")
-    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    th = token_hash_sql("tok", "spark")
-    distinct_h = (
-        ensure_parallelism(
-            df.filter(
-                F.col(text_col).isNotNull()
-                & (F.octet_length(text_col) == F.length(text_col))
-            )
-        )
-        .select(F.col(group_col), F.explode(toks).alias("tok"))
-        .select(
-            group_col,
-            (F.expr(th) % _MERSENNE31).cast("long").alias("_h"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy(group_col).orderBy("_h")
-    kept = distinct_h.withColumn("_rk", F.row_number().over(w)).filter(
-        F.col("_rk") <= k
-    )
+    _, kept = _kmv_kept_hashes(df, text_col, group_col, k)
     # theta from the kept frame itself (the kmv_theta_vocab rule: the
     # k-th smallest, or P when the group holds its whole set)
-    thetas = kept.groupBy(group_col).agg(
-        F.when(F.count(F.lit(1)) < k, F.lit(_MERSENNE31))
-        .otherwise(F.max("_h"))
-        .cast("long")
-        .alias("theta")
-    )
+    thetas = _kmv_thetas(kept, group_col, k)
     a = kept.select(
         F.col(group_col).alias("source_a"), F.col("_h").alias("_ha")
     ).join(
@@ -852,36 +853,8 @@ def kmv_theta_vocab_difference(
     rows per group; the pair join and the anti-membership check run
     over sketch rows only (a LEFT anti-style null-check join on the
     hash), never corpus rows."""
-    from pyspark.sql import Window
-
-    if k < 2:
-        raise ValueError("k must be >= 2")
-    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    th = token_hash_sql("tok", "spark")
-    distinct_h = (
-        ensure_parallelism(
-            df.filter(
-                F.col(text_col).isNotNull()
-                & (F.octet_length(text_col) == F.length(text_col))
-            )
-        )
-        .select(F.col(group_col), F.explode(toks).alias("tok"))
-        .select(
-            group_col,
-            (F.expr(th) % _MERSENNE31).cast("long").alias("_h"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy(group_col).orderBy("_h")
-    kept = distinct_h.withColumn("_rk", F.row_number().over(w)).filter(
-        F.col("_rk") <= k
-    )
-    thetas = kept.groupBy(group_col).agg(
-        F.when(F.count(F.lit(1)) < k, F.lit(_MERSENNE31))
-        .otherwise(F.max("_h"))
-        .cast("long")
-        .alias("theta")
-    )
+    _, kept = _kmv_kept_hashes(df, text_col, group_col, k)
+    thetas = _kmv_thetas(kept, group_col, k)
     pair_names = (
         thetas.select(
             F.col(group_col).alias("source_a"), F.col("theta").alias("_ta")
@@ -982,8 +955,14 @@ def leakage_safe_split(
         bands=bands,
         shingle_n=shingle_n,
     )
+    # the mixer's contract is a NON-NEGATIVE input; % follows the
+    # dividend's sign on BOTH engines, so a signed-hash id corpus would
+    # silently push the arithmetic outside its domain and collapse the
+    # val/test bands (negative bucket < train_hi). The add-then-mod
+    # form is the dialect-portable pmod.
     bucket = (
-        F.expr(mixer_sql(f"(cluster_id % {_M})", "spark")) % 100
+        F.expr(mixer_sql(f"(((cluster_id % {_M}) + {_M}) % {_M})", "spark"))
+        % 100
     ).cast("int")
     train_hi = 100 - val_pct - test_pct
     return clusters.select(

@@ -1163,10 +1163,12 @@ def int8_dot_topk(
     Scale shape: the query side is a bounded broadcast (``n_queries``
     rows — the sim_bruteforce_topk contract: this IS the exact
     baseline; the corpus-scale path is the registered LSH/IVF/PQ
-    family), the corpus is scanned once, scores are one
-    zip_with+aggregate fold per (query, candidate), and the top-k cut
-    is the rank<=k filter that compiles to WindowGroupLimit (partial
-    map-side prune before the shuffle)."""
+    family). The code frame is read TWICE — one TakeOrdered pass to
+    pick the n_queries smallest ids, one candidate-side scan (at 100 TB
+    the query set would be a given table, making it one scan) — scores
+    are one zip_with+aggregate fold per (query, candidate), and the
+    top-k cut is the rank<=k filter that compiles to WindowGroupLimit
+    (partial map-side prune before the shuffle)."""
     from pyspark.sql import Window
 
     if k < 1 or n_queries < 1:

@@ -831,59 +831,27 @@ def exact_quantiles_by(
     tempting ``-((-a) div b)`` ceiling trick silently degrades to
     FLOOR under truncation and is exactly the cross-engine division
     trap the suite's standing rules warn about."""
-    from pyspark.sql import Window
-
     probs = sorted(set(int(p) for p in probs_pct))
     if not probs or probs[0] < 1 or probs[-1] > 100:
         raise ValueError("probs_pct must be integers in [1, 100]")
-    xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    base = df.filter(
-        F.col(value_col).isNotNull() & F.col(by_col).isNotNull()
-    ).select(F.col(by_col), xs.alias("_xs"))
-    g = base.groupBy(by_col, "_xs").agg(F.count(F.lit(1)).alias("_c"))
-    rng = g.groupBy(by_col).agg(
-        F.min("_xs").cast("double").alias("_mn"),
-        (F.max("_xs").cast("double") - F.min("_xs").cast("double") + 1).alias(
-            "_span"
-        ),
+    # the shared segmented substrate with a constant-true split: cohort
+    # A is every row, so _ca/_cuma/n_a ARE the per-value count, the
+    # inclusive cumulative, and the segment total — one definition of
+    # the bucketed prefix sum instead of a third inline copy
+    cum, totals = _cohort_value_cum_by(
+        df, by_col, value_col, F.lit(True), scale, num_buckets
     )
-    bucketed = g.join(F.broadcast(rng), on=by_col).withColumn(
-        "_b",
-        (
-            (F.col("_xs").cast("double") - F.col("_mn"))
-            / F.col("_span")
-            * num_buckets
-        ).cast("long"),
-    )
-    w_b = (
-        Window.partitionBy(by_col)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        bucketed.groupBy(by_col, "_b")
-        .agg(F.sum("_c").alias("_bc"))
-        .withColumn("_off", F.coalesce(F.sum("_bc").over(w_b), F.lit(0)))
-        .select(by_col, "_b", "_off")
-    )
-    w_in = (
-        Window.partitionBy(by_col, "_b")
-        .orderBy("_xs")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        bucketed.join(F.broadcast(offsets), on=[by_col, "_b"])
-        .withColumn("_cum", F.sum("_c").over(w_in) + F.col("_off"))
-    )
-    totals = base.groupBy(by_col).agg(F.count(F.lit(1)).alias("n"))
     probed = (
-        cum.join(F.broadcast(totals), on=by_col)
+        cum.join(
+            F.broadcast(totals.select(by_col, F.col("n_a").alias("n"))),
+            on=by_col,
+        )
         .select(
             by_col,
             "n",
             "_xs",
-            "_c",
-            "_cum",
+            F.col("_ca").alias("_c"),
+            F.col("_cuma").alias("_cum"),
             F.explode(
                 F.array(*[F.lit(p) for p in probs])
             ).alias("p_pct"),

@@ -116,7 +116,9 @@ _CHECK_PRIORITY: list[str] = [
     #    stat_exact_quantiles_by_segment, sim_int8_dot_topk,
     #    sample_leakage_safe_split. The slate is mirrored 1:1 by
     #    suite/staged.py (audits load it via include_staged=True),
-    #    eight-mode audit-green, laws pinned, sf0.1 pre-baselines in
+    #    eight-mode audit-green (the ninth battery, malformed-bytes,
+    #    targets the media decode surface and does not apply to these
+    #    ops), laws pinned, sf0.1 pre-baselines in
     #    PERF.md. Window math for r14: 10 new + 40 of the 43 deferred
     #    r9 (below the edge) = 50, leaving 3 r9 + the r10 cohort for
     #    r15.

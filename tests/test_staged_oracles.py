@@ -3483,7 +3483,7 @@ def _leakage_split_oracle() -> str:
     from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
     from datalake_nba_dmc_spark.suite.dedup import _minhash_clusters_oracle
 
-    mix = mixer_sql(f"(cluster_id % {_M})", "duck")
+    mix = mixer_sql(f"(((cluster_id % {_M}) + {_M}) % {_M})", "duck")
     return f"""
     SELECT doc_id, cluster_id,
            CAST(({mix}) % 100 AS INTEGER) AS split_bucket,
