@@ -177,6 +177,25 @@ EXTENDED = [
     "sketch_theta_vocab",
     "sketch_theta_vocab_overlap",
     "dedup_cdc_reuse",
+    # r14 registrations (first same-harness baseline: BENCH_r14; staged
+    # pre-baselines from the r13 session, same host/sf0.1, PERF.md
+    # "r14-staged pre-baselines": coreness_bucketed 2.92 s
+    # (REBUILD_EACH_PASS), exactsubstr_pipeline 1.48 s steady,
+    # ks_by_segment 1.86 s, mw_by_segment 1.27 s, quantiles_by 1.08 s,
+    # theta_difference 1.45 s, asof_within 0.69 s, trailing_window
+    # 0.90 s, int8_topk 0.76 s, leakage_split 3.10 s steady / 15.7 s
+    # honest rebuild — cache-rides the clusters signature frame, see
+    # CACHE_RIDDEN)
+    "graph_coreness_bucketed",
+    "dedup_exactsubstr_pipeline",
+    "stat_ks_drift_by_segment",
+    "stat_mann_whitney_by_segment",
+    "stat_exact_quantiles_by_segment",
+    "sketch_theta_vocab_difference",
+    "events_asof_within_tolerance",
+    "events_trailing_window_features",
+    "sim_int8_dot_topk",
+    "sample_leakage_safe_split",
 ]
 
 #: Bench rows that ride another query's PERSISTED/cached intermediate by
@@ -189,6 +208,11 @@ CACHE_RIDDEN = [
     # rides dedup_minhash_portable_clusters' persisted signature frame
     # (independent cost ~4 s; the 0.08 s row is the plan-cache hit)
     "dedup_minhash_portable",
+    # r14: same design — the split is the clusters pipeline + a
+    # map-side mixer, so after clusters runs its persisted signature
+    # frame serves this row too (honest independent cost 15.7 s first
+    # build / 3.10 s steady, PERF.md "r14-staged pre-baselines")
+    "sample_leakage_safe_split",
 ]
 
 #: The r6-era extended membership (first 24 names) — used only to emit the
@@ -324,6 +348,10 @@ def main() -> None:
         # r13: the m=64 HyperBall estimate is the same eager-checkpoint
         # iterative builder as the m=32 trio above
         "graph_hyperball_m64_est",
+        # r14: the bucketed coreness is the same eager-checkpoint
+        # iterative loop as graph_coreness (PERF.md pre-baseline 2.92 s
+        # was measured under this definition)
+        "graph_coreness_bucketed",
     }
 
     samples: dict[str, list[float]] = {}

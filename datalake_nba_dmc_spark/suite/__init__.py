@@ -106,136 +106,50 @@ NO_ORACLE_PINNED: list[str] = [
 ]
 
 _CHECK_PRIORITY: list[str] = [
-    # -- r14 plan (for the next cut): TEN staged operators carry green
-    #    DuckDB twins (tests/test_staged_oracles.py r14 block) and
-    #    register next round per the freeze — graph_coreness_bucketed
-    #    (skew-safe histogram h-index, REBUILD_EACH_PASS),
-    #    dedup_exactsubstr_pipeline, stat_ks_drift_by_segment,
-    #    stat_mann_whitney_by_segment, sketch_theta_vocab_difference,
-    #    events_asof_within_tolerance, events_trailing_window_features,
-    #    stat_exact_quantiles_by_segment, sim_int8_dot_topk,
-    #    sample_leakage_safe_split. The slate is mirrored 1:1 by
-    #    suite/staged.py (audits load it via include_staged=True),
-    #    eight-mode audit-green (the ninth battery, malformed-bytes,
-    #    targets the media decode surface and does not apply to these
-    #    ops), laws pinned, sf0.1 pre-baselines in
-    #    PERF.md. Window math for r14: 10 new + 40 of the 43 deferred
-    #    r9 (below the edge) = 50, leaving 3 r9 + the r10 cohort for
-    #    r15.
-    # -- round-13 cut. Staleness entering r13 (from CORRECTNESS_r1..r12):
-    #    37 x r8 (last round's documented deferred tail), 48 rotating
-    #    r9, 50 x r10, 50 x r11, 50 x r12 — plus 8 NEW registrations
-    #    (the r12-staged slate, each in its own round's window per the
-    #    registry freeze). Window math: 8 new + 37 r8 + 5 r9 = 50.
-    #    The r8 cohort enters IN FULL, so the rotating r8 backlog is
-    #    CLEARED: r8-backlog after r13 = 0. Historical cut documentation
-    #    (r8..r12 window composition + per-name deferral redundancy)
-    #    lives in git history of this file and reconstructs from
-    #    CORRECTNESS_r*.json via tools/window_plan.py.
+    # -- r15 plan (for the next cut): the r14-staged slate (see
+    #    suite/staged.py) registers next round per the freeze, then the
+    #    3 deferred r9 names below the edge + the r10 cohort rotate in.
+    # -- round-14 cut. Staleness entering r14 (from CORRECTNESS_r1..r13):
+    #    43 rotating r9 (last round's documented deferred tail), 50 x
+    #    r10, 50 x r11, 50 x r12, 50 x r13 — plus 10 NEW registrations
+    #    (the r13-staged slate, each in its own round's window per the
+    #    registry freeze). Window math: 10 new + 40 r9 = 50, leaving
+    #    3 r9 + the r10 cohort to lead the r15 cut. Historical cut
+    #    documentation (r8..r13 window composition + per-name deferral
+    #    redundancy) lives in git history of this file and reconstructs
+    #    from CORRECTNESS_r*.json via tools/window_plan.py.
     # -- 1. never-checked: registered THIS round, in their own round's
-    #    window. The 8-op r12-staged slate, every twin green at two
-    #    scales (tests/test_staged_oracles.py + the m=64 twin in
-    #    tests/test_hyperball.py) and nine-mode audit-hardened BEFORE
-    #    registration: stat_ks_drift = exact two-sample KS via the
-    #    two-phase prefix-sum ECDF; stat_mann_whitney = doubled-midrank
-    #    U/AUC on the same substrate; text_hashed_tfidf = hashing-trick
-    #    fixed-width features, integer micro-nat contract;
-    #    dedup_span_suppress = ExactSubstr cut-list application;
-    #    graph_hyperball_m64_est = the m>32 HyperBall path as a
-    #    standing query (REBUILD_EACH_PASS); sketch_theta_vocab +
-    #    sketch_theta_vocab_overlap = portable KMV/theta distinct-vocab
-    #    sketches + the set-operation estimates HLL cannot provide;
-    #    dedup_cdc_reuse = re-crawl chunk-reuse accounting.
-    "stat_ks_drift",
-    "stat_mann_whitney",
-    "text_hashed_tfidf",
-    "dedup_span_suppress",
-    "graph_hyperball_m64_est",
-    "sketch_theta_vocab",
-    "sketch_theta_vocab_overlap",
-    "dedup_cdc_reuse",
-    # -- 2. the FULL deferred-r8 tail (37) — r8-backlog after r13 = 0
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_part_promotion",
-    "y2_range_sorted_roundtrip",
-    "w9_time_range_hour",
-    "a5_column_bounds",
-    "dedup_keep_best_quality",
-    "emb_int8_quantize",
-    "events_daily_anomalies",
-    "events_dedup_replay",
-    "events_transition_matrix",
-    "j1_left_join_single_key",
-    "join_price_band_lookup",
-    "k3_orc_roundtrip",
-    "k4_csv_landing_roundtrip",
-    "mart_rfm_segments",
-    "profile_price_outliers",
-    "sample_weighted_topk",
-    "sim_hard_negatives",
-    "sim_lsh_multiprobe_recall",
-    "skew_salted_join",
-    "text_source_overlap",
-    "media_jpeg_decode_stats",
-    "text_bm25_multiquery",
-    "media_png_palette_roundtrip",
-    "text_unigram_lm_segment",
-    "er_fuzzy_name_pairs",
-    "events_top_paths",
-    "events_last_touch_attribution",
-    "sketch_quantile_rollup",
-    "text_gopher_quality",
-    "text_gram_novelty",
-    "text_heavy_hitters",
-    "text_unigram_logprob",
-    "tpch_q3_shipping_priority",
-    "w1_latest_order_per_customer",
-    # -- 3. stalest r9 cohort (5 of 48; the other 43 deferred, below).
-    #    Selection rule (the r10-r12 precedent): r9 names bench.py times
-    #    EVERY round defer with that standing perf+smoke coverage; these
-    #    5 are the stalest r9 names with NO bench row.
-    "w7_first_last_order",
-    "agg_grouping_sets",
-    "stat_gini_order_value",
-    "p4p5_derived_columns",
-    "f1_filter_eq",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r9 (43): lead the r14 cut, contiguously past the edge.
-    #    15 are bench-timed EVERY round (executed at sf0.1 each bench
-    #    run, crash/regression visible round-over-round):
-    #    flagship_customer_resume (HEADLINE), a2_dynamic_sum_agg
-    #    (HEADLINE), w4_running_sum (HEADLINE), sort_topk (HEADLINE),
-    #    stat_exact_moments (HEADLINE), text_stats (HEADLINE),
-    #    sketch_theta_overlap, agg_incremental_maintenance,
-    #    stat_psi_price_drift, mart_basket_pairs,
-    #    lakehouse_version_diff, dedup_repeated_spans,
-    #    dedup_contamination_bloom, dedup_substring_spans,
-    #    media_phash_dup_certificate. The 28 non-bench deferrals each
-    #    have an in-window code-path sibling: f2_null_guarded_parse /
-    #    x1x2x3_date_roundtrip / func_date_arithmetic /
-    #    conform_union_evolved / profile_winsorize on the in-window
-    #    conform+function family (p4p5_derived_columns, f1_filter_eq,
-    #    profile_price_outliers); j2-j4 / a1_dedup_rows /
-    #    a4_team_style_agg / w1_latest_order_maxby / w2_rank_in_group /
-    #    set_union_all / agg_percentiles on the in-window join/agg/
-    #    window surface (j1, tpch_q12/q13/q16/q20 multi-join shapes,
-    #    w1_latest_order_per_customer, w7_first_last_order,
-    #    agg_grouping_sets); events_latest_state_per_user /
-    #    events_variant_agg / events_user_idle_report /
-    #    events_user_running_totals / events_time_to_convert /
-    #    events_heatmap_hour_dow / join_nearest_tier on the four
-    #    in-window events queries + join_price_band_lookup;
-    #    k1_write_roundtrip / k5_file_manifest / k6_versioned_roundtrip
-    #    / k7_jsonl_landing_roundtrip on the in-window k-roundtrip
-    #    family (k3_orc, k4_csv, y2_range_sorted);
-    #    text_sentence_boilerplate / text_source_lang_diversity /
-    #    text_length_deciles on the in-window text family
-    #    (text_source_overlap, text_gopher_quality, text_heavy_hitters).
-    "flagship_customer_resume",
-    "a2_dynamic_sum_agg",
-    "w4_running_sum",
+    #    window. The 10-op r13-staged slate, every twin green at two
+    #    scales (tests/test_staged_oracles.py r14 block) and audit-
+    #    hardened BEFORE registration: graph_coreness_bucketed = the
+    #    skew-safe histogram h-index coreness (bit-equal law vs the
+    #    windowed path); dedup_exactsubstr_pipeline = ExactSubstr
+    #    generation -> cut-list -> suppression emitting the masked
+    #    corpus; stat_ks_drift_by_segment / stat_mann_whitney_by_segment
+    #    / stat_exact_quantiles_by_segment = the per-segment drift
+    #    suite on the segmented prefix-sum substrate;
+    #    sketch_theta_vocab_difference = theta set difference
+    #    completing the algebra; events_asof_within_tolerance = as-of
+    #    with max-staleness; events_trailing_window_features = kdb-wj
+    #    prefix-sum differencing; sim_int8_dot_topk = the first
+    #    similarity query with a full-value oracle;
+    #    sample_leakage_safe_split = near-dup-aware train/val/test.
+    "graph_coreness_bucketed",
+    "dedup_exactsubstr_pipeline",
+    "stat_ks_drift_by_segment",
+    "stat_mann_whitney_by_segment",
+    "stat_exact_quantiles_by_segment",
+    "sketch_theta_vocab_difference",
+    "events_asof_within_tolerance",
+    "events_trailing_window_features",
+    "sim_int8_dot_topk",
+    "sample_leakage_safe_split",
+    # -- 2. the rotating r9 cohort: 40 of the 43 deferred names enter;
+    #    the 3 deferred past the edge (flagship_customer_resume,
+    #    a2_dynamic_sum_agg, w4_running_sum) are the strongest-covered
+    #    r9 names left — all three are HEADLINE rows bench.py times
+    #    EVERY round (crash/regression visible round-over-round), and
+    #    flagship additionally runs in entry() every driver smoke.
     "sort_topk",
     "stat_exact_moments",
     "text_stats",
@@ -276,6 +190,14 @@ _CHECK_PRIORITY: list[str] = [
     "text_sentence_boilerplate",
     "text_source_lang_diversity",
     "text_length_deciles",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r9 (3): lead the r15 cut, contiguously past the edge.
+    #    All three are bench-timed HEADLINE rows executed at sf0.1
+    #    every round; flagship_customer_resume is also the entry()
+    #    smoke query the driver runs every single round.
+    "flagship_customer_resume",
+    "a2_dynamic_sum_agg",
+    "w4_running_sum",
 ]
 
 # The pinned no-oracle names close the rotation (see NO_ORACLE_PINNED):

@@ -1301,3 +1301,237 @@ def sketch_theta_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return kmv_theta_vocab_overlap(docs, k=_KMV_K)
+
+
+# --- r14 registrations: the per-segment drift suite + theta difference ---
+
+_KS_BY_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+), g AS (
+  SELECT seg, xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY seg, xs
+), c AS (
+  SELECT seg, xs,
+         CAST(SUM(ca) OVER (PARTITION BY seg ORDER BY xs
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (PARTITION BY seg ORDER BY xs
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+  FROM g
+), n AS (
+  SELECT seg, CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+  FROM base GROUP BY seg
+)
+SELECT n.seg AS o_orderpriority, n.n_a, n.n_b,
+       CAST(MAX(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)) * 1000000
+            // GREATEST(n.n_a * n.n_b, 1) AS BIGINT) AS ks_d_micro
+FROM c JOIN n ON c.seg = n.seg
+GROUP BY n.seg, n.n_a, n.n_b
+"""
+
+
+@query("stat_ks_drift_by_segment", oracle=_KS_BY_ORACLE)
+def stat_ks_drift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact two-sample KS (operators/stats.ks_two_sample_by,
+    registered r14): the drift SCAN that runs after the global
+    stat_ks_drift fires — "WHICH o_orderpriority segment drifted?" —
+    one exact D per segment between the pre-1998 and 1998+ cohorts,
+    same integer contract (cross-multiplied ECDF numerator, floor micro
+    division, in-plan int64 guard). The twin is the sequential
+    per-segment running-sum formulation; the operator rides the
+    SEGMENTED two-phase prefix-sum substrate (_cohort_value_cum_by):
+    every window keyed by (segment, bucket), so segment count
+    multiplies parallelism, never any single task's rows — the
+    unpartitioned pass stays <= num_buckets rows per segment frame."""
+    from datalake_nba_dmc_spark.operators.stats import ks_two_sample_by
+
+    orders = TableRegistry(spark, sf_dir).orders
+    return ks_two_sample_by(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+    )
+
+
+_MW_BY_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+), g AS (
+  SELECT seg, xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY seg, xs
+), c AS (
+  SELECT seg, xs, ca, cb,
+         CAST(SUM(ca + cb) OVER (PARTITION BY seg ORDER BY xs
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumall
+  FROM g
+), r AS (
+  SELECT seg, CAST(SUM(ca * (2 * (cumall - (ca + cb)) + (ca + cb) + 1))
+              AS BIGINT) AS r2a
+  FROM c GROUP BY seg
+), n AS (
+  SELECT seg, CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+  FROM base GROUP BY seg
+)
+SELECT n.seg AS o_orderpriority, n.n_a, n.n_b,
+       r.r2a - n.n_a * (n.n_a + 1) AS u2_a,
+       2 * n.n_a * n.n_b - (r.r2a - n.n_a * (n.n_a + 1)) AS u2_b,
+       (r.r2a - n.n_a * (n.n_a + 1)) * 1000000
+         // GREATEST(2 * n.n_a * n.n_b, 1) AS auc_micro
+FROM r JOIN n ON r.seg = n.seg
+"""
+
+
+@query("stat_mann_whitney_by_segment", oracle=_MW_BY_ORACLE)
+def stat_mann_whitney_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment exact Mann-Whitney U / AUC (operators/stats.
+    mann_whitney_u_by, registered r14): stochastic-dominance scan next
+    to stat_ks_drift_by_segment — doubled-midrank integer contract,
+    the U-sum law u2_a + u2_b == 2*n_a*n_b pinned PER SEGMENT, AUC
+    micro division int64-guarded in-plan. Same segmented prefix-sum
+    substrate; the weighted rank sum is one map-side-combinable
+    hash-agg per segment, the totals join a 5-row broadcast."""
+    from datalake_nba_dmc_spark.operators.stats import mann_whitney_u_by
+
+    orders = TableRegistry(spark, sf_dir).orders
+    return mann_whitney_u_by(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+    )
+
+
+_QUANTILES_BY_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xs
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), g AS (
+  SELECT seg, xs, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY seg, xs
+), cgrid AS (
+  SELECT seg, xs, c,
+         CAST(SUM(c) OVER (PARTITION BY seg ORDER BY xs
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM g
+), n AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY seg
+), probs AS (SELECT unnest([25, 50, 75, 90, 99]) AS p_pct)
+SELECT c.seg AS o_orderpriority, CAST(p.p_pct AS INTEGER) AS p_pct, n.n,
+       c.xs AS q_scaled
+FROM cgrid c JOIN n USING (seg) CROSS JOIN probs p
+WHERE c.cum >= ((p.p_pct * n.n + 99) // 100)
+  AND c.cum - c.c < ((p.p_pct * n.n + 99) // 100)
+"""
+
+
+@query("stat_exact_quantiles_by_segment", oracle=_QUANTILES_BY_ORACLE)
+def stat_exact_quantiles_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT nearest-rank quantiles per segment (operators/stats.
+    exact_quantiles_by, registered r14): the exact counterpart to
+    percentile_approx for drift gates and SLAs that need the true
+    value, not a sketch bound — p25/50/75/90/99 of o_totalprice per
+    o_orderpriority WITHOUT sorting the corpus. The quantile probe is
+    a RANK-CUT FILTER over the segmented prefix-sum grid (the row
+    holding rank r is the unique one with cum-cnt < r <= cum); probs
+    ride a literal explode, totals a broadcast — empty segments yield
+    no rows (rank cut, never a scalar subquery). Integer contract:
+    ceil(p*n/100) as (p*n + 99) div 100, the positive-operand form
+    identical under truncating (Spark div, DuckDB //) AND floor
+    division — staging caught the -((-a) div b) ceiling trick
+    silently degrading to floor on BOTH engines (standing rule; the
+    twin carries a brute-force sorted-list cross-check)."""
+    from datalake_nba_dmc_spark.operators.stats import exact_quantiles_by
+
+    orders = TableRegistry(spark, sf_dir).orders
+    return exact_quantiles_by(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        probs_pct=(25, 50, 75, 90, 99),
+    )
+
+
+def _kmv_diff_oracle(k: int) -> str:
+    from datalake_nba_dmc_spark.operators.dedup import _MERSENNE31
+
+    return rf"""
+    WITH {_kmv_topk_ctes(k)},
+    pg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(h) AS BIGINT) AS maxh
+      FROM topk GROUP BY source
+    ), thetas AS (
+      SELECT source,
+             CAST(CASE WHEN n_kept < {k} THEN {_MERSENNE31}
+                  ELSE maxh END AS BIGINT) AS theta
+      FROM pg
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             LEAST(a.theta, b.theta) AS theta_min
+      FROM thetas a JOIN thetas b ON a.source != b.source
+    ), abelow AS (
+      SELECT p.source_a, p.source_b, p.theta_min, ka.h
+      FROM pairs p JOIN topk ka
+        ON ka.source = p.source_a AND ka.h < p.theta_min
+    ), aonly AS (
+      SELECT source_a, source_b, theta_min,
+             CAST(COUNT(*) AS BIGINT) AS n_a_only
+      FROM abelow ab
+      WHERE NOT EXISTS (SELECT 1 FROM topk kb
+                        WHERE kb.source = ab.source_b AND kb.h = ab.h)
+      GROUP BY 1, 2, 3
+    )
+    SELECT p.source_a, p.source_b, p.theta_min,
+           COALESCE(o.n_a_only, 0) AS n_a_only,
+           (COALESCE(o.n_a_only, 0) * {_MERSENNE31} * 1000000)
+             // GREATEST(p.theta_min, 1) AS diff_est_micro
+    FROM pairs p
+    LEFT JOIN aonly o USING (source_a, source_b, theta_min)
+    """
+
+
+@query("sketch_theta_vocab_difference", oracle=_kmv_diff_oracle(_KMV_K))
+def sketch_theta_vocab_difference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch set DIFFERENCE |A \\ B| (operators/portable_sketch.
+    kmv_theta_vocab_difference, registered r14) — completes the theta
+    set algebra next to the registered union/intersection overlap
+    query: per ORDERED source pair, a's kept hashes below theta_min
+    absent from b's kept sketch, scaled by P/theta_min — "how much of
+    A's vocabulary does B NOT have", the asymmetric curation question
+    (directional novelty) inclusion-exclusion over HLL cannot answer.
+    a's sample is restricted below theta_min and probed against b's
+    FULL kept sketch (complete below theta_b >= theta_min by the KMV
+    invariant, so membership there is exact). Corpus scanned ONCE (the
+    shared kept/theta substrate); the anti-join runs over <= k*groups
+    sketch rows. n_a_only <= k law pinned; ordered-pair grid complete
+    (g*(g-1) rows) by construction."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        kmv_theta_vocab_difference,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return kmv_theta_vocab_difference(docs, k=_KMV_K)

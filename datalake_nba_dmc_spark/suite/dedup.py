@@ -1332,3 +1332,128 @@ def dedup_cdc_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return cdc_reuse_report(docs, divisor=16, edit_every=3)
+
+
+# --- r14 registrations: ExactSubstr end-to-end + leakage-safe split ---
+
+_EXACTSUBSTR_ORACLE = rf"""
+WITH toks_t AS (
+  SELECT doc_id, text,
+         list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + 7], ' ') AS gram
+  FROM toks_t, LATERAL unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+), occ AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt
+        FROM grams)
+  WHERE cnt >= 2
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM occ
+), sp AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span_id
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM sp GROUP BY doc_id, span_id
+), pos_tok AS (
+  SELECT DISTINCT doc_id, u.i - 1 AS pos, toks[CAST(u.i AS INTEGER)] AS tok
+  FROM toks_t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM pos_tok p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.pos >= s.s AND p.pos < s.e)
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS mt,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE COALESCE(a.mt, '') END AS masked_text,
+       CASE WHEN t.text IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+       END AS n_tokens_removed
+FROM toks_t t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("dedup_exactsubstr_pipeline", oracle=_EXACTSUBSTR_ORACLE)
+def dedup_exactsubstr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ExactSubstr dedup (operators/dedup.mask_repeated_spans,
+    registered r14 — VERDICT r12 ask #7 closed as a registered query):
+    generation → cut-list → SUPPRESSION as one pipeline emitting the
+    masked corpus itself — (doc_id, masked_text, n_tokens_removed),
+    where dedup_span_suppress ships only the per-doc accounting. The
+    twin re-derives spans from gram STRINGS and re-joins surviving
+    tokens, so every masked byte is the cross-engine contract. The
+    partition law kept + removed == n_tokens and the dup law (a
+    duplicated corpus can only remove MORE) are pytest-pinned. Scale
+    shape: rolling 64-bit window hashes (map-only), shared-window
+    detection as a hash-agg on the hash, island merge inside per-doc
+    windows, and the mask applied as a per-doc filter+reassemble
+    projection — k rows per shared span, the text column never
+    joins against itself."""
+    from datalake_nba_dmc_spark.operators.dedup import mask_repeated_spans
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return mask_repeated_spans(docs, n=8, min_count=2).select(
+        "doc_id", "masked_text", "n_tokens_removed"
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from datalake_nba_dmc_spark.operators.cdc import _M
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+    mix = mixer_sql(f"(((cluster_id % {_M}) + {_M}) % {_M})", "duck")
+    return f"""
+    SELECT doc_id, cluster_id,
+           CAST(({mix}) % 100 AS INTEGER) AS split_bucket,
+           CASE WHEN ({mix}) % 100 < 80 THEN 'train'
+                WHEN ({mix}) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ({_minhash_clusters_oracle(16, 4, 3)}) c
+    """
+
+
+@query("sample_leakage_safe_split", oracle=_leakage_split_oracle())
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (operators/portable_sketch.
+    leakage_safe_split, registered r14): assignment by the avalanche
+    mixer of the LSH CLUSTER id (the registered
+    dedup_minhash_portable_clusters pipeline), so near-duplicates can
+    NEVER straddle an eval boundary — the leakage a per-document hash
+    split commits ~P(val+test) of the time is impossible by
+    construction. The twin replays the whole clusters closure plus the
+    same mixer split; the no-leakage law (every cluster in exactly one
+    split) and the one-token-edit straddle scenario are pytest-pinned.
+    Cluster ids are pmod-folded non-negative BEFORE the mixer (the r13
+    self-review fix — a negative-id corpus would otherwise collapse
+    the val/test bands on both engines). Percent bands are exact at
+    CLUSTER grain; document-grain proportions approximate them under
+    cluster-size skew. Scale shape: the clusters pipeline (one corpus
+    scan, banded star edges, component loop) + a map-side mixer
+    projection — the split itself adds ZERO shuffles; in a shared
+    session it rides the clusters query's persisted signature frame
+    (bench annotates the row cache_ridden; PERF.md carries the honest
+    15.7 s rebuild / 3.10 s steady independent costs)."""
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        leakage_safe_split,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    return leakage_safe_split(docs)

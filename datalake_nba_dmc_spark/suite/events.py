@@ -957,3 +957,118 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# --- r14 registrations: as-of tolerance + trailing-window features ---
+
+_ASOF_WITHIN_ORACLE = """
+WITH p AS (
+  SELECT * FROM (
+    SELECT user_id AS k, ts AS pt, event_id AS purchase_event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN e.ts IS NOT NULL
+                 AND p.pt >= e.ts - INTERVAL 1 HOUR
+            THEN p.purchase_event_id END AS asof_purchase_event_id
+FROM events e
+ASOF LEFT JOIN p ON e.user_id = p.k AND e.ts >= p.pt
+"""
+
+
+@query("events_asof_within_tolerance", oracle=_ASOF_WITHIN_ORACLE)
+def events_asof_within_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join with MAX-STALENESS tolerance (operators/temporal.
+    asof_join_within, registered r14 — pandas merge_asof(tolerance) /
+    kdb wj semantics): each event carries its user's most recent
+    purchase ONLY if that purchase is <= 1 hour old; older matches
+    null out exactly as if no purchase governed. Correctness rides the
+    as-of invariant — the carried row is THE latest <= ts, so if IT is
+    stale every candidate is — making one map-side post-mask on the
+    carried timestamp a complete implementation: cost identical to the
+    plain as-of (ONE union-merge exchange + partitioned sort), the
+    tolerance never touches the shuffle. The DuckDB twin uses native
+    ASOF LEFT JOIN plus the same tolerance CASE. Purchases
+    deduplicated to one row per (user, ts) by deterministic
+    top1_per_group, as the as-of right-side contract requires."""
+    ev = TableRegistry(spark, sf_dir).events.select(
+        "event_id", "user_id", "ts"
+    )
+    purch = top1_per_group(
+        TableRegistry(spark, sf_dir)
+        .events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("pt"),
+            F.col("event_id").alias("purchase_event_id"),
+        ),
+        ["user_id", "pt"],
+        [F.col("purchase_event_id").desc()],
+    )
+    from datalake_nba_dmc_spark.operators.temporal import asof_join_within
+
+    return asof_join_within(
+        ev,
+        purch,
+        key="user_id",
+        left_ts="ts",
+        right_ts="pt",
+        right_cols=["purchase_event_id"],
+        tolerance="interval 1 hour",
+    )
+
+
+_TRAILING_WINDOW_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS pt, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(COUNT(p.pt) AS BIGINT) AS win_count,
+       CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS win_sum_scaled
+FROM events e
+LEFT JOIN p ON p.user_id = e.user_id
+           AND p.pt > e.ts - INTERVAL 1 HOUR AND p.pt <= e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
+@query("events_trailing_window_features", oracle=_TRAILING_WINDOW_ORACLE)
+def events_trailing_window_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-window feature join (operators/temporal.
+    trailing_window_agg, registered r14 — the kdb wj / time-windowed
+    feature every event-driven training pipeline ships):
+    purchases-in-the-last-hour count + scaled sum per event, EXACTLY,
+    by PREFIX-SUM DIFFERENCING — right collapses to per-(user, ts)
+    running (count, sum) and each event reads the cumulative at ts and
+    at ts−1h via two as-of passes; the feature is their difference.
+    The DuckDB twin materializes the range join directly: fine at
+    100k events, |L|·|window| row explosion at 100 TB — the two-sort
+    form is the scale path, and the twin proves it exact. Window edges
+    (t−w, t] (left EXCLUSIVE, right inclusive) are pytest-pinned."""
+    t = TableRegistry(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts")
+    purch = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg,
+    )
+
+    return trailing_window_agg(
+        ev,
+        purch,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="value",
+        window="interval 1 hour",
+    )

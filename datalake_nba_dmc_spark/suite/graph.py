@@ -601,3 +601,26 @@ def graph_hyperball_m64_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_harmonic_estimate(
         _edges(spark, sf_dir), n_rounds=_HB_ROUNDS, m=64
     )
+
+
+@query("graph_coreness_bucketed", oracle=_coreness_oracle(_CORE_ROUNDS))
+def graph_coreness_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE coreness path as a standing driver query
+    (operators/graph.coreness_micro_bucketed, registered r14 — VERDICT
+    r12 ask #3's executed 100 TB swap): the same Lü et al. neighbor
+    h-index recurrence as graph_coreness, but each round's h-index
+    comes from a per-node value HISTOGRAM (hash-agg on (node, value) +
+    a bounded per-node bucket scan) instead of a sorted-neighbor
+    window — no per-node neighbor-row sort anywhere, so a
+    celebrity-degree node costs O(distinct values) not O(degree log
+    degree). Bit-equal to the windowed path per round (pytest law at
+    two scales), hence the SAME oracle string — the recurrence, not
+    the physical strategy, is the contract. Eager-checkpoint iterative
+    loop → REBUILD_EACH_PASS in bench (the hyperball precedent)."""
+    from datalake_nba_dmc_spark.operators.graph import (
+        coreness_micro_bucketed,
+    )
+
+    return coreness_micro_bucketed(
+        _edges(spark, sf_dir), n_rounds=_CORE_ROUNDS
+    )

@@ -578,3 +578,70 @@ def sim_embedding_near_dups_certificate(spark: SparkSession, sf_dir: str) -> Dat
             ).cast("int").alias("pair_ok"),
         )
     )
+
+
+# --- r14 registration: exact int8 SQ8 top-k ---
+
+_INT8_TOPK_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+), m AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS ma
+  FROM base
+), codes AS (
+  SELECT vec_id, ma,
+         CASE WHEN ma = 0
+              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(round(x * 127.0 / ma)
+                                               AS BIGINT)) END AS c
+  FROM m
+), q AS (
+  SELECT vec_id AS q_id, c AS qc, ma AS maq
+  FROM codes ORDER BY vec_id LIMIT 8
+), dots AS (
+  SELECT q.q_id, cd.vec_id AS c_id,
+         CAST(list_sum(list_transform(range(1, len(cd.c) + 1),
+              j -> q.qc[CAST(j AS INTEGER)] * cd.c[CAST(j AS INTEGER)]))
+              AS BIGINT) AS dot,
+         q.maq, cd.ma
+  FROM q JOIN codes cd ON cd.vec_id != q.q_id
+), sc AS (
+  SELECT q_id, c_id, dot,
+         CAST(round(CAST(dot AS DOUBLE) * maq * ma * 1000000.0
+                    / 16129.0) AS BIGINT) AS score_micro
+  FROM dots
+), r AS (
+  SELECT q_id, c_id, dot, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score_micro DESC, c_id ASC) AS rnk
+  FROM sc
+)
+SELECT q_id, CAST(rnk AS BIGINT) AS rank, c_id, dot, score_micro
+FROM r WHERE rnk <= 5
+"""
+
+
+@query("sim_int8_dot_topk", oracle=_INT8_TOPK_ORACLE)
+def sim_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact int8-quantized (SQ8) dot-product top-k (operators/
+    similarity.int8_dot_topk, registered r14): the FIRST similarity
+    query with a FULL-VALUE cross-engine oracle — symmetric per-vector
+    int8 codes make every dot an exact int64, and the serving score
+    descales by multiplying the per-vector scales back (score_micro =
+    dot·ma_q·ma_c·10^6/127², ONE fixed IEEE multiply tree → identical
+    doubles both engines), so the ranking tracks the RAW float dot
+    while staying hash-exact — where float32 cosine can only ever be
+    certificate-checked (sim_*_recall). Quality law pinned: int8 top-5
+    overlaps the raw float top-5 in >= 4/5 positions on average. Scale
+    shape: query side a bounded n_queries-row broadcast; one
+    zip_with+aggregate integer fold per (query, candidate); rank<=k
+    cut with deterministic (score DESC, id ASC) tiebreak — the brute
+    scan is the BASELINE serving path; the IVF/LSH variants bound the
+    candidate set when the corpus outgrows it."""
+    from datalake_nba_dmc_spark.operators.similarity import int8_dot_topk
+
+    return int8_dot_topk(
+        TableRegistry(spark, sf_dir).embeddings, k=5, n_queries=8
+    )
