@@ -846,10 +846,14 @@ def kmv_theta_vocab_difference(
 
     Estimator: below theta_min = min(theta_a, theta_b), each group's
     kept hashes are a uniform rate-theta_min/P sample of its set, so
-    the kept-a hashes NOT kept by b — both sides restricted below
-    theta_min, where each sketch is complete for its own set — count
-    the difference sample; n_a_only * P/theta_min estimates the
-    difference. Same one-scan shape as the overlap: sketches are k
+    the kept-a hashes NOT in b's sketch count the difference sample —
+    only a's side is restricted below theta_min; each candidate is
+    probed against b's FULL kept sketch, which is complete below
+    theta_b >= theta_min by the KMV invariant (any b-hash < theta_min
+    is necessarily kept), so membership there is exact and a
+    redundant b-side filter would change nothing. n_a_only *
+    P/theta_min estimates the difference. Same one-scan shape as the
+    overlap: sketches are k
     rows per group; the pair join and the anti-membership check run
     over sketch rows only (a LEFT anti-style null-check join on the
     hash), never corpus rows."""
@@ -935,7 +939,12 @@ def leakage_safe_split(
     mixer of the cluster id folded to 0..99 (the suite's engine-free
     hash — deterministic, engine-portable, and independent of document
     COUNT so re-crawls keep their split), split = train/val/test by
-    the (100−val−test, val, test) percent bands.
+    the (100−val−test, val, test) percent bands. The percent bands are
+    exact only at CLUSTER grain: document-grain proportions
+    approximate ``val_pct``/``test_pct`` and can drift materially when
+    near-dup cluster sizes are skewed (a giant cluster drags its whole
+    mass into one split — that is the no-leakage guarantee doing its
+    job, not a bug), plus a negligible 2^32 % 100 band bias.
 
     Scale shape: everything is the clusters pipeline (one corpus scan,
     banded star edges, component loop) plus one map-side mixer

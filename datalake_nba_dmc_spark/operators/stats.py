@@ -367,6 +367,15 @@ def bootstrap_ci_mean(
 #: statistics exactly at the 100 TB posture the operators advertise.
 _MICRO_I64_BOUND = ((1 << 63) - 1) // 1_000_000
 
+#: Hard cap on ``by_col`` cardinality in the per-segment substrate
+#: (:func:`_cohort_value_cum_by`): its per-segment (min, span) and
+#: totals frames are BROADCAST by design — correct for the
+#: dashboard-cardinality segment columns the operators document, and
+#: enforced in-plan so a mistaken high-cardinality segment column
+#: raises a contract error instead of an opaque broadcast/driver OOM.
+#: 100k rows of (segment, min, span) is still a few MB broadcast.
+_SEGMENT_BROADCAST_CAP = 100_000
+
 
 def _i64_guard(fn: str, *conds: Column) -> Column:
     """A 0-valued long column that RAISES when any int64-validity bound
@@ -645,7 +654,28 @@ def _cohort_value_cum_by(
         ),
     )
     # segments are dashboard-cardinality (the operator's contract);
-    # their (min, span) frame broadcasts like the global scalar did
+    # their (min, span) frame broadcasts like the global scalar did.
+    # The contract is ENFORCED in-plan (the _i64_guard pattern): the
+    # count window runs over the SEGMENT frame (one row per segment,
+    # never corpus rows) and raises loudly before a high-cardinality
+    # by_col can push an unbounded frame into the broadcast/driver
+    # path with an opaque OOM instead of a contract error.
+    n_seg = F.count(F.lit(1)).over(Window.partitionBy())
+    seg_guard = F.coalesce(
+        F.assert_true(
+            n_seg <= F.lit(_SEGMENT_BROADCAST_CAP),
+            F.lit(
+                "_cohort_value_cum_by: by_col cardinality exceeds the "
+                f"broadcast contract ({_SEGMENT_BROADCAST_CAP} segments)"
+                " — per-segment stats expect a dashboard-cardinality "
+                "segment column; bucket or hash the segments first"
+            ),
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    rng = rng.select(
+        by_col, (F.col("_mn") + seg_guard).alias("_mn"), "_span"
+    )
     bucketed = g.join(F.broadcast(rng), on=by_col).withColumn(
         "_b",
         (

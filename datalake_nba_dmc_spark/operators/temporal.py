@@ -114,10 +114,20 @@ def asof_join_within(
 
     The right timestamp is carried inside the same struct as the
     payload columns (the all-from-one-row rule), compared, then
-    dropped; ``right_cols`` must not already contain ``right_ts``."""
+    dropped; ``right_cols`` must not already contain ``right_ts``,
+    and ``left`` must not already contain the prefixed output names
+    (``prefix + right_ts`` rides the carry struct too) — the final
+    select would silently resolve the wrong column otherwise."""
     if right_ts in right_cols:
         raise ValueError("right_ts is carried implicitly; remove it "
                          "from right_cols")
+    reserved = {f"{prefix}{right_ts}", *(f"{prefix}{c}" for c in right_cols)}
+    clash = sorted(reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join_within: left already contains reserved output "
+            f"column(s) {clash}; rename them or pass a different prefix"
+        )
     carried = asof_join(
         left,
         right,
@@ -400,8 +410,25 @@ def trailing_window_agg(
 
     Values are scaled to longs (``round(v·scale)``, the suite rule) so
     counts AND sums are exact integers on any engine and partitioning;
-    a NULL left timestamp yields (0, 0) — no window, nothing in it."""
+    a NULL left timestamp yields (0, 0) — no window, nothing in it.
+
+    ``left`` must not already carry the internal carry/output names
+    (``_lo_ts``, the ``_hi_``/``_lo_`` cumulative columns, or the
+    ``prefix``ed outputs) — the differencing select would silently
+    read the caller's column otherwise, so collisions raise."""
     from pyspark.sql import Window
+
+    reserved = {
+        "_lo_ts", "_hi_cum_c", "_hi_cum_s", "_lo_cum_c", "_lo_cum_s",
+        f"{prefix}count", f"{prefix}sum_scaled",
+    }
+    clash = sorted(reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"trailing_window_agg: left already contains reserved "
+            f"internal/output column(s) {clash}; rename them or pass a "
+            f"different prefix"
+        )
 
     per_ts = (
         right.filter(

@@ -2958,6 +2958,29 @@ def test_r14_staged_ops_empty_degenerate_and_dup_laws(spark):
             empty_l, empty_r, key="user_id", left_ts="ts",
             right_ts="pt", right_cols=["pt", "x"],
         )
+    # reserved-name collision guards (r13 ADVICE): a left frame already
+    # carrying a prefixed output / internal carry name raises loudly
+    # instead of silently selecting the wrong column
+    clash_l = empty_l.withColumn("asof_x", F.lit(1))
+    with pytest.raises(ValueError, match="reserved output"):
+        asof_join_within(
+            clash_l, empty_r, key="user_id", left_ts="ts",
+            right_ts="pt", right_cols=["x"],
+        )
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg,
+    )
+
+    empty_rv = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    for bad in ("_lo_ts", "win_count"):
+        with pytest.raises(ValueError, match="reserved internal"):
+            trailing_window_agg(
+                empty_l.withColumn(bad, F.lit(1)), empty_rv,
+                key="user_id", left_ts="ts", right_ts="ts",
+                value_col="value",
+            )
 
     rows = [
         (f"s{i % 3}", float(i % 37) + (0.5 if i % 2 else 0.0),
@@ -3313,6 +3336,25 @@ def test_exact_quantiles_by_empty_dup_and_validation(spark):
     assert set(one) == set(two)
     for k, (n, q) in one.items():
         assert two[k] == (2 * n, q)
+
+
+def test_segment_broadcast_cap_guard(spark, monkeypatch):
+    """The per-segment substrate's broadcast contract is ENFORCED
+    in-plan (r13 ADVICE): a by_col whose cardinality exceeds
+    _SEGMENT_BROADCAST_CAP raises the contract error instead of
+    pushing an unbounded frame into the broadcast path. Pinned by
+    shrinking the cap (the guard reads the module constant at
+    plan-build time) so 5 segments trip it."""
+    from datalake_nba_dmc_spark.operators import stats as S
+
+    rows = [(f"s{i % 5}", float(i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["seg", "v"])
+    monkeypatch.setattr(S, "_SEGMENT_BROADCAST_CAP", 3)
+    with pytest.raises(Exception) as ei:
+        S.exact_quantiles_by(df, "seg", "v").collect()
+    assert "broadcast contract" in str(ei.value)
+    monkeypatch.setattr(S, "_SEGMENT_BROADCAST_CAP", 100_000)
+    assert len(S.exact_quantiles_by(df, "seg", "v").collect()) == 15
 
 
 _INT8_TOPK_ORACLE = """
