@@ -618,6 +618,38 @@ def mann_whitney_u(
     return stat
 
 
+def _cohort_value_counts_by(
+    df: DataFrame,
+    by_col: str,
+    value_col: str,
+    split_col: Column,
+    scale: int,
+):
+    """First stage of the per-segment substrate, shared by the
+    prefix-sum consumers (:func:`_cohort_value_cum_by`) and the
+    bin-grain consumers (:func:`psi_binned_by`): per-(segment,
+    scaled-value) conditional cohort counts ``g`` (one hash-agg,
+    map-side combined, O(per-segment distinct values) groups) plus
+    per-segment cohort totals. Rows with a NULL value, NULL split, or
+    NULL segment are excluded (an unknown segment cannot vote on any
+    segment's drift — the psi_binned rule)."""
+    xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & split_col.isNotNull()
+        & F.col(by_col).isNotNull()
+    ).select(F.col(by_col), xs.alias("_xs"), split_col.cast("long").alias("_ia"))
+    g = base.groupBy(by_col, "_xs").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(1 - F.col("_ia")).alias("_cb"),
+    )
+    totals = base.groupBy(by_col).agg(
+        F.sum("_ia").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("_ia")).alias("n_b"),
+    )
+    return g, totals
+
+
 def _cohort_value_cum_by(
     df: DataFrame,
     by_col: str,
@@ -632,20 +664,12 @@ def _cohort_value_cum_by(
     keyed by ``by_col`` — so each segment gets its own value grid and
     its own <= ``num_buckets``-row offset scan, and a hot segment
     parallelizes across its (segment, bucket) pairs exactly like the
-    global form. Rows with a NULL value, NULL split, or NULL segment
-    are excluded (an unknown segment cannot vote on any segment's
-    drift — the psi_binned rule)."""
+    global form. NULL handling lives in the shared first stage
+    (:func:`_cohort_value_counts_by`)."""
     from pyspark.sql import Window
 
-    xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    base = df.filter(
-        F.col(value_col).isNotNull()
-        & split_col.isNotNull()
-        & F.col(by_col).isNotNull()
-    ).select(F.col(by_col), xs.alias("_xs"), split_col.cast("long").alias("_ia"))
-    g = base.groupBy(by_col, "_xs").agg(
-        F.sum("_ia").alias("_ca"),
-        F.sum(1 - F.col("_ia")).alias("_cb"),
+    g, totals = _cohort_value_counts_by(
+        df, by_col, value_col, split_col, scale
     )
     rng = g.groupBy(by_col).agg(
         F.min("_xs").cast("double").alias("_mn"),
@@ -705,10 +729,6 @@ def _cohort_value_cum_by(
         bucketed.join(F.broadcast(offsets), on=[by_col, "_b"])
         .withColumn("_cuma", F.sum("_ca").over(w_in) + F.col("_offa"))
         .withColumn("_cumb", F.sum("_cb").over(w_in) + F.col("_offb"))
-    )
-    totals = base.groupBy(by_col).agg(
-        F.sum("_ia").alias("n_a"),
-        (F.count(F.lit(1)) - F.sum("_ia")).alias("n_b"),
     )
     return cum, totals
 
@@ -897,4 +917,76 @@ def exact_quantiles_by(
         F.col("p_pct").cast("int").alias("p_pct"),
         F.col("n").cast("long").alias("n"),
         F.col("_xs").cast("long").alias("q_scaled"),
+    )
+
+
+def psi_binned_by(
+    df: DataFrame,
+    by_col: str,
+    split_col: Column,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-SEGMENT Population Stability Index — the drift-monitor scan
+    completing the segment-capable family next to
+    :func:`ks_two_sample_by` / :func:`mann_whitney_u_by` ("WHICH
+    segment's distribution shifted, and in WHICH bins?"): one row per
+    (``by_col``, non-empty bin) with both cohorts' counts,
+    Laplace-smoothed shares, and the bin's PSI contribution
+    ``(pa − pb)·ln(pa/pb)`` rounded to 6 dp (the tf_idf ln rule) —
+    smoothing uses the PER-SEGMENT cohort totals, so each segment's
+    contributions sum to that segment's scalar PSI exactly as
+    :func:`psi_binned` defines it globally.
+
+    Substrate reuse (no fourth inline copy): rides
+    :func:`_cohort_value_counts_by`, the same per-(segment,
+    scaled-value) conditional-count stage the KS/MW/quantile family
+    consumes — bins derive from the SCALED grid (``round(v·scale)``,
+    then equi-width clamped bucketing over [lo, hi]), which the twin
+    replays; a raw-value edge case that rounds across a bin boundary
+    lands identically on both engines by construction.
+
+    Scale shape: one corpus scan → O(distinct (segment, value)) counts
+    (map-side combined) → one bin-grain hash-agg (≤ segments × nbins
+    groups) → per-segment totals joined back as a broadcast (enforced
+    dashboard-cardinality, the :data:`_SEGMENT_BROADCAST_CAP`
+    contract via the shared substrate's callers). No sort, no window,
+    no per-row state."""
+    if nbins < 1 or not (hi > lo):
+        raise ValueError("psi_binned_by: need hi > lo and nbins >= 1")
+    g, totals = _cohort_value_counts_by(
+        df, by_col, value_col, split_col, scale
+    )
+    w = (float(hi) - float(lo)) / nbins
+    bucket = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("_xs").cast("double") / scale - float(lo)) / F.lit(w)
+            ),
+            F.lit(0),
+        ),
+        F.lit(nbins - 1),
+    ).cast("int")
+    counts = (
+        g.select(by_col, bucket.alias("bucket"), "_ca", "_cb")
+        .groupBy(by_col, "bucket")
+        .agg(
+            F.sum("_ca").cast("long").alias("bin_a"),
+            F.sum("_cb").cast("long").alias("bin_b"),
+        )
+    )
+    sm = float(nbins) / 2.0
+    pa = (F.col("bin_a") + 0.5) / (F.col("n_a") + sm)
+    pb = (F.col("bin_b") + 0.5) / (F.col("n_b") + sm)
+    return counts.join(F.broadcast(totals), on=by_col).select(
+        by_col,
+        "bucket",
+        F.col("bin_a").alias("n_a"),
+        F.col("bin_b").alias("n_b"),
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
     )

@@ -1059,7 +1059,7 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_clusters_oracle(
-    num_hashes: int, bands: int, shingle_n: int
+    num_hashes: int, bands: int, shingle_n: int, where: str = "TRUE"
 ) -> str:
     from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
     from datalake_nba_dmc_spark.operators.portable_sketch import (
@@ -1085,7 +1085,7 @@ def _minhash_clusters_oracle(
                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
                x -> x != '') AS toks
       FROM (SELECT DISTINCT doc_id, text FROM documents
-            WHERE {_ASCII_WHERE})
+            WHERE ({_ASCII_WHERE}) AND ({where}))
     ), t2 AS (
       SELECT doc_id, toks FROM t WHERE len(toks) > 0
     ), grams AS (

@@ -3617,3 +3617,335 @@ def test_leakage_safe_split_laws(spark):
         tuple(r) for r in leakage_safe_split(docs.union(docs)).collect()
     )
     assert one == two
+
+
+# --- r14-staged slate (registers r15): per-segment PSI, IVF-SQ8 recall,
+# eval-decontaminated split. Each twin runs at BOTH gate scales.
+
+_PSI_BY_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+), c AS (
+  SELECT seg,
+         LEAST(GREATEST(CAST(FLOOR((CAST(xs AS DOUBLE) / 100.0 - 0.0)
+                                    / 60000.0) AS INT), 0), 9) AS bucket,
+         ia
+  FROM base
+), g AS (
+  SELECT seg, bucket, CAST(SUM(ia) AS BIGINT) AS n_a,
+         CAST(SUM(1 - ia) AS BIGINT) AS n_b
+  FROM c GROUP BY seg, bucket
+), t AS (
+  SELECT seg, CAST(SUM(ia) AS BIGINT) AS ta,
+         CAST(COUNT(*) - SUM(ia) AS BIGINT) AS tb
+  FROM base GROUP BY seg
+)
+SELECT g.seg AS o_orderpriority, g.bucket, g.n_a, g.n_b,
+       round((g.n_a + 0.5) / (t.ta + 5.0), 6) AS share_a,
+       round((g.n_b + 0.5) / (t.tb + 5.0), 6) AS share_b,
+       round(((g.n_a + 0.5) / (t.ta + 5.0) - (g.n_b + 0.5) / (t.tb + 5.0))
+             * ln(((g.n_a + 0.5) / (t.ta + 5.0))
+                  / ((g.n_b + 0.5) / (t.tb + 5.0))), 6) AS psi_contrib
+FROM g JOIN t USING (seg)
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_psi_by_segment_duckdb_twin(spark, sf):
+    """psi_binned_by (r14-staged, registers r15 as stat_psi_by_segment
+    — VERDICT r13 ask #8): per-segment PSI over the same 10-bin
+    [0, 600k] grid as the registered global stat_psi_price_drift, on
+    the shared per-(segment, value) counts substrate. The twin replays
+    the scaled-grid bucketing, per-segment Laplace smoothing, and the
+    6-dp-rounded ln contributions — every row bit-exact."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import psi_binned_by
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    orders = TableRegistry(spark, sfd).orders
+    got = sorted(
+        tuple(r)
+        for r in psi_binned_by(
+            orders,
+            "o_orderpriority",
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+            "o_totalprice",
+            lo=0.0,
+            hi=600000.0,
+            nbins=10,
+        ).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(sfd, 'orders.parquet')}'"
+    )
+    want = sorted(
+        (a, int(b), int(c), int(d), float(e), float(f), float(g))
+        for a, b, c, d, e, f, g in con.execute(_PSI_BY_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # all 5 segments report, buckets in range, shares in (0, 1)
+    segs = {r[0] for r in got}
+    assert len(segs) == 5
+    for _, b, n_a, n_b, sa, sb, _pc in got:
+        assert 0 <= b <= 9 and n_a >= 0 and n_b >= 0
+        assert 0.0 < sa < 1.0 and 0.0 < sb < 1.0
+
+
+def test_psi_by_segment_laws(spark):
+    """Empty in -> empty out; validation; and the single-segment
+    REDUCTION law: restricted to one segment (values chosen away from
+    the scaled-grid bin boundaries), psi_binned_by equals the
+    registered global psi_binned bit-for-bit with the segment column
+    attached — the by-variant is the same statistic, segmented."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import (
+        psi_binned,
+        psi_binned_by,
+    )
+
+    split = F.col("d") < F.lit("1998-01-01").cast("date")
+    empty = spark.createDataFrame([], "seg string, v double, d date")
+    assert psi_binned_by(empty, "seg", split, "v", 0.0, 10.0).collect() == []
+    with pytest.raises(ValueError, match="psi_binned_by"):
+        psi_binned_by(empty, "seg", split, "v", 5.0, 5.0)
+    rows = [
+        ("s0", float((i * 7) % 97) + 0.25, f"199{i % 9}-01-01")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["seg", "vs", "ds"]).select(
+        "seg", F.col("vs").alias("v"), F.col("ds").cast("date").alias("d")
+    )
+    by = sorted(
+        (r.bucket, r.n_a, r.n_b, r.share_a, r.share_b, r.psi_contrib)
+        for r in psi_binned_by(df, "seg", split, "v", 0.0, 100.0, 10).collect()
+    )
+    g = sorted(
+        tuple(r)
+        for r in psi_binned(df, split, "v", 0.0, 100.0, 10).collect()
+    )
+    assert by == g and len(by) == 10
+
+
+_IVF_SQ8_RECALL_ORACLE = """
+    SELECT DISTINCT vec_id AS query_id, 1 AS recall_ok
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_ivf_sq8_recall_duckdb_twin(spark, sf):
+    """ivf_sq8_topk (r14-staged, registers r15 as sim_ivf_sq8_recall —
+    VERDICT r13 ask #6): IVF probe -> exact-int8 SQ8 shortlist ->
+    exact cosine re-rank, certified against the brute-force exact
+    top-10 with the same >=3-hit floor as the registered
+    sim_ivf_recall (the SQ8 stage only reorders WITHIN the probe
+    shortlist, and the exact re-rank restores the float metric, so
+    recall tracks the plain IVF path)."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.similarity import ivf_sq8_topk
+    from datalake_nba_dmc_spark.sources import TableRegistry
+    from datalake_nba_dmc_spark.suite.similarity import (
+        _recall_check,
+        sim_bruteforce_topk,
+    )
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    emb = TableRegistry(spark, sfd).embeddings
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim_bruteforce_topk(spark, sfd)
+    approx = ivf_sq8_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    got = sorted(
+        (r.query_id, r.recall_ok)
+        for r in _recall_check(approx, exact, floor=3).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{os.path.join(sfd, 'embeddings.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b))
+        for a, b in con.execute(_IVF_SQ8_RECALL_ORACLE).fetchall()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_ivf_sq8_topk_laws(spark):
+    """Validation + the exactness hand case: with every cell probed and
+    the shortlist covering the corpus, the two-stage pipeline IS exact
+    — parallel (2x scale, same int8 codes) ranks above the near
+    neighbor, then orthogonal, then anti-parallel, with the
+    deterministic (cosine DESC, id ASC) self-tie break."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.similarity import ivf_sq8_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q_empty = spark.createDataFrame(
+        [], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="shortlist"):
+        ivf_sq8_topk(empty, q_empty, k=5, shortlist=2)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # parallel, 2x scale
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel
+        (4, [0.9, 0.1, 0.0]),   # near neighbor
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r.rank, r.vec_id)
+        for r in ivf_sq8_topk(
+            emb, q, k=5, n_centroids=2, n_probe=2, shortlist=5
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, 0), (2, 1), (3, 4), (4, 2), (5, 3)]
+
+
+def _eval_decon_split_oracle() -> str:
+    from datalake_nba_dmc_spark.operators.cdc import _M
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+    from datalake_nba_dmc_spark.suite.dedup import (
+        _DUCK_SHINGLES,
+        _NORM,
+        _minhash_clusters_oracle,
+    )
+
+    mix = mixer_sql(f"(((cluster_id % {_M}) + {_M}) % {_M})", "duck")
+    clusters = _minhash_clusters_oracle(16, 4, 3, where="doc_id % 20 != 0")
+    return f"""
+    WITH sbase AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN ({mix}) % 100 < 80 THEN 'train'
+                  WHEN ({mix}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ({clusters}) c
+    ), toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), corpus_g AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 20 != 0
+    ), bench_g AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 20 = 0
+    ), hits AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+      FROM corpus_g c JOIN bench_g b USING (gram)
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.cluster_id, s.split,
+           COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+           CASE WHEN s.split = 'train' AND COALESCE(h.n_eval_hits, 0) > 0
+                THEN 'quarantine' ELSE s.split END AS final_split
+    FROM sbase s LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_eval_decontaminated_split_duckdb_twin(spark, sf):
+    """The leakage-safe split composed with benchmark decontamination
+    (r14-staged, registers r15 as sample_eval_decontaminated_split —
+    VERDICT r13 ask #7): the doc_id % 20 == 0 slice plays the EXTERNAL
+    eval table; corpus docs get the near-dup-cluster split, and any
+    TRAIN doc sharing a 3-gram with the eval table quarantines — so
+    train is clean of eval content by construction, in ADDITION to the
+    intra-corpus no-straddle guarantee. Spark runs the honest
+    two-stage screen (Bloom superset -> exact recheck on flagged docs
+    only; equality with exact-on-all holds by the no-false-negative
+    certificate); the twin replays clusters + mixer + the exact gram
+    join end to end."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.suite.staged import (
+        _sample_eval_decontaminated_split,
+    )
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    got = sorted(
+        tuple(r) for r in _sample_eval_decontaminated_split(spark, sfd).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b), c, int(d), e)
+        for a, b, c, d, e in con.execute(_eval_decon_split_oracle()).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the decontamination BITES: some train docs quarantined, some
+    # train docs survive clean
+    n_quar = sum(1 for r in got if r[4] == "quarantine")
+    n_train = sum(1 for r in got if r[4] == "train")
+    assert n_quar > 0 and n_train > 0
+    # the no-leakage law over the EXTERNAL eval set: no surviving train
+    # doc shares a gram with the eval table
+    assert all(r[3] == 0 for r in got if r[4] == "train")
+    # val/test assignments are untouched by decontamination
+    assert all(
+        r[2] == r[4] for r in got if r[2] in ("val", "test")
+    )
+    # and the intra-corpus law still holds at cluster grain for the
+    # SPLIT (pre-quarantine) assignment
+    pairs = {(r[1], r[2]) for r in got}
+    assert len(pairs) == len({r[1] for r in got})
+
+
+def test_r15_staged_ops_layout_invariant(spark):
+    """Pre-empts the partition-perturbation audit for the r15 slate:
+    bit-identical rows under 3 vs 64 shuffle partitions."""
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata not present")
+    from datalake_nba_dmc_spark.suite.staged import staged_specs
+
+    specs = staged_specs()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[str, list] = {}
+    try:
+        for parts in (3, 64):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            for name, spec in specs.items():
+                df = spec.builder(spark, SF)
+                rows = sorted(
+                    tuple(str(v) for v in r) for r in df.collect()
+                )
+                assert rows, name
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name, (r1, r2) in results.items():
+        assert r1 == r2, f"{name} is layout-dependent"

@@ -190,4 +190,8 @@ def test_staged_specs_disjoint_and_planned():
 
 
 #: The planned r15 registration slate (updated as this round stages ops).
-_R15_SLATE: set[str] = set()
+_R15_SLATE: set[str] = {
+    "stat_psi_by_segment",
+    "sim_ivf_sq8_recall",
+    "sample_eval_decontaminated_split",
+}

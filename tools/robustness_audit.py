@@ -149,6 +149,7 @@ KNOWN_EMPTY: dict[str, str] = {
     "emb_cluster_assign_ok": "raises",
     "emb_pq_codes": "raises",
     "sim_ivf_recall": "raises",
+    "sim_ivf_sq8_recall": "raises",  # same ivf_index/KMeans empty contract
     "sim_ivf_topk": "raises",
     "sim_pq_adc_recall": "raises",
     "sim_semantic_dedup": "raises",
