@@ -990,3 +990,107 @@ def psi_binned_by(
         F.round(pb, 6).alias("share_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
     )
+
+
+def bootstrap_ci_mean_by(
+    df: DataFrame,
+    by_col: str,
+    value_col: str,
+    id_col: str,
+    n_resamples: int = 64,
+    seed: int = 42,
+    scale: int = 10**4,
+    alpha_pct: int = 5,
+) -> DataFrame:
+    """Per-SEGMENT Poisson-bootstrap CI for the mean of ``value_col`` —
+    the uncertainty primitive made segment-capable like the rest of the
+    drift family (:func:`ks_two_sample_by` / :func:`mann_whitney_u_by`
+    / :func:`psi_binned_by`): one row per segment, (``by_col``,
+    n_resamples, point_micro, lo_micro, hi_micro), all exact integers.
+    "Did THIS segment's mean move beyond resampling noise?" is the
+    per-cohort question the global interval cannot answer.
+
+    Same one-scan Poisson shape as :func:`bootstrap_ci_mean` (weights
+    from the avalanche-mixed (id, r, seed) hash through the embedded
+    integer CDF ladder — no engine RNG, twin replays every weight):
+    each row explodes into ``n_resamples`` contributions, the partial
+    aggregation leaves segments × n_resamples groups regardless of
+    corpus size, and the nearest-rank cut runs inside a per-segment
+    sorted array of exactly ``n_resamples`` means (every segment with
+    >= 1 row generates ALL resample groups by construction, so the
+    array length is a constant, never data-dependent). Segments ride
+    the group keys — per-segment cardinality multiplies PARALLELISM,
+    not any task's state; the dist⋈point stitch is a broadcast join on
+    the segment key instead of the global scalar cross join."""
+    if n_resamples < 2:
+        raise ValueError("n_resamples must be >= 2")
+    if not 0 < alpha_pct < 100:
+        raise ValueError("alpha_pct must be in (0, 100)")
+    xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(by_col).isNotNull()
+    ).select(F.col(by_col), F.col(id_col).alias("_id"), xs.alias("_xs"))
+    per_r = (
+        base.select(
+            by_col,
+            "_id",
+            "_xs",
+            F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias(
+                "r"
+            ),
+        )
+        .withColumn(
+            "w", F.expr(bootstrap_weight_sql("_id", "r", seed, "spark"))
+        )
+        .groupBy(by_col, "r")
+        .agg(
+            F.sum(F.col("w") * F.col("_xs")).alias("_swx"),
+            F.sum("w").alias("_sw"),
+        )
+        .select(
+            by_col,
+            "r",
+            F.when(
+                F.col("_sw") > 0,
+                F.floor(
+                    F.col("_swx").cast("double")
+                    / (F.col("_sw") * scale).cast("double")
+                    * F.lit(1000000.0)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_micro"),
+        )
+    )
+    lo_rank = max(1, -(-n_resamples * alpha_pct // 200))  # ceil
+    hi_rank = max(1, -(-n_resamples * (200 - alpha_pct) // 200))
+    point = base.groupBy(by_col).agg(
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.floor(
+                F.sum("_xs").cast("double")
+                / (F.count(F.lit(1)) * scale).cast("double")
+                * F.lit(1000000.0)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("point_micro")
+    )
+    dist = (
+        per_r.groupBy(by_col)
+        .agg(F.array_sort(F.collect_list("mean_micro")).alias("_means"))
+        .filter(F.size("_means") > 0)
+        .select(
+            by_col,
+            F.lit(n_resamples).cast("long").alias("n_resamples"),
+            F.try_element_at("_means", F.lit(lo_rank)).alias("lo_micro"),
+            F.try_element_at("_means", F.lit(hi_rank)).alias("hi_micro"),
+        )
+    )
+    return dist.join(F.broadcast(point), on=by_col).select(
+        by_col, "n_resamples", "point_micro", "lo_micro", "hi_micro"
+    )

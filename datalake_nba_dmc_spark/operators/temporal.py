@@ -485,3 +485,117 @@ def trailing_window_agg(
         cnt.cast("long").alias(f"{prefix}count"),
         ssum.cast("long").alias(f"{prefix}sum_scaled"),
     )
+
+
+def trailing_window_agg_multi(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    windows: dict[str, str],
+    scale: int = 100,
+    prefix: str = "win_",
+) -> DataFrame:
+    """N trailing windows in ONE pass — the multi-horizon feature block
+    ("purchases in the last 1h / 24h / 7d") every event-driven feature
+    store ships per event. Same prefix-sum differencing as
+    :func:`trailing_window_agg`, amortized: the per-key cumulative
+    table is built ONCE, the at-``left_ts`` cumulative is read ONCE,
+    and each extra window adds exactly one more as-of pass for its
+    lower edge — N windows cost N+1 sorts instead of the 2N of N
+    separate calls (and instead of the |L|·|window| explosion of N
+    range joins). Window edges per horizon: ``(left_ts − w, left_ts]``.
+
+    ``windows`` maps an identifier-safe horizon name to its INTERVAL
+    expression (e.g. ``{"1h": "interval 1 hour", "24h": "interval 24
+    hours"}``); outputs are ``{prefix}{name}_count`` /
+    ``{prefix}{name}_sum_scaled`` per horizon, and a single-entry map
+    is bit-identical to :func:`trailing_window_agg` modulo the column
+    names (pytest law). Reserved internal/output names are guarded
+    against ``left`` collisions like the single-window form."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    if not windows:
+        raise ValueError("trailing_window_agg_multi: windows is empty")
+    for name in windows:
+        if not _re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(
+                f"trailing_window_agg_multi: window name {name!r} must "
+                "be identifier-safe ([A-Za-z0-9_]+) — it becomes a "
+                "column-name suffix"
+            )
+    reserved = {"_hi_cum_c", "_hi_cum_s"}
+    for name in windows:
+        reserved |= {
+            f"_lo_ts_{name}",
+            f"_lo{name}_cum_c",
+            f"_lo{name}_cum_s",
+            f"{prefix}{name}_count",
+            f"{prefix}{name}_sum_scaled",
+        }
+    clash = sorted(reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"trailing_window_agg_multi: left already contains reserved "
+            f"internal/output column(s) {clash}; rename them or pass a "
+            f"different prefix"
+        )
+    per_ts = (
+        right.filter(
+            F.col(right_ts).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(key), F.col(right_ts).alias("_rt"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.round(F.col(value_col) * scale).cast("long")).alias(
+                "_s"
+            ),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy("_rt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_ts.select(
+        key,
+        "_rt",
+        F.sum("_c").over(w_cum).alias("cum_c"),
+        F.sum("_s").over(w_cum).alias("cum_s"),
+    )
+    cur = asof_join(
+        left,
+        cum,
+        key=key,
+        left_ts=left_ts,
+        right_ts="_rt",
+        right_cols=["cum_c", "cum_s"],
+        prefix="_hi_",
+    )
+    for name, w in windows.items():
+        cur = asof_join(
+            cur.withColumn(f"_lo_ts_{name}", F.col(left_ts) - F.expr(w)),
+            cum,
+            key=key,
+            left_ts=f"_lo_ts_{name}",
+            right_ts="_rt",
+            right_cols=["cum_c", "cum_s"],
+            prefix=f"_lo{name}_",
+        )
+    outs = []
+    for name in windows:
+        cnt = F.coalesce("_hi_cum_c", F.lit(0)) - F.coalesce(
+            f"_lo{name}_cum_c", F.lit(0)
+        )
+        ssum = F.coalesce("_hi_cum_s", F.lit(0)) - F.coalesce(
+            f"_lo{name}_cum_s", F.lit(0)
+        )
+        outs.append(cnt.cast("long").alias(f"{prefix}{name}_count"))
+        outs.append(
+            ssum.cast("long").alias(f"{prefix}{name}_sum_scaled")
+        )
+    return cur.select(*left.columns, *outs)

@@ -115,6 +115,43 @@ def _sample_eval_decontaminated_split(
     )
 
 
+def _stat_bootstrap_ci_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.stats import bootstrap_ci_mean_by
+
+    return bootstrap_ci_mean_by(
+        _orders(spark, sf_dir),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+    )
+
+
+def _events_trailing_windows_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg_multi,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    t = TableRegistry(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts")
+    purch = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return trailing_window_agg_multi(
+        ev,
+        purch,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="value",
+        windows={"1h": "interval 1 hour", "24h": "interval 24 hours"},
+    )
+
+
 def staged_specs() -> dict[str, QuerySpec]:
     """The r15 registration slate as audit-runnable specs (grows as
     this round stages operators)."""
@@ -130,5 +167,11 @@ def staged_specs() -> dict[str, QuerySpec]:
         # the eval TABLE pins its grams out of train (VERDICT r13
         # ask #7) — contaminated train docs quarantine
         "sample_eval_decontaminated_split": _sample_eval_decontaminated_split,
+        # per-segment Poisson-bootstrap CI — the uncertainty primitive
+        # made segment-capable like the KS/MW/PSI/quantile family
+        "stat_bootstrap_ci_by_segment": _stat_bootstrap_ci_by_segment,
+        # N trailing horizons in one pass: cumulative table built once,
+        # one extra as-of per horizon (N+1 sorts, never a range join)
+        "events_trailing_windows_multi": _events_trailing_windows_multi,
     }
     return {n: QuerySpec(n, b, None) for n, b in builders.items()}

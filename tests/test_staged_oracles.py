@@ -3949,3 +3949,267 @@ def test_r15_staged_ops_layout_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for name, (r1, r2) in results.items():
         assert r1 == r2, f"{name} is layout-dependent"
+
+
+def _bootstrap_by_oracle(
+    n_resamples: int, seed: int, scale: int, alpha_pct: int
+) -> str:
+    from datalake_nba_dmc_spark.operators.stats import bootstrap_weight_sql
+
+    w = bootstrap_weight_sql("id", "r", seed, "duck")
+    lo_rank = max(1, -(-n_resamples * alpha_pct // 200))
+    hi_rank = max(1, -(-n_resamples * (200 - alpha_pct) // 200))
+    return f"""
+    WITH base AS (
+      SELECT o_orderpriority AS seg, o_orderkey AS id,
+             CAST(round(o_totalprice * {scale}) AS BIGINT) AS xs
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        AND o_orderpriority IS NOT NULL
+    ), ex AS (
+      SELECT seg, id, xs, unnest(range(0, {n_resamples})) AS r FROM base
+    ), wtab AS (
+      SELECT seg, r, {w} AS w, xs FROM ex
+    ), agg AS (
+      SELECT seg, r, CAST(SUM(w * xs) AS BIGINT) AS swx,
+             CAST(SUM(w) AS BIGINT) AS sw
+      FROM wtab GROUP BY seg, r
+    ), means AS (
+      SELECT seg, CASE WHEN sw > 0 THEN
+        CAST(floor(CAST(swx AS DOUBLE)
+                   / CAST(sw * {scale} AS DOUBLE) * 1000000.0) AS BIGINT)
+        ELSE 0 END AS mean_micro
+      FROM agg
+    ), srt AS (
+      SELECT seg, mean_micro,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY mean_micro) AS rk
+      FROM means
+    ), pt AS (
+      SELECT seg, CAST(floor(CAST(SUM(xs) AS DOUBLE)
+                  / CAST(COUNT(*) * {scale} AS DOUBLE) * 1000000.0)
+             AS BIGINT) AS point_micro
+      FROM base GROUP BY seg
+    )
+    SELECT pt.seg AS o_orderpriority,
+           CAST({n_resamples} AS BIGINT) AS n_resamples, pt.point_micro,
+           lo.mean_micro AS lo_micro, hi.mean_micro AS hi_micro
+    FROM pt
+    JOIN srt lo ON lo.seg = pt.seg AND lo.rk = {lo_rank}
+    JOIN srt hi ON hi.seg = pt.seg AND hi.rk = {hi_rank}
+    """
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_bootstrap_ci_by_segment_duckdb_twin(spark, sf):
+    """bootstrap_ci_mean_by (r14-staged, registers r15 as
+    stat_bootstrap_ci_by_segment): per-segment Poisson-bootstrap CI —
+    the twin replays every (id, r) weight, every per-segment resample
+    mean, and the per-segment nearest-rank cut bit-exactly (the
+    registered global stat_bootstrap_ci's contract, segmented)."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.operators.stats import bootstrap_ci_mean_by
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    orders = TableRegistry(spark, sfd).orders
+    got = sorted(
+        tuple(r)
+        for r in bootstrap_ci_mean_by(
+            orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+        ).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(sfd, 'orders.parquet')}'"
+    )
+    want = sorted(
+        (a, int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in con.execute(
+            _bootstrap_by_oracle(64, 42, 10**4, 5)
+        ).fetchall()
+    )
+    assert got == want and len(got) == 5
+    # interval sanity per segment: lo <= hi, point inside a sane band
+    for _, n, point, lo, hi in got:
+        assert n == 64 and lo <= hi
+        assert lo <= point <= hi or abs(point - lo) < abs(point) // 2
+
+
+def test_bootstrap_ci_by_segment_laws(spark):
+    """Empty/validation; the single-segment REDUCTION law: restricted
+    to one segment, the by-variant equals the registered global
+    bootstrap_ci_mean bit-for-bit with the segment column attached
+    (same weights, same means, same rank cut)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import (
+        bootstrap_ci_mean,
+        bootstrap_ci_mean_by,
+    )
+
+    empty = spark.createDataFrame([], "seg string, v double, id long")
+    assert (
+        bootstrap_ci_mean_by(empty, "seg", "v", "id").collect() == []
+    )
+    with pytest.raises(ValueError, match="n_resamples"):
+        bootstrap_ci_mean_by(empty, "seg", "v", "id", n_resamples=1)
+    with pytest.raises(ValueError, match="alpha_pct"):
+        bootstrap_ci_mean_by(empty, "seg", "v", "id", alpha_pct=0)
+    rows = [("s0", float((i * 7) % 53) + 0.5, i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["seg", "v", "id"])
+    by = [
+        (r.n_resamples, r.point_micro, r.lo_micro, r.hi_micro)
+        for r in bootstrap_ci_mean_by(df, "seg", "v", "id").collect()
+    ]
+    g = [
+        tuple(r)
+        for r in bootstrap_ci_mean(df, "v", "id").collect()
+    ]
+    assert by == g and len(by) == 1
+    # the id-sensitivity law: shifting ids changes weights, never the
+    # point estimate
+    shifted = df.withColumn("id", F.col("id") + 1_000_000)
+    by2 = [
+        (r.point_micro,)
+        for r in bootstrap_ci_mean_by(shifted, "seg", "v", "id").collect()
+    ]
+    assert by2 == [(by[0][1],)]
+
+
+_TRAILING_MULTI_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS pt, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(COUNT(CASE WHEN p.pt > e.ts - INTERVAL 1 HOUR
+                       THEN 1 END) AS BIGINT) AS win_1h_count,
+       CAST(COALESCE(SUM(CASE WHEN p.pt > e.ts - INTERVAL 1 HOUR
+                              THEN p.v END), 0) AS BIGINT)
+         AS win_1h_sum_scaled,
+       CAST(COUNT(p.pt) AS BIGINT) AS win_24h_count,
+       CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS win_24h_sum_scaled
+FROM events e
+LEFT JOIN p ON p.user_id = e.user_id
+           AND p.pt > e.ts - INTERVAL 24 HOUR AND p.pt <= e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_trailing_windows_multi_duckdb_twin(spark, sf):
+    """trailing_window_agg_multi (r14-staged, registers r15 as
+    events_trailing_windows_multi): 1h + 24h horizons in ONE pass —
+    the cumulative table built once, one extra as-of per horizon (3
+    sorts for 2 windows, never a range join). The DuckDB twin
+    materializes ONE range join on the widest horizon and aggregates
+    each horizon conditionally — every count and sum bit-exact."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.suite.staged import (
+        _events_trailing_windows_multi,
+    )
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    got = sorted(
+        (r.event_id, r.user_id, str(r.ts), r.win_1h_count,
+         r.win_1h_sum_scaled, r.win_24h_count, r.win_24h_sum_scaled)
+        for r in _events_trailing_windows_multi(spark, sfd).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(sfd, 'events.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b), str(c), int(d), int(e), int(f), int(g))
+        for a, b, c, d, e, f, g in con.execute(
+            _TRAILING_MULTI_ORACLE
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # horizon-nesting law: the 24h window dominates the 1h window on
+    # every row, and both bite somewhere
+    assert all(c24 >= c1 and s24 >= s1 if s1 >= 0 else True
+               for _, _, _, c1, s1, c24, s24 in got)
+    assert any(c1 > 0 for _, _, _, c1, _, _, _ in got)
+    assert any(c24 > c1 for _, _, _, c1, _, c24, _ in got)
+
+
+def test_trailing_windows_multi_laws(spark):
+    """Empty/validation/collision guards + the single-horizon REDUCTION
+    law: a one-entry windows map is bit-identical to the registered
+    trailing_window_agg modulo column names."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg,
+        trailing_window_agg_multi,
+    )
+
+    empty_l = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp"
+    )
+    empty_r = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    assert (
+        trailing_window_agg_multi(
+            empty_l, empty_r, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", windows={"1h": "interval 1 hour"},
+        ).collect()
+        == []
+    )
+    with pytest.raises(ValueError, match="windows is empty"):
+        trailing_window_agg_multi(
+            empty_l, empty_r, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", windows={},
+        )
+    with pytest.raises(ValueError, match="identifier-safe"):
+        trailing_window_agg_multi(
+            empty_l, empty_r, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", windows={"1 h": "interval 1 hour"},
+        )
+    with pytest.raises(ValueError, match="reserved internal"):
+        trailing_window_agg_multi(
+            empty_l.withColumn("win_1h_count", F.lit(1)), empty_r,
+            key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", windows={"1h": "interval 1 hour"},
+        )
+    lrows = [(i, i % 5, f"2024-01-01 0{i % 10}:{(i * 7) % 60:02d}:00")
+             for i in range(80)]
+    rrows = [(u, f"2024-01-01 0{u % 10}:15:00", float(u + 1))
+             for u in range(5)]
+    left = spark.createDataFrame(lrows, ["event_id", "user_id", "tss"]).select(
+        "event_id", "user_id", F.col("tss").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(rrows, ["user_id", "pts", "value"]).select(
+        "user_id", F.col("pts").cast("timestamp").alias("ts"), "value"
+    )
+    multi = sorted(
+        tuple(r)
+        for r in trailing_window_agg_multi(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", windows={"1h": "interval 1 hour"},
+            prefix="w_",
+        )
+        .withColumnRenamed("w_1h_count", "win_count")
+        .withColumnRenamed("w_1h_sum_scaled", "win_sum_scaled")
+        .collect()
+    )
+    single = sorted(
+        tuple(r)
+        for r in trailing_window_agg(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value", window="interval 1 hour",
+        ).collect()
+    )
+    assert multi == single and len(multi) == 80

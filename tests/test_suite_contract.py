@@ -194,4 +194,6 @@ _R15_SLATE: set[str] = {
     "stat_psi_by_segment",
     "sim_ivf_sq8_recall",
     "sample_eval_decontaminated_split",
+    "stat_bootstrap_ci_by_segment",
+    "events_trailing_windows_multi",
 }
