@@ -89,6 +89,15 @@ BNLJ_AUDITED = {
     "sketch_theta_vocab_overlap", # groups x groups pair grid of two
                                   # theta frames (<= |groups| rows each —
                                   # sketch rows, never corpus rows)
+    "sketch_theta_vocab_difference",  # same ordered pair grid + the
+                                  # anti-membership probe over <= k*groups
+                                  # kept-sketch rows (r14 slate; the
+                                  # NOT-IN null-check join is non-equi by
+                                  # SQL shape, bounded by the sketch)
+    "sim_int8_dot_topk",          # guarded broadcast query set (the
+                                  # n_queries-row code frame; the
+                                  # candidate scan is the documented
+                                  # exact-baseline contract, r14 slate)
     "tpch_q11_important_stock",   # one-row global-value threshold
     "corpus_pack_sequences",      # one-row (min_id, id_span) broadcast for
                                   # the order-preserving bucket split (r10;
