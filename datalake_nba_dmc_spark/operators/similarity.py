@@ -1130,6 +1130,33 @@ def _semantic_edges(
     return edges.unionByName(big_edges.distinct())
 
 
+def _sq8_code_frame(frame: DataFrame, vec_col: str, keep: list) -> DataFrame:
+    """Symmetric per-vector int8 code frame — THE quantization contract
+    (code_j = round(x_j·127/max|x|), zero vectors → all-zero codes)
+    shared by :func:`int8_dot_topk` and :func:`ivf_sq8_topk` and
+    replayed verbatim by their DuckDB oracles; ONE definition so the
+    cross-engine pin cannot desynchronize between the operators.
+    Returns ``keep`` + ``_e`` (exact double promotion), ``_ma`` (the
+    per-vector scale), ``_c`` (long codes)."""
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    b = frame.filter(F.col(vec_col).isNotNull()).select(
+        *keep, e.alias("_e")
+    )
+    ma = F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x)))
+    return b.withColumn("_ma", ma).withColumn(
+        "_c",
+        F.when(
+            F.col("_ma") == 0.0,
+            F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")),
+        ).otherwise(
+            F.transform(
+                F.col("_e"),
+                lambda x: F.round(x * 127.0 / F.col("_ma")).cast("long"),
+            )
+        ),
+    )
+
+
 def int8_dot_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1173,28 +1200,8 @@ def int8_dot_topk(
 
     if k < 1 or n_queries < 1:
         raise ValueError("k and n_queries must be >= 1")
-    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), e.alias("_e")
-    )
-    ma = F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x)))
-    codes = (
-        base.withColumn("_ma", ma)
-        .withColumn(
-            "_c",
-            F.when(
-                F.col("_ma") == 0.0,
-                F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")),
-            ).otherwise(
-                F.transform(
-                    F.col("_e"),
-                    lambda x: F.round(x * 127.0 / F.col("_ma")).cast(
-                        "long"
-                    ),
-                )
-            ),
-        )
-        .select(id_col, "_c", "_ma")
+    codes = _sq8_code_frame(emb, vec_col, [F.col(id_col)]).select(
+        id_col, "_c", "_ma"
     )
     q = (
         codes.orderBy(id_col)
@@ -1287,27 +1294,8 @@ def ivf_sq8_topk(
     queries = _require_bounded_queries(queries, "ivf_sq8_topk")
     assigned, centers = ivf_index(corpus, n_centroids, vec_col, seed)
 
-    def _sq8(frame: DataFrame, keep: list[str]) -> DataFrame:
-        e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        b = frame.filter(F.col(vec_col).isNotNull()).select(
-            *keep, e.alias("_e")
-        )
-        ma = F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x)))
-        return b.withColumn("_ma", ma).withColumn(
-            "_c",
-            F.when(
-                F.col("_ma") == 0.0,
-                F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")),
-            ).otherwise(
-                F.transform(
-                    F.col("_e"),
-                    lambda x: F.round(x * 127.0 / F.col("_ma")).cast("long"),
-                )
-            ),
-        )
-
-    cand = _sq8(assigned, ["centroid_id", id_col])
-    q = _sq8(queries, [query_id_col]).select(
+    cand = _sq8_code_frame(assigned, vec_col, ["centroid_id", id_col])
+    q = _sq8_code_frame(queries, vec_col, [query_id_col]).select(
         query_id_col,
         F.col("_e").alias("_qe"),
         F.col("_c").alias("_qc"),

@@ -377,6 +377,31 @@ _MICRO_I64_BOUND = ((1 << 63) - 1) // 1_000_000
 _SEGMENT_BROADCAST_CAP = 100_000
 
 
+def _segment_cap_guard(fn: str) -> Column:
+    """A 0-valued long column that RAISES when the frame it rides
+    exceeds :data:`_SEGMENT_BROADCAST_CAP` rows — the per-segment
+    broadcast contract, enforced in-plan like :func:`_i64_guard`. Must
+    be attached to a SEGMENT-grain frame (one row per segment): the
+    count window then runs over segment rows, never corpus rows, and
+    throws during the broadcast build instead of letting a
+    high-cardinality ``by_col`` reach an opaque broadcast/driver OOM."""
+    from pyspark.sql import Window
+
+    n_seg = F.count(F.lit(1)).over(Window.partitionBy())
+    return F.coalesce(
+        F.assert_true(
+            n_seg <= F.lit(_SEGMENT_BROADCAST_CAP),
+            F.lit(
+                f"{fn}: by_col cardinality exceeds the broadcast "
+                f"contract ({_SEGMENT_BROADCAST_CAP} segments) — "
+                "per-segment stats expect a dashboard-cardinality "
+                "segment column; bucket or hash the segments first"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+
+
 def _i64_guard(fn: str, *conds: Column) -> Column:
     """A 0-valued long column that RAISES when any int64-validity bound
     is exceeded: ``assert_true`` yields NULL while every bound holds
@@ -643,9 +668,19 @@ def _cohort_value_counts_by(
         F.sum("_ia").alias("_ca"),
         F.sum(1 - F.col("_ia")).alias("_cb"),
     )
+    # the totals frame is broadcast by every consumer (KS/MW/quantile/
+    # PSI), so the dashboard-cardinality contract is enforced HERE —
+    # one guard covers the whole per-segment family (the count window
+    # runs over the segment-grain frame, never corpus rows)
     totals = base.groupBy(by_col).agg(
         F.sum("_ia").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("_ia")).alias("n_b"),
+    )
+    totals = totals.select(
+        by_col,
+        (F.col("n_a") + _segment_cap_guard("_cohort_value_counts_by"))
+        .alias("n_a"),
+        "n_b",
     )
     return g, totals
 
@@ -679,26 +714,17 @@ def _cohort_value_cum_by(
     )
     # segments are dashboard-cardinality (the operator's contract);
     # their (min, span) frame broadcasts like the global scalar did.
-    # The contract is ENFORCED in-plan (the _i64_guard pattern): the
-    # count window runs over the SEGMENT frame (one row per segment,
-    # never corpus rows) and raises loudly before a high-cardinality
-    # by_col can push an unbounded frame into the broadcast/driver
-    # path with an opaque OOM instead of a contract error.
-    n_seg = F.count(F.lit(1)).over(Window.partitionBy())
-    seg_guard = F.coalesce(
-        F.assert_true(
-            n_seg <= F.lit(_SEGMENT_BROADCAST_CAP),
-            F.lit(
-                "_cohort_value_cum_by: by_col cardinality exceeds the "
-                f"broadcast contract ({_SEGMENT_BROADCAST_CAP} segments)"
-                " — per-segment stats expect a dashboard-cardinality "
-                "segment column; bucket or hash the segments first"
-            ),
-        ).cast("double"),
-        F.lit(0.0),
-    )
+    # The contract is ENFORCED in-plan on THIS frame too (the shared
+    # totals guard in _cohort_value_counts_by covers the totals
+    # broadcast, but the rng broadcast below builds concurrently, so
+    # it carries its own guard rather than racing the other one).
     rng = rng.select(
-        by_col, (F.col("_mn") + seg_guard).alias("_mn"), "_span"
+        by_col,
+        (
+            F.col("_mn")
+            + _segment_cap_guard("_cohort_value_cum_by").cast("double")
+        ).alias("_mn"),
+        "_span",
     )
     bucketed = g.join(F.broadcast(rng), on=by_col).withColumn(
         "_b",
@@ -951,10 +977,10 @@ def psi_binned_by(
 
     Scale shape: one corpus scan → O(distinct (segment, value)) counts
     (map-side combined) → one bin-grain hash-agg (≤ segments × nbins
-    groups) → per-segment totals joined back as a broadcast (enforced
-    dashboard-cardinality, the :data:`_SEGMENT_BROADCAST_CAP`
-    contract via the shared substrate's callers). No sort, no window,
-    no per-row state."""
+    groups) → per-segment totals joined back as a broadcast (the
+    :data:`_SEGMENT_BROADCAST_CAP` contract, enforced IN-PLAN by the
+    guard the shared counts stage attaches to the totals frame). No
+    sort, no window, no per-row state."""
     if nbins < 1 or not (hi > lo):
         raise ValueError("psi_binned_by: need hi > lo and nbins >= 1")
     g, totals = _cohort_value_counts_by(
@@ -1079,6 +1105,15 @@ def bootstrap_ci_mean_by(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("point_micro")
+    )
+    # the point frame is broadcast into the dist join below — enforce
+    # the per-segment broadcast contract in-plan like the KS/MW family
+    point = point.select(
+        by_col,
+        (
+            F.col("point_micro")
+            + _segment_cap_guard("bootstrap_ci_mean_by")
+        ).alias("point_micro"),
     )
     dist = (
         per_r.groupBy(by_col)

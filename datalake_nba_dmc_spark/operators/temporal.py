@@ -378,6 +378,40 @@ def nearest_value_join(
     )
 
 
+def _trailing_cum_table(
+    right: DataFrame, key: str, right_ts: str, value_col: str, scale: int
+) -> DataFrame:
+    """The per-(key, ts) running (count, scaled-sum) prefix-sum table
+    BOTH trailing-window forms difference — one definition of the NULL
+    filtering, the scaled-long rounding, and the cumulative frame, so
+    the single- and multi-horizon operators (and the reduction law
+    pinning them equal) cannot drift apart. Ties at one timestamp
+    pre-aggregate so the as-of right side is unique per (key, ts)."""
+    per_ts = (
+        right.filter(
+            F.col(right_ts).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(key), F.col(right_ts).alias("_rt"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.round(F.col(value_col) * scale).cast("long")).alias(
+                "_s"
+            ),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy("_rt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_ts.select(
+        key,
+        "_rt",
+        F.sum("_c").over(w_cum).alias("cum_c"),
+        F.sum("_s").over(w_cum).alias("cum_s"),
+    )
+
+
 def trailing_window_agg(
     left: DataFrame,
     right: DataFrame,
@@ -416,8 +450,6 @@ def trailing_window_agg(
     (``_lo_ts``, the ``_hi_``/``_lo_`` cumulative columns, or the
     ``prefix``ed outputs) — the differencing select would silently
     read the caller's column otherwise, so collisions raise."""
-    from pyspark.sql import Window
-
     reserved = {
         "_lo_ts", "_hi_cum_c", "_hi_cum_s", "_lo_cum_c", "_lo_cum_s",
         f"{prefix}count", f"{prefix}sum_scaled",
@@ -430,29 +462,7 @@ def trailing_window_agg(
             f"different prefix"
         )
 
-    per_ts = (
-        right.filter(
-            F.col(right_ts).isNotNull() & F.col(value_col).isNotNull()
-        )
-        .groupBy(F.col(key), F.col(right_ts).alias("_rt"))
-        .agg(
-            F.count(F.lit(1)).alias("_c"),
-            F.sum(F.round(F.col(value_col) * scale).cast("long")).alias(
-                "_s"
-            ),
-        )
-    )
-    w_cum = (
-        Window.partitionBy(key)
-        .orderBy("_rt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = per_ts.select(
-        key,
-        "_rt",
-        F.sum("_c").over(w_cum).alias("cum_c"),
-        F.sum("_s").over(w_cum).alias("cum_s"),
-    )
+    cum = _trailing_cum_table(right, key, right_ts, value_col, scale)
     at_ts = asof_join(
         left,
         cum,
@@ -517,8 +527,6 @@ def trailing_window_agg_multi(
     against ``left`` collisions like the single-window form."""
     import re as _re
 
-    from pyspark.sql import Window
-
     if not windows:
         raise ValueError("trailing_window_agg_multi: windows is empty")
     for name in windows:
@@ -528,15 +536,26 @@ def trailing_window_agg_multi(
                 "be identifier-safe ([A-Za-z0-9_]+) — it becomes a "
                 "column-name suffix"
             )
-    reserved = {"_hi_cum_c", "_hi_cum_s"}
+    gen: list[str] = ["_hi_cum_c", "_hi_cum_s"]
     for name in windows:
-        reserved |= {
+        gen += [
             f"_lo_ts_{name}",
             f"_lo{name}_cum_c",
             f"_lo{name}_cum_s",
             f"{prefix}{name}_count",
             f"{prefix}{name}_sum_scaled",
-        }
+        ]
+    # horizon names must not collide with EACH OTHER's generated
+    # internals either (e.g. "_ts_foo" vs "foo_cum_c" both pass the
+    # identifier check yet generate the same "_lo_ts_foo_cum_c"
+    # string) — a silent withColumn replacement otherwise
+    if len(gen) != len(set(gen)):
+        dupes = sorted({n for n in gen if gen.count(n) > 1})
+        raise ValueError(
+            f"trailing_window_agg_multi: horizon names generate "
+            f"colliding internal column(s) {dupes}; rename the horizons"
+        )
+    reserved = set(gen)
     clash = sorted(reserved & set(left.columns))
     if clash:
         raise ValueError(
@@ -544,29 +563,7 @@ def trailing_window_agg_multi(
             f"internal/output column(s) {clash}; rename them or pass a "
             f"different prefix"
         )
-    per_ts = (
-        right.filter(
-            F.col(right_ts).isNotNull() & F.col(value_col).isNotNull()
-        )
-        .groupBy(F.col(key), F.col(right_ts).alias("_rt"))
-        .agg(
-            F.count(F.lit(1)).alias("_c"),
-            F.sum(F.round(F.col(value_col) * scale).cast("long")).alias(
-                "_s"
-            ),
-        )
-    )
-    w_cum = (
-        Window.partitionBy(key)
-        .orderBy("_rt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = per_ts.select(
-        key,
-        "_rt",
-        F.sum("_c").over(w_cum).alias("cum_c"),
-        F.sum("_s").over(w_cum).alias("cum_s"),
-    )
+    cum = _trailing_cum_table(right, key, right_ts, value_col, scale)
     cur = asof_join(
         left,
         cum,

@@ -1028,14 +1028,22 @@ WITH p AS (
   SELECT user_id, ts AS pt, CAST(round(value * 100) AS BIGINT) AS v
   FROM events
   WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+), ev AS (
+  SELECT DISTINCT event_id, user_id, ts FROM events
+), feat AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         CAST(COUNT(p.pt) AS BIGINT) AS win_count,
+         CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS win_sum_scaled
+  FROM ev e
+  LEFT JOIN p ON p.user_id = e.user_id
+             AND p.pt > e.ts - INTERVAL 1 HOUR AND p.pt <= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts
 )
-SELECT e.event_id, e.user_id, e.ts,
-       CAST(COUNT(p.pt) AS BIGINT) AS win_count,
-       CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS win_sum_scaled
-FROM events e
-LEFT JOIN p ON p.user_id = e.user_id
-           AND p.pt > e.ts - INTERVAL 1 HOUR AND p.pt <= e.ts
-GROUP BY e.event_id, e.user_id, e.ts
+SELECT f.event_id, f.user_id, f.ts, f.win_count, f.win_sum_scaled
+FROM events x
+JOIN feat f ON x.event_id IS NOT DISTINCT FROM f.event_id
+           AND x.user_id IS NOT DISTINCT FROM f.user_id
+           AND x.ts IS NOT DISTINCT FROM f.ts
 """
 
 
@@ -1053,7 +1061,12 @@ def events_trailing_window_features(
     The DuckDB twin materializes the range join directly: fine at
     100k events, |L|·|window| row explosion at 100 TB — the two-sort
     form is the scale path, and the twin proves it exact. Window edges
-    (t−w, t] (left EXCLUSIVE, right inclusive) are pytest-pinned."""
+    (t−w, t] (left EXCLUSIVE, right inclusive) are pytest-pinned. The
+    oracle computes at DISTINCT-event grain and fans back out per
+    event row (null-safe equality), so a re-delivered events table
+    matches the operator's per-left-row multiplicity — the r12
+    duplication-proof registration rule (the dup audit caught the
+    GROUP-BY-collapsing first form)."""
     t = TableRegistry(spark, sf_dir)
     ev = t.events.select("event_id", "user_id", "ts")
     purch = t.events.filter(F.col("event_type") == "purchase").select(

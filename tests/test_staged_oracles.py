@@ -3631,9 +3631,12 @@ WITH base AS (
   WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
     AND o_orderpriority IS NOT NULL
 ), c AS (
+  -- clamp BEFORE narrowing to INT: a corrupt outlier value puts the
+  -- raw FLOOR past 2^31 and an early cast would crash the oracle
+  -- where the operator clamps (psi_binned's standing comment)
   SELECT seg,
-         LEAST(GREATEST(CAST(FLOOR((CAST(xs AS DOUBLE) / 100.0 - 0.0)
-                                    / 60000.0) AS INT), 0), 9) AS bucket,
+         CAST(LEAST(GREATEST(FLOOR((CAST(xs AS DOUBLE) / 100.0 - 0.0)
+                                    / 60000.0), 0), 9) AS INT) AS bucket,
          ia
   FROM base
 ), g AS (
@@ -4086,19 +4089,28 @@ WITH p AS (
   SELECT user_id, ts AS pt, CAST(round(value * 100) AS BIGINT) AS v
   FROM events
   WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+), ev AS (
+  SELECT DISTINCT event_id, user_id, ts FROM events
+), feat AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         CAST(COUNT(CASE WHEN p.pt > e.ts - INTERVAL 1 HOUR
+                         THEN 1 END) AS BIGINT) AS win_1h_count,
+         CAST(COALESCE(SUM(CASE WHEN p.pt > e.ts - INTERVAL 1 HOUR
+                                THEN p.v END), 0) AS BIGINT)
+           AS win_1h_sum_scaled,
+         CAST(COUNT(p.pt) AS BIGINT) AS win_24h_count,
+         CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS win_24h_sum_scaled
+  FROM ev e
+  LEFT JOIN p ON p.user_id = e.user_id
+             AND p.pt > e.ts - INTERVAL 24 HOUR AND p.pt <= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts
 )
-SELECT e.event_id, e.user_id, e.ts,
-       CAST(COUNT(CASE WHEN p.pt > e.ts - INTERVAL 1 HOUR
-                       THEN 1 END) AS BIGINT) AS win_1h_count,
-       CAST(COALESCE(SUM(CASE WHEN p.pt > e.ts - INTERVAL 1 HOUR
-                              THEN p.v END), 0) AS BIGINT)
-         AS win_1h_sum_scaled,
-       CAST(COUNT(p.pt) AS BIGINT) AS win_24h_count,
-       CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS win_24h_sum_scaled
-FROM events e
-LEFT JOIN p ON p.user_id = e.user_id
-           AND p.pt > e.ts - INTERVAL 24 HOUR AND p.pt <= e.ts
-GROUP BY e.event_id, e.user_id, e.ts
+SELECT f.event_id, f.user_id, f.ts, f.win_1h_count, f.win_1h_sum_scaled,
+       f.win_24h_count, f.win_24h_sum_scaled
+FROM events x
+JOIN feat f ON x.event_id IS NOT DISTINCT FROM f.event_id
+           AND x.user_id IS NOT DISTINCT FROM f.user_id
+           AND x.ts IS NOT DISTINCT FROM f.ts
 """
 
 
@@ -4183,6 +4195,16 @@ def test_trailing_windows_multi_laws(spark):
             empty_l.withColumn("win_1h_count", F.lit(1)), empty_r,
             key="user_id", left_ts="ts", right_ts="ts",
             value_col="value", windows={"1h": "interval 1 hour"},
+        )
+    # horizon names whose GENERATED internals collide with each other
+    # ("_lo_ts_foo_cum_c" from both) must raise, not silently
+    # withColumn-replace (r14 self-review finding)
+    with pytest.raises(ValueError, match="colliding internal"):
+        trailing_window_agg_multi(
+            empty_l, empty_r, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="value",
+            windows={"_ts_foo": "interval 1 hour",
+                     "foo_cum_c": "interval 24 hours"},
         )
     lrows = [(i, i % 5, f"2024-01-01 0{i % 10}:{(i * 7) % 60:02d}:00")
              for i in range(80)]
