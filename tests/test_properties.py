@@ -1115,3 +1115,139 @@ def test_trailing_window_agg_matches_bruteforce(spark, lefts, rights, win):
             v for rk, rm, v in rights if rk == k and m - win < rm <= m
         ]
         assert got[i] == (len(inside), sum(inside)), (i, k, m, win)
+
+
+@SLOW
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+        min_size=1,
+        max_size=20,
+    ),
+    rrows=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 5000), st.integers(-50, 50)
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_trailing_window_matches_python_mirror(spark, lrows, rrows):
+    """trailing_window_agg's prefix-sum differencing vs the brute-force
+    Python mirror (count/sum of right rows in (t−w, t] per left row) on
+    arbitrary event layouts — duplicate timestamps, duplicate (user, ts)
+    right rows, empty right sides, negative values. The differencing
+    form is algebraically cum(t) − cum(t−w); this pins the edge
+    semantics (left edge EXCLUSIVE, right edge inclusive) and the
+    per-(key, ts) pre-aggregation against an implementation-free
+    definition."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg,
+    )
+
+    W = 600  # seconds
+    left = spark.createDataFrame(
+        [(i, u, s) for i, (u, s) in enumerate(lrows)],
+        "event_id long, user_id long, s long",
+    ).select("event_id", "user_id", F.col("s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        rrows or [(0, 0, 0)], "user_id long, s long, v long"
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("ts"),
+        F.col("v").cast("double").alias("value"),
+    )
+    if not rrows:
+        right = right.filter(F.lit(False))
+    got = {
+        r.event_id: (r.win_count, r.win_sum_scaled)
+        for r in trailing_window_agg(
+            left,
+            right,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            value_col="value",
+            window=f"interval {W} seconds",
+        ).collect()
+    }
+    for i, (u, s) in enumerate(lrows):
+        hits = [
+            v for (ru, rs, v) in rrows if ru == u and s - W < rs <= s
+        ]
+        assert got[i] == (len(hits), 100 * sum(hits)), (i, u, s)
+    assert len(got) == len(lrows)
+
+
+@SLOW
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+        min_size=1,
+        max_size=20,
+    ),
+    rrows=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 5000), st.integers(0, 99)
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_asof_within_matches_python_mirror(spark, lrows, rrows):
+    """asof_join_within vs the brute-force mirror: per left row, the
+    max-v right row at the LATEST rs <= ts for the same key, nulled
+    when older than the tolerance — arbitrary layouts including exact
+    ts ties (right rows deduped per (key, ts) by max v on both sides,
+    the as-of uniqueness contract) and the boundary rs == ts − tol
+    (still inside: >= semantics)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import asof_join_within
+    from datalake_nba_dmc_spark.operators.windows import top1_per_group
+
+    TOL = 600
+    left = spark.createDataFrame(
+        [(i, u, s) for i, (u, s) in enumerate(lrows)],
+        "event_id long, user_id long, s long",
+    ).select("event_id", "user_id", F.col("s").cast("timestamp").alias("ts"))
+    right_raw = spark.createDataFrame(
+        rrows or [(0, 0, 0)], "user_id long, s long, v long"
+    ).select(
+        "user_id", F.col("s").cast("timestamp").alias("rt"), "v"
+    )
+    if not rrows:
+        right_raw = right_raw.filter(F.lit(False))
+    right = top1_per_group(
+        right_raw, ["user_id", "rt"], [F.col("v").desc()]
+    )
+    got = {
+        r.event_id: r.asof_v
+        for r in asof_join_within(
+            left,
+            right,
+            key="user_id",
+            left_ts="ts",
+            right_ts="rt",
+            right_cols=["v"],
+            tolerance=f"interval {TOL} seconds",
+        ).collect()
+    }
+    # python mirror with the same (key, ts)-dedup rule
+    best: dict = {}
+    for ru, rs, v in rrows:
+        k = (ru, rs)
+        if k not in best or v > best[k]:
+            best[k] = v
+    for i, (u, s) in enumerate(lrows):
+        cands = [(rs, v) for (ru, rs), v in best.items()
+                 if ru == u and rs <= s]
+        want = None
+        if cands:
+            rs, v = max(cands)
+            if rs >= s - TOL:
+                want = v
+        assert got[i] == want, (i, u, s)
+    assert len(got) == len(lrows)
