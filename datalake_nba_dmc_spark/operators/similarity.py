@@ -60,6 +60,15 @@ def cosine(a: Column, b: Column) -> Column:
 #: build or broadcast would OOM the driver instead of failing cleanly.
 MAX_QUERY_ROWS = 100_000
 
+#: Integer grid for EXACT refine/re-rank cosine (``round(x·2²⁰)`` per
+#: component → exact int64 dots, one fixed double division/sqrt chain).
+#: Matches the suite's cross-engine quantization scale, so a refine
+#: stage scored on this grid is bit-identical to the exact brute-force
+#: baseline's metric — certificates then compare the same
+#: representation on both sides (r14 ADVICE). Power of two: the
+#: float→double scaling is exact.
+REFINE_SCALE = 1 << 20
+
 
 #: Query frames materialized by :func:`_require_bounded_queries`, so
 #: long-running sessions can free the accumulated executor cache blocks
@@ -1271,10 +1280,19 @@ def ivf_sq8_topk(
     exact SQ8 serving score :func:`int8_dot_topk` proves hash-exact
     cross-engine: score_micro = dot·ma_q·ma_c·10⁶/127², one fixed IEEE
     tree over an exact int64 dot), the best ``shortlist`` per query
-    survive, and the shortlist alone is EXACTLY re-ranked by float
-    cosine → the standard FAISS ``IVFx,SQ8`` + refine pipeline. →
+    survive, and the shortlist alone is EXACTLY re-ranked by cosine →
+    the standard FAISS ``IVFx,SQ8`` + refine pipeline. →
     (``query_id_col``, ``id_col``, cosine_sim, rank), same shape as
     :func:`ivf_topk` so the same recall certificate applies.
+
+    The refine metric is cosine over ``round(x·2²⁰)`` integer vectors
+    (:data:`REFINE_SCALE` — exact int64 dots, one double division/sqrt
+    chain), NOT raw-double cosine: this is bit-identical to the exact
+    brute-force baseline's metric, so the recall certificate compares
+    the SAME representation on both sides and near-tie rankings cannot
+    flip between the approximate and exact paths (r14 ADVICE). At 2⁻²⁰
+    granularity the quantization is far below any real embedding
+    noise floor — the serving answer is unchanged.
 
     Scale shape: the query side is a bounded broadcast (the
     :func:`_require_bounded_queries` contract); the corpus side is ONE
@@ -1334,10 +1352,29 @@ def ivf_sq8_topk(
     short = stage1.withColumn("_r1", F.row_number().over(w1)).filter(
         F.col("_r1") <= shortlist
     )
+    def _refine_q(col: Column) -> Column:
+        return F.transform(
+            col, lambda x: F.round(x * REFINE_SCALE).cast("long")
+        )
+
+    def _refine_dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    rq, cq = _refine_q(F.col("_qe")), _refine_q(F.col("_e"))
     rescored = short.select(
         query_id_col,
         F.col(id_col),
-        cosine(F.col("_e"), F.col("_qe")).alias("cosine_sim"),
+        (
+            _refine_dot(cq, rq).cast("double")
+            / (
+                F.sqrt(_refine_dot(cq, cq).cast("double"))
+                * F.sqrt(_refine_dot(rq, rq).cast("double"))
+            )
+        ).alias("cosine_sim"),
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()

@@ -649,6 +649,7 @@ def _cohort_value_counts_by(
     value_col: str,
     split_col: Column,
     scale: int,
+    fn: str = "_cohort_value_counts_by",
 ):
     """First stage of the per-segment substrate, shared by the
     prefix-sum consumers (:func:`_cohort_value_cum_by`) and the
@@ -657,7 +658,10 @@ def _cohort_value_counts_by(
     map-side combined, O(per-segment distinct values) groups) plus
     per-segment cohort totals. Rows with a NULL value, NULL split, or
     NULL segment are excluded (an unknown segment cannot vote on any
-    segment's drift — the psi_binned rule)."""
+    segment's drift — the psi_binned rule). ``fn`` is the PUBLIC
+    operator name threaded down for the broadcast-cap contract error,
+    so a user calling e.g. ``ks_two_sample_by`` sees the API they
+    invoked, never this private helper (r14 ADVICE)."""
     xs = F.round(F.col(value_col).cast("double") * scale).cast("long")
     base = df.filter(
         F.col(value_col).isNotNull()
@@ -678,8 +682,7 @@ def _cohort_value_counts_by(
     )
     totals = totals.select(
         by_col,
-        (F.col("n_a") + _segment_cap_guard("_cohort_value_counts_by"))
-        .alias("n_a"),
+        (F.col("n_a") + _segment_cap_guard(fn)).alias("n_a"),
         "n_b",
     )
     return g, totals
@@ -692,6 +695,7 @@ def _cohort_value_cum_by(
     split_col: Column,
     scale: int,
     num_buckets: int,
+    fn: str = "_cohort_value_cum_by",
 ):
     """Per-SEGMENT generalization of :func:`_cohort_value_cum` (the
     shared rank/ECDF substrate): identical two-phase parallel prefix
@@ -704,7 +708,7 @@ def _cohort_value_cum_by(
     from pyspark.sql import Window
 
     g, totals = _cohort_value_counts_by(
-        df, by_col, value_col, split_col, scale
+        df, by_col, value_col, split_col, scale, fn=fn
     )
     rng = g.groupBy(by_col).agg(
         F.min("_xs").cast("double").alias("_mn"),
@@ -721,8 +725,7 @@ def _cohort_value_cum_by(
     rng = rng.select(
         by_col,
         (
-            F.col("_mn")
-            + _segment_cap_guard("_cohort_value_cum_by").cast("double")
+            F.col("_mn") + _segment_cap_guard(fn).cast("double")
         ).alias("_mn"),
         "_span",
     )
@@ -780,7 +783,8 @@ def ks_two_sample_by(
     (segment, bucket), so segment count multiplies PARALLELISM, not any
     single task's row count; the final per-segment max is one hash-agg."""
     cum, totals = _cohort_value_cum_by(
-        df, by_col, value_col, split_col, scale, num_buckets
+        df, by_col, value_col, split_col, scale, num_buckets,
+        fn="ks_two_sample_by",
     )
     stat = (
         cum.join(F.broadcast(totals), on=by_col)
@@ -828,7 +832,8 @@ def mann_whitney_u_by(
     per-segment substrate; the weighted rank sum is one map-side-
     combinable hash-agg per segment."""
     cum, totals = _cohort_value_cum_by(
-        df, by_col, value_col, split_col, scale, num_buckets
+        df, by_col, value_col, split_col, scale, num_buckets,
+        fn="mann_whitney_u_by",
     )
     per_v = cum.select(
         by_col,
@@ -915,7 +920,8 @@ def exact_quantiles_by(
     # inclusive cumulative, and the segment total — one definition of
     # the bucketed prefix sum instead of a third inline copy
     cum, totals = _cohort_value_cum_by(
-        df, by_col, value_col, F.lit(True), scale, num_buckets
+        df, by_col, value_col, F.lit(True), scale, num_buckets,
+        fn="exact_quantiles_by",
     )
     probed = (
         cum.join(
@@ -964,8 +970,14 @@ def psi_binned_by(
     Laplace-smoothed shares, and the bin's PSI contribution
     ``(pa − pb)·ln(pa/pb)`` rounded to 6 dp (the tf_idf ln rule) —
     smoothing uses the PER-SEGMENT cohort totals, so each segment's
-    contributions sum to that segment's scalar PSI exactly as
-    :func:`psi_binned` defines it globally.
+    contributions sum to that segment's scalar PSI as
+    :func:`psi_binned` defines it globally, MODULO the scaled-grid
+    bucketing noted below: this variant buckets ``round(v·scale)``
+    (the shared substrate's grid) while :func:`psi_binned` buckets raw
+    values, so a value within ``1/(2·scale)`` of a bin edge can land
+    one bin over vs the global form (r14 ADVICE; the reduction law in
+    the tests picks values away from scaled-grid bin boundaries for
+    exactly this reason).
 
     Substrate reuse (no fourth inline copy): rides
     :func:`_cohort_value_counts_by`, the same per-(segment,
@@ -984,7 +996,7 @@ def psi_binned_by(
     if nbins < 1 or not (hi > lo):
         raise ValueError("psi_binned_by: need hi > lo and nbins >= 1")
     g, totals = _cohort_value_counts_by(
-        df, by_col, value_col, split_col, scale
+        df, by_col, value_col, split_col, scale, fn="psi_binned_by"
     )
     w = (float(hi) - float(lo)) / nbins
     bucket = F.least(

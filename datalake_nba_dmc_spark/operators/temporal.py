@@ -52,9 +52,27 @@ def asof_join(
     carried onto NULL-ts left rows, fabricating matches no comparison
     semantics justifies (robustness_audit `nulls` finding). NULL-ts left
     rows then naturally carry NULL (they sort before every real right row).
+
+    The union-merge internals (``_k``, ``_t``, ``_is_left``, ``_rv``,
+    ``_cv``) are reserved: a left frame (or ``right_cols``) already
+    carrying one would produce a duplicate-column select with a
+    confusing ambiguity error deep in the plan, so the collision raises
+    the same explicit contract ValueError as the derived operators'
+    name guards (r14 ADVICE) — and, because every as-of consumer
+    (:func:`asof_join_within`, the trailing-window forms,
+    :func:`nearest_value_join`) funnels through here, one guard covers
+    them all.
     """
     from pyspark.sql.types import StructField, StructType
 
+    internals = {"_k", "_t", "_is_left", "_rv", "_cv"}
+    clash = sorted(internals & (set(left.columns) | set(right_cols)))
+    if clash:
+        raise ValueError(
+            f"asof_join: column(s) {clash} collide with reserved "
+            "union-merge internals (_k, _t, _is_left, _rv, _cv); rename "
+            "them before the as-of"
+        )
     right = right.filter(F.col(right_ts).isNotNull())
     lcols = left.columns
     rstruct_type = StructType(

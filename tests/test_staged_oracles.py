@@ -3757,8 +3757,10 @@ def test_ivf_sq8_recall_duckdb_twin(spark, sf):
     exact cosine re-rank, certified against the brute-force exact
     top-10 with the same >=3-hit floor as the registered
     sim_ivf_recall (the SQ8 stage only reorders WITHIN the probe
-    shortlist, and the exact re-rank restores the float metric, so
-    recall tracks the plain IVF path)."""
+    shortlist, and the exact re-rank scores cosine over the SAME
+    round(x*2^20) integer grid as the brute-force baseline —
+    REFINE_SCALE, r14 ADVICE — so both sides of the certificate use
+    one representation and near-ties cannot flip between them)."""
     import duckdb as _duckdb
 
     from pyspark.sql import functions as F
