@@ -196,6 +196,20 @@ EXTENDED = [
     "events_trailing_window_features",
     "sim_int8_dot_topk",
     "sample_leakage_safe_split",
+    # r15 registrations (first same-harness baseline: BENCH_r15; staged
+    # pre-baselines from the r14 session, same host/sf0.1, PERF.md
+    # "r15-staged pre-baselines", all measured REBUILD-style:
+    # psi_by_segment 0.82 s steady, ivf_sq8_recall 3.71 s steady
+    # (REBUILD_EACH_PASS — eager KMeans training, the hyperball
+    # precedent), eval_decontaminated_split 5.95 s steady / 21.0 s
+    # first — rides the clusters signature frame in a shared session,
+    # see CACHE_RIDDEN, bootstrap_ci_by_segment 2.44 s steady,
+    # trailing_windows_multi 1.65 s steady)
+    "stat_psi_by_segment",
+    "sim_ivf_sq8_recall",
+    "sample_eval_decontaminated_split",
+    "stat_bootstrap_ci_by_segment",
+    "events_trailing_windows_multi",
 ]
 
 #: Bench rows that ride another query's PERSISTED/cached intermediate by
@@ -213,6 +227,12 @@ CACHE_RIDDEN = [
     # frame serves this row too (honest independent cost 15.7 s first
     # build / 3.10 s steady, PERF.md "r14-staged pre-baselines")
     "sample_leakage_safe_split",
+    # r15: the decontaminated split composes the same clusters
+    # pipeline (plus the Bloom->exact screen), so it rides the same
+    # persisted signature frame in a shared session (honest
+    # independent cost 21.0 s first build / 5.95 s steady, PERF.md
+    # "r15-staged pre-baselines")
+    "sample_eval_decontaminated_split",
 ]
 
 #: The r6-era extended membership (first 24 names) — used only to emit the
@@ -352,6 +372,11 @@ def main() -> None:
         # iterative loop as graph_coreness (PERF.md pre-baseline 2.92 s
         # was measured under this definition)
         "graph_coreness_bucketed",
+        # r15: the IVF-SQ8 certificate trains KMeans eagerly in the
+        # builder (the ivf_index contract) — pre-building would bill
+        # only the final probe of an already-trained index; the 3.71 s
+        # pre-baseline was measured under this definition
+        "sim_ivf_sq8_recall",
     }
 
     samples: dict[str, list[float]] = {}

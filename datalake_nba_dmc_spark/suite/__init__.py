@@ -106,98 +106,128 @@ NO_ORACLE_PINNED: list[str] = [
 ]
 
 _CHECK_PRIORITY: list[str] = [
-    # -- r15 plan (for the next cut): the r14-staged slate (see
-    #    suite/staged.py) registers next round per the freeze, then the
-    #    3 deferred r9 names below the edge + the r10 cohort rotate in.
-    # -- round-14 cut. Staleness entering r14 (from CORRECTNESS_r1..r13):
-    #    43 rotating r9 (last round's documented deferred tail), 50 x
-    #    r10, 50 x r11, 50 x r12, 50 x r13 — plus 10 NEW registrations
-    #    (the r13-staged slate, each in its own round's window per the
-    #    registry freeze). Window math: 10 new + 40 r9 = 50, leaving
-    #    3 r9 + the r10 cohort to lead the r15 cut. Historical cut
-    #    documentation (r8..r13 window composition + per-name deferral
-    #    redundancy) lives in git history of this file and reconstructs
-    #    from CORRECTNESS_r*.json via tools/window_plan.py.
+    # -- r16 plan (for the next cut): whatever suite/staged.py stages
+    #    this round registers next round per the freeze, then the 8
+    #    deferred r10 names below the edge + the r11 cohort rotate in.
+    # -- round-15 cut. Staleness entering r15 (from CORRECTNESS_r1..r14):
+    #    3 r7 + 2 r9 pinned (outside the window by design), 3 rotating
+    #    r9 (last round's documented deferred tail), 50 x r10, 50 x
+    #    r11, 50 x r12, 50 x r13, 50 x r14 — plus 5 NEW registrations
+    #    (the r14-staged slate, each in its own round's window per the
+    #    registry freeze). Window math: 5 new + 3 r9 + 42 r10 = 50,
+    #    leaving 8 r10 names + the r11 cohort to lead the r16 cut.
+    #    Historical cut documentation (r8..r14 window composition +
+    #    per-name deferral redundancy) lives in git history of this
+    #    file and reconstructs from CORRECTNESS_r*.json via
+    #    tools/window_plan.py.
     # -- 1. never-checked: registered THIS round, in their own round's
-    #    window. The 10-op r13-staged slate, every twin green at two
-    #    scales (tests/test_staged_oracles.py r14 block) and audit-
-    #    hardened BEFORE registration: graph_coreness_bucketed = the
-    #    skew-safe histogram h-index coreness (bit-equal law vs the
-    #    windowed path); dedup_exactsubstr_pipeline = ExactSubstr
-    #    generation -> cut-list -> suppression emitting the masked
-    #    corpus; stat_ks_drift_by_segment / stat_mann_whitney_by_segment
-    #    / stat_exact_quantiles_by_segment = the per-segment drift
-    #    suite on the segmented prefix-sum substrate;
-    #    sketch_theta_vocab_difference = theta set difference
-    #    completing the algebra; events_asof_within_tolerance = as-of
-    #    with max-staleness; events_trailing_window_features = kdb-wj
-    #    prefix-sum differencing; sim_int8_dot_topk = the first
-    #    similarity query with a full-value oracle;
-    #    sample_leakage_safe_split = near-dup-aware train/val/test.
-    "graph_coreness_bucketed",
-    "dedup_exactsubstr_pipeline",
-    "stat_ks_drift_by_segment",
-    "stat_mann_whitney_by_segment",
-    "stat_exact_quantiles_by_segment",
-    "sketch_theta_vocab_difference",
-    "events_asof_within_tolerance",
-    "events_trailing_window_features",
-    "sim_int8_dot_topk",
-    "sample_leakage_safe_split",
-    # -- 2. the rotating r9 cohort: 40 of the 43 deferred names enter;
-    #    the 3 deferred past the edge (flagship_customer_resume,
-    #    a2_dynamic_sum_agg, w4_running_sum) are the strongest-covered
-    #    r9 names left — all three are HEADLINE rows bench.py times
-    #    EVERY round (crash/regression visible round-over-round), and
-    #    flagship additionally runs in entry() every driver smoke.
-    "sort_topk",
-    "stat_exact_moments",
-    "text_stats",
-    "sketch_theta_overlap",
-    "agg_incremental_maintenance",
-    "stat_psi_price_drift",
-    "mart_basket_pairs",
-    "lakehouse_version_diff",
-    "dedup_repeated_spans",
-    "dedup_contamination_bloom",
-    "dedup_substring_spans",
-    "media_phash_dup_certificate",
-    "f2_null_guarded_parse",
-    "x1x2x3_date_roundtrip",
-    "func_date_arithmetic",
-    "conform_union_evolved",
-    "profile_winsorize",
-    "j2_left_join_expr_key",
-    "j3_left_join_derived_key",
-    "j4_join_using",
-    "a1_dedup_rows",
-    "a4_team_style_agg",
-    "w1_latest_order_maxby",
-    "w2_rank_in_group",
-    "set_union_all",
-    "agg_percentiles",
-    "events_latest_state_per_user",
-    "events_variant_agg",
-    "events_user_idle_report",
-    "events_user_running_totals",
-    "events_time_to_convert",
-    "events_heatmap_hour_dow",
-    "join_nearest_tier",
-    "k1_write_roundtrip",
-    "k5_file_manifest",
-    "k6_versioned_roundtrip",
-    "k7_jsonl_landing_roundtrip",
-    "text_sentence_boilerplate",
-    "text_source_lang_diversity",
-    "text_length_deciles",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r9 (3): lead the r15 cut, contiguously past the edge.
-    #    All three are bench-timed HEADLINE rows executed at sf0.1
-    #    every round; flagship_customer_resume is also the entry()
-    #    smoke query the driver runs every single round.
+    #    window. The 5-op r14-staged slate, every twin green at two
+    #    scales (tests/test_staged_oracles.py r15 block) and audit-
+    #    hardened BEFORE registration: stat_psi_by_segment /
+    #    stat_bootstrap_ci_by_segment = per-segment PSI + Poisson-
+    #    bootstrap CI completing the segment-capable drift family on
+    #    the shared _cohort_value_counts_by substrate;
+    #    sim_ivf_sq8_recall = the IVF->SQ8->exact-rerank serving path
+    #    certified at the sim_ivf_recall floor with both certificate
+    #    sides on one vector representation;
+    #    sample_eval_decontaminated_split = leakage-safe split x
+    #    Bloom->exact benchmark decontamination;
+    #    events_trailing_windows_multi = N trailing horizons in one
+    #    pass (N+1 sorts, never a range join).
+    "stat_psi_by_segment",
+    "sim_ivf_sq8_recall",
+    "sample_eval_decontaminated_split",
+    "stat_bootstrap_ci_by_segment",
+    "events_trailing_windows_multi",
+    # -- 2. the 3 r9 names deferred past the r14 edge (the documented
+    #    tail: all bench HEADLINE rows; flagship also runs in entry()
+    #    every driver smoke) — they lead this cut as promised.
     "flagship_customer_resume",
     "a2_dynamic_sum_agg",
     "w4_running_sum",
+    # -- 3. the rotating r10 cohort: 42 of the 50 enter; the 8
+    #    deferred past the edge are listed there with per-name
+    #    redundancy notes.
+    "w5_ntile_quartiles",
+    "w6_moving_avg",
+    "w8_percent_rank",
+    "stat_corr_qty_price",
+    "agg_conditional",
+    "grouped_minmax_norm",
+    "mart_supplier_pareto",
+    "p1_project_prune",
+    "p2_bulk_rename",
+    "join_semi",
+    "join_anti",
+    "agg_rollup",
+    "agg_cube",
+    "w3_lag",
+    "set_intersect",
+    "conform_safe_downcast",
+    "agg_pivot",
+    "project_unpivot",
+    "set_intersect_all",
+    "set_except_all",
+    "sample_hash_mod",
+    "agg_approx_percentiles",
+    "tpch_q1_pricing_summary",
+    "dedup_exact",
+    "mart_containment_pairs",
+    "events_json_extract",
+    "events_approx_distinct_users",
+    "events_followup_within_hour",
+    "events_dau_wau",
+    "func_string_surface",
+    "func_null_semantics",
+    "func_array_scalars",
+    "func_try_arithmetic",
+    "graph_pagerank_micro",
+    "graph_harmonic_centrality",
+    "merge_upsert_orders",
+    "media_metadata",
+    "media_y4m_frame_stats",
+    "media_wav_pcm_stats",
+    "sim_lsh_recall",
+    "sim_ivf_recall",
+    "sim_semantic_dedup_certificate",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- deferred r10 (8): lead the r16 cut, contiguously past the
+    #    edge. Per-name redundancy — every deferred name's operator is
+    #    pytest-covered this round AND has either an in-window code-
+    #    path sibling or a driver row one round fresher than this
+    #    cohort:
+    #    - sim_embedding_near_dups_certificate — identical dup-
+    #      injection certificate machinery to
+    #      sim_semantic_dedup_certificate (in-window) over the same
+    #      LSH-bucket substrate as sim_lsh_recall (in-window); its
+    #      rows-only companion sim_embedding_near_dups is bench-
+    #      executed at sf0.1 every round.
+    #    - k2_partition_overwrite_roundtrip — same sinks.write_table /
+    #      read-back path as k1/k5/k6/k7, all green r14 (one round
+    #      fresher than this cohort); pytest roundtrips pin the
+    #      dynamic-overwrite branch.
+    #    - skew_salted_agg — the salted two-phase agg's results are
+    #      pinned equal to the unsalted groupBy in pytest; its
+    #      consumer-side twin a3_multi_measure_agg is a bench HEADLINE
+    #      row timed every round.
+    #    - text_lang_id / text_fingerprint / text_winnow_fingerprints /
+    #      text_bpe_token_count — the text family's shared normalize/
+    #      tokenize substrate carried by the four sibling rows green
+    #      r14 (text_stats, text_sentence_boilerplate,
+    #      text_source_lang_diversity, text_length_deciles); operator
+    #      laws pinned in test_text.py / test_bpe.py (winnow window
+    #      invariants, fingerprint rolling-hash, BPE merge order).
+    #    - corpus_pack_sequences — greedy packing capacity/ordering
+    #      laws pinned in test_packing.py; bench-executed at sf0.1
+    #      every round (EXTENDED row).
+    "sim_embedding_near_dups_certificate",
+    "k2_partition_overwrite_roundtrip",
+    "skew_salted_agg",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_winnow_fingerprints",
+    "corpus_pack_sequences",
 ]
 
 # The pinned no-oracle names close the rotation (see NO_ORACLE_PINNED):

@@ -1457,3 +1457,96 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = TableRegistry(spark, sf_dir).documents
     return leakage_safe_split(docs)
+
+
+def _eval_decon_split_oracle() -> str:
+    from datalake_nba_dmc_spark.operators.cdc import _M
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+    mix = mixer_sql(f"(((cluster_id % {_M}) + {_M}) % {_M})", "duck")
+    clusters = _minhash_clusters_oracle(16, 4, 3, where="doc_id % 20 != 0")
+    return f"""
+    WITH sbase AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN ({mix}) % 100 < 80 THEN 'train'
+                  WHEN ({mix}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ({clusters}) c
+    ), toks_t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM toks_t
+    ), corpus_g AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 20 != 0
+    ), bench_g AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 20 = 0
+    ), hits AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+      FROM corpus_g c JOIN bench_g b USING (gram)
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.cluster_id, s.split,
+           COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+           CASE WHEN s.split = 'train' AND COALESCE(h.n_eval_hits, 0) > 0
+                THEN 'quarantine' ELSE s.split END AS final_split
+    FROM sbase s LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@query("sample_eval_decontaminated_split", oracle=_eval_decon_split_oracle())
+def sample_eval_decontaminated_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe split composed with BENCHMARK DECONTAMINATION
+    (registered r15 — VERDICT r13 ask #7): the doc_id % 20 == 0 slice
+    plays the external eval table; corpus docs get the near-dup-cluster
+    split (sample_leakage_safe_split's machinery), and any TRAIN doc
+    sharing a 3-gram with the eval table quarantines — train is clean
+    of eval content BY CONSTRUCTION, in addition to the intra-corpus
+    no-straddle guarantee (no-leakage law pytest-pinned: surviving
+    train docs have n_eval_hits == 0; val/test untouched). Spark runs
+    the honest two-stage screen — the fixed-size Bloom sketch flags a
+    SUPERSET (no false negatives, the dedup_contamination_bloom
+    certificate), the exact counter re-checks ONLY the flagged docs —
+    equal to exact-on-all by the certificate, at a fraction of the
+    join traffic; the twin replays clusters + mixer + the exact gram
+    join end to end. Scale shape: the clusters pipeline (one corpus
+    scan, banded star edges) + a bit-packed broadcast Bloom probe
+    (corpus never shuffled for the screen) + a chunk-grain exact
+    semi-join over flagged docs only; the split itself is a map-side
+    mixer with ZERO added shuffles. In a shared session the clusters
+    substrate rides its persisted signature frame (bench annotates
+    cache_ridden; PERF.md carries the independent rebuild cost)."""
+    from datalake_nba_dmc_spark.operators.dedup import (
+        contamination_hits,
+        contamination_hits_bloom,
+    )
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        leakage_safe_split,
+    )
+
+    docs = TableRegistry(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    split = leakage_safe_split(corpus)
+    screen = contamination_hits_bloom(corpus, ev, "text", n=3)
+    flagged = corpus.join(
+        screen.select("doc_id"), on="doc_id", how="left_semi"
+    )
+    exact = contamination_hits(flagged, ev, "text", n=3)
+    joined = split.join(exact, on="doc_id", how="left")
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("long")
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "split",
+        n_hits.alias("n_eval_hits"),
+        F.when(
+            (F.col("split") == "train") & (n_hits > 0),
+            F.lit("quarantine"),
+        )
+        .otherwise(F.col("split"))
+        .alias("final_split"),
+    )

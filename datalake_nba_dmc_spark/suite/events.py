@@ -1085,3 +1085,71 @@ def events_trailing_window_features(
         value_col="value",
         window="interval 1 hour",
     )
+
+
+_TRAILING_MULTI_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS pt, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+), ev AS (
+  SELECT DISTINCT event_id, user_id, ts FROM events
+), feat AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         CAST(COUNT(CASE WHEN p.pt > e.ts - INTERVAL 1 HOUR
+                         THEN 1 END) AS BIGINT) AS win_1h_count,
+         CAST(COALESCE(SUM(CASE WHEN p.pt > e.ts - INTERVAL 1 HOUR
+                                THEN p.v END), 0) AS BIGINT)
+           AS win_1h_sum_scaled,
+         CAST(COUNT(p.pt) AS BIGINT) AS win_24h_count,
+         CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS win_24h_sum_scaled
+  FROM ev e
+  LEFT JOIN p ON p.user_id = e.user_id
+             AND p.pt > e.ts - INTERVAL 24 HOUR AND p.pt <= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts
+)
+SELECT f.event_id, f.user_id, f.ts, f.win_1h_count, f.win_1h_sum_scaled,
+       f.win_24h_count, f.win_24h_sum_scaled
+FROM events x
+JOIN feat f ON x.event_id IS NOT DISTINCT FROM f.event_id
+           AND x.user_id IS NOT DISTINCT FROM f.user_id
+           AND x.ts IS NOT DISTINCT FROM f.ts
+"""
+
+
+@query("events_trailing_windows_multi", oracle=_TRAILING_MULTI_ORACLE)
+def events_trailing_windows_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-HORIZON trailing-window feature block (operators/temporal.
+    trailing_window_agg_multi, registered r15): purchases count + exact
+    scaled sum in the trailing 1h AND 24h per event, in ONE pass — the
+    per-key cumulative table is built once, the at-ts cumulative read
+    once, each extra horizon adds exactly one more as-of lower-edge
+    pass (N+1 union-merge sorts for N horizons, vs 2N for N separate
+    calls and vs the |L|x|R-per-window| explosion of N range joins).
+    Single-entry reduction to the registered
+    events_trailing_window_features is bit-pinned in pytest; the
+    horizon-nesting law (24h dominates 1h on every row) rides the twin.
+    The oracle materializes ONE range join on the WIDEST horizon and
+    aggregates each horizon conditionally, composed duplication-proof
+    (distinct-grain compute + null-safe per-row fan-out — the r14
+    registration rule for per-left-row operators)."""
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_window_agg_multi,
+    )
+
+    t = TableRegistry(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts")
+    purch = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return trailing_window_agg_multi(
+        ev,
+        purch,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="value",
+        windows={"1h": "interval 1 hour", "24h": "interval 24 hours"},
+    )

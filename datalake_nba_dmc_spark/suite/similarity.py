@@ -645,3 +645,30 @@ def sim_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_dot_topk(
         TableRegistry(spark, sf_dir).embeddings, k=5, n_queries=8
     )
+
+
+@query("sim_ivf_sq8_recall", oracle=_RECALL_ORACLE)
+def sim_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy certificate for the IVF-SQ8 two-stage serving path
+    (operators/similarity.ivf_sq8_topk, registered r15 — VERDICT r13
+    ask #6): IVF probe (4 of 16 KMeans cells) -> exact-int8 SQ8
+    shortlist (descaled int64 dot, 3k deep) -> exact re-rank, which
+    scores cosine over the SAME round(x*2^20) integer grid as the
+    brute-force baseline (REFINE_SCALE, r14 ADVICE) so both sides of
+    the certificate use one representation and near-ties cannot flip.
+    Floor: >= 3 of the exact top-10 per query — the sim_ivf_recall
+    contract (the SQ8 stage only reorders WITHIN the probe shortlist,
+    so recall tracks the plain IVF path; a broken probe join, a
+    desynced quantization contract, or a broken re-rank all yield 0-1
+    hits). Scale shape: bounded-broadcast query side, ONE scan of the
+    probed cells reading 1-byte-per-dim codes (the bandwidth win SQ8
+    exists for), both rank cuts WindowGroupLimit-pruned."""
+    from datalake_nba_dmc_spark.operators.similarity import ivf_sq8_topk
+
+    emb = TableRegistry(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim_bruteforce_topk(spark, sf_dir)
+    approx = ivf_sq8_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return _recall_check(approx, exact, floor=3)

@@ -3893,15 +3893,15 @@ def test_eval_decontaminated_split_duckdb_twin(spark, sf):
     join end to end."""
     import duckdb as _duckdb
 
-    from datalake_nba_dmc_spark.suite.staged import (
-        _sample_eval_decontaminated_split,
+    from datalake_nba_dmc_spark.suite.dedup import (
+        sample_eval_decontaminated_split,
     )
 
     sfd = f"/root/testdata/{sf}"
     if not os.path.isdir(sfd):
         pytest.skip("scale dir missing")
     got = sorted(
-        tuple(r) for r in _sample_eval_decontaminated_split(spark, sfd).collect()
+        tuple(r) for r in sample_eval_decontaminated_split(spark, sfd).collect()
     )
     con = _duckdb.connect()
     con.execute(
@@ -3930,14 +3930,17 @@ def test_eval_decontaminated_split_duckdb_twin(spark, sf):
     assert len(pairs) == len({r[1] for r in got})
 
 
-def test_r15_staged_ops_layout_invariant(spark):
-    """Pre-empts the partition-perturbation audit for the r15 slate:
-    bit-identical rows under 3 vs 64 shuffle partitions."""
+def test_staged_ops_layout_invariant(spark):
+    """Pre-empts the partition-perturbation audit for the CURRENT
+    staged slate (whatever suite/staged.py holds): bit-identical rows
+    under 3 vs 64 shuffle partitions."""
     if not os.path.isdir(SF):
         pytest.skip("driver testdata not present")
     from datalake_nba_dmc_spark.suite.staged import staged_specs
 
     specs = staged_specs()
+    if not specs:
+        pytest.skip("no staged specs at the moment (slate just registered)")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     results: dict[str, list] = {}
     try:
@@ -4127,8 +4130,8 @@ def test_trailing_windows_multi_duckdb_twin(spark, sf):
     each horizon conditionally — every count and sum bit-exact."""
     import duckdb as _duckdb
 
-    from datalake_nba_dmc_spark.suite.staged import (
-        _events_trailing_windows_multi,
+    from datalake_nba_dmc_spark.suite.events import (
+        events_trailing_windows_multi,
     )
 
     sfd = f"/root/testdata/{sf}"
@@ -4137,7 +4140,7 @@ def test_trailing_windows_multi_duckdb_twin(spark, sf):
     got = sorted(
         (r.event_id, r.user_id, str(r.ts), r.win_1h_count,
          r.win_1h_sum_scaled, r.win_24h_count, r.win_24h_sum_scaled)
-        for r in _events_trailing_windows_multi(spark, sfd).collect()
+        for r in events_trailing_windows_multi(spark, sfd).collect()
     )
     con = _duckdb.connect()
     con.execute(

@@ -160,26 +160,21 @@ def test_bench_final_line_fits_tail_window():
 
 def test_staged_specs_disjoint_and_planned():
     """Staged specs (suite/staged.py) must never leak into the driver's
-    registry, and must exactly match the r15 slate (the audit batteries
-    run over precisely these names). The 10-op r13 slate registered in
-    r14 — those names now live in the registry with oracles."""
+    registry, and must exactly match the r16 slate (the audit batteries
+    run over precisely these names). The 5-op r14 slate registered in
+    r15 — those names now live in the registry with oracles."""
     from datalake_nba_dmc_spark.suite import load_all
     from datalake_nba_dmc_spark.suite.staged import staged_specs
 
     registered = set(load_all())
     staged = staged_specs()
-    assert set(staged) == _R15_SLATE
+    assert set(staged) == _R16_SLATE
     assert {
-        "graph_coreness_bucketed",
-        "dedup_exactsubstr_pipeline",
-        "stat_ks_drift_by_segment",
-        "stat_mann_whitney_by_segment",
-        "stat_exact_quantiles_by_segment",
-        "sketch_theta_vocab_difference",
-        "events_asof_within_tolerance",
-        "events_trailing_window_features",
-        "sim_int8_dot_topk",
-        "sample_leakage_safe_split",
+        "stat_psi_by_segment",
+        "sim_ivf_sq8_recall",
+        "sample_eval_decontaminated_split",
+        "stat_bootstrap_ci_by_segment",
+        "events_trailing_windows_multi",
     } <= registered
     assert not (set(staged) & registered)
     # the audit view appends them; the driver view must not contain them
@@ -189,11 +184,5 @@ def test_staged_specs_disjoint_and_planned():
         assert spec.oracle is None and callable(spec.builder)
 
 
-#: The planned r15 registration slate (updated as this round stages ops).
-_R15_SLATE: set[str] = {
-    "stat_psi_by_segment",
-    "sim_ivf_sq8_recall",
-    "sample_eval_decontaminated_split",
-    "stat_bootstrap_ci_by_segment",
-    "events_trailing_windows_multi",
-}
+#: The planned r16 registration slate (updated as this round stages ops).
+_R16_SLATE: set[str] = set()
