@@ -983,3 +983,124 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def leakage_safe_split_stratified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`leakage_safe_split` with STRATIFIED cluster->split
+    assignment — closes the documented doc-grain-skew gap (r13 ADVICE /
+    the mixer split's docstring): the per-cluster mixer assigns each
+    cluster to a split INDEPENDENTLY, so with skewed cluster sizes the
+    document-grain proportions drift far from ``val_pct``/``test_pct``
+    (a 5%-mass cluster mixed into val doubles val by itself). This
+    variant instead lays every cluster on a deterministic pseudo-random
+    LINE (ordered by the avalanche mixer of the cluster id, ties by
+    id), takes the exact running document mass, and cuts the line into
+    the (train, val, test) percent bands by CUMULATIVE mass — a
+    boundary-straddling cluster resolves by LARGEST REMAINDER: it goes
+    to the side of the boundary holding the strictly larger share of
+    its mass (midpoint rule, ``2·cum_before + mass`` vs the doubled
+    thresholds — all int64, engine-portable, no division).
+
+    Guarantees:
+
+    - leakage impossible, unchanged: assignment is still CLUSTER-grain
+      (every near-dup rides its cluster; the no-leakage law is the same
+      structural #distinct (cluster, split) == #distinct cluster);
+    - document-grain proportions land within half the LARGEST single
+      cluster's mass share of each band boundary — ±1 pt whenever no
+      cluster holds more than ~2 % of the corpus, vs the mixer form's
+      unbounded binomial drift (fixture law in pytest: a skewed corpus
+      where the mixer split misses val by >10 pts lands within ±1 pt
+      here);
+    - a cluster LARGER than a band can never fit it (that is the
+      no-leakage guarantee doing its job, not a bug) — the midpoint
+      rule sends it to the band holding most of its mass, and the
+      small bands stay near target from the remaining line;
+    - determinism: the mixer order is a pure function of cluster ids —
+      independent of layout, partitioning, AND of which other
+      documents exist only through cluster membership itself (unlike a
+      mass-descending order, ties on the ubiquitous mass=1 would
+      otherwise make the line id-ordered, biasing early ids into
+      train).
+
+    Scale shape: the clusters pipeline + ONE cluster-grain mass
+    hash-agg, then the standard two-phase parallel prefix sum over the
+    mixer line (1024 order-preserving buckets: a <=1024-row offsets
+    scan + per-bucket windows — no corpus-scale single-partition
+    window), a 1-row total broadcast, and one equi-join back to the
+    doc-grain frame on cluster_id (reusing the agg's key). → (id_col,
+    cluster_id, cluster_mass, split)."""
+    from pyspark.sql import Window
+
+    from datalake_nba_dmc_spark.operators.cdc import _M
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ValueError("val_pct/test_pct must be >= 0 and sum < 100")
+    clusters = minhash_portable_clusters(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    mass = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_mass")
+    )
+    # the mixer's contract is a NON-NEGATIVE input (the add-then-mod
+    # pmod fold, the leakage_safe_split rule); output in [0, 2^32)
+    mix = F.expr(
+        mixer_sql(f"(((cluster_id % {_M}) + {_M}) % {_M})", "spark")
+    )
+    # two-phase prefix sum: 2^32 / 2^22 = 1024 order-preserving buckets
+    keyed = mass.withColumn("_mix", mix).withColumn(
+        "_bkt", F.expr("_mix div 4194304")
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        keyed.groupBy("_bkt")
+        .agg(F.sum("cluster_mass").alias("_bt"))
+        .withColumn("_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)))
+        .select("_bkt", "_off")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_mix", "cluster_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.join(F.broadcast(offs), on="_bkt").withColumn(
+        "_cum", F.sum("cluster_mass").over(w_in) + F.col("_off")
+    )
+    total = mass.agg(F.sum("cluster_mass").alias("_n"))
+    # midpoint (largest-remainder) rule, doubled to stay integer:
+    # m2 = 2*cum_before + mass; band edges at 2*N*pct/100
+    m2 = 2 * (F.col("_cum") - F.col("cluster_mass")) + F.col("cluster_mass")
+    train_hi = 100 - val_pct - test_pct
+    assigned = cum.crossJoin(F.broadcast(total)).select(
+        "cluster_id",
+        F.col("cluster_mass").cast("long").alias("cluster_mass"),
+        F.when(
+            100 * m2 < 2 * F.col("_n") * train_hi, F.lit("train")
+        )
+        .when(
+            100 * m2 < 2 * F.col("_n") * (train_hi + val_pct),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return clusters.join(assigned, on="cluster_id").select(
+        id_col, "cluster_id", "cluster_mass", "split"
+    )

@@ -705,11 +705,22 @@ def _cohort_value_cum_by(
     parallelizes across its (segment, bucket) pairs exactly like the
     global form. NULL handling lives in the shared first stage
     (:func:`_cohort_value_counts_by`)."""
-    from pyspark.sql import Window
-
     g, totals = _cohort_value_counts_by(
         df, by_col, value_col, split_col, scale, fn=fn
     )
+    return _cum_from_counts(g, by_col, num_buckets, fn), totals
+
+
+def _cum_from_counts(
+    g: DataFrame, by_col: str, num_buckets: int, fn: str
+) -> DataFrame:
+    """The cumulative stage of :func:`_cohort_value_cum_by`, factored so
+    a consumer that already HOLDS the per-(segment, value) counts frame
+    (:func:`drift_panel_by` shares one materialized ``g`` across four
+    statistic families) can derive the prefix sums without a second
+    pass over the corpus."""
+    from pyspark.sql import Window
+
     rng = g.groupBy(by_col).agg(
         F.min("_xs").cast("double").alias("_mn"),
         (F.max("_xs").cast("double") - F.min("_xs").cast("double") + 1).alias(
@@ -759,7 +770,7 @@ def _cohort_value_cum_by(
         .withColumn("_cuma", F.sum("_ca").over(w_in) + F.col("_offa"))
         .withColumn("_cumb", F.sum("_cb").over(w_in) + F.col("_offb"))
     )
-    return cum, totals
+    return cum
 
 
 def ks_two_sample_by(
@@ -786,6 +797,16 @@ def ks_two_sample_by(
         df, by_col, value_col, split_col, scale, num_buckets,
         fn="ks_two_sample_by",
     )
+    return _ks_finish(cum, totals, by_col, "ks_two_sample_by")
+
+
+def _ks_finish(
+    cum: DataFrame, totals: DataFrame, by_col: str, fn: str
+) -> DataFrame:
+    """KS finisher over the shared segmented prefix-sum substrate —
+    factored so :func:`drift_panel_by` computes the identical statistic
+    from ONE materialized counts frame (the finisher IS the registered
+    contract; the panel cannot drift from :func:`ks_two_sample_by`)."""
     stat = (
         cum.join(F.broadcast(totals), on=by_col)
         .groupBy(by_col)
@@ -801,7 +822,7 @@ def ks_two_sample_by(
         )
     )
     guard = _i64_guard(
-        "ks_two_sample_by",
+        fn,
         F.col("n_a")
         <= F.expr(f"{_MICRO_I64_BOUND} div greatest(n_b, 1)"),
     )
@@ -835,6 +856,14 @@ def mann_whitney_u_by(
         df, by_col, value_col, split_col, scale, num_buckets,
         fn="mann_whitney_u_by",
     )
+    return _mw_finish(cum, totals, by_col, "mann_whitney_u_by")
+
+
+def _mw_finish(
+    cum: DataFrame, totals: DataFrame, by_col: str, fn: str
+) -> DataFrame:
+    """Mann-Whitney finisher over the shared segmented substrate —
+    factored for :func:`drift_panel_by` like :func:`_ks_finish`."""
     per_v = cum.select(
         by_col,
         "_ca",
@@ -866,7 +895,7 @@ def mann_whitney_u_by(
             (
                 F.expr("(u2_a * 1000000) div greatest(2 * n_a * n_b, 1)")
                 + _i64_guard(
-                    "mann_whitney_u_by",
+                    fn,
                     F.col("n_a")
                     <= F.expr(
                         f"{_MICRO_I64_BOUND // 2} div greatest(n_b, 1)"
@@ -998,6 +1027,20 @@ def psi_binned_by(
     g, totals = _cohort_value_counts_by(
         df, by_col, value_col, split_col, scale, fn="psi_binned_by"
     )
+    return _psi_bin_rows(g, totals, by_col, lo, hi, nbins, scale)
+
+
+def _psi_bin_rows(
+    g: DataFrame,
+    totals: DataFrame,
+    by_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    scale: int,
+) -> DataFrame:
+    """PSI bin-grain finisher over the shared counts frame — factored
+    for :func:`drift_panel_by` like :func:`_ks_finish`."""
     w = (float(hi) - float(lo)) / nbins
     bucket = F.least(
         F.greatest(
@@ -1140,4 +1183,146 @@ def bootstrap_ci_mean_by(
     )
     return dist.join(F.broadcast(point), on=by_col).select(
         by_col, "n_resamples", "point_micro", "lo_micro", "hi_micro"
+    )
+
+
+def drift_panel_by(
+    df: DataFrame,
+    by_col: str,
+    value_col: str,
+    split_col: Column,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    scale: int = 100,
+    num_buckets: int = 256,
+    probs_pct: Sequence[int] = (50, 90),
+) -> DataFrame:
+    """The per-segment drift DASHBOARD row — KS, Mann-Whitney AUC,
+    total PSI, and per-cohort exact quantiles for every segment, all
+    computed from ONE scan of the fact table (VERDICT r14 ask #7: the
+    segmented family is complete, this composes it and proves the
+    shared substrate amortizes — the 100 TB monitoring shape, where
+    the fact scan IS the cost and four separate monitoring queries
+    would pay it four times).
+
+    → one row per segment: (``by_col``, n_a, n_b, ks_d_micro,
+    auc_micro, psi_micro, and q{p}_a_scaled / q{p}_b_scaled /
+    q{p}_delta_scaled per requested prob). ``psi_micro`` is the
+    segment's total PSI in micro units (each 6-dp bin contribution
+    rounded to an exact long, then summed — integer-associative, so
+    partial aggregation order cannot ulp-drift it). Quantile columns
+    are NULL for an empty cohort (rank-cut probe, never a scalar
+    subquery).
+
+    One-scan mechanics: the per-(segment, scaled-value) conditional
+    counts frame ``g`` (:func:`_cohort_value_counts_by` — the stage
+    every family in this module consumes) is materialized ONCE via an
+    eager ``localCheckpoint``; Catalyst does not share subplans across
+    join branches, so WITHOUT the checkpoint each statistic family
+    would re-scan the corpus — with it, the four finishers
+    (:func:`_ks_finish`, :func:`_mw_finish`, :func:`_psi_bin_rows`,
+    and the rank-cut quantile probe) all read the materialized counts
+    (O(distinct (segment, value)) rows, the corpus never again), and
+    the panel is BIT-IDENTICAL per statistic to the four registered
+    standalone queries because the finishers ARE their registered
+    contracts (pytest law). Segment totals are re-derived from ``g``
+    itself (summing per-value counts — same values as the counts
+    stage's own totals) so not even the totals agg touches the corpus
+    a second time. The eager checkpoint makes this builder
+    REBUILD_EACH_PASS at bench registration (the hyperball rule)."""
+    probs = sorted(set(int(p) for p in probs_pct))
+    if not probs or probs[0] < 1 or probs[-1] > 100:
+        raise ValueError("probs_pct must be integers in [1, 100]")
+    if nbins < 1 or not (hi > lo):
+        raise ValueError("drift_panel_by: need hi > lo and nbins >= 1")
+    g, _ = _cohort_value_counts_by(
+        df, by_col, value_col, split_col, scale, fn="drift_panel_by"
+    )
+    g = g.localCheckpoint(eager=True)
+    totals = g.groupBy(by_col).agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    totals = totals.select(
+        by_col,
+        (F.col("n_a") + _segment_cap_guard("drift_panel_by")).alias("n_a"),
+        "n_b",
+    )
+    cum = _cum_from_counts(g, by_col, num_buckets, "drift_panel_by")
+    ks = _ks_finish(cum, totals, by_col, "drift_panel_by")
+    mw = _mw_finish(cum, totals, by_col, "drift_panel_by").select(
+        by_col, "auc_micro"
+    )
+    psi_tot = (
+        _psi_bin_rows(g, totals, by_col, lo, hi, nbins, scale)
+        .groupBy(by_col)
+        .agg(
+            F.sum(
+                F.round(F.col("psi_contrib") * 1000000.0).cast("long")
+            ).alias("psi_micro")
+        )
+    )
+
+    def _quant(cnt: str, cumc: str, tot: str, tag: str) -> DataFrame:
+        probed = (
+            cum.join(
+                F.broadcast(
+                    totals.select(by_col, F.col(tot).alias("_n_t"))
+                ),
+                on=by_col,
+            )
+            .select(
+                by_col,
+                "_xs",
+                F.col(cnt).alias("_c"),
+                F.col(cumc).alias("_cm"),
+                "_n_t",
+                F.explode(F.array(*[F.lit(p) for p in probs])).alias(
+                    "p_pct"
+                ),
+            )
+            .withColumn("_rank", F.expr("(p_pct * _n_t + 99) div 100"))
+            .filter(
+                (F.col("_n_t") > 0)
+                & (F.col("_cm") >= F.col("_rank"))
+                & (F.col("_cm") - F.col("_c") < F.col("_rank"))
+            )
+        )
+        return probed.groupBy(by_col).agg(
+            *[
+                F.max(
+                    F.when(F.col("p_pct") == p, F.col("_xs"))
+                )
+                .cast("long")
+                .alias(f"q{p}_{tag}_scaled")
+                for p in probs
+            ]
+        )
+
+    qa = _quant("_ca", "_cuma", "n_a", "a")
+    qb = _quant("_cb", "_cumb", "n_b", "b")
+    panel = (
+        ks.join(F.broadcast(mw), on=by_col, how="left")
+        .join(F.broadcast(psi_tot), on=by_col, how="left")
+        .join(F.broadcast(qa), on=by_col, how="left")
+        .join(F.broadcast(qb), on=by_col, how="left")
+    )
+    return panel.select(
+        by_col,
+        "n_a",
+        "n_b",
+        "ks_d_micro",
+        "auc_micro",
+        "psi_micro",
+        *[
+            c
+            for p in probs
+            for c in (
+                F.col(f"q{p}_a_scaled"),
+                F.col(f"q{p}_b_scaled"),
+                (F.col(f"q{p}_a_scaled") - F.col(f"q{p}_b_scaled")).alias(
+                    f"q{p}_delta_scaled"
+                ),
+            )
+        ],
     )

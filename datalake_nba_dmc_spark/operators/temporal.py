@@ -614,3 +614,109 @@ def trailing_window_agg_multi(
             ssum.cast("long").alias(f"{prefix}{name}_sum_scaled")
         )
     return cur.select(*left.columns, *outs)
+
+
+def trailing_distinct_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    window: str = "interval 24 hours",
+    prefix: str = "win_",
+) -> DataFrame:
+    """EXACT trailing-window DISTINCT count ("distinct SKUs in the last
+    24 h") — the feature prefix-sum differencing cannot express
+    (:func:`trailing_window_agg` sums are subtractable; distinct sets
+    are not), computed WITHOUT a range join via INTERVAL STABBING:
+
+    A value is counted in ``(t − w, t]`` iff it has an occurrence
+    there, iff exactly ONE of its occurrences is the first-in-window
+    one (occurrence at ``a`` with previous same-value occurrence at
+    ``b``): that requires ``b <= t − w < a`` and ``a > t − w >= a − w``,
+    i.e. the window START ``s = t − w`` falls in the half-open interval
+    ``[max(b, a − w), a)``. So each distinct (key, value, ts)
+    occurrence emits one interval on the window-start axis, and the
+    distinct count at any left row is the number of intervals
+    containing ``s`` — a classic stabbing count: +1 at interval start,
+    −1 at interval end, one per-key running sum over the boundary
+    events, then ONE :func:`asof_join` of the left frame (shifted to
+    ``s``) into that cumulative table. Exact for ANY window length and
+    ANY per-key cardinality.
+
+    Cost: one lag window + one hash-agg over O(distinct (key, value,
+    ts)) occurrence rows, one running-sum window over O(2·occ)
+    boundary events, one union-merge as-of sort over |L| + |events| —
+    NO |L|·|R-per-window| range explosion, no per-left-row set
+    re-scan, no sketch error. Duplicate occurrences collapse at the
+    (key, value, ts) grain first (they cannot change a distinct
+    count); a NULL left timestamp yields 0 (no window, nothing in it);
+    NULL values/timestamps on the right are excluded (NULL never
+    equals anything, so it cannot be "a distinct value seen").
+
+    ``left`` must not already carry the internal/output names
+    (``_lo_ts``, the carried ``_d_open_cnt``, or ``{prefix}distinct``)
+    — collisions raise, like every temporal operator's guard."""
+    reserved = {"_lo_ts", "_d_open_cnt", f"{prefix}distinct"}
+    clash = sorted(reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"trailing_distinct_count: left already contains reserved "
+            f"internal/output column(s) {clash}; rename them or pass a "
+            f"different prefix"
+        )
+    w_expr = F.expr(window)
+    occ = (
+        right.filter(
+            F.col(right_ts).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key).alias("_k2"),
+            F.col(value_col).alias("_v2"),
+            F.col(right_ts).alias("_a"),
+        )
+        .distinct()
+    )
+    w_prev = Window.partitionBy("_k2", "_v2").orderBy("_a")
+    iv = occ.withColumn(
+        "_lo",
+        F.greatest(
+            F.coalesce(F.lag("_a").over(w_prev), F.col("_a") - w_expr),
+            F.col("_a") - w_expr,
+        ),
+    )
+    events = iv.select(
+        F.col("_k2"), F.col("_lo").alias("_et"), F.lit(1).alias("_d")
+    ).unionByName(
+        iv.select(
+            F.col("_k2"), F.col("_a").alias("_et"), F.lit(-1).alias("_d")
+        )
+    )
+    deltas = events.groupBy("_k2", "_et").agg(F.sum("_d").alias("_dd"))
+    w_cum = (
+        Window.partitionBy("_k2")
+        .orderBy("_et")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = deltas.select(
+        F.col("_k2").alias(key),
+        F.col("_et"),
+        F.sum("_dd").over(w_cum).alias("open_cnt"),
+    )
+    shifted = left.withColumn("_lo_ts", F.col(left_ts) - w_expr)
+    both = asof_join(
+        shifted,
+        cum,
+        key=key,
+        left_ts="_lo_ts",
+        right_ts="_et",
+        right_cols=["open_cnt"],
+        prefix="_d_",
+    )
+    return both.select(
+        *left.columns,
+        F.coalesce("_d_open_cnt", F.lit(0))
+        .cast("long")
+        .alias(f"{prefix}distinct"),
+    )
