@@ -652,8 +652,12 @@ def trailing_distinct_count(
     re-scan, no sketch error. Duplicate occurrences collapse at the
     (key, value, ts) grain first (they cannot change a distinct
     count); a NULL left timestamp yields 0 (no window, nothing in it);
-    NULL values/timestamps on the right are excluded (NULL never
-    equals anything, so it cannot be "a distinct value seen").
+    NULL keys/values/timestamps on the right are excluded (SQL join
+    semantics: NULL never equals anything, so a NULL-key occurrence
+    can match no left row and a NULL value cannot be "a distinct value
+    seen" — NULL-key LEFT rows therefore report 0, matching the
+    equality-join oracle instead of Spark's NULLs-group-together
+    window partitioning).
 
     ``left`` must not already carry the internal/output names
     (``_lo_ts``, the carried ``_d_open_cnt``, or ``{prefix}distinct``)
@@ -669,7 +673,9 @@ def trailing_distinct_count(
     w_expr = F.expr(window)
     occ = (
         right.filter(
-            F.col(right_ts).isNotNull() & F.col(value_col).isNotNull()
+            F.col(key).isNotNull()
+            & F.col(right_ts).isNotNull()
+            & F.col(value_col).isNotNull()
         )
         .select(
             F.col(key).alias("_k2"),

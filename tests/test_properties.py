@@ -1251,3 +1251,63 @@ def test_asof_within_matches_python_mirror(spark, lrows, rrows):
                 want = v
         assert got[i] == want, (i, u, s)
     assert len(got) == len(lrows)
+
+
+@SLOW
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 120)),  # (key, minute)
+        min_size=1,
+        max_size=22,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 120), st.integers(0, 5)
+        ),  # (key, minute, item) — small item space forces repeats
+        min_size=0,
+        max_size=25,
+    ),
+    win=st.integers(min_value=1, max_value=40),
+)
+def test_trailing_distinct_matches_bruteforce(spark, lefts, rights, win):
+    """trailing_distinct_count's interval-stabbing form equals the
+    DEFINITION — |{distinct items with an occurrence in (t−w, t] for
+    the same key}| — for arbitrary keys, repeated items, duplicate
+    (key, item, ts) rows, boundary ties, and window widths. The small
+    item space makes first-in-window collisions (the case the
+    prev-occurrence interval construction exists for) common."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_distinct_count,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (i, k, base + datetime.timedelta(minutes=m))
+            for i, (k, m) in enumerate(lefts)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, base + datetime.timedelta(minutes=m), v)
+            for k, m, v in rights
+        ],
+        "user_id long, ts timestamp, item long",
+    ) if rights else spark.createDataFrame(
+        [], "user_id long, ts timestamp, item long"
+    )
+    got = {
+        r.event_id: r.win_distinct
+        for r in trailing_distinct_count(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="item", window=f"interval {win} minutes",
+        ).collect()
+    }
+    for i, (k, m) in enumerate(lefts):
+        inside = {
+            v for rk, rm, v in rights if rk == k and m - win < rm <= m
+        }
+        assert got[i] == len(inside), (i, k, m, win, inside)

@@ -4240,3 +4240,499 @@ def test_trailing_windows_multi_laws(spark):
         ).collect()
     )
     assert multi == single and len(multi) == 80
+
+
+# --- r15-staged slate (registers r16): trailing distinct count,
+# stratified leakage-safe split, per-segment drift panel. Each twin runs
+# at BOTH gate scales.
+
+_TRAILING_DISTINCT_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(CASE WHEN json_valid(props)
+                   THEN json_extract_string(props, '$.k') END AS BIGINT)
+           AS item,
+         ts
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND ts IS NOT NULL
+    AND CAST(CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS BIGINT)
+        IS NOT NULL
+), ev AS (
+  SELECT DISTINCT event_id, user_id, ts FROM events
+), feat AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         CAST(COUNT(DISTINCT p.item) AS BIGINT) AS win_distinct
+  FROM ev e
+  LEFT JOIN p ON p.user_id = e.user_id
+             AND p.ts > e.ts - INTERVAL 24 HOUR AND p.ts <= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts
+)
+SELECT f.event_id, f.user_id, f.ts, f.win_distinct
+FROM events x
+JOIN feat f ON x.event_id IS NOT DISTINCT FROM f.event_id
+           AND x.user_id IS NOT DISTINCT FROM f.user_id
+           AND x.ts IS NOT DISTINCT FROM f.ts
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_trailing_distinct_duckdb_twin(spark, sf):
+    """trailing_distinct_count (r15-staged, registers r16 as
+    events_trailing_distinct_items — VERDICT r14 ask #6): distinct
+    purchased items (props.k) per event in the trailing 24 h, EXACT,
+    via interval stabbing (each distinct (user, item, ts) occurrence
+    emits [max(prev_same_item_ts, ts-24h), ts) on the window-start
+    axis; the distinct count is the number of intervals containing
+    t-24h — one running sum + one as-of, never a range join). The twin
+    materializes the range join + COUNT(DISTINCT) definition,
+    duplication-proof (distinct-grain compute + null-safe per-row
+    fan-out — the r14 registration rule)."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.suite.staged import (
+        _events_trailing_distinct_items,
+    )
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    got = sorted(
+        (r.event_id, r.user_id, str(r.ts), r.win_distinct)
+        for r in _events_trailing_distinct_items(spark, sfd).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(sfd, 'events.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b), str(c), int(d))
+        for a, b, c, d in con.execute(_TRAILING_DISTINCT_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the distinct count BITES: some window holds >1 distinct item,
+    # and distinct <= plain trailing count everywhere (subset law
+    # rides the suite data via the registered multi-horizon query)
+    assert any(d > 1 for *_, d in got)
+    assert all(d >= 0 for *_, d in got)
+
+
+def test_trailing_distinct_laws(spark):
+    """Hand case (boundary semantics (t-w, t], first-in-window rule),
+    EMPTY input, collision guard, and the DUPLICATION-INVARIANCE law:
+    duplicating the right side cannot change any distinct count (the
+    law that separates this operator from the count/sum forms, and the
+    reason its oracle needs no dup-proofing on the right side)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.temporal import (
+        trailing_distinct_count,
+    )
+
+    empty_l = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp"
+    )
+    empty_r = spark.createDataFrame(
+        [], "user_id long, ts timestamp, item long"
+    )
+    assert (
+        trailing_distinct_count(
+            empty_l, empty_r, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="item", window="interval 1 hour",
+        ).collect()
+        == []
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        trailing_distinct_count(
+            empty_l.withColumn("win_distinct", F.lit(1)), empty_r,
+            key="user_id", left_ts="ts", right_ts="ts",
+            value_col="item", window="interval 1 hour",
+        )
+    lrows = [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:30:00"),
+             (3, 1, "2024-01-01 11:05:00"), (4, 1, "2024-01-01 12:30:00"),
+             (5, 2, "2024-01-01 10:00:00"), (6, 1, None)]
+    rrows = [(1, 100, "2024-01-01 09:30:00"), (1, 100, "2024-01-01 10:15:00"),
+             (1, 200, "2024-01-01 10:15:00"), (1, 300, "2024-01-01 09:05:00"),
+             (2, 100, "2024-01-01 09:59:00"), (None, 400, "2024-01-01 09:59:00"),
+             (1, None, "2024-01-01 09:59:00")]
+    left = spark.createDataFrame(lrows, ["event_id", "user_id", "tss"]).select(
+        "event_id", "user_id", F.col("tss").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(rrows, ["user_id", "item", "tss"]).select(
+        "user_id", "item", F.col("tss").cast("timestamp").alias("ts")
+    )
+    out = sorted(
+        (r.event_id, r.win_distinct)
+        for r in trailing_distinct_count(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_col="item", window="interval 1 hour",
+        ).collect()
+    )
+    # (t-1h, t]: e1 sees {100@9:30, 300@9:05}; e2 sees {100,200}@10:15
+    # (9:30 is OUTSIDE (9:30, 10:30] - strict lower edge); e3 sees
+    # {100,200}; e4 sees nothing; e5 (user 2) sees {100}; e6 NULL ts
+    # -> 0; the NULL-key and NULL-item right rows count for no one
+    assert out == [(1, 2), (2, 2), (3, 2), (4, 0), (5, 1), (6, 0)]
+    doubled = sorted(
+        (r.event_id, r.win_distinct)
+        for r in trailing_distinct_count(
+            left, right.union(right), key="user_id", left_ts="ts",
+            right_ts="ts", value_col="item", window="interval 1 hour",
+        ).collect()
+    )
+    assert doubled == out
+
+
+def _stratified_split_oracle() -> str:
+    from datalake_nba_dmc_spark.operators.cdc import _M
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+    from datalake_nba_dmc_spark.suite.dedup import _minhash_clusters_oracle
+
+    mix = mixer_sql(f"(((cluster_id % {_M}) + {_M}) % {_M})", "duck")
+    clusters = _minhash_clusters_oracle(16, 4, 3)
+    return f"""
+    WITH cl AS ({clusters}), m AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_mass
+      FROM cl GROUP BY cluster_id
+    ), k AS (
+      SELECT cluster_id, cluster_mass, {mix} AS mixk FROM m
+    ), c AS (
+      SELECT cluster_id, cluster_mass,
+             CAST(SUM(cluster_mass) OVER (ORDER BY mixk, cluster_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM k
+    ), n AS (SELECT CAST(SUM(cluster_mass) AS BIGINT) AS nn FROM m)
+    SELECT cl.doc_id, cl.cluster_id, c.cluster_mass,
+           CASE WHEN 100 * (2 * (c.cum - c.cluster_mass) + c.cluster_mass)
+                     < 2 * n.nn * 80 THEN 'train'
+                WHEN 100 * (2 * (c.cum - c.cluster_mass) + c.cluster_mass)
+                     < 2 * n.nn * 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM cl JOIN c USING (cluster_id) CROSS JOIN n
+    """
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_stratified_split_duckdb_twin(spark, sf):
+    """leakage_safe_split_stratified (r15-staged, registers r16 as
+    sample_stratified_split — VERDICT r14 ask #5): clusters laid on
+    the deterministic mixer line, bands cut by CUMULATIVE doc mass,
+    boundary clusters resolved by largest remainder (midpoint rule,
+    all int64). The twin replays the clusters closure + the global
+    running-mass window + the doubled-threshold CASE bit-exactly."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.suite.staged import _sample_stratified_split
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    got = sorted(
+        tuple(r) for r in _sample_stratified_split(spark, sfd).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sfd, 'documents.parquet')}'"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.execute(_stratified_split_oracle()).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # no-leakage law at cluster grain + every split non-empty + the
+    # STRATIFICATION guarantee on the real corpus: doc-grain val/test
+    # proportions within half the largest cluster share (+1 doc) of
+    # the 10-pt targets
+    pairs = {(r[1], r[3]) for r in got}
+    assert len(pairs) == len({r[1] for r in got})
+    n = len(got)
+    from collections import Counter
+
+    shares = Counter(r[3] for r in got)
+    assert set(shares) == {"train", "val", "test"}
+    max_mass = max(r[2] for r in got)
+    tol = 100.0 * (max_mass / 2 + 1) / n
+    assert abs(100.0 * shares["val"] / n - 10.0) <= tol
+    assert abs(100.0 * shares["test"] / n - 10.0) <= tol
+
+
+def test_stratified_split_skew_law(spark):
+    """The law VERDICT r14 ask #5 names: a skewed-cluster corpus where
+    the MIXER split misses the val target by >10 pts lands within
+    ±1 pt under the stratified assignment — while leakage stays
+    impossible (cluster-grain on both paths).
+
+    Fixture: one 55-doc near-dup cluster (identical texts) + 45
+    singleton docs. The giant's cluster id is SEARCHED so that (a) the
+    mixer banding sends the whole 55% of the corpus into val/test and
+    (b) at most 25 singletons precede it on the stratified line (so
+    its 55%-mass interval stays inside the 80% train band and the
+    midpoint rule cannot displace the val/test bands)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.portable_sketch import (
+        leakage_safe_split,
+        leakage_safe_split_stratified,
+    )
+
+    def mix(x: int) -> int:
+        h0 = x % 2**32
+        h1 = ((h0 ^ (h0 // 65536)) * 73244475) % 2**32
+        h2 = ((h1 ^ (h1 // 65536)) * 73244475) % 2**32
+        return h2 ^ (h2 // 65536)
+
+    singles = list(range(10000, 10045))
+    g0 = None
+    for cand in range(1, 4000):
+        if mix(cand) % 100 < 80:
+            continue  # mixer must band the giant into val/test
+        before = sum(
+            1 for s in singles if (mix(s), s) < (mix(cand), cand)
+        )
+        if before <= 25:
+            g0 = cand
+            break
+    assert g0 is not None
+    giant_ids = list(range(g0, g0 + 55))
+    rows = [(i, "common shared near duplicate text body here")
+            for i in giant_ids]
+    rows += [
+        (s, f"unique doc zq{s} xk{s} qw{s} er{s} ty{s}") for s in singles
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    base = leakage_safe_split(docs).collect()
+    # the fixture really clusters as designed: one 55-doc cluster with
+    # id g0 + 45 singletons
+    strat = leakage_safe_split_stratified(docs).collect()
+    from collections import Counter
+
+    masses = {r.cluster_id: r.cluster_mass for r in strat}
+    assert masses[g0] == 55 and len(masses) == 46
+    n = len(strat)
+    assert n == 100
+    base_val = 100.0 * sum(1 for r in base if r.split == "val") / n
+    base_test = 100.0 * sum(1 for r in base if r.split == "test") / n
+    # the mixer path drifts: the giant's band >= 80 drags 55% of docs
+    # into val or test
+    assert abs(base_val - 10.0) > 10.0 or abs(base_test - 10.0) > 10.0
+    sh = Counter(r.split for r in strat)
+    assert abs(100.0 * sh["val"] / n - 10.0) <= 1.0
+    assert abs(100.0 * sh["test"] / n - 10.0) <= 1.0
+    # leakage still impossible on BOTH paths
+    for split_rows in (base, strat):
+        pairs = {(r.cluster_id, r.split) for r in split_rows}
+        assert len(pairs) == len({r.cluster_id for r in split_rows})
+    # validation
+    with pytest.raises(ValueError, match="val_pct"):
+        leakage_safe_split_stratified(docs, val_pct=60, test_pct=40)
+
+
+_DRIFT_PANEL_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xs,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS ia
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+), g AS (
+  SELECT seg, xs, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY seg, xs
+), c AS (
+  SELECT seg, xs, ca, cb,
+         CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+         CAST(SUM(ca + cb) OVER w AS BIGINT) AS cumall
+  FROM g
+  WINDOW w AS (PARTITION BY seg ORDER BY xs ROWS UNBOUNDED PRECEDING)
+), n AS (
+  SELECT seg, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM g GROUP BY seg
+), ks AS (
+  SELECT n.seg,
+         CAST(MAX(ABS(c.cuma * n.n_b - c.cumb * n.n_a)) * 1000000
+              // GREATEST(n.n_a * n.n_b, 1) AS BIGINT) AS ks_d_micro
+  FROM c JOIN n ON c.seg = n.seg
+  GROUP BY n.seg, n.n_a, n.n_b
+), r AS (
+  SELECT seg, CAST(SUM(ca * (2 * (cumall - (ca + cb)) + (ca + cb) + 1))
+              AS BIGINT) AS r2a
+  FROM c GROUP BY seg
+), mw AS (
+  SELECT n.seg,
+         (r.r2a - n.n_a * (n.n_a + 1)) * 1000000
+           // GREATEST(2 * n.n_a * n.n_b, 1) AS auc_micro
+  FROM r JOIN n ON r.seg = n.seg
+), bins AS (
+  SELECT seg,
+         CAST(LEAST(GREATEST(FLOOR((CAST(xs AS DOUBLE) / 100.0 - 0.0)
+                                    / 60000.0), 0), 9) AS INT) AS bucket,
+         CAST(SUM(ca) AS BIGINT) AS bin_a, CAST(SUM(cb) AS BIGINT) AS bin_b
+  FROM g GROUP BY 1, 2
+), psi AS (
+  SELECT b.seg,
+         CAST(SUM(CAST(round(round(
+               ((b.bin_a + 0.5) / (n.n_a + 5.0)
+                - (b.bin_b + 0.5) / (n.n_b + 5.0))
+               * ln(((b.bin_a + 0.5) / (n.n_a + 5.0))
+                    / ((b.bin_b + 0.5) / (n.n_b + 5.0))), 6)
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS psi_micro
+  FROM bins b JOIN n ON b.seg = n.seg
+  GROUP BY b.seg
+), probs AS (SELECT unnest([50, 90]) AS p_pct
+), qa AS (
+  SELECT c.seg, p.p_pct, c.xs
+  FROM c JOIN n ON c.seg = n.seg CROSS JOIN probs p
+  WHERE n.n_a > 0 AND c.cuma >= ((p.p_pct * n.n_a + 99) // 100)
+    AND c.cuma - c.ca < ((p.p_pct * n.n_a + 99) // 100)
+), qam AS (
+  SELECT seg, MAX(CASE WHEN p_pct = 50 THEN xs END) AS q50_a_scaled,
+         MAX(CASE WHEN p_pct = 90 THEN xs END) AS q90_a_scaled
+  FROM qa GROUP BY seg
+), qb AS (
+  SELECT c.seg, p.p_pct, c.xs
+  FROM c JOIN n ON c.seg = n.seg CROSS JOIN probs p
+  WHERE n.n_b > 0 AND c.cumb >= ((p.p_pct * n.n_b + 99) // 100)
+    AND c.cumb - c.cb < ((p.p_pct * n.n_b + 99) // 100)
+), qbm AS (
+  SELECT seg, MAX(CASE WHEN p_pct = 50 THEN xs END) AS q50_b_scaled,
+         MAX(CASE WHEN p_pct = 90 THEN xs END) AS q90_b_scaled
+  FROM qb GROUP BY seg
+)
+SELECT n.seg AS o_orderpriority, n.n_a, n.n_b, ks.ks_d_micro, mw.auc_micro,
+       psi.psi_micro,
+       qam.q50_a_scaled, qbm.q50_b_scaled,
+       qam.q50_a_scaled - qbm.q50_b_scaled AS q50_delta_scaled,
+       qam.q90_a_scaled, qbm.q90_b_scaled,
+       qam.q90_a_scaled - qbm.q90_b_scaled AS q90_delta_scaled
+FROM n
+JOIN ks ON n.seg = ks.seg
+JOIN mw ON n.seg = mw.seg
+LEFT JOIN psi ON n.seg = psi.seg
+LEFT JOIN qam ON n.seg = qam.seg
+LEFT JOIN qbm ON n.seg = qbm.seg
+"""
+
+
+@needs_testdata
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+def test_drift_panel_duckdb_twin(spark, sf):
+    """drift_panel_by (r15-staged, registers r16 as
+    stat_drift_panel_by_segment — VERDICT r14 ask #7): the per-segment
+    drift DASHBOARD — exact KS, MW AUC, total PSI (micro), and p50/p90
+    per cohort with deltas — off ONE scan of orders (the counts frame
+    is checkpoint-materialized and every finisher reads it). The twin
+    recomputes all four families from one base CTE, every integer and
+    every 6-dp-rounded term bit-exact."""
+    import duckdb as _duckdb
+
+    from datalake_nba_dmc_spark.suite.staged import (
+        _stat_drift_panel_by_segment,
+    )
+
+    sfd = f"/root/testdata/{sf}"
+    if not os.path.isdir(sfd):
+        pytest.skip("scale dir missing")
+    got = sorted(
+        tuple(r) for r in _stat_drift_panel_by_segment(spark, sfd).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(sfd, 'orders.parquet')}'"
+    )
+    want = sorted(
+        tuple(
+            int(v) if v is not None and not isinstance(v, str) else v
+            for v in row
+        )
+        for row in con.execute(_DRIFT_PANEL_ORACLE).fetchall()
+    )
+    assert got == want and len(got) == 5
+    for row in got:
+        _, n_a, n_b, ks_m, auc_m, psi_m, *qs = row
+        assert n_a > 0 and n_b > 0
+        assert 0 <= ks_m <= 1_000_000 and 0 <= auc_m <= 1_000_000
+        assert psi_m >= 0
+        assert all(q is not None for q in qs)
+
+
+@needs_testdata
+def test_drift_panel_matches_standalone_and_single_scan(spark):
+    """The panel is BIT-IDENTICAL per statistic to the four registered
+    standalone queries (the finishers ARE their contracts), and the
+    FINAL plan contains ZERO scans of the fact table — the one corpus
+    scan happened inside the eager counts checkpoint (the plan-census
+    receipt VERDICT r14 ask #7 requires)."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.stats import (
+        drift_panel_by,
+        exact_quantiles_by,
+        ks_two_sample_by,
+        mann_whitney_u_by,
+        psi_binned_by,
+    )
+    from datalake_nba_dmc_spark.sources import TableRegistry
+
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata not present")
+    orders = TableRegistry(spark, SF).orders
+    split = F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    panel = drift_panel_by(
+        orders, "o_orderpriority", "o_totalprice", split,
+        lo=0.0, hi=600000.0, nbins=10,
+    )
+    rows = {r.o_orderpriority: r for r in panel.collect()}
+    ks = {r.o_orderpriority: (r.n_a, r.n_b, r.ks_d_micro)
+          for r in ks_two_sample_by(
+              orders, "o_orderpriority", "o_totalprice", split).collect()}
+    mw = {r.o_orderpriority: r.auc_micro
+          for r in mann_whitney_u_by(
+              orders, "o_orderpriority", "o_totalprice", split).collect()}
+    psi: dict = {}
+    for r in psi_binned_by(
+        orders, "o_orderpriority", split, "o_totalprice",
+        0.0, 600000.0, 10,
+    ).collect():
+        psi[r.o_orderpriority] = psi.get(r.o_orderpriority, 0) + round(
+            r.psi_contrib * 1e6
+        )
+    qa = {(r.o_orderpriority, r.p_pct): r.q_scaled
+          for r in exact_quantiles_by(
+              orders.filter(split), "o_orderpriority", "o_totalprice",
+              probs_pct=(50, 90)).collect()}
+    qb = {(r.o_orderpriority, r.p_pct): r.q_scaled
+          for r in exact_quantiles_by(
+              orders.filter(~split), "o_orderpriority", "o_totalprice",
+              probs_pct=(50, 90)).collect()}
+    for s, r in rows.items():
+        assert (r.n_a, r.n_b, r.ks_d_micro) == ks[s]
+        assert r.auc_micro == mw[s]
+        assert r.psi_micro == psi[s]
+        assert r.q50_a_scaled == qa[(s, 50)]
+        assert r.q90_a_scaled == qa[(s, 90)]
+        assert r.q50_b_scaled == qb[(s, 50)]
+        assert r.q90_b_scaled == qb[(s, 90)]
+        assert r.q50_delta_scaled == r.q50_a_scaled - r.q50_b_scaled
+    plan = panel._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 0
+    # empty input -> empty panel (rank-cut joins, never scalar
+    # subqueries), and validation
+    empty = spark.createDataFrame(
+        [], "seg string, v double, d date"
+    )
+    esplit = F.col("d") < F.lit("1998-01-01").cast("date")
+    assert drift_panel_by(
+        empty, "seg", "v", esplit, 0.0, 10.0
+    ).collect() == []
+    with pytest.raises(ValueError, match="drift_panel_by"):
+        drift_panel_by(empty, "seg", "v", esplit, 5.0, 5.0)
+    with pytest.raises(ValueError, match="probs_pct"):
+        drift_panel_by(
+            empty, "seg", "v", esplit, 0.0, 10.0, probs_pct=(0,)
+        )

@@ -185,4 +185,8 @@ def test_staged_specs_disjoint_and_planned():
 
 
 #: The planned r16 registration slate (updated as this round stages ops).
-_R16_SLATE: set[str] = set()
+_R16_SLATE: set[str] = {
+    "events_trailing_distinct_items",
+    "sample_stratified_split",
+    "stat_drift_panel_by_segment",
+}
