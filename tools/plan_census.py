@@ -98,6 +98,19 @@ BNLJ_AUDITED = {
                                   # n_queries-row code frame; the
                                   # candidate scan is the documented
                                   # exact-baseline contract, r14 slate)
+    "sim_ivf_sq8_recall",         # two BNLJ Cross nodes, both building
+                                  # the guarded 3-row query set: the
+                                  # brute-force exact leg (the
+                                  # sim_ivf_recall audited shape) and
+                                  # the certificate's recall join —
+                                  # the IVF-SQ8 stage itself joins
+                                  # equi on centroid_id (r15 slate)
+    "sample_eval_decontaminated_split",  # one BNLJ building the one-row
+                                  # bit-packed Bloom sketch map probed
+                                  # per corpus gram — the
+                                  # dedup_contamination_bloom audited
+                                  # shape riding inside the two-stage
+                                  # screen (r15 slate)
     "tpch_q11_important_stock",   # one-row global-value threshold
     "corpus_pack_sequences",      # one-row (min_id, id_span) broadcast for
                                   # the order-preserving bucket split (r10;
