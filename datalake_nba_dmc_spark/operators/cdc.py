@@ -36,17 +36,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+from datalake_nba_dmc_spark.operators.util import ensure_parallelism
 
 #: Modulus for the position-weighted sums (2^31, matching the mixer's
 #: non-negative input contract; sums stay far inside int64 before the mod).
 _M = 2_147_483_648
 
 
-def token_hash_sql(tok: str, dialect: str) -> str:
-    """Dialect-rendered token hash: mixer(Σ ord(char_j)·j mod 2^31).
-    The linear positional weight keeps every intermediate exact (no
-    modular exponentiation), and the avalanche mixer supplies the
-    dispersion the divisor test needs."""
+def _token_sum_sql(tok: str, dialect: str) -> str:
+    """Pre-mixer token sum: Σ ord(char_j)·j mod 2^31. The linear
+    positional weight keeps every intermediate exact (no modular
+    exponentiation)."""
     if dialect == "spark":
         base = (
             f"aggregate(zip_with(split({tok}, ''), "
@@ -61,7 +61,92 @@ def token_hash_sql(tok: str, dialect: str) -> str:
             f"j -> ord(substr({tok}, CAST(j AS INTEGER), 1)) * j)), 0) "
             "AS BIGINT)"
         )
-    return mixer_sql(f"({base} % {_M})", dialect)
+    return f"({base} % {_M})"
+
+
+def token_hash_sql(tok: str, dialect: str) -> str:
+    """Dialect-rendered token hash: mixer(Σ ord(char_j)·j mod 2^31) —
+    the avalanche mixer supplies the dispersion the divisor test needs.
+
+    PERF NOTE (r15): the mixer's textual expansion references its input
+    8× (h0 appears twice in h1, h1 twice in h2, h2 twice in the return),
+    and higher-order functions evaluate INTERPRETED with no common-
+    subexpression elimination — so embedding this whole expression inside
+    a ``transform`` lambda re-runs the O(token-length) character fold
+    eight times per token. Hot paths must stage the fold first (one
+    ``transform`` producing :func:`_token_sum_sql` values) and mix the
+    resulting SCALARS in a second ``transform`` — see
+    :func:`_token_hashes_expr`. This single-expression form is for
+    per-row (codegen-staged) use and the DuckDB oracle twins."""
+    return mixer_sql(_token_sum_sql(tok, dialect), dialect)
+
+
+def _token_hashes_expr(toks: str) -> str:
+    """Spark-side token-hash ARRAY for a token-array column: stage the
+    character folds once (inner transform), then mix the scalars (outer
+    transform — the mixer's 8× textual duplication now re-reads a lambda
+    variable instead of re-running the fold). Values are bit-identical
+    to mapping :func:`token_hash_sql` over the tokens."""
+    return (
+        f"transform(transform({toks}, tok -> "
+        + _token_sum_sql("tok", "spark")
+        + "), s -> "
+        + mixer_sql("s", "spark")
+        + ")"
+    )
+
+
+def _boundaries_expr(th: str, divisor: int) -> str:
+    """Boundary positions (0-based token index i with hash % D == 0) of a
+    token-hash array column. Index-free form (zip, then filter) rather
+    than filter(sequence(...), i -> th[i] ...): under default optimizer
+    rules InferFiltersFromGenerate infers a filter below a spans explode,
+    inlines this expression into it, and REORDERS it ahead of the
+    emptiness filter — where th[i] on a token-less row throws the ANSI
+    invalid-array-index error. zip_with NULL-pads instead, so the
+    expression is total whatever filter order the optimizer picks."""
+    return (
+        f"filter(zip_with({th}, sequence(0, size({th}) - 1), "
+        f"(h, i) -> CASE WHEN h % {divisor} = 0 THEN i ELSE -1 END), "
+        "x -> x >= 0)"
+    )
+
+
+def _spans_expr(th: str, b: str) -> str:
+    """Chunk (start, end) pairs from consecutive boundary positions."""
+    return (
+        "filter(zip_with("
+        f"  concat(array(0), transform({b}, x -> x + 1)),"
+        f"  concat(transform({b}, x -> x + 1), array(size({th}))),"
+        "  (s, e) -> struct(s, e)), p -> p.s < p.e)"
+    )
+
+
+def _chunk_sum_expr(th: str, p: str = "p") -> str:
+    """Position-weighted sum of member token hashes for the span struct
+    ``p`` (k = 1-based position inside the chunk). Each term is
+    < 2^31 · chunk_len, the sum < 2^31 · len², far inside int64 before
+    the final mod. Spark sequence() is INCLUSIVE of its end (unlike
+    DuckDB range): sequence(1, len) gives exactly len positions — an
+    off-by-one here NULL-pads zip_with and poisons the whole sum."""
+    return (
+        f"aggregate(zip_with(slice({th}, {p}.s + 1, {p}.e - {p}.s), "
+        f"sequence(1, {p}.e - {p}.s), "
+        f"(h, k) -> (h % {_M}) * k), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+
+
+def _chunk_hashes_expr(th: str, spans: str) -> str:
+    """Per-span chunk fingerprints (mixer over the position-weighted
+    member-hash sum) as an ARRAY aligned with ``spans``. Two-level
+    transform for the same reason as :func:`_token_hashes_expr`: the
+    inner transform runs each span's O(chunk-length) fold ONCE, the
+    outer mixes the scalar sums."""
+    return (
+        f"transform(transform({spans}, p -> "
+        f"({_chunk_sum_expr(th)} % {_M})), s -> "
+        f"CAST({mixer_sql('s', 'spark')} AS BIGINT))"
+    )
 
 
 def cdc_chunks(
@@ -80,72 +165,45 @@ def cdc_chunks(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
+    # fan out BEFORE the compute-bound token folds (the with_shingles
+    # rule: a few-MB single-file corpus otherwise runs the whole chunking
+    # pipeline on one core; no-op on already-parallel 100 TB scans)
     staged = (
-        df.filter(
+        ensure_parallelism(df)
+        .filter(
             F.col(text_col).isNotNull()
             & (F.octet_length(text_col) == F.length(text_col))
         )
         .select(F.col(id_col), toks.alias("_t"))
         .filter(F.size("_t") > 0)
-        .withColumn(
-            "_th",
-            F.expr(
-                "transform(_t, tok -> " + token_hash_sql("tok", "spark") + ")"
-            ),
-        )
+        .withColumn("_th", F.expr(_token_hashes_expr("_t")))
     )
-    # boundary positions (0-based token index i with hash % D == 0),
-    # then chunk (start, end) pairs from consecutive boundaries.
-    # Index-free form (zip, then filter) rather than
-    # filter(sequence(...), i -> _th[i] ...): under default optimizer
-    # rules InferFiltersFromGenerate infers a filter below the spans
-    # explode, inlines this expression into it, and REORDERS it ahead of
-    # the emptiness filter — where _th[i] on a token-less row throws the
-    # ANSI invalid-array-index error. zip_with NULL-pads instead, so the
-    # expression is total whatever filter order the optimizer picks (the
-    # engine session excludes that rule for perf, but the operator must
-    # not DEPEND on a session conf for correctness).
+    # boundary positions then chunk (start, end) pairs from consecutive
+    # boundaries (see _boundaries_expr for the total-expression rationale:
+    # the engine session excludes InferFiltersFromGenerate for perf, but
+    # the operator must not DEPEND on a session conf for correctness).
     chunks = staged.withColumn(
-        "_b",
-        F.expr(
-            "filter(zip_with(_th, sequence(0, size(_th) - 1), "
-            f"(h, i) -> CASE WHEN h % {divisor} = 0 THEN i ELSE -1 END), "
-            "x -> x >= 0)"
-        ),
-    ).withColumn(
-        "_spans",
-        F.expr(
-            "filter(zip_with("
-            "  concat(array(0), transform(_b, x -> x + 1)),"
-            "  concat(transform(_b, x -> x + 1), array(size(_th))),"
-            "  (s, e) -> struct(s, e)), p -> p.s < p.e)"
-        ),
-    )
+        "_b", F.expr(_boundaries_expr("_th", divisor))
+    ).withColumn("_spans", F.expr(_spans_expr("_th", "_b")))
     out = chunks.select(
         id_col,
         "_th",
         F.posexplode("_spans").alias("chunk_idx", "_p"),
     )
     # chunk fingerprint: mixer over the position-weighted sum of member
-    # token hashes (k = 1-based position inside the chunk). Each term is
-    # < 2^31 · chunk_len, the sum < 2^31 · len², far inside int64 before
-    # the final mod.
-    chunk_sum = (
-        # Spark sequence() is INCLUSIVE of its end (unlike DuckDB range):
-        # sequence(1, len) gives exactly len positions — an off-by-one
-        # here NULL-pads zip_with and poisons the whole sum
-        "aggregate(zip_with(slice(_th, _p.s + 1, _p.e - _p.s), "
-        "sequence(1, _p.e - _p.s), "
-        f"(h, k) -> (h % {_M}) * k), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    # token hashes. The sum stages as its OWN column so the mixer's 8×
+    # textual duplication re-reads a column attribute instead of re-
+    # running the O(chunk-length) fold (CollapseProject keeps a non-cheap
+    # alias referenced 8 times staged — the with_shingles rule).
+    staged_sum = out.withColumn(
+        "_csum", F.expr(f"({_chunk_sum_expr('_th', p='_p')} % {_M})")
     )
-    return out.select(
+    return staged_sum.select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.col("_p.s").cast("long").alias("tok_start"),
         F.col("_p.e").cast("long").alias("tok_end"),
-        F.expr(mixer_sql(f"({chunk_sum} % {_M})", "spark"))
-        .cast("long")
-        .alias("chunk_hash"),
+        F.expr(mixer_sql("_csum", "spark")).cast("long").alias("chunk_hash"),
     )
 
 
@@ -181,54 +239,96 @@ def cdc_reuse_report(
     under one id needs an upstream (id, text) resolution first —
     chunk-grain distinct would merge any triples the variants share.
 
-    Scale shape: two map-only chunking projections over one scan's
-    worth of data, one (doc, hash)-grained LEFT SEMI join (chunk rows,
-    never token rows), one per-doc aggregate. Set semantics is enforced
-    AT CHUNK GRAIN (distinct over narrow (doc, idx, hash) int triples),
-    never by a distinct over the text column — a full-text shuffle is
-    exactly the cost this operator's 100 TB posture forbids (measured:
-    the text-distinct draft ran 8.5 s at sf0.1; this shape ~6 s, all of
-    it the two inherent chunking folds). At 100 TB the v1 chunk table
-    is the persisted artifact of the previous crawl — here it is
-    derived in-plan so the query is self-contained and twin-able."""
-    base = df.filter(
-        F.col(text_col).isNotNull()
-        & (F.octet_length(text_col) == F.length(text_col))
-    ).select(id_col, text_col)
-    v2_text = F.when(
-        F.col(id_col) % edit_every == 0,
-        F.concat(F.lit("recrawl "), F.col(text_col)),
-    ).otherwise(F.col(text_col))
-    v1 = cdc_chunks(base, text_col, id_col, divisor).select(
-        id_col, "chunk_hash"
-    ).distinct()
-    # distinct at (doc, idx, hash): duplicated input rows chunk to
-    # IDENTICAL triples, so the report's document grain survives
-    # re-delivered data bit-identically (the dup-audit law)
-    v2 = (
-        cdc_chunks(
-            base.select(id_col, v2_text.alias(text_col)),
-            text_col,
-            id_col,
-            divisor,
-        )
-        .select(id_col, "chunk_idx", "chunk_hash")
-        .distinct()
+    Scale shape (r15): ONE tokenize+hash fold over one scan's worth of
+    data, zero joins, zero explodes. The front edit only ever PREPENDS
+    one token, and the per-token hash is position-free (it mixes the
+    token's own characters), so the v2 snapshot's token-hash array is
+    derived from the v1 fold in-plan: ``_th2 = concat([H("recrawl")],
+    _th)`` with H a constant-folded literal — re-tokenizing the edited
+    text would recompute the identical array (pytest-pinned). Both
+    chunkings and the v1∈v2 fingerprint matching then run as per-doc
+    ARRAY expressions (the chunk sets of one document are a few dozen
+    elements), so the only shuffle left is the final document-grain
+    hash-agg over three narrow ints. The pre-r15 shape (two full
+    chunking folds + chunk-grain distincts + a LEFT SEMI join) measured
+    ~6 s at sf0.1 with both folds dominating; dropping the second fold
+    and every chunk-grain shuffle is the guide §2.3/§2.4 move (shuffle
+    fewer bytes / remove shuffles outright). Set semantics still holds
+    at chunk grain: array_distinct dedupes v1 fingerprints per doc, and
+    re-delivered duplicate rows produce identical report rows that the
+    document-grain MIN-agg collapses bit-identically (the dup-audit
+    law). At 100 TB the v1 chunk table is the persisted artifact of the
+    previous crawl — here it is derived in-plan so the query is
+    self-contained and twin-able."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
-    reused = v2.join(v1, on=[id_col, "chunk_hash"], how="left_semi")
-    counts = v2.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
-    n_reused = reused.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_reused")
-    )
-    return (
-        counts.join(n_reused, on=id_col, how="left")
-        .select(
-            id_col,
-            ((F.col(id_col) % edit_every) == 0).cast("int").alias("edited"),
-            F.col("n_chunks").cast("long").alias("n_chunks"),
-            F.coalesce("n_reused", F.lit(0)).cast("long").alias("n_reused"),
-            F.expr(
-                "(coalesce(n_reused, 0) * 1000000) div greatest(n_chunks, 1)"
-            ).alias("reused_ppm"),
+    staged = (
+        ensure_parallelism(df)
+        .filter(
+            F.col(text_col).isNotNull()
+            & (F.octet_length(text_col) == F.length(text_col))
         )
+        .select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_th", F.expr(_token_hashes_expr("_t")))
+        .select(id_col, "_th")
+    )
+    # the prepended token's hash — a literal after constant folding,
+    # bit-identical to what the full fold computes for "recrawl"
+    h_edit = F.expr(token_hash_sql("'recrawl'", "spark")).cast("bigint")
+    both = (
+        staged.withColumn(
+            "_th2",
+            F.when(
+                F.col(id_col) % edit_every == 0,
+                F.concat(F.array(h_edit), F.col("_th")),
+            ).otherwise(F.col("_th")),
+        )
+        .withColumn("_b1", F.expr(_boundaries_expr("_th", divisor)))
+        .withColumn("_b2", F.expr(_boundaries_expr("_th2", divisor)))
+        .withColumn("_sp1", F.expr(_spans_expr("_th", "_b1")))
+        .withColumn("_sp2", F.expr(_spans_expr("_th2", "_b2")))
+        .withColumn(
+            "_v1h",
+            F.array_distinct(F.expr(_chunk_hashes_expr("_th", "_sp1"))),
+        )
+        .withColumn("_v2h", F.expr(_chunk_hashes_expr("_th2", "_sp2")))
+    )
+    # _v1h MUST be referenced at least twice here: a non-cheap alias
+    # referenced once gets inlined by CollapseProject — and an inline
+    # into the filter LAMBDA re-evaluates the whole v1 fingerprint
+    # pipeline once PER v2 CHUNK (measured: 7 s → 85 s at sf0.1 before
+    # this guard). size(_v1h) >= 0 is always true (transform arrays are
+    # never NULL here); its only job is the second reference that pins
+    # _v1h as a staged column.
+    per_row = both.select(
+        id_col,
+        F.size("_v2h").alias("_nc"),
+        F.when(
+            F.size("_v1h") >= 0,
+            F.size(F.expr("filter(_v2h, h -> array_contains(_v1h, h))")),
+        ).alias("_nr"),
+    )
+    # document-grain agg: duplicated input rows carry IDENTICAL (_nc,
+    # _nr) values (one text per id — the documented contract), so MIN
+    # reproduces the chunk-grain-distinct semantics bit-identically.
+    # The zero-token exclusion filters AFTER the agg, on the aggregate
+    # output: a pre-agg filter on _nc gets predicate-pushed below the
+    # projections, where the substituted size(<whole _v2h pipeline>) > 0
+    # predicate re-evaluates every fold per row OUTSIDE the staged
+    # columns (measured: +4 s at sf0.1); an aggregate-output predicate
+    # cannot be pushed, and dropping the handful of zero-chunk docs
+    # post-shuffle moves three ints each.
+    collapsed = per_row.groupBy(id_col).agg(
+        F.min("_nc").cast("long").alias("n_chunks"),
+        F.min("_nr").cast("long").alias("n_reused"),
+    ).filter(F.col("n_chunks") > 0)
+    return collapsed.select(
+        id_col,
+        ((F.col(id_col) % edit_every) == 0).cast("int").alias("edited"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_reused").cast("long").alias("n_reused"),
+        F.expr(
+            "(coalesce(n_reused, 0) * 1000000) div greatest(n_chunks, 1)"
+        ).alias("reused_ppm"),
     )

@@ -125,35 +125,60 @@ def seed_register_sql(
     )
 
 
-def _ball_rounds(
-    edges: DataFrame, n_rounds: int, src: str, dst: str, m: int
-) -> list[DataFrame]:
-    """Register state per round (flat _r0.._r{m-1} columns), 0..n_rounds;
-    each state eagerly checkpointed (iterative-lineage hygiene)."""
-    if n_rounds < 0:
-        raise ValueError("n_rounds must be >= 0")
+#: Lineage-truncation cadence for the max-merge loop (the pagerank_micro
+#: precedent: each eager localCheckpoint is an ACTION, so per-round
+#: truncation pays one job of fixed overhead per round; a 3-round cadence
+#: keeps the lazy plan <= 3 join+agg layers deep while amortizing the
+#: checkpoint cost — values are bit-identical at any cadence because the
+#: max-merge recurrence is).
+_CHECKPOINT_EVERY = 3
+
+
+def _edges_with_selfloops(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct directed edges UNION one self-loop per node, checkpointed
+    once. The self-loops fold the old ``greatest(prev, inflow)`` merge
+    join INTO the round's single join+agg:
+
+        ball_t(v) = max over u in N_in(v) ∪ {v} of ball_{t-1}(u)
+
+    so the state frame appears exactly ONCE per round (linear lineage —
+    no per-round eager checkpoint needed, cadence only) and the
+    left-join + coalesce merge disappears from the plan entirely. Every
+    node carries a self-loop, so no node can drop out of the state."""
     e = (
         ensure_parallelism(
             edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         )
         .filter(F.col("_s") != F.col("_d"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
     )
+    return e.union(
+        nodes.select(F.col("node").alias("_s"), F.col("node").alias("_d"))
+    ).localCheckpoint(eager=True)
+
+
+def _seed_balls(e2: DataFrame, m: int) -> DataFrame:
+    """Round-0 register state, derived from the self-loop rows (one per
+    node — the node set was already computed building ``e2``, so no
+    second union+distinct pass).
+
+    STAGED seeding: mixer once per row, then bucket/rho once, then m
+    trivial comparisons. Rendering the full mixer + 27-branch rho
+    ladder inside every register column (the first cut, mirroring
+    seed_register_sql) built a ~1000-node projection whose whole-stage
+    codegen compile alone cost ~8 s (r10 profile receipt, PERF.md);
+    CollapseProject keeps these stages separate because the aliases
+    are non-cheap and multiply referenced (the with_shingles rule)."""
     regs = [f"_r{j}" for j in range(m)]
-    # STAGED seeding: mixer once per row, then bucket/rho once, then m
-    # trivial comparisons. Rendering the full mixer + 27-branch rho
-    # ladder inside every register column (the first cut, mirroring
-    # seed_register_sql) built a ~1000-node projection whose whole-stage
-    # codegen compile alone cost ~8 s (r10 profile receipt, PERF.md);
-    # CollapseProject keeps these stages separate because the aliases
-    # are non-cheap and multiply referenced (the with_shingles rule).
-    balls = (
+    nodes = e2.filter(F.col("_s") == F.col("_d")).select(
+        F.col("_s").alias("node")
+    )
+    return (
         nodes.withColumn("_h", F.expr(mixer_sql("node", "spark")))
         .withColumn("_b", F.col("_h") % m)
         .withColumn("_rho", F.expr(rho_sql(_idiv("_h", m, "spark"))))
@@ -167,34 +192,27 @@ def _ball_rounds(
                 for j, r in enumerate(regs)
             ],
         )
-        .localCheckpoint(eager=True)
     )
-    states = [balls]
-    for _ in range(n_rounds):
-        # ball_t(v) |= ball_{t-1}(u) for every edge u -> v: one equi-join
-        # + m flat MAX aggregates (map-side combined), then a greatest()
-        # merge with the previous state. Idempotent max-merge => extra
-        # rounds past the diameter are no-ops, and no layout can change
-        # a single register.
-        inflow = (
-            e.join(balls, e["_s"] == balls["node"])
-            .groupBy(F.col("_d").alias("node"))
-            .agg(*[F.max(r).alias(r) for r in regs])
-        )
-        merged = balls.alias("b").join(inflow.alias("i"), on="node", how="left")
-        balls = merged.select(
-            "node",
-            *[
-                F.greatest(
-                    F.col(f"b.{r}"), F.coalesce(F.col(f"i.{r}"), F.lit(0))
-                )
-                .cast("int")
-                .alias(r)
-                for r in regs
-            ],
-        ).localCheckpoint(eager=True)
-        states.append(balls)
-    return states
+
+
+def _round_agg(
+    e2: DataFrame, balls: DataFrame, regs: list[str], carry: list[str]
+) -> DataFrame:
+    """One max-merge round: ball_t(v) = max over u in N_in(v) ∪ {v} —
+    ONE equi-join + m flat MAX aggregates (map-side combined). Idempotent
+    max-merge => extra rounds past the diameter are no-ops, and no layout
+    can change a single register. ``carry`` columns are per-node scalars
+    threaded through the aggregation via the self-loop row (exactly one
+    row per group has ``_s == _d``, so ``max(when(_s == _d, c))`` is that
+    node's own value, untouched)."""
+    joined = e2.join(balls, e2["_s"] == balls["node"])
+    return joined.groupBy(F.col("_d").alias("node")).agg(
+        *[F.max(r).alias(r) for r in regs],
+        *[
+            F.max(F.when(F.col("_s") == F.col("_d"), F.col(c))).alias(c)
+            for c in carry
+        ],
+    )
 
 
 def hyperball_registers(
@@ -208,8 +226,15 @@ def hyperball_registers(
     (node, j, reg) with reg = max rho over the EXACT ≤ n_rounds in-ball
     (bit-exact vs an unrolled-BFS twin). Nodes must be non-negative
     integers (hash-mix contract)."""
-    balls = _ball_rounds(edges, n_rounds, src, dst, m)[-1]
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
     regs = [f"_r{j}" for j in range(m)]
+    e2 = _edges_with_selfloops(edges, src, dst)
+    balls = _seed_balls(e2, m)
+    for t in range(1, n_rounds + 1):
+        balls = _round_agg(e2, balls, regs, [])
+        if t % _CHECKPOINT_EVERY == 0 and t < n_rounds:
+            balls = balls.localCheckpoint(eager=True)
     pairs = F.array(
         *[
             F.struct(F.lit(j).alias("j"), F.col(r).alias("reg"))
@@ -281,31 +306,59 @@ def hyperball_harmonic_estimate(
     truncated harmonic sum is made of; the correction's literal-embedded
     CASE table keeps the expression engine-portable. At m = 32 typical
     relative error is ~18% — test_hyperball pins the certificate against
-    the exact operator."""
-    states = _ball_rounds(edges, n_rounds, src, dst, m)
-    regs = [f"_r{j}" for j in range(m)]
+    the exact operator.
 
-    def est(state: DataFrame, t: int) -> DataFrame:
+    The per-round estimates accumulate INSIDE the iterating state frame
+    (``_e`` = this round's corrected estimate, ``_hsum`` = the running
+    delta sum, both threaded through each round's aggregation via the
+    self-loop row), so the old n_rounds-way join of per-round state
+    frames disappears: the delta sum is built with the SAME operand
+    order (t = 1..n, left-associated), so every double — and the final
+    micro value — is unchanged."""
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    regs = [f"_r{j}" for j in range(m)]
+    e2 = _edges_with_selfloops(edges, src, dst)
+
+    def with_estimate(state: DataFrame) -> DataFrame:
+        """Stage raw/v, then the corrected per-round ball-size estimate
+        ``_e`` (identical expression pipeline to the pre-r15 per-state
+        ``est()``, so the doubles match bit-for-bit)."""
         raw, v = _estimate_col(m, regs)
         staged = state.select(
-            "node", raw.alias(f"_raw{t}"), v.alias(f"_v{t}")
+            "node", *regs, raw.alias("_raw"), v.alias("_v"),
+            *[c for c in state.columns if c in ("_eprev", "_hsum")],
         )
+        keep = [c for c in staged.columns if c not in ("_raw", "_v")]
         return staged.select(
-            "node", _corrected(m, f"_raw{t}", f"_v{t}").alias(f"_e{t}")
+            *keep, _corrected(m, "_raw", "_v").alias("_e")
         )
 
-    out = est(states[0], 0)
+    balls = with_estimate(_seed_balls(e2, m)).withColumn(
+        "_hsum", F.lit(0.0)
+    )
     for t in range(1, n_rounds + 1):
-        out = out.join(est(states[t], t), on="node")
-    h = None
-    for t in range(1, n_rounds + 1):
+        agged = _round_agg(e2, balls, regs, ["_e", "_hsum"]).select(
+            "node", *regs, F.col("_e").alias("_eprev"), "_hsum"
+        )
+        stepped = with_estimate(agged)
         # per-round delta clamped at 0: the linear/raw estimator switch
         # can dip a hair across rounds even though registers only grow
-        term = F.greatest(
-            (F.col(f"_e{t}") - F.col(f"_e{t-1}")), F.lit(0.0)
-        ) / F.lit(float(t))
-        h = term if h is None else h + term
-    return out.select(
+        balls = stepped.select(
+            "node",
+            *regs,
+            "_e",
+            (
+                F.col("_hsum")
+                + F.greatest(F.col("_e") - F.col("_eprev"), F.lit(0.0))
+                / F.lit(float(t))
+            ).alias("_hsum"),
+        )
+        if t % _CHECKPOINT_EVERY == 0 and t < n_rounds:
+            balls = balls.localCheckpoint(eager=True)
+    return balls.select(
         "node",
-        F.floor(h * 1e6 + F.lit(0.5)).cast("long").alias("harmonic_micro_est"),
+        F.floor(F.col("_hsum") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("harmonic_micro_est"),
     )

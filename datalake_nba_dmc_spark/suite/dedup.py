@@ -731,18 +731,75 @@ def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     any false negative flips ``screen_covers`` off (or drops the row) and
     hash-mismatches the oracle's literal TRUE. Same superset-certificate
     shape as sim_lsh_recall. Both sides reuse the doc_id % 20 eval split
-    of text_decontaminate."""
+    of text_decontaminate.
+
+    r15 plan shape: ONE corpus shingle+explode pass feeds BOTH counters
+    (a broadcast LEFT join against the exact gram set marks exact hits,
+    the Bloom probe expressions test the same gram rows in the same
+    projection, and one hash-agg counts both) — the pre-r15 composition
+    ran ``contamination_hits`` and ``contamination_hits_bloom`` as two
+    independent subtrees, shingling the corpus TWICE and joining the two
+    doc-grain aggregates back together (guide §2.3: project/aggregate
+    once, don't re-derive the heavy substrate per counter). Counts are
+    unchanged: count(exact-marker) == the inner-join count, and
+    count(bloom-hit) == the filter-then-count, with absent bloom counts
+    reading 0 exactly like the old left-join coalesce."""
     docs = TableRegistry(spark, sf_dir).documents
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    exact = D.contamination_hits(corpus, bench, "text", n=3)
-    bloom = D.contamination_hits_bloom(corpus, bench, "text", n=3)
-    return exact.join(bloom, "doc_id", "left").select(
-        "doc_id",
-        "n_hits",
-        (F.coalesce("n_hits_bloom", F.lit(0)) >= F.col("n_hits")).alias(
-            "screen_covers"
-        ),
+    n = 3
+    num_bits, num_hashes = 1 << 23, 5
+    grams = D.with_shingles(corpus.select("doc_id", "text"), "text", n).select(
+        "doc_id", F.explode("sh").alias("_gram")
+    )
+    bench_grams = (
+        D.with_shingles(bench.select("text"), "text", n)
+        .select(F.explode("sh").alias("_gram"))
+        .distinct()
+    )
+    exact_set = bench_grams.select("_gram", F.lit(True).alias("_exact"))
+    sketch = (
+        bench_grams.select(
+            F.explode(
+                D._bloom_positions(F.col("_gram"), num_bits, num_hashes)
+            ).alias("_pos")
+        )
+        .select(
+            (F.col("_pos") / 32).cast("long").alias("_word"),
+            F.pow(F.lit(2.0), (F.col("_pos") % 32).cast("int"))
+            .cast("long")
+            .alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_word", "_bits"))
+            ).alias("_bf")
+        )
+    )
+    hit = F.lit(True)
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.col("_gram"), F.lit(i)), F.lit(num_bits))
+        word = F.element_at(F.col("_bf"), (pos / 32).cast("long"))
+        bit = F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
+        hit = hit & (
+            F.coalesce(word, F.lit(0).cast("long")).bitwiseAND(bit) != 0
+        )
+    return (
+        grams.join(F.broadcast(exact_set), on="_gram", how="left")
+        .crossJoin(F.broadcast(sketch))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("_exact"), F.lit(1))).alias("n_hits"),
+            F.count(F.when(hit, F.lit(1))).alias("n_hits_bloom"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "n_hits",
+            (F.col("n_hits_bloom") >= F.col("n_hits")).alias("screen_covers"),
+        )
     )
 
 

@@ -821,6 +821,95 @@ def test_cdc_chunks_edit_stability(spark):
     assert len(h1) >= 5
 
 
+def test_cdc_token_hash_staging_law(spark):
+    """r15 optimization internals pin: the staged two-level transform
+    (_token_hashes_expr — fold once, mix the scalars) computes exactly
+    the per-token token_hash_sql values, element for element."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.cdc import (
+        _token_hashes_expr,
+        token_hash_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma d e recrawl xx9",), ("single",), ("a b",)],
+        "text string",
+    ).withColumn(
+        "_t", F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    )
+    got = df.select(F.expr(_token_hashes_expr("_t")).alias("h")).collect()
+    want = df.select(
+        F.expr(
+            "transform(_t, tok -> " + token_hash_sql("tok", "spark") + ")"
+        ).alias("h")
+    ).collect()
+    assert [r.h for r in got] == [r.h for r in want]
+
+
+def test_cdc_reuse_v2_derivation_law(spark):
+    """r15 optimization internals pin: cdc_reuse_report derives the v2
+    snapshot's token-hash array as concat([H('recrawl')], _th) instead of
+    re-tokenizing the edited text — so its per-doc (n_chunks, n_reused)
+    must equal the two-fold reference formulation (chunk both snapshots
+    through cdc_chunks, distinct at chunk grain, semi-join on (id, hash))
+    on every row, including leading-whitespace and zero-token edited
+    docs."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.cdc import cdc_chunks, cdc_reuse_report
+
+    rows = [
+        (0, "  leading ws " + " ".join(f"t{i % 31}" for i in range(200))),
+        (1, " ".join(f"w{(i * 5) % 41}" for i in range(150))),
+        (2, None),
+        (3, ""),          # edited zero-token doc: v2 gains one token
+        (4, "   "),       # whitespace-only, unedited-by-id? 4 % 3 != 0 -> absent
+        (5, "one two three"),
+        (6, ""),          # edited zero-token doc again (6 % 3 == 0)
+        (7, "unicóde breaks the ascii contract"),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.edited, r.n_chunks, r.n_reused, r.reused_ppm)
+        for r in cdc_reuse_report(df).collect()
+    }
+    # reference: the pre-r15 two-fold formulation
+    base = df.filter(
+        F.col("text").isNotNull()
+        & (F.octet_length("text") == F.length("text"))
+    ).select("doc_id", "text")
+    v2_text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("recrawl "), F.col("text"))
+    ).otherwise(F.col("text"))
+    v1 = cdc_chunks(base).select("doc_id", "chunk_hash").distinct()
+    v2 = (
+        cdc_chunks(base.select("doc_id", v2_text.alias("text")))
+        .select("doc_id", "chunk_idx", "chunk_hash")
+        .distinct()
+    )
+    reused = v2.join(v1, on=["doc_id", "chunk_hash"], how="left_semi")
+    counts = v2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    n_reused = reused.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_reused"))
+    want = {
+        r.doc_id: (r.edited, r.n_chunks, r.n_reused, r.reused_ppm)
+        for r in counts.join(n_reused, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            ((F.col("doc_id") % 3) == 0).cast("int").alias("edited"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce("n_reused", F.lit(0)).cast("long").alias("n_reused"),
+            F.expr(
+                "(coalesce(n_reused, 0) * 1000000) div greatest(n_chunks, 1)"
+            ).alias("reused_ppm"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert 3 in got and got[3][1] >= 1  # edited zero-token doc present
+    assert 4 not in got  # unedited zero-token doc absent
+
+
 @needs_testdata
 def test_minhash_portable_duckdb_twin(spark):
     """minhash_portable (r11-staged) vs a DuckDB twin replaying the same
