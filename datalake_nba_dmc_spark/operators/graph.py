@@ -484,29 +484,38 @@ def coreness_micro_bucketed(
         .filter(F.col("_u") != F.col("_v"))
         .distinct()
     )
-    und = (
-        e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = und.groupBy(F.col("_u").alias("node")).agg(
+    und_plain = e.union(
+        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).distinct()
+    deg = und_plain.groupBy(F.col("_u").alias("node")).agg(
         F.count(F.lit(1)).alias("_deg")
     )
-    labels = deg.select("node", F.col("_deg").alias("c"))
+    # carry deg(_u) ON the checkpointed edge frame: the cap value is a
+    # per-node, round-INVARIANT quantity, so attaching it once here
+    # removes one join PER ROUND from the loop (r15 optimization; the
+    # capped values — hence every round's h-index — are unchanged)
+    und = (
+        und_plain.join(
+            deg.select(F.col("node").alias("_u"), "_deg"), on="_u"
+        )
+        .localCheckpoint(eager=True)
+    )
+    # c_0 = degree, read off the checkpointed frame (not the pre-
+    # checkpoint lineage, which would re-scan the source in round 1)
+    labels = und.select(
+        F.col("_u").alias("node"), F.col("_deg").alias("c")
+    ).distinct()
     w_hist = (
         Window.partitionBy("_nbr_of")
         .orderBy(F.col("_vc").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for t in range(1, n_rounds + 1):
-        neighbor_vals = (
-            und.join(labels.select("node", "c"), und._v == F.col("node"))
-            .select(F.col("_u").alias("_nbr_of"), "c")
-            .join(
-                deg.select(F.col("node").alias("_nbr_of"), "_deg"),
-                on="_nbr_of",
-            )
-            .select("_nbr_of", F.least("c", F.col("_deg")).alias("_vc"))
+        neighbor_vals = und.join(
+            labels.select("node", "c"), und._v == F.col("node")
+        ).select(
+            F.col("_u").alias("_nbr_of"),
+            F.least("c", F.col("_deg")).alias("_vc"),
         )
         hist = neighbor_vals.groupBy("_nbr_of", "_vc").agg(
             F.count(F.lit(1)).alias("_cnt")

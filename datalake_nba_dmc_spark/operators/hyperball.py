@@ -125,13 +125,17 @@ def seed_register_sql(
     )
 
 
-#: Lineage-truncation cadence for the max-merge loop (the pagerank_micro
-#: precedent: each eager localCheckpoint is an ACTION, so per-round
-#: truncation pays one job of fixed overhead per round; a 3-round cadence
-#: keeps the lazy plan <= 3 join+agg layers deep while amortizing the
-#: checkpoint cost — values are bit-identical at any cadence because the
-#: max-merge recurrence is).
-_CHECKPOINT_EVERY = 3
+#: Lineage-truncation cadence for the max-merge loop. Values are
+#: bit-identical at ANY cadence (the recurrence is), so this is purely a
+#: cost knob — and unlike pagerank_micro (narrow 2-col state, where the
+#: per-checkpoint job overhead dominated and cadence 3 won 1.76×), the
+#: hyperball state is m flat register columns whose round-over-round
+#: plans are ~m× wider: with no truncation the EAGER PER-OP ANALYSIS of
+#: the growing lineage dominates the wall clock (measured r15, m=64
+#: n_rounds=3 at sf0.1: build/analysis 5.2 s vs 1.6 s execution;
+#: cadence 1 vs 3 min-of-4 A/B: 6.5 vs 8.2 s at m=64, 3.4 vs 4.3 s at
+#: m=32). Cadence 1 = truncate after every non-final round.
+_CHECKPOINT_EVERY = 1
 
 
 def _edges_with_selfloops(edges: DataFrame, src: str, dst: str) -> DataFrame:
