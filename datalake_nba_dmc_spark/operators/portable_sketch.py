@@ -39,12 +39,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datalake_nba_dmc_spark.operators.cdc import token_hash_sql
+from datalake_nba_dmc_spark.operators.cdc import _token_hashes_expr, token_hash_sql
 from datalake_nba_dmc_spark.operators.dedup import (
     _MERSENNE31,
-    _grams_from_tokens,
     normalize_text,
 )
+from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
 from datalake_nba_dmc_spark.operators.util import ensure_parallelism
 
 
@@ -197,6 +197,68 @@ def minhash_portable_arrow(
     return sig
 
 
+def _shingle_hashes_expr(toks: str, n: int) -> str:
+    """Spark-side shingle-hash ARRAY for a token-array column, via the
+    TOKEN-SUM DECOMPOSITION (r16 — the arrow path's math as pure SQL):
+    per-token character folds run ONCE (``_tsum``: position-weighted sum
+    ``pw`` and plain sum ``ps`` in one struct fold; ``_ln``: lengths),
+    then each word-n-gram window's joined-string sum is rebuilt by an
+    O(n) integer fold —
+
+        Σ_i [ pw_i + off_i · (ps_i + 32) ],  off_1 = 0,
+        off_{i+1} = off_i + len_i + 1        (the ' ' separator)
+
+    — exactly the character fold over the ``concat_ws(' ', ...)``
+    shingle string (token chars shift by their offset; each space,
+    ascii 32, sits at position off_{i+1}). Value identity with mapping
+    :func:`~datalake_nba_dmc_spark.operators.cdc.token_hash_sql` over
+    materialized shingle strings is pinned corpus-wide by
+    tests/test_staged_oracles.py. Docs with 1..n-1 tokens get their
+    single whole-text window (the ``_grams_from_tokens`` fallback);
+    windows are a MULTISET (no array_distinct — min-fold consumers are
+    idempotent, the arrow path's argument). Why: the old shape
+    materialized every shingle STRING (~3× corpus bytes) and re-folded
+    every character ~3×n more times inside ``token_hash_sql``'s 8×
+    textual self-reference — measured 4.81 → 0.39 s (12×) for the
+    sf0.1 signature fold, bit-identical output.
+
+    The caller must stage ``_tsum``/``_ln`` as real columns via
+    :func:`_with_token_sums` first (the with_shingles rule)."""
+    wl = f"CASE WHEN size({toks}) >= {n} THEN {n} ELSE size({toks}) END"
+    win_sum = (
+        f"aggregate(sequence(1, {wl}), "
+        "named_struct('off', CAST(0 AS BIGINT), 'tot', CAST(0 AS BIGINT)), "
+        "(acc, i) -> named_struct("
+        "'off', acc.off + element_at(_ln, w + i) + 1, "
+        "'tot', acc.tot + element_at(_tsum, w + i).pw "
+        "+ acc.off * (element_at(_tsum, w + i).ps + 32))).tot"
+    )
+    return (
+        f"transform(transform(sequence(0, size({toks}) - {wl}), "
+        f"w -> ({win_sum}) % {_M31}), h -> "
+        + mixer_sql("h", "spark")
+        + f" % {_MERSENNE31})"
+    )
+
+
+def _with_token_sums(df: DataFrame, toks: str = "_toks") -> DataFrame:
+    """Stage the per-token (pw, ps) struct fold and lengths as real
+    columns (one character pass per token; CollapseProject keeps the
+    stage because the aliases are non-cheap and multiply referenced)."""
+    return df.withColumn(
+        "_tsum",
+        F.expr(
+            f"transform({toks}, t -> aggregate(zip_with(split(t, ''), "
+            "sequence(1, char_length(t)), (c, j) -> named_struct("
+            "'o', CAST(ascii(c) AS BIGINT), 'j', CAST(j AS BIGINT))), "
+            "named_struct('pw', CAST(0 AS BIGINT), 'ps', CAST(0 AS BIGINT)), "
+            "(a, v) -> named_struct('pw', a.pw + v.o * v.j, 'ps', a.ps + v.o)))"
+        ),
+    ).withColumn(
+        "_ln", F.expr(f"transform({toks}, t -> CAST(char_length(t) AS BIGINT))")
+    )
+
+
 def _minhash_portable_sig(
     df: DataFrame,
     text_col: str,
@@ -231,22 +293,19 @@ def _minhash_portable_sig(
                 F.col("_toks")
             ).alias("_sig"),
         )
-    staged = base.withColumn(
-        "_sh", _grams_from_tokens(F.col("_toks"), shingle_n)
-    ).filter(F.size("_sh") > 0)
     coeffs = permutation_coeffs(num_hashes, seed)
     a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
     b_arr = F.array(*[F.lit(b) for _, b in coeffs])
     init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
-    # shingle hashes staged as their own column (with_shingles rule)
-    hashed = staged.withColumn(
-        "_shh",
-        F.expr(
-            "transform(_sh, s -> "
-            + token_hash_sql("s", "spark")
-            + f" % {_MERSENNE31})"
-        ),
-    )
+    # r16: shingle hashes via the token-sum decomposition — no shingle
+    # strings, one character fold per token (see _shingle_hashes_expr;
+    # 12× on the sf0.1 fold, bit-identical, equality pinned corpus-wide
+    # in tests/test_staged_oracles.py). Emptiness filters on the TOKEN
+    # array (same rows: _sh nonempty iff _toks nonempty — the arrow
+    # path's rule). Staged hashes as their own column (with_shingles).
+    hashed = _with_token_sums(
+        base.filter(F.size("_toks") > 0)
+    ).withColumn("_shh", F.expr(_shingle_hashes_expr("_toks", shingle_n)))
 
     def step(acc, h):
         return F.zip_with(
@@ -333,10 +392,12 @@ def simhash_portable(
         .withColumn("_toks", toks)
         .filter(F.size("_toks") > 0)
         .withColumn(
+            # two-level transform (cdc._token_hashes_expr): the char fold
+            # stages once per token, the mixer's 8× textual self-reference
+            # re-reads a scalar — bit-identical to mapping token_hash_sql
+            # (r16; the r15 cdc HOF-CSE lesson applied here)
             "_th",
-            F.expr(
-                "transform(_toks, tok -> " + token_hash_sql("tok", "spark") + ")"
-            ),
+            F.expr(_token_hashes_expr("_toks")),
         )
     )
     sums = F.expr(

@@ -8,8 +8,11 @@ For each named suite query: builds the DataFrame (REBUILD-style — the
 builder re-runs inside the timed region every pass, so eager builders are
 billed honestly), times N noop-sink writes (guide §1.4), prints per-pass
 seconds + min, and writes `.explain("formatted")` to
-plans/r15/<name>_<tag>.txt (guide §1 "capture the plan shape").
-Jobs are labelled per query (guide §1.5).
+<plans-dir>/<name>_<tag>.txt (guide §1 "capture the plan shape").
+Jobs are labelled per query (guide §1.5). ``--clear-cache`` calls
+spark.catalog.clearCache() before every pass so builders that persist()
+an intermediate are billed their honest FIRST-build cost each pass
+instead of the plan-cache hit (r16).
 """
 
 from __future__ import annotations
@@ -30,16 +33,25 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=4)
     ap.add_argument("--tag", default=None)
+    ap.add_argument("--plans-dir", default="plans/r16")
     ap.add_argument("--plans-only", action="store_true")
+    ap.add_argument("--clear-cache", action="store_true",
+                    help="clearCache() before every pass (honest first-build cost "
+                         "for builders that persist intermediates)")
     ap.add_argument("--prebuild", action="store_true",
                     help="build once outside the timed region (non-REBUILD style)")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
+    if args.plans_only and not args.tag:
+        # r15 ADVICE: --plans-only without --tag wrote nothing yet printed
+        # "plan written" — default the tag instead of lying
+        args.tag = "plan"
 
     specs = load_all(include_staged=True)
     spark = get_spark("perf_probe")
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        *args.plans_dir.split("/"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
@@ -58,6 +70,8 @@ def main() -> None:
             continue
         times = []
         for p in range(args.passes):
+            if args.clear_cache:
+                spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"probe: {name} pass {p}")
             start = time.perf_counter()
             d = df if args.prebuild else spec.builder(spark, args.sf)
