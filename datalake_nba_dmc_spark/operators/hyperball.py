@@ -186,13 +186,13 @@ def _seed_balls(e2: DataFrame, m: int) -> DataFrame:
         nodes.withColumn("_h", F.expr(mixer_sql("node", "spark")))
         .withColumn("_b", F.col("_h") % m)
         .withColumn("_rho", F.expr(rho_sql(_idiv("_h", m, "spark"))))
-        .select(
+        .selectExpr(
             "node",
             *[
-                F.when(F.col("_b") == j, F.col("_rho"))
-                .otherwise(F.lit(0))
-                .cast("int")
-                .alias(r)
+                # string projection (r16): same CASE per register, built
+                # as one parsed string instead of m when/otherwise/cast
+                # Column chains — m× fewer driver round-trips per build
+                f"CAST(CASE WHEN _b = {j} THEN _rho ELSE 0 END AS INT) AS {r}"
                 for j, r in enumerate(regs)
             ],
         )
@@ -239,14 +239,12 @@ def hyperball_registers(
         balls = _round_agg(e2, balls, regs, [])
         if t % _CHECKPOINT_EVERY == 0 and t < n_rounds:
             balls = balls.localCheckpoint(eager=True)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), F.col(r).alias("reg"))
-            for j, r in enumerate(regs)
-        ]
-    )
-    return balls.select("node", F.explode(pairs).alias("_p")).select(
-        "node", F.col("_p.j").alias("j"), F.col("_p.reg").alias("reg")
+    # posexplode of the register array: position IS the register index,
+    # so the old array-of-(j, reg)-structs build (m struct Columns) is
+    # just posexplode(array(regs…)) — same (node, j, reg) rows/types
+    return balls.selectExpr(
+        "node",
+        "posexplode(array(" + ",".join(regs) + ")) AS (j, reg)",
     )
 
 
@@ -265,31 +263,45 @@ def linear_counting_case_sql(v: str, m: int) -> str:
     return f"(CASE {branches} ELSE 0.0 END)"
 
 
-def _estimate_col(m: int, regs: list[str]):
-    """HLL estimate over flat register columns: raw
-    E = alpha_m · m² / Σ 2^(−reg) with the denominator carried as the
-    EXACT long Σ 2^(K−reg) (reg ≤ 28 < K, one double division total,
-    fixed operand order), switched to linear counting
-    E = m · ln(m / V) when the raw estimate is in the small range
-    (E ≤ 2.5 m and V > 0 zero registers) — the standard HLL correction;
+def _raw_v_exprs(m: int, regs: list[str]) -> tuple[str, str]:
+    """HLL estimate ingredients over flat register columns as TWO SMALL
+    SQL strings: raw E = alpha_m · m² / Σ 2^(−reg) with the denominator
+    carried as the EXACT long Σ 2^(K−reg) (reg ≤ 28 < K, one double
+    division total), and V = the zero-register count. Both sums fold an
+    ``array(regs…)`` with a higher-order ``aggregate`` instead of an
+    m-term column tree: integer sums are order-insensitive, so the
+    values are bit-identical to the old per-column chain (pinned by the
+    driver oracles), while the expression tree shrinks from O(m²) nodes
+    across the projection to O(m) — the r16 receipt: per-round plan
+    construction+analysis 1.14 → 0.07 s at m = 64, which dominated the
+    whole HyperBall family's wall clock (execution on the ≤101-node
+    graph is ~0.4 s; building the plans was 5+ s). The raw quotient
+    keeps the same fixed IEEE order (alpha·m² times 2^K, divided by the
+    exact long sum) via D-suffixed double literals that round-trip
+    exactly."""
+    arr = "array(" + ",".join(regs) + ")"
+    s_expr = (
+        f"aggregate({arr}, CAST(0 AS BIGINT), "
+        f"(a, r) -> a + CAST(POW(2, {_K} - r) AS BIGINT))"
+    )
+    v_expr = f"aggregate({arr}, 0, (a, r) -> a + CASE WHEN r = 0 THEN 1 ELSE 0 END)"
+    raw = (
+        f"({alpha_for_m(m) * m * m!r}D * {float(2**_K)!r}D"
+        f" / CAST({s_expr} AS DOUBLE))"
+    )
+    return raw, v_expr
+
+
+def _corrected_sql(m: int, raw_col: str, v_col: str) -> str:
+    """The standard HLL small-range switch as SQL: linear counting
+    E = m · ln(m / V) when raw E ≤ 2.5 m and V > 0 zero registers exist —
     without it the raw estimator reads an EMPTY ball as alpha·m ≈ 22,
     drowning the small balls truncated-harmonic sums are made of."""
-    s = None
-    v = None
-    for r in regs:
-        term = F.expr(f"CAST(POW(2, {_K} - {r}) AS BIGINT)")
-        s = term if s is None else s + term
-        zero = F.when(F.col(r) == 0, F.lit(1)).otherwise(F.lit(0))
-        v = zero if v is None else v + zero
-    raw = F.lit(alpha_for_m(m) * m * m) * F.lit(float(2**_K)) / s.cast("double")
-    return raw, v
-
-
-def _corrected(m: int, raw_col: str, v_col: str):
-    return F.when(
-        (F.col(raw_col) <= F.lit(2.5 * m)) & (F.col(v_col) > 0),
-        F.expr(linear_counting_case_sql(v_col, m)),
-    ).otherwise(F.col(raw_col))
+    return (
+        f"CASE WHEN {raw_col} <= {2.5 * m!r}D AND {v_col} > 0 THEN "
+        + linear_counting_case_sql(v_col, m)
+        + f" ELSE {raw_col} END"
+    )
 
 
 def hyperball_harmonic_estimate(
@@ -323,46 +335,41 @@ def hyperball_harmonic_estimate(
         raise ValueError("n_rounds must be >= 0")
     regs = [f"_r{j}" for j in range(m)]
     e2 = _edges_with_selfloops(edges, src, dst)
+    raw, v = _raw_v_exprs(m, regs)
+    corr = _corrected_sql(m, "_raw", "_v")
 
-    def with_estimate(state: DataFrame) -> DataFrame:
-        """Stage raw/v, then the corrected per-round ball-size estimate
-        ``_e`` (identical expression pipeline to the pre-r15 per-state
-        ``est()``, so the doubles match bit-for-bit)."""
-        raw, v = _estimate_col(m, regs)
-        staged = state.select(
-            "node", *regs, raw.alias("_raw"), v.alias("_v"),
-            *[c for c in state.columns if c in ("_eprev", "_hsum")],
-        )
-        keep = [c for c in staged.columns if c not in ("_raw", "_v")]
-        return staged.select(
-            *keep, _corrected(m, "_raw", "_v").alias("_e")
-        )
-
-    balls = with_estimate(_seed_balls(e2, m)).withColumn(
-        "_hsum", F.lit(0.0)
+    # Two selectExpr projections per round (r16): stage _raw/_v (the
+    # with_shingles rule — each is referenced by the corrected CASE),
+    # then emit _e and the updated _hsum in ONE projection. The
+    # corrected CASE appears twice there (once as _e, once inside the
+    # delta) — a deterministic expression over the SAME staged _raw/_v,
+    # so the doubles are identical wherever it's evaluated; the old
+    # three-projection chain existed only to single-evaluate it, and at
+    # ≤101 rows per round the duplicate CASE costs nothing while the
+    # extra eagerly-analyzed Dataset per round cost real driver time.
+    balls = (
+        _seed_balls(e2, m)
+        .selectExpr("node", *regs, f"{raw} AS _raw", f"{v} AS _v")
+        .selectExpr("node", *regs, f"{corr} AS _e", "0.0D AS _hsum")
     )
     for t in range(1, n_rounds + 1):
-        agged = _round_agg(e2, balls, regs, ["_e", "_hsum"]).select(
-            "node", *regs, F.col("_e").alias("_eprev"), "_hsum"
+        staged = _round_agg(e2, balls, regs, ["_e", "_hsum"]).selectExpr(
+            "node", *regs, f"{raw} AS _raw", f"{v} AS _v",
+            "_e AS _eprev", "_hsum",
         )
-        stepped = with_estimate(agged)
         # per-round delta clamped at 0: the linear/raw estimator switch
         # can dip a hair across rounds even though registers only grow
-        balls = stepped.select(
+        balls = staged.selectExpr(
             "node",
             *regs,
-            "_e",
-            (
-                F.col("_hsum")
-                + F.greatest(F.col("_e") - F.col("_eprev"), F.lit(0.0))
-                / F.lit(float(t))
-            ).alias("_hsum"),
+            f"{corr} AS _e",
+            f"(_hsum + greatest(({corr}) - _eprev, 0.0D)"
+            f" / {float(t)!r}D) AS _hsum",
         )
         if t % _CHECKPOINT_EVERY == 0 and t < n_rounds:
             balls = balls.localCheckpoint(eager=True)
-    return balls.select(
+    return balls.selectExpr(
         "node",
-        F.floor(F.col("_hsum") * 1e6 + F.lit(0.5))
-        .cast("long")
-        .alias("harmonic_micro_est"),
+        "CAST(floor(_hsum * 1000000.0D + 0.5D) AS BIGINT)"
+        " AS harmonic_micro_est",
     )
