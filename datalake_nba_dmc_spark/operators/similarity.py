@@ -269,15 +269,23 @@ def ivf_index(
             F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(1_000_000))
             < int(sample_fraction * 1_000_000)
         )
-    if train.isEmpty():
-        # fail fast with a diagnosable message — an index build over
-        # nothing means the upstream corpus (or the sample) is broken,
-        # and silently returning an empty index would mask that (same
-        # policy as pca_project; robustness_audit `empty` finding)
-        raise ValueError("ivf_index: empty input (no vectors to fit)")
-    centers = deterministic_kmeans(
-        train, k=n_centroids, vec_col=vec_col, max_iter=max_iter, seed=seed
-    )
+    # fail fast with a diagnosable message — an index build over nothing
+    # means the upstream corpus (or the sample) is broken, and silently
+    # returning an empty index would mask that (same policy as
+    # pca_project; robustness_audit `empty` finding). r16: the emptiness
+    # signal is the trainer's own empty-sample ValueError instead of a
+    # dedicated isEmpty() pre-scan — one fewer eager job per index build
+    # (deterministic_kmeans's TakeOrdered sample IS the emptiness probe).
+    try:
+        centers = deterministic_kmeans(
+            train, k=n_centroids, vec_col=vec_col, max_iter=max_iter, seed=seed
+        )
+    except ValueError as e:
+        if "empty input" in str(e):
+            raise ValueError(
+                "ivf_index: empty input (no vectors to fit)"
+            ) from e
+        raise
     from datalake_nba_dmc_spark.operators.kmeans import assign_centroids
 
     assigned = assign_centroids(
@@ -288,13 +296,20 @@ def ivf_index(
 
 def nearest_centroids(vec_col: Column, centers: list[list[float]], n_probe: int) -> Column:
     """Ids of the ``n_probe`` nearest centroids (squared-L2) — pure array
-    expressions, same inline-loop shape as :func:`hyperplane_bucket`."""
+    expressions, same inline-loop shape as :func:`hyperplane_bucket`.
+
+    Centroid coordinate arrays render as ONE parsed SQL literal each
+    (``repr`` round-trips every double exactly; the D suffix parses it
+    straight to DOUBLE) instead of dim-many ``F.lit`` Column objects —
+    at k=16/dim=64 the old form made ~1k driver round-trips per plan
+    build, the dominant cost of the REBUILD-billed recall certificates
+    (r16; values unchanged, same zip_with/aggregate fold)."""
     scored = [
         F.struct(
             F.aggregate(
                 F.zip_with(
                     vec_col,
-                    F.array(*[F.lit(x) for x in c]),
+                    F.expr("array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
@@ -1152,17 +1167,23 @@ def _sq8_code_frame(frame: DataFrame, vec_col: str, keep: list) -> DataFrame:
         *keep, e.alias("_e")
     )
     ma = F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x)))
-    return b.withColumn("_ma", ma).withColumn(
-        "_c",
+    # one staged projection for _ma, one for _c (the _ma alias is
+    # multiply-referenced and non-cheap, so CollapseProject keeps the
+    # stage) — fused from two withColumn Datasets into selects so each
+    # index build analyzes two plans, not three (r16 build-cost trim)
+    return b.withColumn("_ma", ma).select(
+        "*",
         F.when(
             F.col("_ma") == 0.0,
             F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")),
-        ).otherwise(
+        )
+        .otherwise(
             F.transform(
                 F.col("_e"),
                 lambda x: F.round(x * 127.0 / F.col("_ma")).cast("long"),
             )
-        ),
+        )
+        .alias("_c"),
     )
 
 

@@ -669,6 +669,12 @@ def sim_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = sim_bruteforce_topk(spark, sf_dir)
+    # the exact leg is referenced TWICE by _recall_check (the hit
+    # semi-join AND the query-id roster) and Spark has no cross-subtree
+    # CSE — left lazy, the whole brute-force cosine scan ran twice in
+    # the final job. The leg is a ≤30-row top-k: materialize it once
+    # (r16; the builder is REBUILD_EACH_PASS-billed, so the checkpoint
+    # job stays inside the timed region — no work escapes the bench)
+    exact = sim_bruteforce_topk(spark, sf_dir).localCheckpoint(eager=True)
     approx = ivf_sq8_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
     return _recall_check(approx, exact, floor=3)
