@@ -394,6 +394,12 @@ def connected_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("comp").alias("nmin"))
         )
+        # LAZY checkpoint + count (r16): the convergence count is the
+        # action that materializes the round's checkpoint, so each round
+        # runs ONE job instead of an eager-checkpoint job followed by a
+        # count job — same lineage truncation, same values, half the
+        # per-round job overhead (the loop's cost at small/medium edge
+        # counts is job launch, not data)
         new_labels = (
             labels.join(neighbor_min, on="id", how="left")
             .select(
@@ -401,7 +407,7 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
                 (F.col("nmin") < F.col("comp")).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
@@ -488,7 +494,9 @@ def connected_components_star(
         return cur.select(F.col("u").alias("id"), F.col("u").alias("comp"))
     converged = False
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # lazy checkpoint materialized by the fixed-point count — one
+        # job per round instead of two (the propagation-CC r16 rule)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # exact fixed-point test: both sides are DISTINCT sets, so equal
         # counts + empty one-sided difference ⇔ set equality
         if nxt.count() == cur.count() and nxt.subtract(cur).isEmpty():

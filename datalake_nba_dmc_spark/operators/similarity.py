@@ -164,13 +164,24 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id: bit i = 1 iff dot(vec, plane_i) >= 0."""
+    """Sign-pattern bucket id: bit i = 1 iff dot(vec, plane_i) >= 0.
+
+    Plane coordinate arrays render as ONE parsed SQL literal each (the
+    nearest_centroids rule, r16: ``repr`` round-trips every double
+    exactly, the D suffix parses straight to DOUBLE) — the old per-
+    coordinate ``F.lit`` loop made n_planes×dim driver round-trips per
+    bucket expression, which multiplied by SemDeDup's n_split_tables
+    dominated that builder's wall clock. Same fold, same doubles."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         d = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(float(p)) for p in plane]),
+                F.expr(
+                    "array("
+                    + ",".join(f"{float(p)!r}D" for p in plane)
+                    + ")"
+                ),
                 lambda x, y: (x * y).cast("double"),
             ),
             F.lit(0.0),
@@ -619,7 +630,10 @@ def _plane_margin(vec_col: Column, plane: list[float]) -> Column:
     """Signed distance proxy of a vector to one hyperplane — the shared
     :func:`dot` against the plane as a literal array, so the multiprobe
     base bucket's doubles are bit-identical to ``hyperplane_bucket``'s."""
-    return dot(vec_col, F.array(*[F.lit(float(p)) for p in plane]))
+    return dot(
+        vec_col,
+        F.expr("array(" + ",".join(f"{float(p)!r}D" for p in plane) + ")"),
+    )
 
 
 def multiprobe_buckets(
@@ -763,12 +777,19 @@ def pq_train(
 
 
 def _nearest_codeword(sub_col: Column, book: list[list[float]]) -> Column:
+    # codeword arrays as single parsed literals (the nearest_centroids
+    # rule, r16): m books × k codewords × dim/m coordinates of F.lit
+    # Columns otherwise dominate pq_encode's plan-build time
     scored = [
         F.struct(
             F.aggregate(
                 F.zip_with(
                     sub_col,
-                    F.array(*[F.lit(x) for x in c]),
+                    F.expr(
+                        "array("
+                        + ",".join(f"{float(x)!r}D" for x in c)
+                        + ")"
+                    ),
                     lambda a, b: ((a - b) * (a - b)).cast("double"),
                 ),
                 F.lit(0.0),

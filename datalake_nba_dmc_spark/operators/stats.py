@@ -203,6 +203,18 @@ def bootstrap_weight_sql(id_expr: str, r_expr: str, seed: int, dialect: str) -> 
     distinct ids shared low words). Residual collisions are the
     pseudorandom 31-bit birthday kind, not congruence classes; ids
     congruent mod 2^62 still alias — beyond any real key space."""
+    return _bootstrap_weight_from_base_sql(
+        _bootstrap_idbase_sql(id_expr, dialect), r_expr, seed, dialect
+    )
+
+
+def _bootstrap_idbase_sql(id_expr: str, dialect: str) -> str:
+    """The id-only half of :func:`bootstrap_weight_sql`'s hash — the
+    folded 31-bit base both halves of the id enter through. Split out
+    (r16) so hot paths can STAGE it as a column BEFORE the
+    n_resamples explode: it is a pure function of the row id, and
+    evaluating the full weight expression post-explode re-ran this
+    mixer + wrap once per (row, resample) instead of once per row."""
     from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
 
     # double-mod wrap: % is sign-of-dividend in BOTH engines, and the
@@ -215,9 +227,20 @@ def bootstrap_weight_sql(id_expr: str, r_expr: str, seed: int, dialect: str) -> 
         f" % 4611686018427387904))"
     )
     hi_mixed = mixer_sql(f"({nn} div 2147483648)" if dialect == "spark" else f"({nn} // 2147483648)", dialect)
+    return f"(({hi_mixed} * 40503 + ({nn} % 2147483648)) % 2147483648)"
+
+
+def _bootstrap_weight_from_base_sql(
+    base_expr: str, r_expr: str, seed: int, dialect: str
+) -> str:
+    """Poisson(1) weight from a staged :func:`_bootstrap_idbase_sql`
+    value: one mixer over (base + r·K + seed) and the CDF ladder —
+    composed by :func:`bootstrap_weight_sql` for single-expression
+    (oracle-twin) use; identical integers either way."""
+    from datalake_nba_dmc_spark.operators.hyperball import mixer_sql
+
     u = mixer_sql(
-        f"((({hi_mixed} * 40503 + ({nn} % 2147483648)) % 2147483648)"
-        f" + ({r_expr}) * 2654435761 + {seed}) % 2147483648",
+        f"(({base_expr}) + ({r_expr}) * 2654435761 + {seed}) % 2147483648",
         dialect,
     )
     branches = " ".join(
@@ -277,16 +300,22 @@ def bootstrap_ci_mean(
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(F.col(id_col).alias("_id"), xs.alias("_xs"))
+    # the id-only hash base stages BEFORE the explode (r16): it is a pure
+    # function of the row id, so evaluating it post-explode re-ran one
+    # mixer + the sign wrap per (row, resample) — n_resamples× the work.
+    # The Project below the Generate can't collapse into the weight
+    # projection above it, so the staging is structural.
     per_r = (
         base.select(
-            "_id",
+            F.expr(_bootstrap_idbase_sql("_id", "spark")).alias("_idb"),
             "_xs",
             F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias(
                 "r"
             ),
         )
         .withColumn(
-            "w", F.expr(bootstrap_weight_sql("_id", "r", seed, "spark"))
+            "w",
+            F.expr(_bootstrap_weight_from_base_sql("_idb", "r", seed, "spark")),
         )
         .groupBy("r")
         .agg(
@@ -1113,17 +1142,20 @@ def bootstrap_ci_mean_by(
         & F.col(id_col).isNotNull()
         & F.col(by_col).isNotNull()
     ).select(F.col(by_col), F.col(id_col).alias("_id"), xs.alias("_xs"))
+    # id-only hash base staged before the explode — the bootstrap_ci_mean
+    # rule (one mixer + wrap per ROW instead of per (row, resample))
     per_r = (
         base.select(
             by_col,
-            "_id",
+            F.expr(_bootstrap_idbase_sql("_id", "spark")).alias("_idb"),
             "_xs",
             F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias(
                 "r"
             ),
         )
         .withColumn(
-            "w", F.expr(bootstrap_weight_sql("_id", "r", seed, "spark"))
+            "w",
+            F.expr(_bootstrap_weight_from_base_sql("_idb", "r", seed, "spark")),
         )
         .groupBy(by_col, "r")
         .agg(
