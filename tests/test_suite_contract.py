@@ -123,39 +123,43 @@ def test_driver_window_priority():
 
 
 def test_bench_final_line_fits_tail_window():
-    """VERDICT r10 ask #8: the driver parses JSON from the LAST ~2000
-    bytes of bench stdout, so the compact FINAL line must stay under
-    budget even in the WORST case (every headline query unstable, every
-    watch entry present, maximal float widths). The line is O(1) in the
-    extended-set size by construction — this pins that it stays so as
-    registrations grow."""
+    """VERDICT r10 ask #8 / r15 ask #2: the driver parses JSON from the
+    LAST ~2000 bytes of bench stdout. The FINAL line now inlines the
+    full HEADLINE per-query dict (so the driver's PERF per_query tables
+    populate), and must stay under budget even in the WORST case —
+    maximal float widths, every headline query unstable, every watch
+    entry present. _final_line degrades the queries dict to the
+    `_detail` pointer rather than ever busting the window; this pins
+    both the normal-case fit AND the degradation guard."""
     import json
 
     import bench
 
-    worst = {
-        "metric": "headline_suite_total",
-        "value": 99999.999,
-        "unit": "sec",
-        "sf": 0.1,
-        "queries": {"_detail": "see BENCH_DETAIL.json"},
-        "extended_total": 99999.999,
-        "extended_total_r6def": 99999.999,
-        "watch": {
-            "er_fuzzy_name_pairs": 99999.999,
-            "text_unigram_logprob": 99999.999,
-            "mart_basket_pairs": 99999.999,
-            "tpch_q4_order_priority": 99999.999,
-        },
-        "idle_wait_s": 120.0,
-        "unstable": list(bench.HEADLINE),  # worst case: ALL unstable
-        "cache_ridden": list(bench.CACHE_RIDDEN),
-    }
-    line = json.dumps(worst)
-    assert len(line) <= bench._FINAL_LINE_BUDGET - 200, (
-        f"compact FINAL line worst case is {len(line)} bytes — too close "
-        f"to the driver's ~{bench._FINAL_LINE_BUDGET}-byte tail window"
+    worst_timings = {n: 99999.999 for n in bench.HEADLINE}
+    worst_ext = {n: 99999.999 for n in bench._WATCH + bench.CACHE_RIDDEN}
+    line = bench._final_line(
+        99999.999,
+        0.1,
+        worst_timings,
+        99999.999,
+        99999.999,
+        worst_ext,
+        120.0,
+        list(bench.HEADLINE),  # worst case: ALL unstable
     )
+    assert len(line) <= bench._FINAL_LINE_BUDGET - 100, (
+        f"FINAL line worst case is {len(line)} bytes — too close to the "
+        f"driver's ~{bench._FINAL_LINE_BUDGET}-byte tail window"
+    )
+    # the realistic case (nothing unstable) must carry per-query inline
+    typical = bench._final_line(
+        19.999, 0.1, worst_timings, 105.99, 22.99, worst_ext, 0.0, []
+    )
+    parsed = json.loads(typical)
+    assert set(parsed["queries"]) == set(bench.HEADLINE), (
+        "typical FINAL line must inline the full headline per-query dict"
+    )
+    assert len(typical) <= bench._FINAL_LINE_BUDGET - 100
 
 
 def test_staged_specs_disjoint_and_planned():
