@@ -105,121 +105,67 @@ NO_ORACLE_PINNED: list[str] = [
     "emb_pq_codes",
 ]
 
-_CHECK_PRIORITY: list[str] = [
-    # -- r16 plan (for the next cut): whatever suite/staged.py stages
-    #    this round registers next round per the freeze, then the 8
-    #    deferred r10 names below the edge + the r11 cohort rotate in.
-    # -- round-15 cut. Staleness entering r15 (from CORRECTNESS_r1..r14):
-    #    3 r7 + 2 r9 pinned (outside the window by design), 3 rotating
-    #    r9 (last round's documented deferred tail), 50 x r10, 50 x
-    #    r11, 50 x r12, 50 x r13, 50 x r14 — plus 5 NEW registrations
-    #    (the r14-staged slate, each in its own round's window per the
-    #    registry freeze). Window math: 5 new + 3 r9 + 42 r10 = 50,
-    #    leaving 8 r10 names + the r11 cohort to lead the r16 cut.
-    #    Historical cut documentation (r8..r14 window composition +
-    #    per-name deferral redundancy) lives in git history of this
-    #    file and reconstructs from CORRECTNESS_r*.json via
-    #    tools/window_plan.py.
-    # -- 1. never-checked: registered THIS round, in their own round's
-    #    window. The 5-op r14-staged slate, every twin green at two
-    #    scales (tests/test_staged_oracles.py r15 block) and audit-
-    #    hardened BEFORE registration: stat_psi_by_segment /
-    #    stat_bootstrap_ci_by_segment = per-segment PSI + Poisson-
-    #    bootstrap CI completing the segment-capable drift family on
-    #    the shared _cohort_value_counts_by substrate;
-    #    sim_ivf_sq8_recall = the IVF->SQ8->exact-rerank serving path
-    #    certified at the sim_ivf_recall floor with both certificate
-    #    sides on one vector representation;
-    #    sample_eval_decontaminated_split = leakage-safe split x
-    #    Bloom->exact benchmark decontamination;
-    #    events_trailing_windows_multi = N trailing horizons in one
-    #    pass (N+1 sorts, never a range join).
-    "stat_psi_by_segment",
-    "sim_ivf_sq8_recall",
+#: Queries whose OPERATORS were rewritten in the two optimization rounds
+#: (r15: hyperball merge-fold/cadence, cdc two-level folds + v2 derivation,
+#: contamination one-pass; r16: portable-sketch token-sum decomposition,
+#: hyperball array-fold estimates, iterative-loop plan-build trims + lazy
+#: CC checkpoint, IVF-SQ8 literal arrays / isEmpty drop / exact-leg
+#: materialization, bootstrap id-hash staging, plane/codeword literal
+#: arrays). VERDICT r15 ask #1: every one of them (or, for the rows-only
+#: NO_ORACLE_PINNED names, its oracle-checked companion over the same
+#: code path) holds a window slot THIS round so the driver's own oracle
+#: re-proves the rewrites — regardless of how recently a slot last
+#: checked it. test_driver_window_priority exempts exactly this list
+#: from the staleness rule.
+TOUCHED_R16: list[str] = [
+    # r15 rewrites the r15 window recut skipped (VERDICT r15 gate caveat)
+    "graph_hyperball_registers",
+    "graph_hyperball_harmonic_est",
+    "graph_hyperball_error_certificate",
+    "graph_hyperball_m64_est",
+    "dedup_cdc_chunks",
+    "dedup_cdc_reuse",
+    "dedup_contamination_bloom",
+    # r16: portable MinHash/SimHash signature-fold decomposition + riders
+    "dedup_minhash_portable",
+    "dedup_minhash_portable_clusters",
+    "dedup_simhash_portable",
+    "sample_leakage_safe_split",
     "sample_eval_decontaminated_split",
-    "stat_bootstrap_ci_by_segment",
-    "events_trailing_windows_multi",
-    # -- 2. the 3 r9 names deferred past the r14 edge (the documented
-    #    tail: all bench HEADLINE rows; flagship also runs in entry()
-    #    every driver smoke) — they lead this cut as promised.
-    "flagship_customer_resume",
-    "a2_dynamic_sum_agg",
-    "w4_running_sum",
-    # -- 3. the rotating r10 cohort: 42 of the 50 enter; the 8
-    #    deferred past the edge are listed there with per-name
-    #    redundancy notes.
-    "w5_ntile_quartiles",
-    "w6_moving_avg",
-    "w8_percent_rank",
-    "stat_corr_qty_price",
-    "agg_conditional",
-    "grouped_minmax_norm",
-    "mart_supplier_pareto",
-    "p1_project_prune",
-    "p2_bulk_rename",
-    "join_semi",
-    "join_anti",
-    "agg_rollup",
-    "agg_cube",
-    "w3_lag",
-    "set_intersect",
-    "conform_safe_downcast",
-    "agg_pivot",
-    "project_unpivot",
-    "set_intersect_all",
-    "set_except_all",
-    "sample_hash_mod",
-    "agg_approx_percentiles",
-    "tpch_q1_pricing_summary",
-    "dedup_exact",
-    "mart_containment_pairs",
-    "events_json_extract",
-    "events_approx_distinct_users",
-    "events_followup_within_hour",
-    "events_dau_wau",
-    "func_string_surface",
-    "func_null_semantics",
-    "func_array_scalars",
-    "func_try_arithmetic",
-    "graph_pagerank_micro",
-    "graph_harmonic_centrality",
-    "merge_upsert_orders",
-    "media_metadata",
-    "media_y4m_frame_stats",
-    "media_wav_pcm_stats",
-    "sim_lsh_recall",
-    "sim_ivf_recall",
+    # r16: iterative graph loops (fused per-round plans, lazy CC checkpoint)
+    "graph_coreness",
+    "graph_coreness_bucketed",
+    "graph_label_propagation",
+    "graph_connected_components",
+    # r16: similarity — literal plane/codeword/centroid arrays, IVF-SQ8
+    # build trims, CC-consuming semantic dedup (certificate = the oracled
+    # companion of rows-only sim_semantic_dedup / sim_lsh_topk /
+    # sim_lsh_multiprobe_topk / sim_ivf_topk / emb_pq_codes)
+    "sim_ivf_sq8_recall",
     "sim_semantic_dedup_certificate",
-    # ------------------------- window edge (first 50 above) -------------
-    # -- deferred r10 (8): lead the r16 cut, contiguously past the
-    #    edge. Per-name redundancy — every deferred name's operator is
-    #    pytest-covered this round AND has either an in-window code-
-    #    path sibling or a driver row one round fresher than this
-    #    cohort:
-    #    - sim_embedding_near_dups_certificate — identical dup-
-    #      injection certificate machinery to
-    #      sim_semantic_dedup_certificate (in-window) over the same
-    #      LSH-bucket substrate as sim_lsh_recall (in-window); its
-    #      rows-only companion sim_embedding_near_dups is bench-
-    #      executed at sf0.1 every round.
-    #    - k2_partition_overwrite_roundtrip — same sinks.write_table /
-    #      read-back path as k1/k5/k6/k7, all green r14 (one round
-    #      fresher than this cohort); pytest roundtrips pin the
-    #      dynamic-overwrite branch.
-    #    - skew_salted_agg — the salted two-phase agg's results are
-    #      pinned equal to the unsalted groupBy in pytest; its
-    #      consumer-side twin a3_multi_measure_agg is a bench HEADLINE
-    #      row timed every round.
-    #    - text_lang_id / text_fingerprint / text_winnow_fingerprints /
-    #      text_bpe_token_count — the text family's shared normalize/
-    #      tokenize substrate carried by the four sibling rows green
-    #      r14 (text_stats, text_sentence_boilerplate,
-    #      text_source_lang_diversity, text_length_deciles); operator
-    #      laws pinned in test_text.py / test_bpe.py (winnow window
-    #      invariants, fingerprint rolling-hash, BPE merge order).
-    #    - corpus_pack_sequences — greedy packing capacity/ordering
-    #      laws pinned in test_packing.py; bench-executed at sf0.1
-    #      every round (EXTENDED row).
+    "sim_pq_adc_recall",
+    "sim_lsh_recall",
+    "sim_lsh_multiprobe_recall",
+    "sim_ivf_recall",
+    # r16: Poisson-bootstrap id-hash staging
+    "stat_bootstrap_ci",
+    "stat_bootstrap_ci_by_segment",
+    # r16: this round's remaining optimization targets (VERDICT asks #6/#9)
+    "dedup_incremental",
+    "er_fuzzy_name_pairs",
+]
+
+_CHECK_PRIORITY: list[str] = [
+    # -- round-16 cut. The optimization rounds rewrote operator internals
+    #    under 26 queries; VERDICT r15 ask #1 pins all of them (via
+    #    TOUCHED_R16 above) into this cut so CORRECTNESS_r16 re-proves
+    #    every rewrite with the driver's own oracle. The 24 remaining
+    #    slots honor the documented r15 promise: the 8 deferred r10
+    #    names lead, then the stalest 16 of the r11 cohort. The r11
+    #    leftovers queue contiguously past the edge for the next cut.
+    *TOUCHED_R16,
+    # -- the 8 deferred r10 names (per-name redundancy notes in the r15
+    #    cut, git history of this file) — they lead as promised.
     "sim_embedding_near_dups_certificate",
     "k2_partition_overwrite_roundtrip",
     "skew_salted_agg",
@@ -228,6 +174,51 @@ _CHECK_PRIORITY: list[str] = [
     "text_bpe_token_count",
     "text_winnow_fingerprints",
     "corpus_pack_sequences",
+    # -- 16 of the 40 outstanding r11-cohort names (stalest first by
+    #    bench visibility: HEADLINE/EXTENDED rows, then the rest).
+    "text_bigram_logprob",
+    "sketch_hll_portable",
+    "media_quarantine_report",
+    "dedup_ngram_jaccard",
+    "dedup_url_canonical",
+    "sim_bruteforce_topk",
+    "text_token_histogram",
+    "text_tfidf",
+    "text_domain_quota",
+    "text_dsir_selection",
+    "text_bpe_pair_counts",
+    "text_quality_classifier",
+    "events_tumbling_agg",
+    "events_sessionization",
+    "events_asof_latest_order",
+    "tpch_q5_local_supplier_volume",
+    # ------------------------- window edge (first 50 above) -------------
+    # -- the 24 r11-cohort leftovers, contiguous past the edge: they lead
+    #    the next cut (every name below was last checked r11).
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    "set_except",
+    "join_inner",
+    "x4_split_mmss",
+    "media_frame_sample",
+    "cdc_snapshot_diff",
+    "corpus_mix_report",
+    "dq_orders_expectations",
+    "emb_cluster_assign_ok",
+    "emb_second_moments",
+    "events_cohort_retention",
+    "func_date_parts",
+    "gapfill_user_daily",
+    "profile_orders_columns",
+    "sample_stratified_segments",
+    "scd2_user_event_history",
+    "sim_label_centroids",
+    "text_collocations",
+    "text_pack_bins",
+    "text_pii_redaction",
 ]
 
 # The pinned no-oracle names close the rotation (see NO_ORACLE_PINNED):

@@ -74,12 +74,20 @@ def test_driver_window_priority():
     import json
     import os
 
-    from datalake_nba_dmc_spark.suite import NO_ORACLE_PINNED
+    from datalake_nba_dmc_spark.suite import NO_ORACLE_PINNED, TOUCHED_R16
 
     specs = load_all()
     names = list(specs)
     window = names[:50]
     pinned = set(NO_ORACLE_PINNED)
+    # VERDICT r15 ask #1: optimization-round rewrites must be re-proved by
+    # the driver's own oracle even when a slot checked them recently —
+    # TOUCHED_R16 names are exempt from the staleness rule (and must all
+    # actually BE in the window).
+    touched = set(TOUCHED_R16)
+    assert touched <= set(window), (
+        f"touched queries outside the window: {sorted(touched - set(window))}"
+    )
 
     # the pin itself: all 11 at the very bottom, none with an oracle
     assert names[-len(NO_ORACLE_PINNED) :] == NO_ORACLE_PINNED
@@ -103,7 +111,7 @@ def test_driver_window_priority():
     )
 
     for n in window:
-        if n not in last or last[n] == latest_round:
+        if n not in last or last[n] == latest_round or n in touched:
             continue
         assert last[n] <= latest_round - 2, (
             f"{n} was checked in r{last[n]} — window slots belong to the "
