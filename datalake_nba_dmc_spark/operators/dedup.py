@@ -965,76 +965,142 @@ def incremental_dedup(
     corpus = corpus.filter(F.col(text_col).isNotNull())
     fp = fingerprint(text_col)
     b_fp = batch.withColumn("_fp", fp)
-    # exact: drop batch rows whose fingerprint exists in the corpus, then
-    # keep the min-id representative per batch fingerprint. Direction
-    # matters at 100 TB (fixed r5): broadcasting the CORPUS fingerprint
-    # set — the original formulation — is unbounded; instead the tiny
-    # batch fingerprint set broadcasts onto the corpus (map-side semi
-    # filter, corpus never shuffled) and only the MATCHED fingerprints
-    # (≤ |batch| values) come back to anti-join the batch.
-    bfps = b_fp.select("_fp").distinct()
-    hit_fps = (
-        corpus.select(fp.alias("_fp"))
-        .join(F.broadcast(bfps), on="_fp", how="left_semi")
+
+    from datalake_nba_dmc_spark.plans.curation import sized_gram_rows
+
+    # ---- ONE corpus pass for BOTH checks (r16; guide §2.3). The exact
+    # and near checks used to scan+normalize the corpus separately (one
+    # fingerprint pass, one gram pass — regexp normalization twice over
+    # 100 TB). Now a single staged projection computes the normalized
+    # text once and emits, per corpus row, a tagged probe stream: one
+    # (kind=0, fingerprint) row plus one (kind=1, gram-hash) row per
+    # shingle. The broadcast build side is the same tagged union of the
+    # batch fingerprint set and the batch gram rows, so one broadcast
+    # join + one aggregation answers both "which batch fingerprints
+    # exist in the corpus" and "which (batch doc, corpus doc) pairs
+    # share how many grams". Direction unchanged from the r5 fix: the
+    # BATCH side broadcasts, the corpus is scanned once and never
+    # shuffled (only matched rows — batch-bounded — reach the shuffle).
+    # The near side now probes ALL batch grams (not just post-exact
+    # `fresh` ones): a superset, and harmless — near hits for docs the
+    # exact check drops are discarded by the later anti-join on `fresh`.
+    _nl = F.lit(None).cast("long")
+    bfps = (
+        b_fp.select("_fp")
         .distinct()
+        .select(
+            F.lit(0).alias("_kind"),
+            F.col("_fp").alias("_key"),
+            _nl.alias("_bid"),
+            F.lit(None).cast("int").alias("_bsz"),
+        )
     )
-    fresh = b_fp.join(F.broadcast(hit_fps), on="_fp", how="left_anti")
-    winners = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    bg = sized_gram_rows(batch, text_col, id_col, shingle_n).select(
+        F.lit(1).alias("_kind"),
+        F.col("gram").alias("_key"),
+        F.col(id_col).alias("_bid"),
+        F.col("sz").alias("_bsz"),
+    )
+    build = bfps.unionByName(bg)
+
+    # staged normalized text → tokens → shingles, exactly the
+    # with_shingles/sized_gram_rows composition (fingerprint(text) ≡
+    # xxhash64(normalized text), so staging `_norm` is bit-identical);
+    # gram-less docs (empty/whitespace text) still emit their
+    # fingerprint row via the coalesce — the exact check must see them.
+    staged = (
+        ensure_parallelism(corpus.select(id_col, text_col))
+        .withColumn("_norm", normalize_text(text_col))
+        .withColumn("_toks", F.filter(F.split(F.col("_norm"), " "), lambda t: t != ""))
+        .withColumn("_sh", _grams_from_tokens(F.col("_toks"), shingle_n))
+    )
+    gram_structs = F.transform(
+        F.coalesce(F.col("_sh"), F.array().cast("array<string>")),
+        lambda g: F.struct(
+            F.lit(1).alias("_kind"), F.xxhash64(g).alias("_key")
+        ),
+    )
+    probe_structs = F.concat(
+        F.array(
+            F.struct(
+                F.lit(0).alias("_kind"),
+                F.xxhash64(F.col("_norm")).alias("_key"),
+            )
+        ),
+        gram_structs,
+    )
+    probe = staged.select(
+        F.col(id_col).alias("_cid"),
+        F.coalesce(F.size("_sh"), F.lit(0)).alias("_csz"),
+        F.explode(probe_structs).alias("_p"),
+    ).select("_cid", "_csz", F.col("_p._kind").alias("_kind"), F.col("_p._key").alias("_key"))
+
     # Eager materialization of the batch-bounded intermediates (r5): the
-    # admission pipeline consumes `fresh`/`survivors`/`bb` from multiple
+    # admission pipeline consumes `hits`/`fresh`/`sets` from multiple
     # downstream branches; left lazy, every branch RE-DERIVES them —
     # re-scanning the corpus each time (measured: 96 FileScan nodes in
-    # the final plan, corpus fp/gram scans ×4-8). All three frames are
-    # bounded by the BATCH size, so `localCheckpoint(eager)` pins each to
-    # one computation — the corpus is genuinely scanned once per check
-    # (once for fingerprints, once for grams), matching the contract.
-    # r7 NOTE: two restructures that look like wins on paper were built,
-    # interleaved-A/B'd at sf0.1, and REJECTED with receipts (PERF.md
-    # "dedup_incremental barrier study"): fusing survivors+bb into one
-    # checkpoint (−1 barrier) and lazily persist()ing `fresh` both
-    # measured SLOWER than this shape (the lazy cache races its two
-    # consumers and the fused frame forces extra work into the final
-    # job). The barriers are the price of single-evaluation semantics;
-    # what did win is the array-based Jaccard recount below.
+    # the final plan, corpus scans ×4-8). All are bounded by the BATCH
+    # size, so `localCheckpoint(eager)` pins each to one computation —
+    # the corpus is genuinely scanned ONCE total (r16; was once per
+    # check). r7 NOTE: fusing barriers and lazily persist()ing `fresh`
+    # were both A/B'd and REJECTED with receipts (PERF.md
+    # "dedup_incremental barrier study"); `survivors`' checkpoint IS
+    # gone (r16) — it now derives from the checkpointed `fresh` + `hits`
+    # with a map-side broadcast anti-join, so re-deriving it costs no
+    # scan and no shuffle.
+    hits = (
+        probe.join(F.broadcast(build), on=["_kind", "_key"])
+        .groupBy(
+            "_kind",
+            F.when(F.col("_kind") == 0, F.col("_key")).alias("_hfp"),
+            F.when(F.col("_kind") == 1, F.col("_bid")).alias("_bid"),
+            F.when(F.col("_kind") == 1, F.col("_cid")).alias("_cid"),
+        )
+        .agg(
+            F.count("*").alias("_n"),
+            F.first("_bsz").alias("_bsz"),
+            F.first("_csz").alias("_csz"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # exact: drop batch rows whose fingerprint exists in the corpus, then
+    # keep the min-id representative per batch fingerprint
+    hit_fps = hits.filter(F.col("_kind") == 0).select(F.col("_hfp").alias("_fp"))
+    fresh = b_fp.join(F.broadcast(hit_fps), on="_fp", how="left_anti")
+    winners = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     fresh = (
         fresh.join(winners, on=id_col, how="left_semi")
         .drop("_fp")
         .localCheckpoint(eager=True)
     )
 
-    from datalake_nba_dmc_spark.plans.curation import sized_gram_rows
-
-    # each gram row carries its doc's shingle count, so Jaccard needs no
-    # separate sizes aggregation and the texts are shingled only here
-    bg = sized_gram_rows(fresh, text_col, id_col, shingle_n)
-    cg = sized_gram_rows(corpus, text_col, id_col, shingle_n).select(
-        F.col(id_col).alias("_cid"), F.col("sz").alias("_csz"), "gram"
-    )
-    inter = (
-        cg.join(F.broadcast(bg), on="gram")
-        .groupBy(id_col, "_cid")
-        .agg(
-            F.count("*").alias("_n"),
-            F.first("sz").alias("_bsz"),
-            F.first("_csz").alias("_csz"),
-        )
-    )
     near_corpus = (
-        inter.filter(
+        hits.filter(F.col("_kind") == 1)
+        .filter(
             F.col("_n").cast("double") / (F.col("_bsz") + F.col("_csz") - F.col("_n"))
             >= threshold
         )
-        .select(id_col)
+        .select(F.col("_bid").alias(id_col))
         .distinct()
     )
-    survivors = fresh.join(near_corpus, on=id_col, how="left_anti").localCheckpoint(
-        eager=True
+    survivors = fresh.join(F.broadcast(near_corpus), on=id_col, how="left_anti")
+
+    # batch-internal near-dups. r16: the checkpointed frame is the
+    # COMPACT per-doc (id, gram array, sz) form — the old shape
+    # checkpointed the exploded gram rows and then built this same
+    # aggregate TWICE downstream (Catalyst has no cross-subtree CSE, so
+    # the a-side/b-side recount each re-ran the collect_list agg: 2
+    # ObjectHashAggregate pairs in the plan). The exploded gram rows the
+    # candidate join needs are now derived FROM the checkpointed arrays
+    # (a Generate, no extra shuffle).
+    sets = (
+        sized_gram_rows(survivors, text_col, id_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_list("gram").alias("_gs"), F.first("sz").alias("_sz"))
+        .localCheckpoint(eager=True)
     )
-    # batch-internal near-dups: reuse the fresh gram rows filtered down to
-    # survivors (semi-join by id) instead of re-shingling the texts
-    bb = bg.join(
-        survivors.select(id_col), on=id_col, how="left_semi"
-    ).localCheckpoint(eager=True)
+    bb = sets.select(id_col, F.col("_sz").alias("sz"), F.explode("_gs").alias("gram"))
     left = bb.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sa"), "gram")
     if gram_fanout_cap is not None:
         from pyspark.sql import Window
@@ -1046,7 +1112,9 @@ def incremental_dedup(
             .drop("_rk")
         )
     cand = (
-        left.join(bb.select(F.col(id_col).alias("id_b"), "gram"), on="gram")
+        left.join(
+            F.broadcast(bb.select(F.col(id_col).alias("id_b"), "gram")), on="gram"
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -1055,15 +1123,15 @@ def incremental_dedup(
     # intersection size must come from both docs' FULL gram sets, else a
     # pair whose lower id ranks past the cap on some shared grams gets an
     # undercounted _n and a wrongly-low Jaccard (admitting a true dup the
-    # uncapped oracle drops). r7 shape: re-collapse the checkpointed gram
-    # rows to one COMPACT (id, gram-array, sz) row per doc and intersect
-    # with array_intersect per candidate pair — two narrow id-equi-joins
-    # on the (small) candidate list instead of the old explode-side
-    # recount join, whose fan-out shuffled |cand| × grams-per-doc rows.
-    # Arrays are bounded by document length.
-    sets = bb.groupBy(id_col).agg(
-        F.collect_list("gram").alias("_gs"), F.first("sz").alias("_sz")
-    )
+    # uncapped oracle drops). r7 shape: intersect the checkpointed
+    # per-doc gram arrays with array_intersect per candidate pair — two
+    # narrow id-equi-joins on the (small) candidate list instead of the
+    # old explode-side recount join, whose fan-out shuffled |cand| ×
+    # grams-per-doc rows. Arrays are bounded by document length. r16:
+    # every frame here is batch-bounded, so the recount joins and the
+    # final admission anti-join broadcast explicitly — the old plan's
+    # sort-merge anti (2 exchanges + sorts) and shuffled recount joins
+    # were pure fixed overhead.
     a_sets = sets.select(
         F.col(id_col).alias("id_a"), F.col("_gs").alias("_ga"), F.col("_sz").alias("_sa")
     )
@@ -1071,8 +1139,8 @@ def incremental_dedup(
         F.col(id_col).alias("id_b"), F.col("_gs").alias("_gb"), F.col("_sz").alias("_sb")
     )
     pairs = (
-        cand.join(a_sets, on="id_a")
-        .join(b_sets, on="id_b")
+        cand.join(F.broadcast(a_sets), on="id_a")
+        .join(F.broadcast(b_sets), on="id_b")
         .withColumn("_n", F.size(F.array_intersect("_ga", "_gb")))
         .filter(
             F.col("_n").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_n"))
@@ -1081,7 +1149,7 @@ def incremental_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return survivors.join(pairs, on=id_col, how="left_anti")
+    return survivors.join(F.broadcast(pairs), on=id_col, how="left_anti")
 
 
 def positional_grams(
