@@ -37,31 +37,44 @@ from pyspark.sql import functions as F
 
 
 def _deletion_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, text) → one row per deletion-neighborhood signature:
-    (sig, id, text). Signature 0 is the string itself; signature j>0 is
-    the string with character j removed. Emitted via a JVM-side transform
-    over ``sequence(0, L)`` — no Python in the fan-out."""
+    """(id, text) → one row per DISTINCT deletion-neighborhood variant:
+    (sig, id, pmin, pmax). Variant 0 is the string itself (pmin = pmax =
+    0); every other variant is the string with one character removed,
+    annotated with the INTERVAL of deletion positions that produce it.
+    Emitted via JVM-side transforms — no Python in the fan-out.
+
+    Two deletions of the same string are equal iff the deleted positions
+    sit inside one run of identical characters (del i == del j, i<j ⇒
+    the aligned overlap forces x[p]==x[p+1] for p in [i, j-1]), so the
+    positions yielding one variant form a CONTIGUOUS interval — one row
+    per run start carries the whole interval. This subsumes the old
+    array_distinct dedup (runs of zeros in padded numeric IDs otherwise
+    join k_a × k_b times through their shared variant) AND gives the
+    candidate join its position filter (see fuzzy_pairs_fastss)."""
     c = f"`{text_col}`"  # backtick-quoted: survives 3p/+//fg%-style names
-    sigs = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        # array_distinct: a run of k identical characters yields k identical
-        # deletion variants; without the dedup a matching pair is joined
-        # k_a × k_b times through that variant (runs of zeros in padded
-        # numeric IDs make this quadratic-ish in run length).
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, length({c})), "
-                    f"j -> CASE WHEN j = 0 THEN {c} "
-                    f"     ELSE concat(substring({c}, 1, j - 1), "
-                    f"                 substring({c}, j + 1, length({c}))) END)"
-                )
-            )
-        ).alias("_variant"),
+    # run starts: positions whose character differs from its predecessor
+    rs = (
+        f"CASE WHEN length({c}) = 0 THEN array() "
+        f"ELSE filter(sequence(1, length({c})), "
+        f"p -> p = 1 OR substring({c}, p, 1) != substring({c}, p - 1, 1)) END"
+    )
+    variants = (
+        f"concat("
+        f"array(struct({c} AS _v, 0 AS _pmin, 0 AS _pmax)), "
+        f"transform(_rs, (p, i) -> struct("
+        f"concat(substring({c}, 1, p - 1), substring({c}, p + 1, length({c}))) AS _v, "
+        f"p AS _pmin, "
+        f"coalesce(try_element_at(_rs, i + 2), length({c}) + 1) - 1 AS _pmax)))"
+    )
+    sigs = (
+        df.withColumn("_rs", F.expr(rs))
+        .select(F.col(id_col), F.explode(F.expr(variants)).alias("_var"))
     )
     return sigs.select(
-        F.xxhash64("_variant").alias("_sig"), F.col(id_col), F.col(text_col)
+        F.xxhash64("_var._v").alias("_sig"),
+        F.col(id_col),
+        F.col("_var._pmin").alias("_pmin"),
+        F.col("_var._pmax").alias("_pmax"),
     )
 
 
@@ -86,20 +99,49 @@ def fuzzy_pairs_fastss(
     sigs = _deletion_signatures(clean, id_col, text_col)
     # FULLY NARROW pipeline (r6 rework, measured 2.77 → 1.65 s min-of-3 at
     # sf0.1, identical 262,500-row result): the signature self-join and
-    # the candidate-pair distinct carry ONLY (sig, id) / (id_a, id_b)
-    # integers — the r5 form shuffled each text L+1 times through the
-    # signature join (O(L²) characters per string) and re-ran the
-    # levenshtein verify once per shared signature (≈2-3×). Texts now
+    # the candidate-pair distinct carry ONLY (sig, id, pos-interval) /
+    # (id_a, id_b) integers — the r5 form shuffled each text L+1 times
+    # through the signature join (O(L²) characters per string) and re-ran
+    # the levenshtein verify once per shared signature (≈2-3×). Texts now
     # re-enter via two plain equi-joins on the id (each text shuffled
     # ONCE), and the THRESHOLD-BOUNDED levenshtein (3-arg form, O(L·t)
     # banded, r5: 4.33 → 2.62 s) runs exactly once per distinct candidate
     # pair. Two extra narrow exchanges, strictly less data moved and less
     # compute — the trade that wins harder the longer the strings get.
-    a = sigs.select("_sig", F.col(id_col).alias("_id_a"))
-    b = sigs.select("_sig", F.col(id_col).alias("_id_b"))
+    #
+    # r16 position filter (FastSS's deletion-position check, k=1 form): a
+    # variant match proves dist ≤ 1 only when the deletion positions are
+    # COMPATIBLE — same-length pairs at dist ≤ 1 differ at exactly one
+    # position p, so they always share the del-p variant (position
+    # intervals overlap at p); length±1 pairs share the shorter string
+    # itself (one side's variant 0). A match whose intervals are disjoint
+    # with neither side at 0 is a distance-2 artifact (transpositions,
+    # shifted runs) — provably NEVER dist ≤ 1, so dropping it loses no
+    # pair. At sf0.1 this cuts the candidate stream 977,500 → 262,500
+    # rows (literally zero false candidates left on TPCH names; the
+    # levenshtein filter stays for 64-bit hash collisions) — wall-clock
+    # neutral HERE because sf0.1 is fixed-cost-bound, but 3.7× less data
+    # into the distinct, the text joins and the verify at scale.
+    a = sigs.select(
+        "_sig",
+        F.col(id_col).alias("_id_a"),
+        F.col("_pmin").alias("_pa0"),
+        F.col("_pmax").alias("_pa1"),
+    )
+    b = sigs.select(
+        "_sig",
+        F.col(id_col).alias("_id_b"),
+        F.col("_pmin").alias("_pb0"),
+        F.col("_pmax").alias("_pb1"),
+    )
     cand = (
         a.join(b, "_sig")
         .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(
+            (F.col("_pa0") == 0)
+            | (F.col("_pb0") == 0)
+            | ((F.col("_pa0") <= F.col("_pb1")) & (F.col("_pb0") <= F.col("_pa1")))
+        )
         .select("_id_a", "_id_b")
         .distinct()
     )

@@ -95,3 +95,31 @@ def test_fuzzy_pairs_exotic_column_name(spark):
         for r in fuzzy_pairs_fastss(df, "id", "fg%").collect()
     }
     assert got == {(1, 2, 1)}
+
+
+def test_position_filter_keeps_run_edge_substitutions(spark):
+    """r16 candidate filter completeness on the run cases: equal deletion
+    variants within a string form a contiguous position INTERVAL, and the
+    filter keeps a match when the two sides' intervals overlap (or either
+    side is the identity variant). A canonical single-position dedup
+    would miss pairs like ("aa", "ab"): "aa" yields variant "a" only from
+    its run start (position 1), "ab" yields "a" at position 2 — intervals
+    [1,2] and [2,2] overlap at the differing position, so the dist-1 pair
+    must survive."""
+    got = _pairs(
+        spark,
+        [
+            (1, "aa"),
+            (2, "ab"),  # substitution at the END of 1's run
+            (3, "ba"),  # substitution at the START of 1's run
+            (4, "aaab"),
+            (5, "aaxb"),  # substitution inside a longer run
+            (6, "xy"),
+            (7, "yx"),  # transposition: dist 2, must NOT pair with 6
+        ],
+    )
+    assert (1, 2, 1) in got
+    assert (1, 3, 1) in got
+    assert (4, 5, 1) in got
+    assert (2, 3, 2) not in got and (2, 3, 1) not in got
+    assert not any(a == 6 and b == 7 for a, b, _ in got)
