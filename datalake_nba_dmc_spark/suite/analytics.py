@@ -976,19 +976,28 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_oracle(
     n_resamples: int, seed: int, scale: int, alpha_pct: int
 ) -> str:
-    from datalake_nba_dmc_spark.operators.stats import bootstrap_weight_sql
+    from datalake_nba_dmc_spark.operators.stats import (
+        _bootstrap_idbase_sql,
+        _bootstrap_weight_from_base_sql,
+    )
 
-    w = bootstrap_weight_sql("id", "r", seed, "duck")
+    # r16: stage the id-only mixer base BEFORE the resample unnest —
+    # bootstrap_weight_sql composes these same two pieces, so the
+    # integers are identical, but DuckDB otherwise re-runs the id mixer
+    # n_resamples× per row — pure oracle cost the driver pays at every
+    # correctness check (and the sf0.1 twin test paid 270 s for)
+    idb = _bootstrap_idbase_sql("o_orderkey", "duck")
+    w = _bootstrap_weight_from_base_sql("idb", "r", seed, "duck")
     lo_rank = max(1, -(-n_resamples * alpha_pct // 200))
     hi_rank = max(1, -(-n_resamples * (200 - alpha_pct) // 200))
     return f"""
     WITH base AS (
-      SELECT o_orderkey AS id,
+      SELECT o_orderkey AS id, {idb} AS idb,
              CAST(round(o_totalprice * {scale}) AS BIGINT) AS xs
       FROM orders
       WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     ), ex AS (
-      SELECT id, xs, unnest(range(0, {n_resamples})) AS r FROM base
+      SELECT idb, xs, unnest(range(0, {n_resamples})) AS r FROM base
     ), wtab AS (
       SELECT r, {w} AS w, xs FROM ex
     ), agg AS (
@@ -1607,20 +1616,25 @@ def stat_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_by_oracle(
     n_resamples: int, seed: int, scale: int, alpha_pct: int
 ) -> str:
-    from datalake_nba_dmc_spark.operators.stats import bootstrap_weight_sql
+    from datalake_nba_dmc_spark.operators.stats import (
+        _bootstrap_idbase_sql,
+        _bootstrap_weight_from_base_sql,
+    )
 
-    w = bootstrap_weight_sql("id", "r", seed, "duck")
+    # r16: staged id-mixer base, same rationale as _bootstrap_oracle
+    idb = _bootstrap_idbase_sql("o_orderkey", "duck")
+    w = _bootstrap_weight_from_base_sql("idb", "r", seed, "duck")
     lo_rank = max(1, -(-n_resamples * alpha_pct // 200))
     hi_rank = max(1, -(-n_resamples * (200 - alpha_pct) // 200))
     return f"""
     WITH base AS (
-      SELECT o_orderpriority AS seg, o_orderkey AS id,
+      SELECT o_orderpriority AS seg, o_orderkey AS id, {idb} AS idb,
              CAST(round(o_totalprice * {scale}) AS BIGINT) AS xs
       FROM orders
       WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
         AND o_orderpriority IS NOT NULL
     ), ex AS (
-      SELECT seg, id, xs, unnest(range(0, {n_resamples})) AS r FROM base
+      SELECT seg, idb, xs, unnest(range(0, {n_resamples})) AS r FROM base
     ), wtab AS (
       SELECT seg, r, {w} AS w, xs FROM ex
     ), agg AS (

@@ -22,6 +22,16 @@ SLOW = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+#: For properties whose EXAMPLES are expensive (≥6 Spark actions each —
+#: per-segment global/by cross-checks): 12 examples cost 79 s of the
+#: suite's pytest budget (r16; the driver's run must finish inside its
+#: timeout — VERDICT r15), 5 keep the multi-segment/multi-sign coverage.
+VERY_SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
 
 @SLOW
 @given(
@@ -1012,7 +1022,7 @@ def test_ks_matches_bruteforce_ecdf_sup(spark, vals):
     assert r.ks_d_micro == (brute * 1_000_000) // (len(a) * len(b))
 
 
-@SLOW
+@VERY_SLOW
 @given(
     vals=st.lists(
         st.tuples(

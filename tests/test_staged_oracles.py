@@ -29,6 +29,16 @@ def _duck():
     return con
 
 
+#: sf0.1 parametrizations of the three heaviest DuckDB twins (51/29/24 s
+#: of pytest budget — the DuckDB replay, not the operators, dominates):
+#: deselected from the default run via pytest.ini's `-m "not slow"` so the
+#: driver's `pytest tests/ -x -q` fits its timeout (VERDICT r15 "driver
+#: pytest run doesn't fit the budget"). The sf0.001 parametrizations stay
+#: in the default run, and the registered queries' sf0.001/sf0.01 driver
+#: oracle covers mid-scale; run the slow set with `-m slow` (receipt in
+#: OPTIMIZATION_r16.md).
+SF01_SLOW = pytest.param("sf0.1", marks=pytest.mark.slow)
+
 @needs_testdata
 def test_pack_sequences_duckdb_twin(spark):
     """pack_sequences (two-phase parallel prefix sum) vs the sequential
@@ -3626,7 +3636,7 @@ def _leakage_split_oracle() -> str:
 
 
 @needs_testdata
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+@pytest.mark.parametrize("sf", ["sf0.001", SF01_SLOW])
 def test_leakage_safe_split_duckdb_twin(spark, sf):
     """leakage_safe_split (r13-staged, registers r14 as
     sample_leakage_safe_split): near-dup-aware train/val/test
@@ -3967,7 +3977,7 @@ def _eval_decon_split_oracle() -> str:
 
 
 @needs_testdata
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+@pytest.mark.parametrize("sf", ["sf0.001", SF01_SLOW])
 def test_eval_decontaminated_split_duckdb_twin(spark, sf):
     """The leakage-safe split composed with benchmark decontamination
     (r14-staged, registers r15 as sample_eval_decontaminated_split —
@@ -4051,20 +4061,29 @@ def test_staged_ops_layout_invariant(spark):
 def _bootstrap_by_oracle(
     n_resamples: int, seed: int, scale: int, alpha_pct: int
 ) -> str:
-    from datalake_nba_dmc_spark.operators.stats import bootstrap_weight_sql
+    from datalake_nba_dmc_spark.operators.stats import (
+        _bootstrap_idbase_sql,
+        _bootstrap_weight_from_base_sql,
+    )
 
-    w = bootstrap_weight_sql("id", "r", seed, "duck")
+    # staged id-mixer base (r16): identical integers to the composed
+    # bootstrap_weight_sql form (test_bootstrap_ci_duckdb_twin still
+    # pins the composed form at sf0.001), but DuckDB runs the id mixer
+    # once per row instead of once per (row, resample) — the sf0.1
+    # parametrization of this twin cost 274 s of the suite's budget
+    idb = _bootstrap_idbase_sql("o_orderkey", "duck")
+    w = _bootstrap_weight_from_base_sql("idb", "r", seed, "duck")
     lo_rank = max(1, -(-n_resamples * alpha_pct // 200))
     hi_rank = max(1, -(-n_resamples * (200 - alpha_pct) // 200))
     return f"""
     WITH base AS (
-      SELECT o_orderpriority AS seg, o_orderkey AS id,
+      SELECT o_orderpriority AS seg, o_orderkey AS id, {idb} AS idb,
              CAST(round(o_totalprice * {scale}) AS BIGINT) AS xs
       FROM orders
       WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
         AND o_orderpriority IS NOT NULL
     ), ex AS (
-      SELECT seg, id, xs, unnest(range(0, {n_resamples})) AS r FROM base
+      SELECT seg, idb, xs, unnest(range(0, {n_resamples})) AS r FROM base
     ), wtab AS (
       SELECT seg, r, {w} AS w, xs FROM ex
     ), agg AS (
@@ -4504,7 +4523,7 @@ def _stratified_split_oracle() -> str:
 
 
 @needs_testdata
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+@pytest.mark.parametrize("sf", ["sf0.001", SF01_SLOW])
 def test_stratified_split_duckdb_twin(spark, sf):
     """leakage_safe_split_stratified (r15-staged, registers r16 as
     sample_stratified_split — VERDICT r14 ask #5): clusters laid on
