@@ -407,6 +407,27 @@ def test_repeated_spans_two_exchanges_no_udf(spark):
 
 
 @needs_testdata
+def test_cdc_reuse_folds_stage_once(spark):
+    """r15 ADVICE: cdc_reuse's speed rests on Catalyst plan-shape
+    heuristics pinned only by comments — the always-true `size(_v1h)>=0`
+    second reference that stops CollapseProject from inlining the staged
+    folds (measured 7 s → 85 s without it) and the post-agg `n_chunks>0`
+    filter that dodges predicate pushdown. A Spark upgrade that changes
+    either rule would re-run the O(len) character fold ~8× per row with
+    no test failing. Pin the executed shape: the token-hash fold (_th)
+    and the chunk-hash fold (_v1h) each materialize as EXACTLY ONE
+    staged projection alias, and the plan reads the documents parquet
+    exactly twice (v1 corpus + the id/text re-read the report joins
+    back to). Inlining regressions erase the `AS _th#`/`AS _v1h#`
+    aliases and multiply the fold expressions instead."""
+    plan = plan_of(spark, "dedup_cdc_reuse")
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    lines = plan.splitlines()
+    assert sum(1 for ln in lines if "AS _th#" in ln) == 1
+    assert sum(1 for ln in lines if "AS _v1h#" in ln) == 1
+
+
+@needs_testdata
 def test_incremental_dedup_final_plan_reads_checkpoints_only(spark):
     """incremental_dedup materializes its batch-bounded intermediates
     (fresh/survivors/bb) with eager local checkpoints — the corpus is
