@@ -1014,26 +1014,29 @@ def incremental_dedup(
         .withColumn("_toks", F.filter(F.split(F.col("_norm"), " "), lambda t: t != ""))
         .withColumn("_sh", _grams_from_tokens(F.col("_toks"), shingle_n))
     )
+    # the lambda only WRAPS strings into tagged structs — hashing runs
+    # post-explode in a codegen'd projection (xxhash64 inside an
+    # interpreted HOF lambda measured ~10% slower end-to-end); the kind-0
+    # struct carries the normalized text itself, so xxhash64 of it IS the
+    # row's fingerprint
     gram_structs = F.transform(
         F.coalesce(F.col("_sh"), F.array().cast("array<string>")),
-        lambda g: F.struct(
-            F.lit(1).alias("_kind"), F.xxhash64(g).alias("_key")
-        ),
+        lambda g: F.struct(F.lit(1).alias("_kind"), g.alias("_v")),
     )
     probe_structs = F.concat(
-        F.array(
-            F.struct(
-                F.lit(0).alias("_kind"),
-                F.xxhash64(F.col("_norm")).alias("_key"),
-            )
-        ),
+        F.array(F.struct(F.lit(0).alias("_kind"), F.col("_norm").alias("_v"))),
         gram_structs,
     )
     probe = staged.select(
         F.col(id_col).alias("_cid"),
         F.coalesce(F.size("_sh"), F.lit(0)).alias("_csz"),
         F.explode(probe_structs).alias("_p"),
-    ).select("_cid", "_csz", F.col("_p._kind").alias("_kind"), F.col("_p._key").alias("_key"))
+    ).select(
+        "_cid",
+        "_csz",
+        F.col("_p._kind").alias("_kind"),
+        F.xxhash64(F.col("_p._v")).alias("_key"),
+    )
 
     # Eager materialization of the batch-bounded intermediates (r5): the
     # admission pipeline consumes `hits`/`fresh`/`sets` from multiple
@@ -1061,26 +1064,37 @@ def incremental_dedup(
             F.first("_bsz").alias("_bsz"),
             F.first("_csz").alias("_csz"),
         )
+        # the Jaccard cut runs INSIDE this job: without it the checkpoint
+        # materializes every (batch doc, corpus doc) any-shared-gram pair
+        # count — measured ~10% on the whole query — instead of the
+        # handful of fp hits + above-threshold near pairs
+        .filter(
+            (F.col("_kind") == 0)
+            | (
+                F.col("_n").cast("double")
+                / (F.col("_bsz") + F.col("_csz") - F.col("_n"))
+                >= threshold
+            )
+        )
         .localCheckpoint(eager=True)
     )
 
     # exact: drop batch rows whose fingerprint exists in the corpus, then
-    # keep the min-id representative per batch fingerprint
+    # keep the min-id representative per batch fingerprint — one window
+    # (r16; the old min-agg + semi-join back re-scanned the batch and
+    # shuffled twice for the same keep-lowest-id-per-group decision)
     hit_fps = hits.filter(F.col("_kind") == 0).select(F.col("_hfp").alias("_fp"))
-    fresh = b_fp.join(F.broadcast(hit_fps), on="_fp", how="left_anti")
-    winners = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    w_fp = Window.partitionBy("_fp").orderBy(id_col)
     fresh = (
-        fresh.join(winners, on=id_col, how="left_semi")
-        .drop("_fp")
+        b_fp.join(F.broadcast(hit_fps), on="_fp", how="left_anti")
+        .withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
         .localCheckpoint(eager=True)
     )
 
     near_corpus = (
         hits.filter(F.col("_kind") == 1)
-        .filter(
-            F.col("_n").cast("double") / (F.col("_bsz") + F.col("_csz") - F.col("_n"))
-            >= threshold
-        )
         .select(F.col("_bid").alias(id_col))
         .distinct()
     )
@@ -1103,8 +1117,6 @@ def incremental_dedup(
     bb = sets.select(id_col, F.col("_sz").alias("sz"), F.explode("_gs").alias("gram"))
     left = bb.select(F.col(id_col).alias("id_a"), F.col("sz").alias("_sa"), "gram")
     if gram_fanout_cap is not None:
-        from pyspark.sql import Window
-
         w = Window.partitionBy("gram").orderBy("id_a")
         left = (
             left.withColumn("_rk", F.row_number().over(w))
