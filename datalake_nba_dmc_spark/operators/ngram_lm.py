@@ -23,9 +23,12 @@ Scale shape (the 100 TB plan):
 1. One explode of ZIPPED token-slice pairs → hash-agg to per-(doc, w1,
    w2) counts (map-side combined): shuffled rows are O(distinct (doc,
    bigram)), never O(token instances).
-2. Corpus bigram counts and context counts are two further hash-aggs of
-   strictly decreasing size; the vocabulary size rides in as a broadcast
-   one-row literal.
+2. The (doc, bigram) counts checkpoint once (they are both the model's
+   substrate and the scoring stream — see the in-function r16 note);
+   corpus bigram counts are one further hash-agg, the context count is a
+   window over the model-grain rows (partition sizes bounded by the
+   per-context vocabulary), and the vocabulary size rides in as a
+   broadcast one-row literal.
 3. The model join back to per-doc rows is a plain equi-join on
    (w1, w2) — AQE's skew-join owns hot bigrams ("of the") exactly as it
    owns hot words in the unigram path.
@@ -38,7 +41,7 @@ micro-nat terms.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datalake_nba_dmc_spark.operators.util import ensure_parallelism
@@ -82,9 +85,27 @@ def bigram_logprob(
             F.col("_p._w2s").alias("w2"),
         )
     )
-    dbb = pairs.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("n_dbb"))
+    # r16: dbb is the model's substrate AND the scoring stream — left
+    # lazy, Catalyst re-derived the whole zip-explode+agg pipeline three
+    # times (join left, `big`'s input, `ctx`'s input via `big`; no
+    # cross-subtree CSE), i.e. three tokenizations of the corpus. One
+    # eager checkpoint pins it (the materialized rows are exactly what
+    # the old plan shuffled three times anyway), and the context count
+    # rides a window over the MODEL-grain rows — partition sizes are
+    # bounded by the per-context vocabulary (distinct w2 per w1), not by
+    # token instances, so a hot context stays one model row per follower
+    # and AQE's skew join still owns the scoring join below. Same exact
+    # integers (c_w1 = Σ_w2 c_ww); interleaved A/B min-of-6 at sf0.1:
+    # 1.75 → 1.51 s, bit-identical (exceptAll symdiff 0).
+    dbb = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("n_dbb"))
+        .localCheckpoint(eager=True)
+    )
     big = dbb.groupBy("w1", "w2").agg(F.sum("n_dbb").alias("c_ww"))
-    ctx = big.groupBy("w1").agg(F.sum("c_ww").alias("c_w1"))
+    bigc = big.withColumn(
+        "c_w1", F.sum("c_ww").over(Window.partitionBy("w1"))
+    )
     term = F.round(
         F.log(
             (F.col("c_ww") + 1).cast("double")
@@ -93,8 +114,7 @@ def bigram_logprob(
         * 1e6
     ).cast("long")
     return (
-        dbb.join(big, on=["w1", "w2"])
-        .join(ctx, on="w1")
+        dbb.join(bigc, on=["w1", "w2"])
         .crossJoin(F.broadcast(vocab_size))
         .groupBy(id_col)
         .agg(
