@@ -249,6 +249,9 @@ def test_coreness_empty_and_validation(spark):
         coreness_micro(empty, 2, checkpoint_every=0)
 
 
+@pytest.mark.slow  # 20 s two-scale battery; the crafted/exact-peel tests
+# and the driver's sf0.001+sf0.01 oracle of graph_coreness_bucketed (r16
+# window) keep default-run coverage — run with -m slow
 @pytest.mark.skipif(
     not __import__("os").path.isdir("/root/testdata/sf0.001"),
     reason="driver testdata not present",

@@ -4117,7 +4117,7 @@ def _bootstrap_by_oracle(
 
 
 @needs_testdata
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
+@pytest.mark.parametrize("sf", ["sf0.001", SF01_SLOW])
 def test_bootstrap_ci_by_segment_duckdb_twin(spark, sf):
     """bootstrap_ci_mean_by (r14-staged, registers r15 as
     stat_bootstrap_ci_by_segment): per-segment Poisson-bootstrap CI —
@@ -4523,7 +4523,8 @@ def _stratified_split_oracle() -> str:
 
 
 @needs_testdata
-@pytest.mark.parametrize("sf", ["sf0.001", SF01_SLOW])
+@pytest.mark.slow
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.1"])
 def test_stratified_split_duckdb_twin(spark, sf):
     """leakage_safe_split_stratified (r15-staged, registers r16 as
     sample_stratified_split — VERDICT r14 ask #5): clusters laid on
