@@ -920,6 +920,47 @@ def test_cdc_reuse_v2_derivation_law(spark):
     assert 4 not in got  # unedited zero-token doc absent
 
 
+def test_cdc_reuse_conflicting_texts_out_of_contract_pin(spark):
+    """r15 ADVICE: cdc_reuse_report's contract is ONE text per doc_id.
+    When that contract is violated (two DIFFERENT texts under one id),
+    the r15 document-grain MIN-agg takes the per-row minimum of
+    (n_chunks, n_reused), where the old chunk-grain-distinct shape
+    merged the variants' chunk sets. Neither behavior is promised; this
+    test PINS the shipped one so a future rewrite that silently changes
+    it again trips a review instead of drifting: one output row per id,
+    n_chunks = the smaller variant's count, never a merged total."""
+    from pyspark.sql import functions as F
+
+    from datalake_nba_dmc_spark.operators.cdc import cdc_chunks, cdc_reuse_report
+
+    long_a = " ".join(f"a{i % 37}" for i in range(400))
+    long_b = " ".join(f"b{i % 43}" for i in range(900))
+    df = spark.createDataFrame(
+        [(9, long_a), (9, long_b), (1, "clean single text")],
+        "doc_id long, text string",
+    )
+    out = cdc_reuse_report(df).filter(F.col("doc_id") == 9).collect()
+    assert len(out) == 1  # one row per id even under the violation
+    per_variant = {
+        r.text: r.n
+        for r in cdc_chunks(
+            spark.createDataFrame(
+                [(90, long_a), (91, long_b)], "doc_id long, text string"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            spark.createDataFrame(
+                [(90, long_a), (91, long_b)], "doc_id long, text string"
+            ),
+            on="doc_id",
+        )
+        .collect()
+    }
+    assert out[0].n_chunks == min(per_variant.values())  # MIN, not merge
+
+
 @needs_testdata
 def test_minhash_portable_duckdb_twin(spark):
     """minhash_portable (r11-staged) vs a DuckDB twin replaying the same
